@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float|double>`):
+  * brute-force cosine top-k as the exact baseline, and random-hyperplane
+  * LSH bucketing as the scale path (candidates via equi-join on signature
+  * bands — no all-pairs comparison).
+  *
+  * Scale design: the query side of `topK` is broadcast (it is the small
+  * side by construction); `lshNearPairs` shuffles only on (band, bits) keys.
+  * For a 100 TB corpus the natural refinement is IVF: k-means coarse
+  * centroids as the bucket key instead of hyperplane signs — same join
+  * shape, better recall; the bucketing column is pluggable.
+  */
+object Similarity {
+
+  /** Deterministic random hyperplanes (seed-fixed), dim x nBits. */
+  private def planes(dim: Int, nBits: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def dotLit(v: Column, plane: Seq[Double]): Column =
+    aggregate(zip_with(v, array(plane.map(lit): _*), (x, y) => x * y),
+      lit(0.0), (acc, p) => acc + p)
+
+  /** Per-band sign-bit signatures for a vector column: `bands` longs, each
+    * packing `bitsPerBand` hyperplane signs.
+    */
+  def lshSignatures(vec: Column, dim: Int, bands: Int, bitsPerBand: Int): Seq[Column] = {
+    val ps = planes(dim, bands * bitsPerBand)
+    (0 until bands).map { b =>
+      (0 until bitsPerBand).map { i =>
+        when(dotLit(vec, ps(b * bitsPerBand + i)) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+    }
+  }
+
+  /** Exact brute-force cosine top-k: for each query vector, the k most
+    * similar corpus vectors. The query side is broadcast; per-query ranking
+    * is a window over the candidate set.
+    */
+  def topK(queries: DataFrame, corpus: DataFrame, qIdCol: String,
+           cIdCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(qIdCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qe"))
+    val c = corpus.select(col(cIdCol).as("cid"),
+      col(vecCol).cast("array<double>").as("ce"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    broadcast(q).join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qe"), col("ce")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** LSH-bucketed near-pair search: pairs colliding in at least one signature
+    * band, verified with exact cosine, kept at `sim >= threshold`.
+    */
+  def lshNearPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   threshold: Double, bands: Int = 8, bitsPerBand: Int = 8,
+                   maxBucketSize: Int = 2000): DataFrame = {
+    val sigs = lshSignatures(col("emb"), dim, bands, bitsPerBand)
+    val exploded = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("emb"))
+      .select(col("id"), col("emb"),
+        posexplode(array(sigs: _*)).as(Seq("band", "bits")))
+    val bw = Window.partitionBy("band", "bits").orderBy("id")
+    val capped = exploded.withColumn("_bn", row_number().over(bw))
+      .filter(col("_bn") <= maxBucketSize).drop("_bn")
+    val a = capped.select(col("band"), col("bits"),
+      col("id").as("id_a"), col("emb").as("ea"))
+    val b = capped.select(col("band"), col("bits"),
+      col("id").as("id_b"), col("emb").as("eb"))
+    a.join(b, Seq("band", "bits")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ea"), col("eb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", round(cosine(col("ea"), col("eb")), 4))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** Embedding-space near-duplicate pairs (cosine >= threshold), found via
+    * LSH bucketing. Dimension is taken from the first row.
+    */
+  def nearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    lshNearPairs(df, idCol, vecCol, dim, threshold)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language identification, quality scoring, token counting, document
+  * fingerprinting. Everything is built from codegen'd column expressions
+  * (no UDFs), so the operators scan-parallelize trivially: each is a pure
+  * per-row projection — no shuffle, no state — and whole-stage codegen keeps
+  * them in one pass over the text column.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (lowercased). */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** BPE-ish subword-boundary tokenizer: letters runs, digit runs, and single
+    * punctuation marks each count as a token (the usual pre-tokenization
+    * regex shape).
+    */
+  def bpeTokens(text: Column): Column =
+    filter(split(text, "(?<=\\s)|(?=\\s)|(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      t => trim(t) =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Small on purpose: broadcast as literals into codegen.
+    */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "ich", "nicht", "mit", "ein", "zu", "den", "von"),
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that", "for", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no", "los", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "que", "dans", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人", "一", "这"))
+
+  /** Heuristic language ID: CJK-character ratio decides `zh`; otherwise the
+    * language whose stopword list matches the most tokens wins (ties broken
+    * alphabetically). Adds `lang_pred` and `lang_score` columns.
+    */
+  def languageId(df: DataFrame, textCol: String,
+                 outCol: String = "lang_pred"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    // (-score, lang) structs: array_min picks highest score, then
+    // alphabetically-first language on ties.
+    val scored = array(stopwords.map { case (lang, words) =>
+      struct(
+        (-size(filter(toks, t => t.isInCollection(words))).cast("double") / nToks)
+          .as("neg"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_min(scored)
+    val cjk = length(regexp_replace(col(textCol), "[^\\u4e00-\\u9fff]", ""))
+    df.withColumn(outCol,
+        when(cjk.cast("double") / greatest(length(col(textCol)), lit(1)) > 0.2,
+          lit("zh"))
+          .otherwise(best.getField("lang")))
+      .withColumn("lang_score", -best.getField("neg"))
+  }
+
+  /** Quality-scoring columns: token count, alphabetic-character ratio,
+    * stopword ratio, mean token length — the standard cheap quality filters
+    * for pretraining corpora.
+    */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val en = stopwords.toMap.apply("en")
+    val nToks = greatest(size(toks), lit(1))
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+          / greatest(length(t), lit(1)))
+      .withColumn("stopword_ratio",
+        size(filter(toks, x => x.isInCollection(en))).cast("double") / nToks)
+      .withColumn("mean_tok_len",
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / nToks)
+  }
+
+  /** Normalized content fingerprint (md5 over whitespace-collapsed lowercase
+    * text) — exact-dedup key robust to whitespace variation.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Polynomial rolling hash (Rabin–Karp, base 31 mod 2^31-1) over the
+    * document's tokens — an order-sensitive fingerprint, unlike the
+    * set-semantics minhash.
+    */
+  def rollingHash(text: Column): Column = {
+    val p = 2147483647L
+    aggregate(tokens(text), lit(7L),
+      (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), lit(p)), lit(p)))
+  }
+}

@@ -1,0 +1,249 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.queries.QueryUtils.fr
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extension gate queries (SURVEY.md §2.5 + the LLM-data-pipeline operators):
+  * exact/near dedup, similarity search, text analysis, JSON extraction.
+  *
+  * Queries with a DuckDB-expressible oracle carry SQL in `sql`; the
+  * heuristic/sketch operators (MinHash-LSH, SimHash, language-ID, ANN
+  * bucketing) are exercised as rows-only checks here and pinned by exact
+  * assertions in the ScalaTest suite instead.
+  */
+object ExtensionQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup census by content hash (md5 — same hex on both engines).
+    "q31_exact_dedup" -> { (s, d) =>
+      Tables.documents(s, d)
+        .agg(count(lit(1)).as("total"),
+          countDistinct(md5(col("text"))).as("distinct_texts"))
+        .withColumn("exact_dups", col("total") - col("distinct_texts"))
+    },
+
+    "q32_text_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          fr(avg(col("n_chars")), 4).as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          fr(avg(length(col("text"))), 4).as("avg_len"))
+        .orderBy("lang")
+    },
+
+    "q33_json_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("int")).as("sk"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // Pairwise cosine similarity (brute force over a small query side — the
+    // scale path is Similarity.annTopK / LSH bucketing).
+    "q34_cosine_pairs" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val a = emb.filter(col("vec_id") <= 10)
+        .select(col("vec_id").as("qa"), col("emb").as("ea"))
+      val b = emb.select(col("vec_id").as("qb"), col("emb").as("eb"))
+      a.join(b, col("qa") < col("qb"))
+        .select(col("qa"), col("qb"),
+          fr(VectorFunctions.cosine(col("ea"), col("eb")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("qa"), col("qb"))
+        .limit(20)
+    },
+
+    // Token counting (whitespace tokenizer) — per-source corpus stats.
+    "q35_token_count" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          fr(avg(col("n_tokens")), 4).as("avg_tokens"))
+        .orderBy("source")
+    },
+
+    // Document fingerprint: md5 over whitespace-normalized lowercase text.
+    "q36_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") <= 20)
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // Text-quality scoring: alpha ratio, whitespace ratio, stopword ratio,
+    // mean token length (quality-filter primitives for a training-data
+    // pipeline).
+    "q37_quality_score" -> { (s, d) =>
+      val toks = split(trim(col("text")), "\\s+")
+      val stop = Seq("the", "a", "of", "and", "in", "to", "is")
+      Tables.documents(s, d)
+        .filter(col("doc_id") <= 50)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          fr(length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+            .cast("double") / length(col("text")), 4).as("alpha_ratio"),
+          fr(size(filter(toks, t => t.isInCollection(stop)))
+            .cast("double") / size(toks), 4).as("stopword_ratio"),
+          fr((length(col("text")) - size(toks) + 1).cast("double")
+            / size(toks), 4).as("mean_tok_len"))
+        .orderBy("doc_id")
+    },
+
+    // Word-set Jaccard similarity between document pairs (n-gram dedup
+    // primitive with n=1; ScalaTest covers n=3 shingles via Dedup.ngramJaccard).
+    "q38_word_jaccard" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 15)
+        .select(col("doc_id"),
+          array_distinct(split(trim(col("text")), "\\s+")).as("ws"))
+      val a = docs.select(col("doc_id").as("da"), col("ws").as("wa"))
+      val b = docs.select(col("doc_id").as("db"), col("ws").as("wb"))
+      a.join(b, col("da") < col("db"))
+        .select(col("da"), col("db"),
+          fr(size(array_intersect(col("wa"), col("wb"))).cast("double")
+            / size(array_union(col("wa"), col("wb"))), 4).as("jac"))
+        .orderBy(col("jac").desc, col("da"), col("db"))
+        .limit(30)
+    },
+
+    // Brute-force cosine top-k per query vector (ANN baseline).
+    "q39_ann_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = emb.filter(col("vec_id") <= 5)
+        .select(col("vec_id").as("qid"), col("emb").as("qe"))
+      val c = emb.select(col("vec_id").as("cid"), col("emb").as("ce"))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+      q.join(c, col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          fr(VectorFunctions.cosine(col("qe"), col("ce")), 4).as("sim"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy("qid", "rn")
+    },
+
+    // ---- rows-only checks (no portable SQL oracle; pinned by ScalaTest) ----
+
+    // Heuristic language identification over documents.
+    "q40_language_id" -> { (s, d) =>
+      TextAnalysis.languageId(Tables.documents(s, d), textCol = "text")
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("docs"))
+        .orderBy("lang", "lang_pred")
+    },
+
+    // MinHash-LSH near-duplicate candidate pairs (threshold 0 => every
+    // banded collision surfaces; the synthetic corpus has no true dups).
+    "q41_minhash_lsh" -> { (s, d) =>
+      Dedup.minHashLshPairs(Tables.documents(s, d),
+          idCol = "doc_id", textCol = "text",
+          numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.0)
+        .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
+        .limit(100)
+    },
+
+    // SimHash 64-bit fingerprints + hamming-near pairs.
+    "q42_simhash" -> { (s, d) =>
+      Dedup.simHash(Tables.documents(s, d), idCol = "doc_id", textCol = "text")
+        .filter(col("doc_id") <= 50)
+        .orderBy("doc_id")
+    },
+
+    // Embedding-cosine near-duplicate detection. The synthetic embeddings
+    // are near-orthogonal (max pairwise cosine ~0.51 at sf0.01), so the
+    // threshold is set low enough to surface the most-similar LSH pairs.
+    "q43_embedding_near_dup" -> { (s, d) =>
+      Similarity.nearDuplicates(Tables.embeddings(s, d),
+          idCol = "vec_id", vecCol = "embedding", threshold = 0.3)
+        .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    }
+  )
+
+  val sql: Map[String, String] = Map(
+    "q31_exact_dedup" ->
+      """SELECT count(*) AS total, count(DISTINCT md5(text)) AS distinct_texts,
+        |count(*) - count(DISTINCT md5(text)) AS exact_dups
+        |FROM documents""".stripMargin,
+
+    "q32_text_stats" ->
+      """SELECT lang, count(*) AS docs,
+        |floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
+        |min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |floor(avg(length(text)) * 10000.0 + 0.5) / 10000.0 AS avg_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q33_json_extract" ->
+      """SELECT event_type,
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sk,
+        |count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q34_cosine_pairs" ->
+      """SELECT a.vec_id AS qa, b.vec_id AS qb,
+        |floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) * 10000.0 + 0.5) / 10000.0 AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id <= 10
+        |ORDER BY sim DESC, qa, qb LIMIT 20""".stripMargin,
+
+    "q35_token_count" ->
+      """WITH t AS (SELECT source,
+        |  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT source, count(*) AS docs,
+        |CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |floor(avg(n_tokens) * 10000.0 + 0.5) / 10000.0 AS avg_tokens
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "q36_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents WHERE doc_id <= 20 ORDER BY doc_id""".stripMargin,
+
+    "q37_quality_score" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |CAST(length(toks) AS BIGINT) AS n_tokens,
+        |floor(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / length(text) * 10000.0 + 0.5) / 10000.0 AS alpha_ratio,
+        |floor(CAST(length(list_filter(toks,
+        |      t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+        |      / length(toks) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+        |floor(CAST(length(text) - length(toks) + 1 AS DOUBLE)
+        |      / length(toks) * 10000.0 + 0.5) / 10000.0 AS mean_tok_len
+        |FROM t WHERE doc_id <= 50 ORDER BY doc_id""".stripMargin,
+
+    "q38_word_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_distinct(string_split_regex(trim(text), '\s+')) AS ws
+        |  FROM documents WHERE doc_id <= 15)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |floor(CAST(length(list_intersect(a.ws, b.ws)) AS DOUBLE)
+        |      / length(list_distinct(list_concat(a.ws, b.ws))) * 10000.0 + 0.5) / 10000.0 AS jac
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |ORDER BY jac DESC, da, db LIMIT 30""".stripMargin,
+
+    "q39_ann_topk" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |         floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |               CAST(b.embedding AS DOUBLE[])) * 10000.0 + 0.5) / 10000.0 AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id <= 5),
+        |r AS (SELECT qid, cid, sim,
+        |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        |      FROM s)
+        |SELECT qid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  )
+}

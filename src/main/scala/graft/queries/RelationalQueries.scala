@@ -1,0 +1,385 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.queries.QueryUtils.{decSum, fr}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate queries Q1–Q17 + Q24–Q27 (SURVEY.md §2.4): scans, scalar functions,
+  * joins, aggregations, set ops. Each query is declared with the DataFrame
+  * API — Catalyst handles pushdown, pruning, join selection; small dimension
+  * tables are explicitly `broadcast()`-hinted where 100 TB fact-side scans
+  * would otherwise shuffle.
+  *
+  * Determinism policy (oracle hash-parity with DuckDB):
+  *  - every query ends in a total ORDER BY with a unique key suffix;
+  *  - floating aggregates wrapped in round(_, n);
+  *  - integer-ish derived columns aligned to BIGINT on both engines;
+  *  - NULLS FIRST explicit wherever a nullable sort key occurs (Spark
+  *    defaults nulls-first, DuckDB nulls-last).
+  */
+object RelationalQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_filter" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 30 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data:
+        // order by every projected column so LIMIT-boundary ties are
+        // value-identical on both engines.
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .limit(100)
+    },
+
+    "q02_case_cast" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice")).as("price_int"),
+          when(col("o_orderstatus") === "F", "final")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("other").as("status"))
+        .orderBy("o_orderkey")
+        .limit(100)
+    },
+
+    "q03_string_funcs" -> { (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_name").like("%1%"))
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("un"),
+          lower(col("c_mktsegment")).as("lm"),
+          length(col("c_name")).cast("long").as("ln"),
+          substring(col("c_name"), 1, 8).as("s8"),
+          concat(col("c_mktsegment"), lit("-"), col("c_name")).as("cc"),
+          regexp_replace(col("c_name"), "#", "@").as("rp"))
+        .orderBy("c_custkey")
+    },
+
+    "q04_date_funcs" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mstart"))
+        .orderBy("o_orderkey")
+        .limit(200)
+    },
+
+    "q05_math_funcs" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          fr(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")), 4).as("chg"),
+          fr(abs(col("l_discount") - 0.05), 4).as("ad"),
+          floor(col("l_quantity")).as("fq"),
+          ceil(col("l_quantity")).as("cq"))
+        .orderBy("l_orderkey", "l_linenumber", "chg", "ad", "fq", "cq")
+        .limit(200)
+    },
+
+    "q06_inner_join" -> { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"))
+        .orderBy("o_orderkey")
+        .limit(200)
+    },
+
+    // TPC-H Q5 shape. nation/region are tiny -> broadcast; customer joins
+    // stay shuffle-side (AQE picks broadcast when it fits).
+    "q07_multiway_join_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(decSum(col("l_extendedprice").cast("decimal(18,4)")
+            * (lit(1) - col("l_discount")).cast("decimal(18,4)"), 38, 8), 2)
+          .cast("double").as("revenue"))
+        .orderBy("n_name")
+    },
+
+    "q08_left_join_count" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    },
+
+    "q09_semi_join" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 100000),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    },
+
+    "q10_anti_join" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    },
+
+    // Range/theta self-join. At 100 TB this is the bucketed-by-user_id
+    // pattern: both sides hash-partition on the equi key (user_id), the
+    // range predicate evaluates within partitions — no cartesian blow-up.
+    "q11_range_self_join" -> { (s, d) =>
+      val e1 = Tables.events(s, d).filter(col("event_type") === "click")
+        .select(col("event_id").as("a"), col("user_id").as("u1"),
+          col("ts").as("ts1"))
+      val e2 = Tables.events(s, d)
+        .select(col("event_id").as("b"), col("user_id").as("u2"),
+          col("ts").as("ts2"))
+      e1.join(e2,
+          col("u1") === col("u2") && col("ts2") > col("ts1") &&
+            col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTES"))
+        .select("a", "b")
+        .orderBy("a", "b")
+        .limit(500)
+    },
+
+    // As-of join (latest order at-or-before each event, per user),
+    // decorrelated into join + re-aggregate. Scale path: per-user sort-merge
+    // as-of (see operators.AsofJoin) when the at-or-before side is large.
+    "q12_asof_join" -> { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderdate"))
+      e.join(o, col("user_id") === col("o_custkey") &&
+            col("o_orderdate") <= col("ts"), "left")
+        .groupBy(col("event_id"))
+        .agg(max(col("o_orderdate")).cast("timestamp_ntz").as("asof_order"))
+        .orderBy("event_id")
+        .limit(500)
+    },
+
+    // TPC-H Q1 shape — partial (map-side) aggregation then final merge,
+    // the direct analog of the reference's single-pass resample agg.
+    "q13_multi_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(decSum(col("l_quantity")), 2).cast("double").as("sq"),
+          fr(decSum(col("l_extendedprice")).cast("double") / count(lit(1)), 4)
+            .as("ap"),
+          min(col("l_shipdate")).cast("timestamp_ntz").as("d0"),
+          max(col("l_shipdate")).cast("timestamp_ntz").as("d1"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "q14_count_distinct" -> { (s, d) =>
+      Tables.orders(s, d)
+        .agg(
+          countDistinct(col("o_custkey")).as("dc"),
+          countDistinct(col("o_orderpriority")).as("dp"))
+    },
+
+    "q15_rollup" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"))
+        .agg(grouping(col("n_name")).cast("long").as("g"),
+          count(lit(1)).as("n"))
+        .orderBy(col("g"), col("n_name").asc_nulls_first)
+    },
+
+    "q16_cube" -> { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(
+          grouping(col("c_mktsegment")).cast("long").as("g1"),
+          grouping(col("o_orderpriority")).cast("long").as("g2"),
+          count(lit(1)).as("n"))
+        .orderBy(col("g1"), col("g2"),
+          col("c_mktsegment").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // Exact median — Spark 3.4+ built-in `median` (exact, not approx;
+    // matches reporting.py:74 close_median semantics).
+    "q17_median" -> { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          fr(median(col("c_acctbal")), 4).as("med"),
+          fr(decSum(col("c_acctbal"), 18, 2).cast("double") / count(lit(1)), 4)
+            .as("avgb"))
+        .orderBy("c_mktsegment")
+    },
+
+    "q24_global_topk" -> { (s, d) =>
+      // TakeOrderedAndProject physical op: per-partition top-k then merge,
+      // no global sort shuffle.
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    },
+
+    "q25_union" -> { (s, d) =>
+      val a = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("x"))
+      val b = Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("x"))
+      a.union(b).distinct().orderBy("x")
+    },
+
+    "q26_intersect" -> { (s, d) =>
+      val a = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("x"))
+      val b = Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("x"))
+      a.intersect(b).orderBy("x")
+    },
+
+    "q27_except" -> { (s, d) =>
+      val a = Tables.customer(s, d).select(col("c_custkey").as("x"))
+      val b = Tables.orders(s, d).select(col("o_custkey").as("x"))
+      a.except(b).orderBy("x")
+    }
+  )
+
+  val sql: Map[String, String] = Map(
+    "q01_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice LIMIT 100""".stripMargin,
+
+    "q02_case_cast" ->
+      """SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+        |CASE WHEN o_orderstatus = 'F' THEN 'final'
+        |     WHEN o_orderstatus = 'O' THEN 'open' ELSE 'other' END AS status
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+
+    "q03_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS un, lower(c_mktsegment) AS lm,
+        |CAST(length(c_name) AS BIGINT) AS ln, substr(c_name, 1, 8) AS s8,
+        |concat(c_mktsegment, '-', c_name) AS cc, replace(c_name, '#', '@') AS rp
+        |FROM customer WHERE c_name LIKE '%1%' ORDER BY c_custkey""".stripMargin,
+
+    "q04_date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+        |CAST(month(o_orderdate) AS BIGINT) AS m,
+        |CAST(day(o_orderdate) AS BIGINT) AS d,
+        |CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "q05_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000.0 + 0.5) / 10000.0 AS chg,
+        |floor(abs(l_discount - 0.05) * 10000.0 + 0.5) / 10000.0 AS ad,
+        |CAST(floor(l_quantity) AS BIGINT) AS fq,
+        |CAST(ceil(l_quantity) AS BIGINT) AS cq
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, chg, ad, fq, cq LIMIT 200""".stripMargin,
+
+    "q06_inner_join" ->
+      """SELECT o.o_orderkey, c.c_name FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey LIMIT 200""".stripMargin,
+
+    "q07_multiway_join_agg" ->
+      """SELECT n.n_name,
+        |CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+        |               * CAST(1 - l.l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    "q08_left_join_count" ->
+      """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+
+    "q09_semi_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_anti_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_range_self_join" ->
+      """SELECT e1.event_id AS a, e2.event_id AS b
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id AND e2.ts > e1.ts
+        | AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+        |WHERE e1.event_type = 'click'
+        |ORDER BY a, b LIMIT 500""".stripMargin,
+
+    "q12_asof_join" ->
+      """SELECT e.event_id,
+        |       (SELECT max(o.o_orderdate) FROM orders o
+        |        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS asof_order
+        |FROM events e ORDER BY e.event_id LIMIT 500""".stripMargin,
+
+    "q13_multi_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sq,
+        |floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 10000.0 + 0.5) / 10000.0 AS ap,
+        |min(l_shipdate) AS d0, max(l_shipdate) AS d1
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q14_count_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS dc,
+        |count(DISTINCT o_orderpriority) AS dp FROM orders""".stripMargin,
+
+    "q15_rollup" ->
+      """SELECT n.n_name, CAST(grouping(n.n_name) AS BIGINT) AS g, count(*) AS n
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY ROLLUP(n.n_name) ORDER BY g, n_name NULLS FIRST""".stripMargin,
+
+    "q16_cube" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        |CAST(grouping(c_mktsegment) AS BIGINT) AS g1,
+        |CAST(grouping(o_orderpriority) AS BIGINT) AS g2, count(*) AS n
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+        |ORDER BY g1, g2, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q17_median" ->
+      """SELECT c_mktsegment,
+        |floor(median(c_acctbal) * 10000.0 + 0.5) / 10000.0 AS med,
+        |floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*) * 10000.0 + 0.5) / 10000.0 AS avgb
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q24_global_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "q25_union" ->
+      """SELECT x FROM (SELECT c_custkey AS x FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION SELECT o_custkey FROM orders WHERE o_totalprice > 200000) ORDER BY x""".stripMargin,
+
+    "q26_intersect" ->
+      """SELECT x FROM (SELECT c_custkey AS x FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 200000) ORDER BY x""".stripMargin,
+
+    "q27_except" ->
+      """SELECT x FROM (SELECT c_custkey AS x FROM customer
+        |EXCEPT SELECT o_custkey FROM orders) ORDER BY x""".stripMargin
+  )
+}

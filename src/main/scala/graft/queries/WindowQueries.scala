@@ -1,0 +1,277 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.queries.QueryUtils.fr
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gate queries Q18–Q23 + Q28–Q30 (SURVEY.md §2.4): the window-function
+  * surface — OHLCV resample, ranking, lag/lead, frames, gaps-and-islands,
+  * dedup keep-first, forward-fill, linear interpolation.
+  *
+  * Every window partitions by `user_id` (the SYMBOL analog): a global
+  * `Window.orderBy` without partitioning serializes onto one task and is the
+  * classic 100 TB trap (SURVEY.md §4.2). The only exception is q22 (ntile over
+  * the whole relation), which is inherently global — noted there.
+  *
+  * Note on timestamps: `events.ts` is nanosecond parquet; Spark truncates to
+  * microseconds on read, so every oracle SQL that *outputs* a raw ts casts it
+  * to microsecond TIMESTAMP on the DuckDB side too.
+  */
+object WindowQueries {
+
+  private def byUser = Window.partitionBy("user_id")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // OHLCV tumbling resample (O14, "correct" mode). min_by/max_by with a
+    // (ts, event_id) struct key give deterministic first/last inside a plain
+    // hash aggregate — one shuffle, no row_number pre-pass needed
+    // (cf. resample.py:39-100; the oracle keeps the portable row_number form).
+    "q18_ohlcv_resample" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("bucket"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          round(sum(col("value").cast("decimal(28,10)")), 6)
+            .cast("double").as("volume"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "bucket")
+    },
+
+    "q19_ranking_topk" -> { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rk"),
+          dense_rank().over(w).cast("long").as("drk"))
+        .filter(col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    },
+
+    "q20_lag_lead" -> { (s, d) =>
+      val w = byUser.orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          fr(col("value"), 6).as("v"),
+          fr(lag(col("value"), 1).over(w), 6).as("pv"),
+          fr(lead(col("value"), 1).over(w), 6).as("nv"))
+        .orderBy("user_id", "event_id")
+        .limit(500)
+    },
+
+    // SMA-10 + cumulative sum (O15; reporting.py:116).
+    "q21_sma_cumsum" -> { (s, d) =>
+      val w = byUser.orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          fr(avg(col("value")).over(w.rowsBetween(-9, 0)), 6).as("sma10"),
+          fr(sum(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)), 6).as("csum"))
+        .orderBy("user_id", "event_id")
+        .limit(500)
+    },
+
+    // Inherently-global window (quartiles over the whole relation): fine at
+    // report scale; at 100 TB quantiles come from approx_percentile /
+    // range-partitioned rank instead.
+    "q22_ntile_frames" -> { (s, d) =>
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("q"),
+          fr(first(col("o_totalprice")).over(wf), 2).as("lo"),
+          fr(last(col("o_totalprice")).over(wf), 2).as("hi"))
+        .orderBy("o_orderkey")
+        .limit(200)
+    },
+
+    // Gaps-and-islands gap detection (O12 primitive).
+    "q23_gap_detect" -> { (s, d) =>
+      val w = byUser.orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lag(col("ts"), 1).over(w).as("prev_ts"))
+        .filter(col("prev_ts").isNotNull &&
+          col("ts") > col("prev_ts") + expr("INTERVAL 1 HOUR"))
+        .orderBy("user_id", "ts", "event_id")
+        .select(col("user_id"),
+          col("prev_ts").cast("timestamp_ntz").as("prev_ts"),
+          col("ts").cast("timestamp_ntz").as("ts"))
+    },
+
+    // Dedup keep-first (O8 analog: normalize.py:227-236).
+    "q28_dedup_keep_first" -> { (s, d) =>
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("kept"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .drop("rn")
+        .orderBy("user_id", "event_type")
+    },
+
+    // Forward-fill (O13 ffill; gaps.py:150-158) — nulls synthesized from
+    // event_type='view'. Spark-idiomatic: last(ignoreNulls) over a running
+    // frame; the oracle uses the portable count-partition form.
+    "q29_forward_fill" -> { (s, d) =>
+      val w = byUser.orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .withColumn("v", when(col("event_type") =!= "view", col("value")))
+        .select(col("user_id"), col("event_id"),
+          fr(last(col("v"), ignoreNulls = true).over(w), 6).as("v_ffill"))
+        .orderBy("user_id", "event_id")
+        .limit(1000)
+    },
+
+    // Linear positional interpolation with limit_direction='both'
+    // (O13; gaps.py:167-169) — the same window algebra is packaged as the
+    // reusable operators.Interpolate transformer.
+    "q30_interpolate" -> { (s, d) =>
+      val wOrd = byUser.orderBy("rn")
+      val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = wOrd.rowsBetween(0, Window.unboundedFollowing)
+      val vrn = when(col("v").isNotNull, col("rn"))
+      Tables.events(s, d)
+        .withColumn("v", when(col("event_type") =!= "view", col("value")))
+        .withColumn("rn", row_number().over(byUser.orderBy("ts", "event_id")))
+        .select(col("user_id"), col("event_id"), col("v"), col("rn"),
+          last(col("v"), ignoreNulls = true).over(wPrev).as("pv"),
+          first(col("v"), ignoreNulls = true).over(wNext).as("nv"),
+          last(vrn, ignoreNulls = true).over(wPrev).as("prn"),
+          first(vrn, ignoreNulls = true).over(wNext).as("nrn"))
+        .select(col("user_id"), col("event_id"),
+          fr(
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNull, col("nv"))
+              .when(col("nv").isNull, col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv"))
+                * (col("rn") - col("prn")) / (col("nrn") - col("prn"))),
+            6).as("v_interp"))
+        .orderBy("user_id", "event_id")
+        .limit(1000)
+    }
+  )
+
+  val sql: Map[String, String] = Map(
+    "q18_ohlcv_resample" ->
+      """WITH w AS (
+        |  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, value,
+        |         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                            ORDER BY ts, event_id) AS rn_a,
+        |         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT user_id, bucket,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |       CAST(round(sum(CAST(value AS DECIMAL(28,10))), 6) AS DOUBLE) AS volume,
+        |       count(*) AS n
+        |FROM w GROUP BY user_id, bucket ORDER BY user_id, bucket""".stripMargin,
+
+    "q19_ranking_topk" ->
+      """WITH r AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS rn,
+        |         rank()       OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS rk,
+        |         dense_rank() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS drk
+        |  FROM customer)
+        |SELECT * FROM r WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q20_lag_lead" ->
+      """SELECT user_id, event_id,
+        |floor(value * 1000000.0 + 0.5) / 1000000.0 AS v,
+        |floor(lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS pv,
+        |floor(lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS nv
+        |FROM events ORDER BY user_id, event_id LIMIT 500""".stripMargin,
+
+    "q21_sma_cumsum" ->
+      """SELECT user_id, event_id,
+        |floor(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) * 1000000.0 + 0.5) / 1000000.0 AS sma10,
+        |floor(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000.0 + 0.5) / 1000000.0 AS csum
+        |FROM events ORDER BY user_id, event_id LIMIT 500""".stripMargin,
+
+    "q22_ntile_frames" ->
+      """SELECT o_orderkey, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q,
+        |floor(first_value(o_totalprice) OVER (ORDER BY o_totalprice, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) * 100.0 + 0.5) / 100.0 AS lo,
+        |floor(last_value(o_totalprice)  OVER (ORDER BY o_totalprice, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) * 100.0 + 0.5) / 100.0 AS hi
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "q23_gap_detect" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |           FROM events)
+        |SELECT user_id, CAST(prev_ts AS TIMESTAMP) AS prev_ts, CAST(ts AS TIMESTAMP) AS ts
+        |FROM x WHERE prev_ts IS NOT NULL AND ts > prev_ts + INTERVAL 1 HOUR
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q28_dedup_keep_first" ->
+      """WITH d AS (SELECT event_type, user_id, event_id,
+        |                  row_number() OVER (PARTITION BY user_id, event_type
+        |                                     ORDER BY ts, event_id) AS rn
+        |           FROM events)
+        |SELECT user_id, event_type, event_id AS kept FROM d WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q29_forward_fill" ->
+      """WITH s AS (SELECT user_id, ts, event_id,
+        |                  CASE WHEN event_type <> 'view' THEN value END AS v FROM events),
+        |g AS (SELECT *, count(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |      FROM s)
+        |SELECT user_id, event_id,
+        |floor(max(v) OVER (PARTITION BY user_id, grp) * 1000000.0 + 0.5) / 1000000.0 AS v_ffill
+        |FROM g ORDER BY user_id, event_id LIMIT 1000""".stripMargin,
+
+    "q30_interpolate" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_type <> 'view' THEN value END AS v,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |f AS (
+        |  SELECT *,
+        |    count(v) OVER (PARTITION BY user_id ORDER BY rn
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gf,
+        |    count(v) OVER (PARTITION BY user_id ORDER BY rn DESC
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gb,
+        |    max(CASE WHEN v IS NOT NULL THEN rn END)
+        |        OVER (PARTITION BY user_id ORDER BY rn
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prn,
+        |    min(CASE WHEN v IS NOT NULL THEN rn END)
+        |        OVER (PARTITION BY user_id ORDER BY rn DESC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nrn
+        |  FROM s),
+        |j AS (
+        |  SELECT *, max(v) OVER (PARTITION BY user_id, gf) AS pv,
+        |            max(v) OVER (PARTITION BY user_id, gb) AS nv
+        |  FROM f)
+        |SELECT user_id, event_id,
+        |       floor((CASE WHEN v IS NOT NULL THEN v
+        |                  WHEN pv IS NULL THEN nv
+        |                  WHEN nv IS NULL THEN pv
+        |                  ELSE pv + (nv - pv) * (rn - prn) / (nrn - prn) END)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS v_interp
+        |FROM j ORDER BY user_id, event_id LIMIT 1000""".stripMargin
+  )
+}
