@@ -1,24 +1,97 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.Files
+
+import graft.core.GraftConfig
+import graft.operators.Runner
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main. Prints ONE JSON line:
+  * {"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…}
+  *
+  * `value` is the BASELINE.md-comparable number: wall time of the full ETL
+  * pipeline (normalize → QA report → per-timeframe gap repair → resample →
+  * zstd parquet export ×4) over a synthetic 1-minute OHLCV series sized to
+  * the scale factor (sf0.1 ≈ 600k grid rows, 1% removed — the measured
+  * reference workload runs 4.485 s single-threaded). Input generation and
+  * session startup are excluded, matching how the baseline was measured.
+  *
+  * `queries` carries per-query wall times for the SURVEY §2.4/§2.5 gate
+  * queries on the driver tables at the same sf.
+  */
 object Bench {
+
+  /** Deterministic synthetic OHLCV (FIXTURES.md §3 shape: 1-min grid from
+    * 2023-01-01, ~1% of rows removed, single symbol, naive timestamps to
+    * exercise the assume-UTC localization path).
+    */
+  def genOhlcv(spark: SparkSession, gridRows: Long): DataFrame = {
+    val t0 = 1672531200L // 2023-01-01T00:00:00Z
+    spark.range(gridRows)
+      .select(
+        timestamp_seconds(lit(t0) + col("id") * 60).cast("string").as("timestamp"),
+        (lit(1.10) + (rand(42) - 0.5) * 0.02).as("open"),
+        (lit(1.10) + rand(43) * 0.01).as("high"),
+        (lit(1.10) - rand(44) * 0.01).as("low"),
+        (lit(1.10) + (rand(45) - 0.5) * 0.01).as("close"),
+        floor(rand(46) * 499 + 1).cast("double").as("volume"),
+        lit("EURUSD").as("symbol"))
+      .filter(rand(47) > 0.01)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).toDouble).getOrElse(0.1)
+    val gridRows = math.max(1000L, (6000000 * sf).toLong)
+
+    // materialize the input outside the timed window (the baseline excludes
+    // extract time)
+    val raw = genOhlcv(spark, gridRows).cache()
+    val inputRows = raw.count()
+
+    val outDir = Files.createTempDirectory("graft_bench").toString
+    val cfg = GraftConfig(timeframes = Seq("1T", "5T", "15T", "1H"))
+
+    // warmup: run the identical pipeline shape at tiny size so whole-stage
+    // codegen compilation and JIT happen outside the timed window (the
+    // baseline's "excluding one-time startup" provision — generated-class
+    // caches hit on the real run because the plan shapes are identical)
+    val warm = genOhlcv(spark, 2000).cache()
+    warm.count()
+    Runner.processDataFrame(spark, warm, cfg, sourceTz = None,
+      basename = "EURUSD_warm",
+      outDir = Files.createTempDirectory("graft_warm").toString)
+    warm.unpersist()
+
+    val t0 = System.nanoTime()
+    val result = Runner.processDataFrame(spark, raw, cfg, sourceTz = None,
+      basename = "EURUSD_bench", outDir = outDir)
+    val pipelineSec = (System.nanoTime() - t0) / 1e9
+    require(result.errors.isEmpty,
+      s"pipeline errors: ${result.errors.mkString("; ")}")
+    require(result.exports.length == 4, "four timeframe exports expected")
+
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val q0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      name -> (System.nanoTime() - q0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      f"""{"metric":"etl_pipeline_sec","value":$pipelineSec%.3f,"unit":"sec","input_rows":$inputRows,"exports":${result.exports.map(_.rows).mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

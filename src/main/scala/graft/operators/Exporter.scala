@@ -1,0 +1,194 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.security.MessageDigest
+
+import scala.collection.immutable.ListMap
+
+import graft.core.Json
+import graft.sources.Readers
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Parquet sink with validation, sidecar metadata and NDJSON audit log
+  * (reference O18–O21: src/etl/load/exporter.py).
+  *
+  * Parity quirks preserved:
+  *  - OHLC sanity violations (invalid_low/invalid_high) WARN, never fail —
+  *    independent interpolation routinely produces them (exporter.py:56-62);
+  *  - the content hash is added to the RETURNED report after the sidecar is
+  *    written, so the sidecar never contains it while the NDJSON log does
+  *    (exporter.py:192-199);
+  *  - hash recipe: sha256 over row count, str(min), str(max), and the first
+  *    3 non-null OPEN/CLOSE values (exporter.py:76-91).
+  *
+  * Everything the driver touches is a fixed-size aggregate; validation is
+  * one agg pass (least/greatest row-wise predicates folded into sums).
+  */
+object Exporter {
+
+  val TsCol: String = Normalize.TsCol
+
+  private def timed[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (sys.env.get("GRAFT_TIMING").contains("1"))
+      System.err.println(f"[graft-timing]   $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def validateFinalDf(df: DataFrame,
+                      knownDistinctTs: Boolean = false): ListMap[String, Any] = {
+    require(df.columns.contains(TsCol),
+      s"$TsCol column required before export")
+    val hasOhlc = Seq("OPEN", "HIGH", "LOW", "CLOSE").forall(df.columns.contains)
+
+    var aggs = Vector(
+      count(lit(1)).as("_rows"),
+      min(col(TsCol)).as("_start"),
+      max(col(TsCol)).as("_end"),
+      sum(when(col(TsCol).isNull, 1).otherwise(0)).as("_tsnull"))
+    if (!knownDistinctTs) aggs :+= countDistinct(col(TsCol)).as("_dts")
+    if (hasOhlc) {
+      val anyNeg = Seq("OPEN", "HIGH", "LOW", "CLOSE")
+        .map(c => col(c) < 0).reduce(_ || _)
+      aggs :+= max(when(anyNeg, 1).otherwise(0)).as("_neg")
+      aggs :+= max(when(
+        col("LOW") > least(col("OPEN"), col("HIGH"), col("CLOSE")), 1)
+        .otherwise(0)).as("_invlow")
+      aggs :+= max(when(
+        col("HIGH") < greatest(col("OPEN"), col("LOW"), col("CLOSE")), 1)
+        .otherwise(0)).as("_invhigh")
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+
+    val rows = r.getAs[Long]("_rows")
+    val dups =
+      if (knownDistinctTs) 0L
+      else rows - r.getAs[Long]("_dts") -
+        (if (r.getAs[Long]("_tsnull") > 0) 1 else 0)
+    var report = Json.obj(
+      "index_dtype" -> "datetime64[us, UTC]",
+      "index_tz" -> "UTC",
+      "duplicated_timestamps" -> dups)
+    if (hasOhlc)
+      report ++= Json.obj(
+        "negative_prices" -> (r.getAs[Int]("_neg") == 1),
+        "invalid_low" -> (r.getAs[Int]("_invlow") == 1),
+        "invalid_high" -> (r.getAs[Int]("_invhigh") == 1))
+    report ++= Json.obj(
+      "rows" -> rows,
+      "start" -> (if (rows > 0)
+        Reporting.fmtTs(r.getAs[java.sql.Timestamp]("_start")) else null),
+      "end" -> (if (rows > 0)
+        Reporting.fmtTs(r.getAs[java.sql.Timestamp]("_end")) else null))
+    report
+  }
+
+  /** O19: case-insensitive partition-column resolution; auto-derive
+    * YEAR/MONTH from the time column when requested but absent.
+    */
+  def preparePartitionCols(df: DataFrame,
+                           partitionCols: Seq[String]): (DataFrame, Seq[String]) = {
+    val lookup = df.columns.map(c => c.toLowerCase -> c).toMap
+    var out = df
+    var actual = Vector.empty[String]
+    for (pc <- partitionCols) {
+      lookup.get(pc.toLowerCase) match {
+        case Some(c) => actual :+= c
+        case None =>
+          pc.toLowerCase match {
+            case "year" =>
+              out = out.withColumn("YEAR", year(col(TsCol)))
+              actual :+= "YEAR"
+            case "month" =>
+              out = out.withColumn("MONTH", month(col(TsCol)))
+              actual :+= "MONTH"
+            case _ => // warn + skip, like the reference
+          }
+      }
+    }
+    (out, actual)
+  }
+
+  /** Lightweight content hash (exporter.py:76-91): row count, index extent
+    * and a 3-row sample of key columns. `precomputed` (rows, start, end —
+    * already formatted) skips re-aggregating what validation measured; the
+    * key samples come from ONE head scan in time order (first 3 non-null
+    * values per key among the first 1000 rows — beyond that the reference's
+    * head(3) would be all-null anyway in any non-degenerate frame).
+    */
+  def contentHash(df: DataFrame, keys: Seq[String],
+                  precomputed: Option[(Long, String, String)] = None): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val (n, t0, t1) = precomputed.getOrElse {
+      val r = df.agg(count(lit(1)).as("_n"), min(col(TsCol)).as("_t0"),
+        max(col(TsCol)).as("_t1")).collect()(0)
+      val c = r.getAs[Long]("_n")
+      (c,
+        if (c > 0) Reporting.fmtTs(r.getAs[java.sql.Timestamp]("_t0")) else "",
+        if (c > 0) Reporting.fmtTs(r.getAs[java.sql.Timestamp]("_t1")) else "")
+    }
+    md.update(n.toString.getBytes)
+    if (n > 0) { md.update(t0.getBytes); md.update(t1.getBytes) }
+    val present = keys.filter(df.columns.contains)
+    if (present.nonEmpty) {
+      val head = df.orderBy(col(TsCol))
+        .select(present.map(col): _*).limit(1000).collect()
+      for ((k, i) <- present.zipWithIndex) {
+        val sample = head.iterator.filterNot(_.isNullAt(i))
+          .map(_.get(i)).take(3).toSeq
+        md.update(sample.mkString("[", ", ", "]").getBytes)
+      }
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** O20: validate → zstd parquet (+partitioning) → sidecar JSON → hash. */
+  def writeParquetWithMetadata(df: DataFrame, outPath: String,
+                               compression: String = "zstd",
+                               partitionCols: Seq[String] = Nil,
+                               metadata: ListMap[String, Any] = ListMap.empty,
+                               knownDistinctTs: Boolean = false)
+      : ListMap[String, Any] = {
+    val valReport = timed("ex_validate")(validateFinalDf(df, knownDistinctTs))
+    val (prepared0, parts) = preparePartitionCols(df, partitionCols)
+    val prepared = prepared0.drop(Readers.FileOrderCol)
+
+    var exportReport = Json.obj(
+      "path" -> outPath,
+      "compression" -> compression,
+      "engine" -> "spark",
+      "partition_cols" -> (if (parts.isEmpty) null else parts),
+      "rows" -> valReport("rows"))
+    exportReport ++= valReport
+    exportReport ++= metadata
+
+    val writer = prepared.write.mode("overwrite")
+      .option("compression", compression)
+    timed("ex_write")(
+      (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+        .parquet(outPath))
+
+    val metaPath = Paths.get(outPath + ".meta.json")
+    if (metaPath.getParent != null) Files.createDirectories(metaPath.getParent)
+    Files.writeString(metaPath, Json.write(exportReport))
+
+    // hash added AFTER the sidecar write — parity quirk (§2.2.7)
+    val pre = (valReport("rows"), valReport("start"), valReport("end")) match {
+      case (r: Long, s: String, e: String) => Some((r, s, e))
+      case (r: Long, _, _) if r == 0L => Some((0L, "", ""))
+      case _ => None
+    }
+    exportReport + ("content_hash" -> timed("ex_hash")(contentHash(df,
+      if (df.columns.contains("OPEN")) Seq("OPEN", "CLOSE") else Nil, pre)))
+  }
+
+  /** O21: append one JSON line per export. */
+  def appendExportLog(logDir: String, entry: ListMap[String, Any]): Unit = {
+    Files.createDirectories(Paths.get(logDir))
+    Files.writeString(Paths.get(logDir, "export_log.ndjson"),
+      Json.write(entry, indent = 0).replace("\n", " ") + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+}

@@ -1,0 +1,213 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import graft.core.{Json, Rules}
+import graft.sources.Readers
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-grid construction, gap detection/classification and gap repair
+  * (reference O11–O13: src/etl/transform/gaps.py).
+  *
+  * Spark shapes:
+  *  - expected grid: per-series `sequence(min, max, interval)` + explode —
+  *    partition-local, no shuffle (O11, gaps.py:59-61);
+  *  - missing stamps: grid anti-join observed (gaps.py:63);
+  *  - clustering: gaps-and-islands — `ts - row_number * step` island key,
+  *    then one groupBy (replaces the reference's Python loop, gaps.py:72-117);
+  *  - repair: grid LEFT JOIN observed = pandas `reindex` (exactly-on-grid
+  *    rows only — off-grid rows drop, the §2.2.4 quirk), then window
+  *    ffill + linear interpolation (gaps.py:148-169).
+  *
+  * `partitionCols` (SYMBOL) keys every window and join; the grid explode is
+  * guarded against pathological spans.
+  */
+object Gaps {
+
+  val TsCol: String = Normalize.TsCol
+
+  /** Max grid points generated per series before refusing (driver guard —
+    * a mis-parsed epoch would otherwise explode sequence() memory).
+    */
+  val MaxGridPerSeries: Long = 200000000L
+
+  /** O11: dense expected grid between each series' observed min/max. */
+  def expectedGrid(df: DataFrame, rule: String,
+                   partitionCols: Seq[String] = Nil): DataFrame = {
+    val step = Rules.stepSeconds(rule)
+    val spans =
+      if (partitionCols.isEmpty) df.agg(min(col(TsCol)).as("_t0"), max(col(TsCol)).as("_t1"))
+      else df.groupBy(partitionCols.map(col): _*)
+        .agg(min(col(TsCol)).as("_t0"), max(col(TsCol)).as("_t1"))
+    spans
+      .filter(col("_t0").isNotNull)
+      .filter((unix_seconds(col("_t1")) - unix_seconds(col("_t0"))) / step
+        < MaxGridPerSeries)
+      .select(partitionCols.map(col) :+
+        explode(expr(s"sequence(_t0, _t1, ${Rules.intervalExpr(rule)})"))
+          .as(TsCol): _*)
+  }
+
+  /** O12: gap detection + classification. Returns a DataFrame of
+    * (start, end, length_minutes, missing_count, classification) ordered by
+    * start — `end` is the last MISSING stamp, `length` spans end-start+step
+    * (gaps.py:80-84), and classification order is exactly
+    * short → overnight → long → medium (gaps.py:23-36; `long_gap` is
+    * unreachable by construction and kept that way for parity).
+    */
+  def detectGaps(df: DataFrame, rule: String, shortGapMinutes: Int = 5,
+                 partitionCols: Seq[String] = Nil): DataFrame = {
+    // Grid-free formulation: pandas computes expected.difference(observed)
+    // then clusters (gaps.py:63-117); materializing the dense grid plus an
+    // anti-join costs two shuffles over grid-sized data. Equivalent: one
+    // lag() pass over the observed ON-GRID stamps — consecutive stamps
+    // further apart than `step` delimit exactly the same clusters
+    // (start = prev+step, end = next-step, count = delta/step - 1).
+    val step = Rules.stepSeconds(rule)
+    val stepMicros = step * 1000000L
+    val keys = partitionCols.map(col)
+
+    // grid anchor = per-series min stamp (pandas date_range starts at min);
+    // off-grid stamps are not in `expected`, so they never subtract
+    val spans =
+      if (partitionCols.isEmpty)
+        df.agg(min(col(TsCol)).as("_anchor"))
+      else df.groupBy(keys: _*).agg(min(col(TsCol)).as("_anchor"))
+    val obs0 = df.select((partitionCols :+ TsCol).map(col): _*)
+      .filter(col(TsCol).isNotNull)
+    val obs =
+      (if (partitionCols.isEmpty) obs0.crossJoin(broadcast(spans))
+       else obs0.join(broadcast(spans), partitionCols))
+        .filter(
+          pmod(unix_micros(col(TsCol)) - unix_micros(col("_anchor")),
+            lit(stepMicros)) === 0)
+
+    val w =
+      if (partitionCols.isEmpty) Window.orderBy(TsCol)
+      else Window.partitionBy(keys: _*).orderBy(TsCol)
+    val withPrev = obs.withColumn("_prev", lag(col(TsCol), 1).over(w))
+    val delta = unix_micros(col(TsCol)) - unix_micros(col("_prev"))
+    val clustered = withPrev
+      .filter(col("_prev").isNotNull && delta > stepMicros)
+      .select(partitionCols.map(col) ++ Seq(
+        timestamp_micros(unix_micros(col("_prev")) + stepMicros).as("start"),
+        timestamp_micros(unix_micros(col(TsCol)) - stepMicros).as("end"),
+        ((delta / stepMicros).cast("long") - 1).as("missing_count")): _*)
+
+    // int(length / 1min) truncation, and `/` on longs is fractional in Spark
+    val lengthMin =
+      ((unix_seconds(col("end")) - unix_seconds(col("start")) + step) / 60)
+        .cast("long")
+    // classify with end+step, matching the reference's call site
+    val clsEnd = col("end") + expr(s"${Rules.intervalExpr(rule)}")
+    val classification =
+      when(lengthMin <= shortGapMinutes, "short_gap")
+        .when(to_date(col("start")) =!= to_date(clsEnd), "overnight_gap")
+        .when(lengthMin >= 24 * 60, "long_gap")
+        .otherwise("medium_gap")
+
+    clustered
+      .withColumn("length_minutes", lengthMin)
+      .withColumn("classification", classification)
+      .select((partitionCols ++ Seq("start", "end", "length_minutes",
+        "missing_count", "classification")).map(col): _*)
+      .orderBy((partitionCols :+ "start").map(col): _*)
+  }
+
+  final case class Result(df: DataFrame, report: ListMap[String, Any])
+
+  /** O13: reindex to the expected grid, forward-fill `useFfillFor`,
+    * linearly interpolate the price columns not in that list
+    * (gaps.py:121-190). One extra aggregation job produces the report
+    * (filled counts before/after, remaining NaNs, rows_after).
+    */
+  def repairGaps(df: DataFrame, rule: String,
+                 useFfillFor: Seq[String] = Seq("VOLUME"),
+                 interpolatePrices: Boolean = true,
+                 shortGapMinutes: Int = 5,
+                 partitionCols: Seq[String] = Nil,
+                 computeReport: Boolean = true,
+                 maxGapsInReport: Int = 10000,
+                 cacheResult: Boolean = false): Result = {
+
+    val dataCols = df.columns.filterNot(c =>
+      c == TsCol || c == Readers.FileOrderCol || partitionCols.contains(c)).toSeq
+
+    val ffillCols = useFfillFor.filter(df.columns.contains)
+    val priceCols = Seq("OPEN", "HIGH", "LOW", "CLOSE")
+      .filter(df.columns.contains)
+      .filterNot(ffillCols.contains)
+
+    // keep pre-fill null flags so the report is a single post-fill agg
+    // (generated grid rows get flag=true inside the scan)
+    val flagged = df
+      .filter(col(TsCol).isNotNull)
+      .withColumns(
+        ffillCols.map(c => s"_wasnull_$c" -> col(c).isNull).toMap)
+
+    // single-pass per-series reindex+fill (see FastFill scaladoc): the
+    // pandas `reindex` happens inline in the same scan as ffill and
+    // interpolation — no dense grid materialization, no join, one
+    // repartition+sort instead of three window exchanges
+    val repaired0 = FastFill.fill(flagged, ffillCols,
+      if (interpolatePrices) priceCols else Nil, TsCol, partitionCols,
+      reindexStepMicros = Some(Rules.stepMicros(rule)),
+      trueOnGenerated = ffillCols.map(c => s"_wasnull_$c"))
+
+    val repaired1 = repaired0
+      .select((partitionCols ++ Seq(TsCol) ++ dataCols ++
+        ffillCols.map(c => s"_wasnull_$c")).map(col): _*)
+    // cache before the report agg when the caller will also consume the
+    // frame (resample + export) — the window chain must not re-execute
+    val repaired = if (cacheResult) repaired1.cache() else repaired1
+
+    var report = Json.obj(
+      "detected_gaps" -> Seq.empty[Any],
+      "filled_counts" -> ListMap.empty[String, Any],
+      "remaining_nans" -> ListMap.empty[String, Any],
+      "rows_after" -> 0L)
+
+    if (computeReport) {
+      val step = Rules.stepSeconds(rule)
+      val gaps = detectGaps(df, rule, shortGapMinutes, partitionCols)
+        .limit(maxGapsInReport).collect()
+      val gapList = gaps.toSeq.map { r =>
+        val endPlus = r.getAs[java.sql.Timestamp]("end").toInstant
+          .plusSeconds(step)
+        Json.obj(
+          "start" -> fmtTs(r.getAs[java.sql.Timestamp]("start").toInstant),
+          "end" -> fmtTs(endPlus),
+          "missing_count" -> r.getAs[Long]("missing_count"),
+          "classification" -> r.getAs[String]("classification"))
+      }
+
+      val aggs = Seq(count(lit(1)).as("_rows")) ++
+        ffillCols.map(c =>
+          sum(when(col(s"_wasnull_$c") && col(c).isNotNull, 1).otherwise(0))
+            .as(s"_filled_$c")) ++
+        dataCols.map(c =>
+          sum(when(col(c).isNull, 1).otherwise(0)).as(s"_nan_$c"))
+      val row = repaired.agg(aggs.head, aggs.tail: _*).collect()(0)
+
+      report = Json.obj(
+        "detected_gaps" -> gapList,
+        "filled_counts" -> ListMap(ffillCols.map(c =>
+          c -> row.getAs[Long](s"_filled_$c")): _*),
+        "remaining_nans" -> ListMap(dataCols.map(c =>
+          c -> row.getAs[Long](s"_nan_$c")): _*),
+        "rows_after" -> row.getAs[Long]("_rows"))
+    }
+
+    Result(repaired.drop(ffillCols.map(c => s"_wasnull_$c"): _*), report)
+  }
+
+  /** pandas str(Timestamp) formatting: "2024-01-01 00:03:00+00:00". */
+  private def fmtTs(i: java.time.Instant): String = {
+    val s = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC).format(i)
+    s + "+00:00"
+  }
+}

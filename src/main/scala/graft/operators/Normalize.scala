@@ -1,0 +1,226 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import graft.core.Json
+import graft.functions.TzLocalize
+import graft.sources.Readers
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Normalization pipeline (reference operators O5–O10:
+  * src/etl/transform/normalize.py:239-281): rename → dtype enforcement →
+  * datetime/tz normalization → dedup keep-first → sort.
+  *
+  * The whole transform is one lazy DataFrame graph; the report counters
+  * (coercions, NaT counts, duplicate count) are gathered in a SINGLE
+  * aggregation job over the pre-dedup frame rather than one eager pass per
+  * stage — same numbers, one scan.
+  *
+  * Scale notes: the only shuffle is the dedup window + final sort, keyed on
+  * SYMBOL when present (never a global single-partition window); the rename
+  * and required-column logic is driver-side name logic, exactly like the
+  * reference's `_build_rename_map`.
+  */
+object Normalize {
+
+  /** Never-renamed identifier columns (reference: normalize.py:15). */
+  val Protected: Set[String] = Set("symbol", "ticker", "instrument", "pair")
+
+  /** Fixed numeric-coercion list (reference: normalize.py:97-101 — BID/ASK
+    * intentionally excluded).
+    */
+  val CoercedCols: Seq[String] =
+    Seq("OPEN", "HIGH", "LOW", "CLOSE", "VOLUME", "TICKVOL", "SPREAD")
+
+  val TsCol = "TIMESTAMP"
+
+  /** Verbatim port of `_build_rename_map` (normalize.py:18-56): exact
+    * lowercase match, or `variant_` prefix / `_variant` suffix; protected
+    * names skipped; targets uppercased. First matching target wins per the
+    * reference's dict-iteration order, so `columnsMap` must be ordered
+    * (ListMap).
+    */
+  def buildRenameMap(dfCols: Seq[String],
+                     columnsMap: ListMap[String, Seq[String]]): ListMap[String, String] = {
+    var rename = ListMap.empty[String, String]
+    for ((target, variants) <- columnsMap) {
+      val targetUp = target.toUpperCase
+      val variantsLower = variants.map(_.toLowerCase)
+      for (col <- dfCols) {
+        val colLower = col.toLowerCase
+        if (!Protected.contains(colLower)) {
+          if (variantsLower.contains(colLower)) {
+            if (!rename.contains(col)) rename += col -> targetUp
+          } else {
+            val hit = variantsLower.exists(v =>
+              v.nonEmpty &&
+                (colLower.startsWith(v + "_") || colLower.endsWith("_" + v)))
+            if (hit && !rename.contains(col)) rename += col -> targetUp
+          }
+        }
+      }
+    }
+    rename
+  }
+
+  /** O5: rename + unmatched report. */
+  def normalizeColumns(df: DataFrame, columnsMap: ListMap[String, Seq[String]])
+      : (DataFrame, ListMap[String, Any]) = {
+    val rename = buildRenameMap(
+      df.columns.filterNot(_ == Readers.FileOrderCol).toSeq, columnsMap)
+    val renamed = df.withColumnsRenamed(rename)
+    val targets = columnsMap.keySet.map(_.toUpperCase)
+    val unmatched = renamed.columns
+      .filterNot(_ == Readers.FileOrderCol)
+      .filterNot(c => targets.contains(c.toUpperCase)).toSeq
+    (renamed, Json.obj("renamed" -> rename, "unmatched" -> unmatched))
+  }
+
+  /** O6 cast step (counts are folded into the single report agg). */
+  private def castNumerics(df: DataFrame, required: Seq[String]): DataFrame = {
+    val missing = required.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Missing required column(s): ${missing.mkString("['", "', '", "']")}")
+    val numericCols = CoercedCols.filter(df.columns.contains)
+    // try_cast, not cast: pandas to_numeric(errors="coerce") nulls failures,
+    // while Spark 4's ANSI-mode cast throws on them.
+    df.withColumns(
+      numericCols.map(c => c -> col(c).try_cast(DoubleType)).toMap)
+  }
+
+  private val DatetimeNames = Set("datetime", "timestamp", "time")
+
+  final case class Result(df: DataFrame, report: ListMap[String, Any],
+                          sourceCache: Option[DataFrame] = None,
+                          /** Deduped frame WITHOUT the final global sort —
+                            * order-insensitive consumers (aggregation,
+                            * windowed repair, resample) should prefer this:
+                            * a global range sort mid-pipeline is pure waste
+                            * and can collapse the cached frame to few
+                            * partitions. */
+                          unsorted: DataFrame = null) {
+    def unpersistSource(): Unit = sourceCache.foreach(_.unpersist())
+  }
+
+  /** O10: the full pipeline. `computeReport = false` skips the counter agg
+    * (the transform stays identical) — used on the hot bench path.
+    */
+  def apply(input: DataFrame,
+            columnsMap: ListMap[String, Seq[String]],
+            requiredColumns: Seq[String],
+            sourceTz: Option[String],
+            targetTz: String = "UTC",
+            computeReport: Boolean = true): Result = {
+
+    val ordered =
+      if (input.columns.contains(Readers.FileOrderCol)) input
+      else input.withColumn(Readers.FileOrderCol, monotonically_increasing_id())
+
+    val (renamed, colReport) = normalizeColumns(ordered, columnsMap)
+    val casted = castNumerics(renamed, requiredColumns)
+
+    // O7: locate + parse + localize the datetime column.
+    val dtCol = casted.columns
+      .find(c => DatetimeNames.contains(c.toLowerCase))
+      .getOrElse(throw new IllegalArgumentException(
+        "No datetime column found in dataframe."))
+
+    val dtType = casted.schema(dtCol).dataType
+    // A string column whose first value carries a UTC offset is tz-aware
+    // content (pandas detects this at parse time — normalize.py:198-199).
+    val offsetRe = ".*([+-]\\d{2}:?\\d{2}|Z)$"
+    val (tzAware, originalTzStr) = dtType match {
+      case StringType =>
+        val sample = casted.select(col(dtCol)).filter(col(dtCol).isNotNull)
+          .limit(1).collect().headOption.map(_.getString(0))
+        val aware = sample.exists(_.matches(offsetRe))
+        (aware, if (aware) "fixed_offset" else "None")
+      case _ => (false, "None")
+    }
+
+    val parsed = col(dtCol).try_cast(TimestampType) // parse failures -> null
+    val effectiveSourceTz = sourceTz.getOrElse("UTC")
+    val localized: Column =
+      if (tzAware) parsed // offsets already resolved to instants by the cast
+      else TzLocalize.localize(parsed, effectiveSourceTz)
+
+    val (tzAction, needsReviewBase) =
+      if (tzAware) ("already_tzaware", false)
+      else if (sourceTz.isDefined) (s"localized_to_${sourceTz.get}", false)
+      else ("localized_to_UTC_assumed", true)
+
+    val withTs0 = casted
+      .withColumn("_ts_parsed", parsed)
+      .withColumn(TsCol + "_new", localized)
+      .drop(dtCol)
+      .withColumnRenamed(TsCol + "_new", TsCol)
+    // The report agg and the downstream dedup/sort both consume this frame;
+    // cache it so the parse/localize chain executes once, not twice.
+    val withTs = if (computeReport) withTs0.cache() else withTs0
+
+    // Single report-aggregation job over the pre-dedup frame: numeric
+    // coercion counts (total nulls after cast — normalize.py:104-109 counts
+    // pre-existing NaNs too), parse-NaT count, post-localize NaT count
+    // (ambiguous), and the duplicate count.
+    val numericCols = CoercedCols.filter(withTs.columns.contains)
+    var preDedupRows = 0L
+    var coercedRows = 0L
+    var ambiguousNats = 0L
+    var coercions = ListMap.empty[String, Long]
+    if (computeReport) {
+      // no countDistinct here — the duplicate count falls out of
+      // preDedupRows minus the caller's post-dedup count (withPostCount),
+      // keeping this a plain one-pass partial/final aggregate
+      val aggs =
+        Seq(count(lit(1)).as("_n"),
+          sum(when(col("_ts_parsed").isNull, 1).otherwise(0)).as("_parse_nat"),
+          sum(when(col(TsCol).isNull, 1).otherwise(0)).as("_loc_nat")) ++
+          numericCols.map(c =>
+            sum(when(col(c).isNull, 1).otherwise(0)).as(s"_nc_$c"))
+      val row = withTs.agg(aggs.head, aggs.tail: _*).collect()(0)
+      preDedupRows = row.getAs[Long]("_n")
+      coercedRows = row.getAs[Long]("_parse_nat")
+      ambiguousNats = row.getAs[Long]("_loc_nat")
+      coercions = ListMap(numericCols.map(c => c -> row.getAs[Long](s"_nc_$c")): _*)
+    }
+
+    // O8: dedup keep-first in file order (pre-sort — normalize.py:271 vs 275)
+    val w = Window.partitionBy(col(TsCol)).orderBy(col(Readers.FileOrderCol))
+    val deduped = withTs
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_ts_parsed", Readers.FileOrderCol)
+
+    // removed = preDedup - postDedup (pandas counts all-NaT stamps as
+    // duplicates of each other too, which the TS-keyed window mirrors);
+    // the count runs off the cached source, so it costs one window pass
+    val removedDuplicates =
+      if (computeReport) preDedupRows - deduped.count() else 0L
+
+    // O9: final sort; pandas sort_index puts NaT last.
+    val sorted = deduped.orderBy(col(TsCol).asc_nulls_last)
+
+    val report = Json.obj(
+      "columns" -> colReport,
+      "dtypes" -> Json.obj(
+        "missing_required" -> Seq.empty[String],
+        "numeric_coercions" -> coercions),
+      "datetime" -> Json.obj(
+        "datetime_col" -> dtCol,
+        "coerced_rows" -> coercedRows,
+        "tz_action" -> tzAction,
+        "original_tz" -> originalTzStr,
+        "final_tz" -> targetTz,
+        "ambiguous_count" -> ambiguousNats,
+        "needs_review" -> (needsReviewBase || ambiguousNats > 0)),
+      "duplicates" -> Json.obj("removed_duplicates" -> removedDuplicates))
+
+    Result(sorted, report,
+      sourceCache = if (computeReport) Some(withTs) else None,
+      unsorted = deduped)
+  }
+}

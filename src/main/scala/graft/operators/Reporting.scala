@@ -1,0 +1,240 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import graft.core.Json
+import graft.sources.Readers
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Data-quality report + SMA indicator summaries (reference O15–O17:
+  * src/etl/utils/reporting.py:26-142).
+  *
+  * Cost shape: ONE whole-frame aggregation job for the profile (rows,
+  * extent, per-column NaNs, dup stamps, range stats, CLOSE stats + exact
+  * median) and, when indicators are on, one window+aggregate job for all
+  * SMA windows together. The reference runs ~10 separate pandas passes;
+  * both jobs here scan the frame once each. Reports are fixed-size driver
+  * aggregates — nothing row-shaped is ever collected.
+  */
+object Reporting {
+
+  val TsCol: String = Normalize.TsCol
+
+  /** `knownDistinctTs`: callers holding a frame whose timestamps are
+    * distinct by construction (anything post-dedup) can skip the
+    * countDistinct expand — the reported value is identically 0.
+    */
+  def dataQualityReport(df: DataFrame,
+                        computeIndicators: Boolean = true,
+                        smaWindows: Seq[Int] = Seq(10, 50),
+                        partitionCols: Seq[String] = Nil,
+                        knownDistinctTs: Boolean = false): ListMap[String, Any] = {
+
+    val cols = df.columns.filterNot(_ == Readers.FileOrderCol).toSeq
+    val dataCols = cols.filterNot(_ == TsCol)
+    val hasHL = cols.contains("HIGH") && cols.contains("LOW")
+    val hasClose = cols.contains("CLOSE")
+
+    var aggs = Vector(
+      count(lit(1)).as("_rows"),
+      min(col(TsCol)).as("_start"),
+      max(col(TsCol)).as("_end"),
+      sum(when(col(TsCol).isNull, 1).otherwise(0)).as("_tsnull"))
+    if (!knownDistinctTs) aggs :+= countDistinct(col(TsCol)).as("_dts")
+    aggs ++= dataCols.map(c =>
+      sum(when(col(c).isNull, 1).otherwise(0)).as(s"_nan_$c"))
+    if (hasHL) {
+      val rng = col("HIGH") - col("LOW")
+      aggs :+= avg(rng).as("_mean_range")
+      aggs :+= max(rng).as("_max_range")
+    }
+    if (hasClose) {
+      aggs :+= min(col("CLOSE")).as("_cmin")
+      aggs :+= max(col("CLOSE")).as("_cmax")
+      aggs :+= median(col("CLOSE")).as("_cmed")
+      aggs :+= count(col("CLOSE")).as("_cn")
+    }
+    val t0 = System.nanoTime()
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if (sys.env.get("GRAFT_TIMING").contains("1"))
+      System.err.println(f"[graft-timing] qr_profile_agg ${(System.nanoTime()-t0)/1e9}%8.2f s")
+
+    def opt[T](name: String): Option[T] =
+      if (r.isNullAt(r.fieldIndex(name))) None else Some(r.getAs[T](name))
+
+    val rows = r.getAs[Long]("_rows")
+    val dups =
+      if (knownDistinctTs) 0L
+      else rows - r.getAs[Long]("_dts") -
+        (if (r.getAs[Long]("_tsnull") > 0) 1 else 0)
+
+    var report = Json.obj(
+      "rows" -> rows,
+      "start" -> opt[java.sql.Timestamp]("_start").map(t => fmtTs(t)).orNull,
+      "end" -> opt[java.sql.Timestamp]("_end").map(t => fmtTs(t)).orNull,
+      "columns" -> dataCols,
+      "nans_per_column" -> ListMap(dataCols.map(c =>
+        c -> r.getAs[Long](s"_nan_$c")): _*),
+      "dups_timestamps" -> dups,
+      "candles_count" -> rows,
+      "mean_range" -> (if (hasHL) opt[Double]("_mean_range").orNull else null),
+      "max_range" -> (if (hasHL) opt[Double]("_max_range").orNull else null))
+
+    // CLOSE stats + the reference's outlier heuristic (reporting.py:68-104)
+    if (hasClose && r.getAs[Long]("_cn") > 0) {
+      val cmin = r.getAs[Double]("_cmin")
+      val cmax = r.getAs[Double]("_cmax")
+      val cmed = r.getAs[Double]("_cmed")
+      val ratios =
+        if (cmed != 0.0) Some((cmax / cmed, cmin / cmed)) else None
+      val suspicious = ratios.exists { case (rx, rn) => rx > 100 || rn < 0.01 }
+      report ++= Json.obj(
+        "close_min" -> cmin, "close_max" -> cmax, "close_median" -> cmed,
+        "close_max_over_median" -> ratios.map(_._1).orNull,
+        "close_min_over_median" -> ratios.map(_._2).orNull,
+        "suspicious_price_jump" -> suspicious)
+    } else {
+      report ++= Json.obj(
+        "close_min" -> null, "close_max" -> null, "close_median" -> null,
+        "close_max_over_median" -> null, "close_min_over_median" -> null,
+        "suspicious_price_jump" -> false)
+    }
+
+    // SMA summaries — all windows in one pass (reporting.py:106-123).
+    var indicators = ListMap.empty[String, Any]
+    if (computeIndicators && hasClose && rows > 0) {
+      val t1 = System.nanoTime()
+      indicators =
+        if (partitionCols.isEmpty) smaSummariesSinglePass(df, smaWindows)
+        else smaSummariesWindowed(df, smaWindows, partitionCols)
+      if (sys.env.get("GRAFT_TIMING").contains("1"))
+        System.err.println(f"[graft-timing] qr_sma_agg ${(System.nanoTime()-t1)/1e9}%8.2f s")
+    }
+    report += "indicators" -> indicators
+
+    val nanTotal = ListMap(dataCols.map(c => c -> r.getAs[Long](s"_nan_$c")): _*)
+    var notes = Vector.empty[String]
+    if (dups > 0) notes :+= s"$dups duplicated timestamps"
+    if (nanTotal.values.exists(_ > 0)) notes :+= "There are NaNs in some columns"
+    if (report("suspicious_price_jump") == true)
+      notes :+= "Suspicious price jump detected (check max/min vs median)"
+    report += "notes" -> notes
+
+    report
+  }
+
+  /** Rolling-mean summaries for a single series in ONE sorted scan —
+    * min_periods=1 semantics (value = mean of non-null entries in the
+    * trailing window; null only when the whole window is null). A sliding
+    * window over a single symbol serializes onto one task anyway, so a
+    * ring-buffer scan beats a WindowExec sort+frame evaluation.
+    */
+  private def smaSummariesSinglePass(df: DataFrame,
+                                     smaWindows: Seq[Int]): ListMap[String, Any] = {
+    val ws = smaWindows.toArray
+    val rows = df.select(col(TsCol), col("CLOSE"))
+      .coalesce(1)
+      .sortWithinPartitions(col(TsCol).asc_nulls_last)
+      .mapPartitions { it =>
+        val k = ws.length
+        val ring = Array.fill(k)(new Array[java.lang.Double](ws.max))
+        val sums = new Array[Double](k)
+        val counts = new Array[Int](k)
+        val nans = new Array[Long](k)
+        val mins = Array.fill(k)(Double.MaxValue)
+        val maxs = Array.fill(k)(Double.MinValue)
+        val lasts = new Array[java.lang.Double](k)
+        var n = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          val v: java.lang.Double =
+            if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
+          var j = 0
+          while (j < k) {
+            val w = ws(j)
+            val slot = (n % w).toInt
+            val old = ring(j)(slot)
+            if (old != null) { sums(j) -= old; counts(j) -= 1 }
+            ring(j)(slot) = v
+            if (v != null) { sums(j) += v; counts(j) += 1 }
+            if (counts(j) == 0) nans(j) += 1
+            else {
+              val sma = sums(j) / counts(j)
+              lasts(j) = sma
+              if (sma < mins(j)) mins(j) = sma
+              if (sma > maxs(j)) maxs(j) = sma
+            }
+            j += 1
+          }
+          n += 1
+        }
+        Iterator.single(org.apache.spark.sql.Row.fromSeq(
+          ws.indices.flatMap(j => Seq(lasts(j), nans(j),
+            if (counts(j) >= 0 && mins(j) != Double.MaxValue) mins(j) else null,
+            if (maxs(j) != Double.MinValue) maxs(j) else null))))
+      }(org.apache.spark.sql.Encoders.row(org.apache.spark.sql.types.StructType(
+        ws.flatMap(w => Seq(
+          org.apache.spark.sql.types.StructField(s"last_$w",
+            org.apache.spark.sql.types.DoubleType, nullable = true),
+          org.apache.spark.sql.types.StructField(s"nans_$w",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(s"min_$w",
+            org.apache.spark.sql.types.DoubleType, nullable = true),
+          org.apache.spark.sql.types.StructField(s"max_$w",
+            org.apache.spark.sql.types.DoubleType, nullable = true))))))
+      .collect()
+    val sr = rows(0)
+    ListMap(ws.zipWithIndex.map { case (w, j) =>
+      def g(i: Int): Any = if (sr.isNullAt(j * 4 + i)) null else sr.get(j * 4 + i)
+      s"SMA_$w" -> Json.obj(
+        "last" -> g(0), "nan_count" -> sr.getLong(j * 4 + 1),
+        "min" -> g(2), "max" -> g(3))
+    }: _*)
+  }
+
+  /** Multi-series SMA summaries via per-series windows (the declarative
+    * form; partitioned by the series key so no global single-task window).
+    */
+  private def smaSummariesWindowed(df: DataFrame, smaWindows: Seq[Int],
+                                   partitionCols: Seq[String]): ListMap[String, Any] = {
+    val base = Window.partitionBy(partitionCols.map(col): _*).orderBy(TsCol)
+    val smaCols = smaWindows.map { w =>
+      s"_sma_$w" -> avg(col("CLOSE")).over(base.rowsBetween(-(w - 1), 0))
+    }
+    val withSma = df.withColumns(smaCols.toMap)
+    val smaAggs = smaWindows.flatMap { w =>
+      val c = col(s"_sma_$w")
+      Seq(
+        max_by(c, when(c.isNotNull, col(TsCol))).as(s"_last_$w"),
+        sum(when(c.isNull, 1).otherwise(0)).as(s"_nans_$w"),
+        min(c).as(s"_min_$w"),
+        max(c).as(s"_max_$w"))
+    }
+    val sr = withSma.agg(smaAggs.head, smaAggs.tail: _*).collect()(0)
+    def sopt(n: String): Any =
+      if (sr.isNullAt(sr.fieldIndex(n))) null else sr.getAs[Double](n)
+    ListMap(smaWindows.map { w =>
+      s"SMA_$w" -> Json.obj(
+        "last" -> sopt(s"_last_$w"),
+        "nan_count" -> sr.getAs[Long](s"_nans_$w"),
+        "min" -> sopt(s"_min_$w"),
+        "max" -> sopt(s"_max_$w"))
+    }: _*)
+  }
+
+  def saveReport(report: ListMap[String, Any], outPath: String): Unit = {
+    val p = java.nio.file.Paths.get(outPath)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, Json.write(report))
+  }
+
+  /** pandas str(Timestamp) rendering under UTC. */
+  def fmtTs(t: java.sql.Timestamp): String =
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(t.toInstant) + "+00:00"
+}

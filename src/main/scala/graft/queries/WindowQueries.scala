@@ -138,18 +138,21 @@ object WindowQueries {
     // (O13; gaps.py:167-169) — the same window algebra is packaged as the
     // reusable operators.Interpolate transformer.
     "q30_interpolate" -> { (s, d) =>
-      val wOrd = byUser.orderBy("rn")
-      val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, 0)
-      val wNext = wOrd.rowsBetween(0, Window.unboundedFollowing)
+      val wPrev = byUser.orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      // look-ahead via DESC running frame — an UnboundedFollowing frame is
+      // O(n²) per partition in WindowExec (see operators.Interpolate)
+      val wNext = byUser.orderBy(col("rn").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
       val vrn = when(col("v").isNotNull, col("rn"))
       Tables.events(s, d)
         .withColumn("v", when(col("event_type") =!= "view", col("value")))
         .withColumn("rn", row_number().over(byUser.orderBy("ts", "event_id")))
         .select(col("user_id"), col("event_id"), col("v"), col("rn"),
           last(col("v"), ignoreNulls = true).over(wPrev).as("pv"),
-          first(col("v"), ignoreNulls = true).over(wNext).as("nv"),
+          last(col("v"), ignoreNulls = true).over(wNext).as("nv"),
           last(vrn, ignoreNulls = true).over(wPrev).as("prn"),
-          first(vrn, ignoreNulls = true).over(wNext).as("nrn"))
+          last(vrn, ignoreNulls = true).over(wNext).as("nrn"))
         .select(col("user_id"), col("event_id"),
           fr(
             when(col("v").isNotNull, col("v"))

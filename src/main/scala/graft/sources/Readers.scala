@@ -1,0 +1,87 @@
+package graft.sources
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File ingestion (reference operators O1–O4: src/etl/extract/).
+  *
+  * Per-file isolation happens on the driver: a failing file is logged as
+  * quarantined and skipped (reference: extractor.py:56-59), never failing
+  * the batch. At 100 TB the per-file loop collapses into one
+  * `spark.read` over a glob with `input_file_name()` provenance and
+  * PERMISSIVE corrupt-record columns for row-level quarantine — the
+  * per-file API below is the reference-parity surface.
+  */
+object Readers {
+
+  /** Ingestion-order column used for dedup keep-first parity
+    * (SURVEY.md §2.2.6). `monotonically_increasing_id` is deterministic for
+    * a fresh file scan (partition-ordinal << 33 | row-in-partition), which
+    * is exactly the in-file order for single-file reads; it is captured at
+    * read time, before any shuffle can reorder rows.
+    */
+  val FileOrderCol = "_in_file_order"
+
+  def detectFileType(path: String): String = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".csv")) "csv"
+    else if (lower.endsWith(".parquet")) "parquet"
+    else throw new IllegalArgumentException(s"Unsupported file type: $path")
+  }
+
+  final case class ReadResult(df: DataFrame, meta: ListMap[String, Any], filename: String)
+
+  def readCsv(spark: SparkSession, path: String): ReadResult = {
+    val df = spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(path)
+      .withColumn(FileOrderCol, monotonically_increasing_id())
+    ReadResult(df, meta(df, path, "csv"), baseName(path))
+  }
+
+  def readParquet(spark: SparkSession, path: String): ReadResult = {
+    val df = spark.read.parquet(path)
+      .withColumn(FileOrderCol, monotonically_increasing_id())
+    ReadResult(df, meta(df, path, "parquet"), baseName(path))
+  }
+
+  def read(spark: SparkSession, path: String): ReadResult =
+    detectFileType(path) match {
+      case "csv"     => readCsv(spark, path)
+      case "parquet" => readParquet(spark, path)
+    }
+
+  private def meta(df: DataFrame, path: String, format: String): ListMap[String, Any] =
+    ListMap(
+      "path" -> path,
+      "format" -> format,
+      "columns" -> df.columns.filterNot(_ == FileOrderCol).toSeq,
+      "status" -> "ok")
+
+  private def baseName(path: String): String = {
+    val n = new java.io.File(path).getName
+    n.lastIndexOf('.') match {
+      case -1 => n
+      case i  => n.substring(0, i)
+    }
+  }
+
+  /** Directory scan + dispatch with per-file quarantine (O1). */
+  final case class ScanResult(loaded: Seq[ReadResult], quarantined: Seq[(String, String)])
+
+  def loadAll(spark: SparkSession, rawDir: String): ScanResult = {
+    val dir = new java.io.File(rawDir)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getPath).sorted
+    val results = files.map { p =>
+      try Right(read(spark, p))
+      catch { case e: Exception => Left(p -> e.getMessage) }
+    }
+    ScanResult(
+      loaded = results.collect { case Right(r) => r }.toSeq,
+      quarantined = results.collect { case Left(q) => q }.toSeq)
+  }
+}

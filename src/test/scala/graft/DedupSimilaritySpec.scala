@@ -1,0 +1,134 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Extension-operator contracts: exact dedup, MinHash-LSH near-dup recall,
+  * SimHash hamming locality, n-gram Jaccard, embedding LSH near-pairs, text
+  * analysis heuristics.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep green forest before sunset tonight"
+
+  test("exact dedup keeps the smallest id per content hash") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("minhash LSH surfaces a near-duplicate pair, not unrelated docs") {
+    val nearDup = base.replace("quick", "fast") // 1-word edit
+    val unrelated = "completely different content about spark query engines " +
+      "with catalyst optimizer rules and tungsten codegen execution pipelines"
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs(df, "doc_id", "text",
+      numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.2)
+      .collect()
+    assert(pairs.exists(r =>
+      r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L),
+      "near-dup pair (1,2) found")
+    assert(pairs.forall(r => r.getAs[Long]("id_b") != 3L),
+      "unrelated doc never passes the estimate threshold")
+  }
+
+  test("minhash estimate approximates true shingle jaccard") {
+    val nearDup = base.replace("quick", "fast")
+    val df = Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text")
+    val est = Dedup.minHashLshPairs(df, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.0)
+      .select("est_jaccard").as[Double].head()
+    val truth = df.filter($"doc_id" === 1).crossJoin(
+        df.filter($"doc_id" === 2).select($"text".as("text2")))
+      .select(Dedup.ngramJaccard(col("text"), col("text2"), 3).as("j"))
+      .as[Double].head()
+    assert(math.abs(est - truth) < 0.25,
+      s"estimate $est within sketch error of true $truth")
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    val df = Seq((1L, base), (2L, base.replace("quick", "fast")),
+      (3L, "unrelated words entirely about databases and storage engines"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simHash(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)),
+      "near-dup closer in hamming space than unrelated")
+    val near = Dedup.simHashNearPairs(df, "doc_id", "text", maxHamming = 16)
+      .collect()
+    assert(near.exists(r => r.getAs[Long]("id_a") == 1L &&
+      r.getAs[Long]("id_b") == 2L))
+  }
+
+  test("embedding LSH finds a planted near-duplicate vector") {
+    val rnd = new scala.util.Random(1)
+    def vec(): Seq[Float] = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val v0 = vec()
+    val nearV0 = v0.map(x => x + 0.01f) // tiny perturbation, cosine ~1
+    val rows = Seq((0L, v0), (1L, nearV0)) ++
+      (2L until 40L).map(i => (i, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDuplicates(df, "vec_id", "embedding",
+      threshold = 0.95).collect()
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 0L &&
+      r.getAs[Long]("id_b") == 1L), "planted near-dup recovered")
+    assert(pairs.forall(r => r.getAs[Double]("sim") >= 0.95))
+  }
+
+  test("brute-force topK ranks the planted duplicate first") {
+    val rnd = new scala.util.Random(2)
+    def vec(): Seq[Double] = Seq.fill(16)(rnd.nextGaussian())
+    val v0 = vec()
+    val rows = Seq((0L, v0), (1L, v0.map(_ + 0.001))) ++
+      (2L until 20L).map(i => (i, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val top = Similarity.topK(df.filter($"vec_id" === 0), df,
+      "vec_id", "vec_id", "embedding", k = 3).collect()
+    assert(top.head.getAs[Long]("cid") == 1L, "nearest neighbor is the clone")
+  }
+
+  test("language id: english text scores en; cjk text scores zh") {
+    val df = Seq(
+      (1L, "the cat and the dog went to the park in a hurry and it was fun"),
+      (2L, "我 是 一 个 学生 我 在 大学 学习 计算机"),
+      (3L, "el perro y el gato en la casa de un amigo no se ven"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(df, "text")
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "zh")
+    assert(out(3L) == "es")
+  }
+
+  test("fingerprint is whitespace-robust; rolling hash is order-sensitive") {
+    val df = Seq(
+      (1L, "hello   world\tfoo"), (2L, "hello world foo"),
+      (3L, "foo world hello"))
+      .toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.rollingHash(col("text")).as("rh"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("fp"), r.getAs[Long]("rh"))).toMap
+    assert(fp(1L)._1 == fp(2L)._1, "whitespace-collapsed md5 equal")
+    assert(fp(2L)._2 == fp(1L)._2, "rolling hash over tokens equal")
+    assert(fp(3L)._2 != fp(2L)._2, "token order changes rolling hash")
+  }
+
+  test("quality score computes sane ranges") {
+    val df = Seq((1L, "the quick brown fox is near the lazy dog"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(df, "text").collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 9L)
+    val alpha = r.getAs[Double]("alpha_ratio")
+    assert(alpha > 0.7 && alpha <= 1.0)
+    val stop = r.getAs[Double]("stopword_ratio")
+    assert(stop > 0.2 && stop < 0.6)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import scala.collection.immutable.ListMap
+
+import graft.operators.Gaps
+import org.apache.spark.sql.functions._
+
+/** Ports of tests/test_phase8_gaps.py: 10×1-min frame with minutes 3–4
+  * dropped — detect the cluster, classify it, repair restores the grid and
+  * eliminates price NaNs.
+  */
+class GapsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.from(Instant.parse(f"2024-01-01T00:$min%02d:00Z"))
+
+  // minutes 0..9 minus {3,4}; OPEN/CLOSE = minute index, VOLUME = 100
+  private def frame() =
+    (0 until 10).filterNot(m => m == 3 || m == 4)
+      .map(m => (ts(m), m.toDouble, m.toDouble, 100.0))
+      .toDF("TIMESTAMP", "OPEN", "CLOSE", "VOLUME")
+
+  test("detect_gaps finds the 2-stamp cluster and classifies it short") {
+    val gaps = Gaps.detectGaps(frame(), "1T", shortGapMinutes = 5).collect()
+    assert(gaps.length == 1)
+    val g = gaps(0)
+    assert(g.getAs[Timestamp]("start") == ts(3))
+    assert(g.getAs[Timestamp]("end") == ts(4))
+    assert(g.getAs[Long]("missing_count") == 2L)
+    assert(g.getAs[Long]("length_minutes") == 2L) // end-start+step = 2 min
+    assert(g.getAs[String]("classification") == "short_gap")
+  }
+
+  test("no gaps on a dense frame") {
+    val dense = (0 until 5).map(m => (ts(m), m.toDouble))
+      .toDF("TIMESTAMP", "CLOSE")
+    assert(Gaps.detectGaps(dense, "1T").count() == 0)
+  }
+
+  test("repair restores the full grid, ffills VOLUME, interpolates prices") {
+    val res = Gaps.repairGaps(frame(), "1T",
+      useFfillFor = Seq("VOLUME"), interpolatePrices = true)
+    val out = res.df.orderBy("TIMESTAMP").collect()
+    assert(out.length == 10, "reindex to the 10-stamp grid")
+    // interpolated minutes 3,4 between OPEN=2 and OPEN=5: 3.0, 4.0
+    val opens = res.df.orderBy("TIMESTAMP").select("OPEN").as[Double].collect()
+    assert(opens.toSeq == (0 until 10).map(_.toDouble))
+    val vols = res.df.orderBy("TIMESTAMP").select("VOLUME").as[Double].collect()
+    assert(vols.forall(_ == 100.0), "VOLUME forward-filled")
+    val rep = res.report
+    assert(rep("rows_after") == 10L)
+    val filled = rep("filled_counts").asInstanceOf[ListMap[String, Long]]
+    assert(filled("VOLUME") == 2L)
+    val remaining = rep("remaining_nans").asInstanceOf[ListMap[String, Long]]
+    assert(remaining.values.forall(_ == 0L), "no NaNs left")
+    assert(rep("detected_gaps").asInstanceOf[Seq[Any]].length == 1)
+  }
+
+  test("repair drops off-grid rows (reindex semantics, §2.2.4)") {
+    val withOffGrid = frame().union(
+      Seq((Timestamp.from(Instant.parse("2024-01-01T00:02:30Z")), 99.0, 99.0, 1.0))
+        .toDF("TIMESTAMP", "OPEN", "CLOSE", "VOLUME"))
+    val out = Gaps.repairGaps(withOffGrid, "1T", computeReport = false).df
+    assert(out.count() == 10)
+    assert(out.filter(col("OPEN") === 99.0).count() == 0)
+  }
+
+  test("leading/trailing nulls fill both directions (limit_direction=both)") {
+    val df = Seq(
+      (ts(0), Option.empty[Double]),
+      (ts(1), Some(5.0)),
+      (ts(2), Option.empty[Double]))
+      .toDF("TIMESTAMP", "OPEN")
+    val out = Gaps.repairGaps(df, "1T", useFfillFor = Nil,
+      computeReport = false).df
+      .orderBy("TIMESTAMP").select("OPEN").as[Double].collect()
+    assert(out.toSeq == Seq(5.0, 5.0, 5.0))
+  }
+
+  test("overnight classification beats long (dead long_gap parity)") {
+    // 25h gap crossing midnight: must classify overnight_gap, NOT long_gap
+    val df = Seq(
+      (Timestamp.from(Instant.parse("2024-01-01T23:00:00Z")), 1.0),
+      (Timestamp.from(Instant.parse("2024-01-03T01:00:00Z")), 2.0))
+      .toDF("TIMESTAMP", "CLOSE")
+    val g = Gaps.detectGaps(df, "1H").collect()(0)
+    assert(g.getAs[String]("classification") == "overnight_gap")
+  }
+}

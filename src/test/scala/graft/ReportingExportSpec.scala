@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import java.time.Instant
+
+import scala.collection.immutable.ListMap
+
+import graft.core.Json
+import graft.operators.{Exporter, Reporting}
+
+/** Ports of test_phase7_export.py + reporting assertions (test.py,
+  * reporting.py fields).
+  */
+class ReportingExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.from(Instant.parse(f"2024-01-01T00:$min%02d:00Z"))
+
+  private def frame() =
+    (0 until 10).map { m =>
+      (ts(m), 10.0 + m, 10.5 + m, 9.5 + m, 10.25 + m, 100.0)
+    }.toDF("TIMESTAMP", "OPEN", "HIGH", "LOW", "CLOSE", "VOLUME")
+
+  test("quality report has the reference's fields and values") {
+    val rep = Reporting.dataQualityReport(frame(), smaWindows = Seq(3, 5))
+    assert(rep("rows") == 10L)
+    assert(rep("candles_count") == 10L)
+    assert(rep("start") == "2024-01-01 00:00:00+00:00")
+    assert(rep("end") == "2024-01-01 00:09:00+00:00")
+    assert(rep("dups_timestamps") == 0L)
+    assert(rep("mean_range") == 1.0)
+    assert(rep("close_min") == 10.25 && rep("close_max") == 19.25)
+    assert(rep("suspicious_price_jump") == false)
+    val ind = rep("indicators").asInstanceOf[ListMap[String, Any]]
+    assert(ind.keySet == Set("SMA_3", "SMA_5"))
+    val sma3 = ind("SMA_3").asInstanceOf[ListMap[String, Any]]
+    // last SMA_3 = mean(17.25, 18.25, 19.25) = 18.25
+    assert(sma3("last") == 18.25)
+    assert(sma3("nan_count") == 0L)
+    assert(rep("notes").asInstanceOf[Seq[String]].isEmpty)
+  }
+
+  test("nans and dups surface in report + notes") {
+    val df = Seq(
+      (ts(0), Some(1.0)), (ts(0), Some(2.0)), (ts(1), Option.empty[Double]))
+      .toDF("TIMESTAMP", "CLOSE")
+    val rep = Reporting.dataQualityReport(df, computeIndicators = false)
+    assert(rep("dups_timestamps") == 1L)
+    assert(rep("nans_per_column").asInstanceOf[ListMap[String, Long]]
+      .apply("CLOSE") == 1L)
+    val notes = rep("notes").asInstanceOf[Seq[String]]
+    assert(notes.exists(_.contains("duplicated")))
+    assert(notes.exists(_.contains("NaN")))
+  }
+
+  test("export writes zstd parquet + sidecar; hash only in returned report") {
+    val dir = Files.createTempDirectory("graft_export").toString
+    val path = s"$dir/EURUSD_20240101_20240101_1m.parquet"
+    val report = Exporter.writeParquetWithMetadata(frame(), path,
+      metadata = Json.obj("exporter_version" -> "v1"))
+    assert(report("rows") == 10L)
+    assert(report.contains("content_hash"))
+    assert(report("invalid_low") == false && report("invalid_high") == false)
+    // readable round-trip
+    assert(spark.read.parquet(path).count() == 10)
+    // sidecar exists, parses, and does NOT contain the hash (§2.2.7)
+    val sidecar = Files.readString(Paths.get(path + ".meta.json"))
+    assert(sidecar.contains("\"rows\""))
+    assert(!sidecar.contains("content_hash"))
+    // ndjson log appends one line per call
+    Exporter.appendExportLog(s"$dir/exports", report)
+    Exporter.appendExportLog(s"$dir/exports", report)
+    val log = Files.readAllLines(Paths.get(s"$dir/exports/export_log.ndjson"))
+    assert(log.size() == 2)
+    assert(log.get(0).contains("content_hash"))
+  }
+
+  test("partition derivation: case-insensitive resolve + auto YEAR/MONTH") {
+    val withSym = frame().withColumn("SYMBOL",
+      org.apache.spark.sql.functions.lit("EURUSD"))
+    val (prepared, cols) = Exporter.preparePartitionCols(withSym,
+      Seq("symbol", "year", "bogus"))
+    assert(cols == Seq("SYMBOL", "YEAR"))
+    assert(prepared.columns.contains("YEAR"))
+    val dir = Files.createTempDirectory("graft_part").toString
+    Exporter.writeParquetWithMetadata(withSym, s"$dir/out.parquet",
+      partitionCols = Seq("symbol", "year"))
+    assert(Files.list(Paths.get(s"$dir/out.parquet")).toArray
+      .exists(_.toString.contains("SYMBOL=EURUSD")))
+  }
+
+  test("invalid_low flags interpolation-violated candles but does not fail") {
+    val bad = Seq((ts(0), 10.0, 11.0, 10.5, 10.8)) // LOW > OPEN
+      .toDF("TIMESTAMP", "OPEN", "HIGH", "LOW", "CLOSE")
+    val rep = Exporter.validateFinalDf(bad)
+    assert(rep("invalid_low") == true)
+    assert(rep("negative_prices") == false)
+  }
+}

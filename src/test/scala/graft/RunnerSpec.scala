@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.core.GraftConfig
+import graft.operators.Runner
+
+/** End-to-end EP1 run on a synthetic OHLC CSV: extract → normalize → QA →
+  * repair+resample per timeframe → export + NDJSON log (src/run.py shape).
+  */
+class RunnerSpec extends SparkSpec {
+
+  test("full batch pipeline produces per-timeframe parquet + logs") {
+    val work = Files.createTempDirectory("graft_e2e")
+    val raw = Files.createDirectories(work.resolve("raw"))
+    val outDir = work.resolve("processed").toString
+
+    // 30 one-minute candles with a 3-minute hole, duplicated stamp, symbol col
+    val sb = new StringBuilder("timestamp,open,high,low,close,volume,symbol\n")
+    for (m <- 0 until 30 if m < 10 || m > 12) {
+      val o = 1.10 + m * 0.001
+      sb.append(f"2024-01-01 00:$m%02d:00,$o%.4f,${o + 0.0005}%.4f," +
+        f"${o - 0.0005}%.4f,${o + 0.0002}%.4f,${100 + m},eurusd\n")
+    }
+    sb.append("2024-01-01 00:05:00,9.9,9.9,9.9,9.9,1,eurusd\n") // dup stamp
+    Files.writeString(raw.resolve("EURUSD_202401.csv"), sb.toString)
+
+    val cfg = GraftConfig(
+      rawPath = raw.toString,
+      processedPath = outDir,
+      timeframes = Seq("1T", "5T"),
+      partitionCols = Nil)
+
+    val results = Runner.runBatch(spark, cfg, dryRun = false)
+    assert(results.length == 1)
+    val r = results.head
+    assert(r.symbol == "EURUSD")
+    assert(r.errors.isEmpty, s"no stage errors: ${r.errors}")
+    assert(r.exports.length == 2)
+
+    // 1T export: full 30-stamp repaired grid
+    val e1 = r.exports.find(_.name.endsWith("_1m")).get
+    assert(e1.rows == 30, "gap-repaired to the full minute grid")
+    assert(spark.read.parquet(e1.path).count() == 30)
+    // dedup keep-first: the 9.9 duplicate row lost
+    assert(spark.read.parquet(e1.path)
+      .filter(org.apache.spark.sql.functions.col("OPEN") === 9.9).count() == 0)
+
+    val e5 = r.exports.find(_.name.endsWith("_5m")).get
+    assert(e5.rows == 6)
+
+    // sidecar + ndjson written
+    assert(Files.exists(Paths.get(e1.path + ".meta.json")))
+    val log = Files.readAllLines(
+      Paths.get(s"$outDir/exports/export_log.ndjson"))
+    assert(log.size() == 2)
+    // quality report saved
+    assert(Files.list(Paths.get(s"$outDir/reports")).toArray.nonEmpty)
+    // dry-run writes nothing
+    val dryDir = work.resolve("dry").toString
+    Runner.runBatch(spark, cfg.copy(processedPath = dryDir), dryRun = true)
+    assert(!Files.exists(Paths.get(dryDir)))
+  }
+
+  test("quarantine: a corrupt file is skipped, not fatal") {
+    val work = Files.createTempDirectory("graft_quar")
+    val raw = Files.createDirectories(work.resolve("raw"))
+    Files.writeString(raw.resolve("good.csv"),
+      "timestamp,open,high,low,close\n2024-01-01 00:00:00,1,2,0.5,1.5\n")
+    Files.writeString(raw.resolve("bad.xyz"), "not a supported file")
+    val scan = graft.sources.Readers.loadAll(spark, raw.toString)
+    assert(scan.loaded.length == 1)
+    assert(scan.quarantined.length == 1)
+    assert(scan.quarantined.head._1.endsWith("bad.xyz"))
+  }
+}
