@@ -96,24 +96,32 @@ object Gaps {
         timestamp_micros(unix_micros(col(TsCol)) - stepMicros).as("end"),
         ((delta / stepMicros).cast("long") - 1).as("missing_count")): _*)
 
-    // int(length / 1min) truncation, and `/` on longs is fractional in Spark
+    withClassification(clustered, step, shortGapMinutes)
+      .orderBy((partitionCols :+ "start").map(col): _*)
+  }
+
+  /** length + 4-way classification columns (order short → overnight → long
+    * → medium exactly as gaps.py:23-36; classified against end+step).
+    */
+  private def withClassification(clustered: DataFrame, step: Long,
+                                 shortGapMinutes: Int): DataFrame = {
+    // int(length / 1min) truncation; `/` on longs is fractional in Spark
     val lengthMin =
       ((unix_seconds(col("end")) - unix_seconds(col("start")) + step) / 60)
         .cast("long")
-    // classify with end+step, matching the reference's call site
-    val clsEnd = col("end") + expr(s"${Rules.intervalExpr(rule)}")
+    val clsEnd = col("end") + expr(s"INTERVAL $step SECOND")
     val classification =
       when(lengthMin <= shortGapMinutes, "short_gap")
         .when(to_date(col("start")) =!= to_date(clsEnd), "overnight_gap")
         .when(lengthMin >= 24 * 60, "long_gap")
         .otherwise("medium_gap")
-
+    val keep = clustered.columns.filterNot(c =>
+      c == "start" || c == "end" || c == "missing_count").toSeq
     clustered
       .withColumn("length_minutes", lengthMin)
       .withColumn("classification", classification)
-      .select((partitionCols ++ Seq("start", "end", "length_minutes",
+      .select((keep ++ Seq("start", "end", "length_minutes",
         "missing_count", "classification")).map(col): _*)
-      .orderBy((partitionCols :+ "start").map(col): _*)
   }
 
   final case class Result(df: DataFrame, report: ListMap[String, Any])
@@ -141,11 +149,14 @@ object Gaps {
       .filterNot(ffillCols.contains)
 
     // keep pre-fill null flags so the report is a single post-fill agg
-    // (generated grid rows get flag=true inside the scan)
+    // (generated grid rows get flag=true inside the scan); `_generated`
+    // marks synthesized grid rows so the gap report needs no second
+    // full-frame detection pass
     val flagged = df
       .filter(col(TsCol).isNotNull)
       .withColumns(
         ffillCols.map(c => s"_wasnull_$c" -> col(c).isNull).toMap)
+      .withColumn("_generated", lit(false))
 
     // single-pass per-series reindex+fill (see FastFill scaladoc): the
     // pandas `reindex` happens inline in the same scan as ffill and
@@ -154,11 +165,11 @@ object Gaps {
     val repaired0 = FastFill.fill(flagged, ffillCols,
       if (interpolatePrices) priceCols else Nil, TsCol, partitionCols,
       reindexStepMicros = Some(Rules.stepMicros(rule)),
-      trueOnGenerated = ffillCols.map(c => s"_wasnull_$c"))
+      trueOnGenerated = ffillCols.map(c => s"_wasnull_$c") :+ "_generated")
 
     val repaired1 = repaired0
       .select((partitionCols ++ Seq(TsCol) ++ dataCols ++
-        ffillCols.map(c => s"_wasnull_$c")).map(col): _*)
+        ffillCols.map(c => s"_wasnull_$c") :+ "_generated").map(col): _*)
     // cache before the report agg when the caller will also consume the
     // frame (resample + export) — the window chain must not re-execute
     val repaired = if (cacheResult) repaired1.cache() else repaired1
@@ -171,7 +182,10 @@ object Gaps {
 
     if (computeReport) {
       val step = Rules.stepSeconds(rule)
-      val gaps = detectGaps(df, rule, shortGapMinutes, partitionCols)
+      // the synthesized rows ARE the missing stamps: cluster them instead
+      // of re-detecting over the full frame (the flagged subset is tiny)
+      val gaps = clusterStamps(repaired.filter(col("_generated")),
+          step, shortGapMinutes, partitionCols)
         .limit(maxGapsInReport).collect()
       val gapList = gaps.toSeq.map { r =>
         val endPlus = r.getAs[java.sql.Timestamp]("end").toInstant
@@ -200,7 +214,32 @@ object Gaps {
         "rows_after" -> row.getAs[Long]("_rows"))
     }
 
-    Result(repaired.drop(ffillCols.map(c => s"_wasnull_$c"): _*), report)
+    Result(
+      repaired.drop(ffillCols.map(c => s"_wasnull_$c") :+ "_generated": _*),
+      report)
+  }
+
+  /** Cluster a small frame of missing stamps into gap records (the
+    * gaps-and-islands step shared by detectGaps and the repair report).
+    */
+  private def clusterStamps(missing: DataFrame, step: Long,
+                            shortGapMinutes: Int,
+                            partitionCols: Seq[String]): DataFrame = {
+    val w =
+      if (partitionCols.isEmpty) Window.orderBy(TsCol)
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(TsCol)
+    val island = unix_seconds(col(TsCol)) - row_number().over(w) * step
+    val clustered = missing
+      .select((partitionCols :+ TsCol).map(col): _*)
+      .withColumn("_island", island)
+      .groupBy((partitionCols :+ "_island").map(col): _*)
+      .agg(
+        min(col(TsCol)).as("start"),
+        max(col(TsCol)).as("end"),
+        count(lit(1)).as("missing_count"))
+      .drop("_island")
+    withClassification(clustered, step, shortGapMinutes)
+      .orderBy((partitionCols :+ "start").map(col): _*)
   }
 
   /** pandas str(Timestamp) formatting: "2024-01-01 00:03:00+00:00". */

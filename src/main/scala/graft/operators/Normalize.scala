@@ -144,9 +144,18 @@ object Normalize {
 
     val parsed = col(dtCol).try_cast(TimestampType) // parse failures -> null
     val effectiveSourceTz = sourceTz.getOrElse("UTC")
+    // Fixed-offset zones (UTC included) have no DST transitions, so the
+    // strict localization UDF degenerates to a constant shift — keep the
+    // common assume-UTC ingest path fully inside codegen.
+    val zoneRules = java.time.ZoneId.of(effectiveSourceTz).getRules
     val localized: Column =
       if (tzAware) parsed // offsets already resolved to instants by the cast
-      else TzLocalize.localize(parsed, effectiveSourceTz)
+      else if (zoneRules.isFixedOffset) {
+        val offUs = zoneRules.getOffset(java.time.Instant.EPOCH)
+          .getTotalSeconds * 1000000L
+        if (offUs == 0L) parsed
+        else timestamp_micros(unix_micros(parsed) - offUs)
+      } else TzLocalize.localize(parsed, effectiveSourceTz)
 
     val (tzAction, needsReviewBase) =
       if (tzAware) ("already_tzaware", false)

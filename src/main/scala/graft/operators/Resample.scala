@@ -38,11 +38,19 @@ object Resample {
     timestamp_micros(
       (unix_micros(ts) - pmod(unix_micros(ts), lit(Rules.stepMicros(rule)))))
 
+  /** `inputOnBucketGrid`: caller guarantees the input already has exactly
+    * one row per `rule` bucket (e.g. it was just gap-repaired at the same
+    * rule — the reference pipeline's shape, src/run.py:194-216). Every
+    * aggregate over a single-row bucket is the row itself, so the groupBy
+    * shuffle is replaced by a projection: first/last/max/min = value,
+    * sum(null) = 0.0 via coalesce, unmapped non-numeric columns drop.
+    */
   def resampleOhlc(df: DataFrame, rule: String,
                    dropIncomplete: Boolean = true,
                    extraNumericPolicy: String = "mean",
                    emitEmpty: Boolean = false,
-                   partitionCols: Seq[String] = Nil): DataFrame = {
+                   partitionCols: Seq[String] = Nil,
+                   inputOnBucketGrid: Boolean = false): DataFrame = {
     val cols = df.columns.toSeq
     val ts = col(TsCol)
 
@@ -74,11 +82,22 @@ object Resample {
       })
 
     val keyCols = partitionCols.map(col) :+ bucket(ts, rule).as(TsCol)
-    val agged = df
-      .filter(ts.isNotNull)
-      .groupBy(keyCols: _*)
-      .agg(aggs.head._2.as(aggs.head._1),
-        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    val agged =
+      if (inputOnBucketGrid) {
+        // single-row buckets: aggregation degenerates to a projection
+        val sumSet = (Seq("VOLUME", "TICKVOL", "VOL").filter(cols.contains) ++
+          (if (extraNumericPolicy == "sum") extras else Nil)).toSet
+        df.filter(ts.isNotNull)
+          .select(partitionCols.map(col) ++ Seq(ts.as(TsCol)) ++
+            aggs.map { case (n, _) =>
+              if (sumSet.contains(n)) coalesce(col(n), lit(0.0)).as(n)
+              else col(n)
+            }: _*)
+      } else df
+        .filter(ts.isNotNull)
+        .groupBy(keyCols: _*)
+        .agg(aggs.head._2.as(aggs.head._1),
+          aggs.tail.map { case (n, c) => c.as(n) }: _*)
 
     val withEmpty =
       if (!emitEmpty) agged

@@ -133,7 +133,10 @@ object Runner {
               computeReport = computeReports, cacheResult = true).df)
           case None => ndf
         }
-        val res = Resample.resampleOhlc(repaired, tf).cache()
+        // repaired at the same rule => one row per bucket => the resample
+        // aggregation degenerates to a projection (no shuffle)
+        val res = Resample.resampleOhlc(repaired, tf,
+          inputOnBucketGrid = cfg.gapPolicy.isDefined).cache()
         val name = s"${baseName}_${Rules.suffix(tf)}"
         val path = s"$outDir/$name.parquet"
         val report = timed(s"export_$tf")(
