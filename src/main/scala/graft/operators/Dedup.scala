@@ -32,7 +32,8 @@ object Dedup {
     * One shuffle on the 16-byte hash — never on the full text.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    val w = Window.partitionBy(md5(col(textCol).cast("string")))
+      .orderBy(col(idCol))
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")

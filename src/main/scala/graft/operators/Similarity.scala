@@ -92,4 +92,86 @@ object Similarity {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     lshNearPairs(df, idCol, vecCol, dim, threshold)
   }
+
+  // --------------------------------------------------------------------
+  // IVF (inverted-file) index: k-means coarse quantizer as the bucket key.
+  // Same join shape as LSH but data-adaptive centroids — the standard
+  // 100 TB ANN layout (train centroids on a sample, assign once, write
+  // partitioned by centroid; probes touch nProbe partitions only).
+  // --------------------------------------------------------------------
+
+  /** A few Lloyd iterations of k-means over the (sampled) corpus, pure
+    * DataFrame ops: assign = broadcast-centroid argmin, update = groupBy
+    * avg. Deterministic: seeded sample for initialization.
+    */
+  def trainCentroids(df: DataFrame, vecCol: String, k: Int,
+                     iterations: Int = 5, sampleFraction: Double = 1.0): Seq[Seq[Double]] = {
+    val vecs = df.select(col(vecCol).cast("array<double>").as("v"))
+    val training =
+      (if (sampleFraction < 1.0) vecs.sample(sampleFraction, seed = 42)
+       else vecs).cache()
+    var centroids: Seq[Seq[Double]] =
+      training.limit(k).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    for (_ <- 0 until iterations) {
+      val assigned = training.withColumn("c",
+        nearestCentroid(col("v"), centroids))
+      centroids = assigned
+        .groupBy("c")
+        .agg(transformAvg(col("v"), centroids.head.length).as("m"),
+          count(lit(1)).as("n"))
+        .collect()
+        .sortBy(_.getAs[Int]("c"))
+        .map(_.getSeq[Double](1).toSeq).toSeq
+    }
+    training.unpersist()
+    centroids
+  }
+
+  /** Column: index of the nearest centroid by squared L2 (argmin). */
+  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(zip_with(vec, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, p) => acc + p).as("d"),
+        lit(i).as("i"))
+    }: _*)
+    array_min(scored).getField("i")
+  }
+
+  /** Elementwise mean of an array column (for the k-means update step). */
+  private def transformAvg(vec: Column, dim: Int): Column =
+    array((0 until dim).map(i => avg(vec.getItem(i))): _*)
+
+  /** IVF-bucketed top-k: corpus partitioned by nearest centroid; each query
+    * probes its `nProbe` closest centroids and ranks exact cosine within
+    * those buckets only.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, qIdCol: String,
+              cIdCol: String, vecCol: String, k: Int,
+              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = trainCentroids(corpus, vecCol, nLists)
+    val c = corpus.select(col(cIdCol).as("cid"),
+        col(vecCol).cast("array<double>").as("ce"))
+      .withColumn("bucket", nearestCentroid(col("ce"), centroids))
+    // query probes: nProbe nearest centroid ids, exploded to equi-join keys
+    val probeArr = {
+      val scored = array(centroids.zipWithIndex.map { case (cen, i) =>
+        struct(
+          aggregate(zip_with(col("qe"), array(cen.map(lit): _*),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, p) => acc + p).as("d"),
+          lit(i).as("i"))
+      }: _*)
+      transform(slice(array_sort(scored), 1, nProbe), s => s.getField("i"))
+    }
+    val q = queries.select(col(qIdCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qe"))
+      .withColumn("bucket", explode(probeArr))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qe"), col("ce")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
 }

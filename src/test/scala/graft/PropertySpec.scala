@@ -1,0 +1,141 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import scala.collection.immutable.ListMap
+
+import graft.operators.{Dedup, Gaps, Normalize, Resample}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY.md §5.2): resample conservation laws,
+  * interpolation endpoints, dedup idempotence, rename-map determinism.
+  * Spark-dependent properties use a handful of generated cases (each case
+  * is a full Spark job); pure driver logic gets bigger sweeps. Seeded
+  * generator sampling keeps runs reproducible (scalatestplus is not in the
+  * offline artifact cache, so ScalaCheck is driven directly).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  /** Deterministic generator sampling. */
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.from(Instant.parse("2024-01-01T00:00:00Z").plusSeconds(min * 60L))
+
+  // ---- pure driver-side properties: full ScalaCheck sweep ----
+
+  test("rename map is deterministic and never touches protected columns") {
+    val colGen = Gen.oneOf("open", "High", "price_close", "symbol", "ticker",
+      "volume", "low_value", "extra", "o", "ts")
+    for (cols <- samples(Gen.listOfN(6, colGen), 50)) {
+      val distinct = cols.distinct
+      val m1 = Normalize.buildRenameMap(distinct, graft.core.GraftConfig.defaultColumnsMap)
+      val m2 = Normalize.buildRenameMap(distinct, graft.core.GraftConfig.defaultColumnsMap)
+      assert(m1 == m2)
+      assert(!m1.contains("symbol") && !m1.contains("ticker"))
+      assert(m1.values.forall(v => v == v.toUpperCase))
+    }
+  }
+
+  test("rule parsing: step is positive and suffix lowercases T->m") {
+    for ((n, u) <- samples(Gen.zip(Gen.chooseNum(1, 120),
+        Gen.oneOf("T", "H", "S", "D")), 50)) {
+      val rule = s"$n$u"
+      assert(graft.core.Rules.stepSeconds(rule) > 0)
+      assert(graft.core.Rules.suffix(rule) == s"$n${u.toLowerCase.replace("t", "m")}")
+    }
+  }
+
+  // ---- Spark properties: bounded generated cases ----
+
+  test("resample conserves volume and bounds prices (correct mode)") {
+    val gen = Gen.listOfN(40, Gen.chooseNum(0, 59)).map(_.distinct.sorted)
+    for (minutes <- samples(gen, 5)) {
+      if (minutes.nonEmpty) {
+        val df = minutes.map(m =>
+          (ts(m), 100.0 + m, 100.5 + m, 99.5 + m, 100.2 + m, 10.0 * (m + 1)))
+          .toDF("TIMESTAMP", "OPEN", "HIGH", "LOW", "CLOSE", "VOLUME")
+        val res = Resample.resampleOhlc(df, "5T", dropIncomplete = false)
+          .collect()
+        val totalVol = res.map(_.getAs[Double]("VOLUME")).sum
+        assert(math.abs(totalVol - minutes.map(m => 10.0 * (m + 1)).sum) < 1e-9,
+          "volume conserved across buckets")
+        assert(res.forall { r =>
+          r.getAs[Double]("HIGH") >= r.getAs[Double]("LOW") &&
+          r.getAs[Double]("HIGH") >= r.getAs[Double]("OPEN") &&
+          r.getAs[Double]("HIGH") >= r.getAs[Double]("CLOSE")
+        }, "candle invariants hold when inputs are valid candles")
+        // bucket count = distinct 5-min buckets among inputs
+        assert(res.length == minutes.map(_ / 5).distinct.length)
+      }
+    }
+  }
+
+  test("repair leaves observed values untouched; interpolation stays in range") {
+    val gen = Gen.listOfN(30, Gen.chooseNum(0, 59)).map(_.distinct.sorted)
+    for (minutes <- samples(gen, 5)) {
+      if (minutes.length >= 2) {
+        val obs = minutes.map(m => (ts(m), 100.0 + m)).toMap
+        val df = minutes.map(m => (ts(m), 100.0 + m)).toDF("TIMESTAMP", "OPEN")
+        val out = Gaps.repairGaps(df, "1T", useFfillFor = Nil,
+          computeReport = false).df.collect()
+        val lo = minutes.min; val hi = minutes.max
+        assert(out.length == hi - lo + 1, "full grid restored")
+        out.foreach { r =>
+          val t = r.getAs[Timestamp]("TIMESTAMP")
+          val v = r.getAs[Double]("OPEN")
+          obs.get(t).foreach(expected =>
+            assert(v == expected, "observed values pass through unchanged"))
+          assert(v >= 100.0 + lo - 1e-9 && v <= 100.0 + hi + 1e-9,
+            "interpolated values bounded by neighbors (monotone series)")
+        }
+      }
+    }
+  }
+
+  test("dedup keep-first is idempotent") {
+    val gen = Gen.listOfN(20, Gen.chooseNum(0, 9))
+    for (minutes <- samples(gen, 5)) {
+      if (minutes.nonEmpty) {
+        val df = minutes.zipWithIndex
+          .map { case (m, i) => (ts(m), i.toDouble) }
+          .toDF("TIMESTAMP", "OPEN")
+        val once = Dedup.exact(
+          df.withColumn("doc_id", org.apache.spark.sql.functions
+            .monotonically_increasing_id()),
+          "doc_id", "TIMESTAMP") // exact-dedup on the stamp as content
+        assert(once.count() == minutes.distinct.length)
+        val twice = Dedup.exact(once, "doc_id", "TIMESTAMP")
+        assert(twice.count() == once.count(), "idempotent")
+      }
+    }
+  }
+
+  test("minhash estimate is within sketch error of exact jaccard") {
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val docGen = Gen.listOfN(30, wordGen).map(_.mkString(" "))
+    for ((d1, d2) <- samples(Gen.zip(docGen, docGen), 3)) {
+      val df = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+      val pairs = Dedup.minHashLshPairs(df, "doc_id", "text",
+        numHashes = 128, bands = 32, shingleSize = 2, threshold = 0.0)
+        .collect()
+      val est = pairs.headOption.map(_.getAs[Double]("est_jaccard")).getOrElse(0.0)
+      val truth = df.agg(org.apache.spark.sql.functions.first(
+        Dedup.ngramJaccard(
+          org.apache.spark.sql.functions.lit(d1),
+          org.apache.spark.sql.functions.lit(d2), 2))).as[Double].head()
+      // 128 hashes -> stderr ~ sqrt(j(1-j)/128) <= 0.05; allow 4 sigma,
+      // plus banding can miss very-low-similarity pairs entirely
+      assert(est == 0.0 || math.abs(est - truth) < 0.2,
+        s"est=$est truth=$truth")
+    }
+  }
+}
