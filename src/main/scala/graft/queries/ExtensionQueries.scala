@@ -167,6 +167,43 @@ object ExtensionQueries {
           idCol = "vec_id", vecCol = "embedding", threshold = 0.3)
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(50)
+    },
+
+    // The distributed as-of OPERATOR (tag-union + co-partitioned merge
+    // scan — AsofJoin scaladoc), checked against the same correlated-
+    // subquery oracle as q12: identical semantics, one-shuffle plan.
+    "q44_asof_operator" -> { (s, d) =>
+      val events = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"))
+      graft.operators.AsofJoin.asof(events, orders, Seq("user_id"),
+          "ts", "o_orderdate", Seq("o_orderdate"))
+        .select(col("event_id"),
+          col("asof_o_orderdate").cast("timestamp_ntz").as("asof_order"))
+        .orderBy("event_id")
+        .limit(500)
+    },
+
+    // IVF-bucketed ANN (k-means coarse quantizer; rows-only — centroid
+    // assignment is deterministic but not SQL-expressible).
+    "q45_ivf_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb.filter(col("vec_id") <= 5), emb,
+          "vec_id", "vec_id", "embedding", k = 3, nLists = 8, nProbe = 4)
+        .orderBy("qid", "rn")
+    },
+
+    // Multimodal plumbing: synthetic binary payloads -> probe + feature
+    // extraction -> embedding stats (rows-only; deterministic fake codec).
+    "q46_media_pipeline" -> { (s, d) =>
+      val media = graft.operators.Multimodal.syntheticMedia(s, 200)
+      val feats = graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.probeMedia(media), dim = 16)
+      feats.select(col("media_id"), col("probe_width"), col("probe_height"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("f0"))
+        .orderBy("media_id")
+        .limit(100)
     }
   )
 
@@ -233,6 +270,12 @@ object ExtensionQueries {
         |      / length(list_distinct(list_concat(a.ws, b.ws))) * 10000.0 + 0.5) / 10000.0 AS jac
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |ORDER BY jac DESC, da, db LIMIT 30""".stripMargin,
+
+    "q44_asof_operator" ->
+      """SELECT e.event_id,
+        |       (SELECT max(o.o_orderdate) FROM orders o
+        |        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS asof_order
+        |FROM events e ORDER BY e.event_id LIMIT 500""".stripMargin,
 
     "q39_ann_topk" ->
       """WITH s AS (

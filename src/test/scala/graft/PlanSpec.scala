@@ -1,0 +1,82 @@
+package graft
+
+import graft.core.Tables
+import graft.queries.RelationalQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the engine's queries must produce the plans a
+  * 100 TB deployment needs — parquet filter/column pushdown, broadcast
+  * joins for dimensions, map-side partial aggregation, and top-k without a
+  * global sort. Catching a plan regression here is as important as a value
+  * regression.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: filter and projection push into the parquet scan") {
+    val p = plan(RelationalQueries.defs("q01_scan_filter")(spark, d))
+    assert(p.contains("PushedFilters:") &&
+      (p.contains("GreaterThan(l_quantity,30") ||
+        p.contains("GreaterThan(l_quantity, 30")),
+      s"quantity filter must reach the scan:\n$p")
+    assert(p.contains("ReadSchema") &&
+      !p.contains("l_comment"), "unused columns pruned from ReadSchema")
+    // 4 projected + 2 filter columns only
+    assert(!p.contains("l_partkey"), "column pruning: l_partkey not read")
+  }
+
+  test("q07: dimension joins broadcast; no shuffle for nation/region") {
+    val p = plan(RelationalQueries.defs("q07_multiway_join_agg")(spark, d))
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+  }
+
+  test("q13: aggregation is partial (map-side combine) then final") {
+    val p = plan(RelationalQueries.defs("q13_multi_agg")(spark, d))
+    assert(p.contains("HashAggregate"), "hash aggregate selected")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "partial + final aggregation phases present")
+  }
+
+  test("q24: global top-k avoids a full sort (TakeOrderedAndProject)") {
+    val p = plan(RelationalQueries.defs("q24_global_topk")(spark, d))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"LIMIT+ORDER BY must use per-partition top-k:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    val p = plan(Tables.lineitem(spark, d)
+      .filter(col("l_quantity") > 30)
+      .select(col("l_orderkey"), (col("l_extendedprice") * 2).as("x")))
+    // the "*(n)" prefix marks WholeStageCodegen stages in toString
+    assert(p.contains("*(1)"), s"codegen active:\n$p")
+    assert(p.contains("Batched: true"), "vectorized parquet read")
+  }
+
+  test("events reader prunes columns through the ns-timestamp conversion") {
+    val p = plan(Tables.events(spark, d).select("event_id", "user_id"))
+    assert(!p.contains("props"), "unused string column not read")
+  }
+
+  test("partitioned parquet written by the exporter prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    import spark.implicits._
+    val df = (0 until 100).map { i =>
+      (java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i * 60L)),
+        1.0 + i, "S" + (i % 4))
+    }.toDF("TIMESTAMP", "CLOSE", "SYMBOL")
+    graft.operators.Exporter.writeParquetWithMetadata(df, s"$dir/out.parquet",
+      partitionCols = Seq("symbol"))
+    val read = spark.read.parquet(s"$dir/out.parquet")
+      .filter(col("SYMBOL") === "S1")
+    val p = plan(read)
+    assert(p.contains("PartitionFilters") && p.contains("S1"),
+      s"partition pruning must appear in the scan:\n$p")
+    assert(read.count() == 25)
+  }
+}
