@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Engine extension point: registers graft's native expressions into the
+  * session's function registry so they resolve from SQL and
+  * `call_function`.
+  *
+  * Two activation paths:
+  *  - at session build time:
+  *    `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  *    `spark.sql.extensions=graft.plans.GraftExtensions`;
+  *  - on a live session: `GraftExtensions.register(spark)` (used by the
+  *    library entry points — function registration is idempotent).
+  *
+  * No custom optimizer rules or strategies are injected: SURVEY.md §4.1
+  * establishes that stock Catalyst + AQE covers this engine's plan space;
+  * the extension surface carries only scalar expressions Spark lacks.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+  }
+}
+
+object GraftExtensions {
+
+  private[plans] val cosineSimDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "cosine_sim(a, b) takes two arrays")
+      // widen float32 embeddings etc. to array<double> at the boundary
+      CosineSimilarity(
+        Cast(children.head, ArrayType(DoubleType)),
+        Cast(children(1), ArrayType(DoubleType)))
+    })
+
+  /** Idempotent registration on a live session. */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = cosineSimDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+
+/** The native codegen CosineSimilarity expression: registry wiring, SQL
+  * resolution, value agreement with the HOF form, and edge semantics.
+  */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_sim registers, resolves from SQL, matches the HOF form") {
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(9)
+    val df = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(32)(rnd.nextGaussian()), Seq.fill(32)(rnd.nextGaussian()))
+    }.toDF("id", "a", "b")
+    df.createOrReplaceTempView("vecs")
+
+    val native = spark.sql(
+      "SELECT id, cosine_sim(a, b) AS s FROM vecs ORDER BY id")
+      .select("s").as[Double].collect()
+    val hof = df.orderBy("id")
+      .select(VectorFunctions.cosine(col("a"), col("b")).as("s"))
+      .as[Double].collect()
+    assert(native.length == 50)
+    native.zip(hof).foreach { case (n, h) =>
+      assert(math.abs(n - h) < 1e-12, s"native $n vs HOF $h")
+    }
+    // codegen active for the projection containing the expression (against
+    // a parquet scan — a local relation constant-folds to LocalTableScan)
+    graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("emb_cg")
+    val plan = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) FROM emb_cg")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expression stays inside codegen:\n$plan")
+  }
+
+  test("cosine_sim edges: zero vector and length mismatch produce null") {
+    GraftExtensions.register(spark)
+    val df = Seq(
+      (1L, Seq(0.0, 0.0), Seq(1.0, 2.0)),
+      (2L, Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),
+      (3L, Seq(1.0, 0.0), Seq(1.0, 0.0)))
+      .toDF("id", "a", "b")
+    df.createOrReplaceTempView("edges")
+    val out = spark.sql(
+      "SELECT id, cosine_sim(a, b) AS s FROM edges ORDER BY id").collect()
+    assert(out(0).isNullAt(1), "zero-norm -> null")
+    assert(out(1).isNullAt(1), "length mismatch -> null")
+    assert(math.abs(out(2).getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("float32 embeddings widen through the registration cast") {
+    GraftExtensions.register(spark)
+    graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("emb")
+    val sims = spark.sql(
+      """SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS s
+        |FROM emb a JOIN emb b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 10 ORDER BY a.vec_id""".stripMargin).collect()
+    assert(sims.length == 10)
+    assert(sims.forall(r => math.abs(r.getDouble(1)) <= 1.0 + 1e-9))
+  }
+}
