@@ -218,7 +218,7 @@ object Reporting {
             org.apache.spark.sql.types.DoubleType, nullable = true))))
       .collect()
     val sr = rows(0)
-    val ind = ListMap(ws.zipWithIndex.map { case (w, j) =>
+    val ind = ListMap(ws.toIndexedSeq.zipWithIndex.map { case (w, j) =>
       def g(i: Int): Any = if (sr.isNullAt(j * 4 + i)) null else sr.get(j * 4 + i)
       s"SMA_$w" -> Json.obj(
         "last" -> g(0), "nan_count" -> sr.getLong(j * 4 + 1),

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.GraftConfig
+
+/** YAML config loading (reference O25/O26: config_loader.py + config/
+  * default.yml shape): key mapping, ${ENV} expansion, presence validation.
+  */
+class ConfigSpec extends SparkSpec {
+
+  private def write(yaml: String): String = {
+    val f = Files.createTempFile("graft_cfg", ".yml")
+    Files.writeString(f, yaml)
+    f.toString
+  }
+
+  test("default.yml shape loads with all sections") {
+    val cfg = GraftConfig.load(write(
+      """io:
+        |  raw_path: "data/raw"
+        |  processed_path: "data/processed"
+        |parquet:
+        |  compression: "zstd"
+        |  partition_cols: ["symbol", "year"]
+        |  row_group_size: 65536
+        |schema:
+        |  columns_map:
+        |    TIMESTAMP: ["timestamp", "ts"]
+        |    OPEN: ["open", "o"]
+        |  required_columns: ["TIMESTAMP", "OPEN"]
+        |timezone:
+        |  target: "UTC"
+        |  source_default: null
+        |resample:
+        |  timeframes: ["1T", "5T", "1H"]
+        |  gap_policy:
+        |    short_gap_minutes: 7
+        |    use_ffill_for: ["VOLUME", "TICKVOL"]
+        |    interpolate_prices: true
+        |export:
+        |  write_mode: "overwrite"
+        |""".stripMargin))
+    assert(cfg.rawPath == "data/raw")
+    assert(cfg.compression == "zstd")
+    assert(cfg.partitionCols == Seq("symbol", "year"))
+    assert(cfg.columnsMap("TIMESTAMP") == Seq("timestamp", "ts"))
+    assert(cfg.columnsMap.keys.toSeq == Seq("TIMESTAMP", "OPEN"),
+      "columns_map preserves YAML order (rename precedence)")
+    assert(cfg.requiredColumns == Seq("TIMESTAMP", "OPEN"))
+    assert(cfg.sourceTzDefault.isEmpty)
+    assert(cfg.timeframes == Seq("1T", "5T", "1H"))
+    val gp = cfg.gapPolicy.get
+    assert(gp.shortGapMinutes == 7)
+    assert(gp.useFfillFor == Seq("VOLUME", "TICKVOL"))
+  }
+
+  test("${ENV} placeholders expand in string values") {
+    val cfg = GraftConfig.load(write(
+      s"""io:
+         |  raw_path: "$${HOME}/raw"
+         |  processed_path: "out"
+         |parquet: { compression: "zstd" }
+         |schema:
+         |  columns_map: { TIMESTAMP: ["ts"] }
+         |  required_columns: ["TIMESTAMP"]
+         |""".stripMargin))
+    assert(cfg.rawPath == sys.env("HOME") + "/raw")
+  }
+
+  test("missing required keys raise with the key names") {
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig.load(write(
+        """io: { raw_path: "x" }
+          |schema: { columns_map: { A: ["a"] } }
+          |""".stripMargin))
+    }
+    assert(e.getMessage.contains("io.processed_path"))
+    assert(e.getMessage.contains("parquet.compression"))
+    assert(e.getMessage.contains("schema.required_columns"))
+  }
+}
