@@ -95,6 +95,7 @@ object Normalize {
   private val DatetimeNames = Set("datetime", "timestamp", "time")
 
   final case class Result(df: DataFrame, report: ListMap[String, Any],
+                          preDedupRows: Long = 0L,
                           sourceCache: Option[DataFrame] = None,
                           /** Deduped frame WITHOUT the final global sort —
                             * order-insensitive consumers (aggregation,
@@ -104,6 +105,12 @@ object Normalize {
                             * partitions. */
                           unsorted: DataFrame = null) {
     def unpersistSource(): Unit = sourceCache.foreach(_.unpersist())
+    /** Patch the duplicate count from a post-dedup row count the caller
+      * already has (deferDuplicateCount mode).
+      */
+    def withPostCount(postRows: Long): Result =
+      copy(report = report.updated("duplicates",
+        Json.obj("removed_duplicates" -> (preDedupRows - postRows))))
   }
 
   /** O10: the full pipeline. `computeReport = false` skips the counter agg
@@ -114,7 +121,11 @@ object Normalize {
             requiredColumns: Seq[String],
             sourceTz: Option[String],
             targetTz: String = "UTC",
-            computeReport: Boolean = true): Result = {
+            computeReport: Boolean = true,
+            /** callers that count the deduped frame anyway (Runner's cache
+              * materialization) can skip the internal count job and patch
+              * the report via Result.withPostCount */
+            deferDuplicateCount: Boolean = false): Result = {
 
     val ordered =
       if (input.columns.contains(Readers.FileOrderCol)) input
@@ -208,7 +219,8 @@ object Normalize {
     // duplicates of each other too, which the TS-keyed window mirrors);
     // the count runs off the cached source, so it costs one window pass
     val removedDuplicates =
-      if (computeReport) preDedupRows - deduped.count() else 0L
+      if (computeReport && !deferDuplicateCount) preDedupRows - deduped.count()
+      else 0L
 
     // O9: final sort; pandas sort_index puts NaT last.
     val sorted = deduped.orderBy(col(TsCol).asc_nulls_last)
@@ -228,7 +240,7 @@ object Normalize {
         "needs_review" -> (needsReviewBase || ambiguousNats > 0)),
       "duplicates" -> Json.obj("removed_duplicates" -> removedDuplicates))
 
-    Result(sorted, report,
+    Result(sorted, report, preDedupRows,
       sourceCache = if (computeReport) Some(withTs) else None,
       unsorted = deduped)
   }

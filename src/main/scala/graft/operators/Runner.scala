@@ -20,6 +20,13 @@ object Runner {
 
   val TsCol: String = Normalize.TsCol
 
+  /** Driver-side pool for concurrent timeframe chains (bounded: each task
+    * mostly waits on Spark jobs, not CPU).
+    */
+  lazy val tfExecutionContext: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8))
+
   private val timing = sys.env.get("GRAFT_TIMING").contains("1")
   private def timed[T](name: String)(f: => T): T = {
     val t0 = System.nanoTime()
@@ -84,44 +91,45 @@ object Runner {
         input.withColumn("SYMBOL", upper(col("SYMBOL")))
       else input.withColumn("SYMBOL", lit(symbol))
 
-    val normalized = timed("normalize")(
+    val normalized0 = timed("normalize")(
       Normalize(injected, cfg.columnsMap, cfg.requiredColumns,
         sourceTz.orElse(cfg.sourceTzDefault), cfg.targetTz,
-        computeReport = computeReports))
+        computeReport = computeReports, deferDuplicateCount = true))
     // cache before the per-timeframe fan-out — the reference re-reads its
     // in-memory frame for free; Spark must not re-run the normalize graph
-    // once per timeframe.
-    val ndf = normalized.unsorted.cache()
-    timed("materialize_cache")(ndf.count())
+    // once per timeframe. The materialization count doubles as the
+    // post-dedup count for the duplicates report (no separate count job).
+    val ndf = normalized0.unsorted.cache()
+    val postRows = timed("materialize_cache")(ndf.count())
+    val normalized =
+      if (computeReports) normalized0.withPostCount(postRows) else normalized0
     if (timing)
       System.err.println(s"[graft-timing] ndf partitions: ${ndf.rdd.getNumPartitions}")
-    normalized.unpersistSource()
-
-    val quality =
-      if (computeReports)
-        try timed("quality_report")(
-          Reporting.dataQualityReport(ndf, knownDistinctTs = true))
-        catch { case e: Exception => errors :+= "quality_report" -> e.getMessage
-          ListMap.empty[String, Any] }
-      else ListMap.empty[String, Any]
-    if (computeReports && cfg.saveReports)
-      try Reporting.saveReport(quality, s"$outDir/reports/${basename}_quality.json")
-      catch { case e: Exception => errors :+= "save_report" -> e.getMessage }
+    normalized0.unpersistSource()
 
     val timeframes = if (cfg.timeframes.nonEmpty) cfg.timeframes else Seq("1T")
     var exports = Vector.empty[StageResult]
-    // one extent for all timeframes — reuse the quality report's start/end
-    // instead of re-scanning
-    val baseName = (quality.get("start"), quality.get("end")) match {
-      case (Some(s0: String), Some(e0: String)) =>
-        val d0 = s0.take(10).replace("-", "")
-        val d1 = e0.take(10).replace("-", "")
-        s"${symbol}_${d0}_$d1"
-      case _ => timed("output_basename")(outputBasename(ndf, symbol))
-    }
+    val baseName = timed("output_basename")(outputBasename(ndf, symbol))
 
-    for (tf <- timeframes) {
-      try {
+    // The per-timeframe chains are independent reads of the cached
+    // normalized frame — run them CONCURRENTLY (the reference loops
+    // sequentially, src/run.py:192-250; Spark schedules concurrent jobs on
+    // one session, so four repair→resample→export chains overlap their
+    // shuffle/write latencies instead of stacking them). Failure isolation
+    // is unchanged: each chain catches independently. The NDJSON log is the
+    // only shared sink — serialized with a lock, ordered by timeframe.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = Runner.tfExecutionContext
+    val logLock = new Object
+    // the QA report reads only the cached frame — overlap it with the
+    // timeframe chains
+    val qualityF: Future[ListMap[String, Any]] =
+      if (computeReports) Future(timed("quality_report")(
+        Reporting.dataQualityReport(ndf, knownDistinctTs = true)))
+      else Future.successful(ListMap.empty[String, Any])
+    val results = timeframes.map { tf =>
+      tf -> Future {
         // gap repair at the target rule, then resample (src/run.py:194-216;
         // the faithful grid-align order — §2.2.4). The resampled frame is
         // cached: export runs three actions (validate agg, write, hash) and
@@ -145,14 +153,25 @@ object Runner {
             Json.obj("exporter_version" -> "v1",
               "timeframe" -> tf, "symbol" -> symbol),
             knownDistinctTs = true))
-        Exporter.appendExportLog(s"$outDir/exports", report)
-        exports :+= StageResult(name, report("rows").asInstanceOf[Long], path)
+        logLock.synchronized {
+          Exporter.appendExportLog(s"$outDir/exports", report)
+        }
         res.unpersist()
         if (!(repaired eq ndf)) repaired.unpersist()
-      } catch {
-        case e: Exception => errors :+= s"timeframe_$tf" -> e.getMessage
+        StageResult(name, report("rows").asInstanceOf[Long], path)
       }
     }
+    for ((tf, f) <- results) {
+      try exports :+= Await.result(f, Duration.Inf)
+      catch { case e: Exception => errors :+= s"timeframe_$tf" -> e.getMessage }
+    }
+    val quality =
+      try Await.result(qualityF, Duration.Inf)
+      catch { case e: Exception => errors :+= "quality_report" -> e.getMessage
+        ListMap.empty[String, Any] }
+    if (computeReports && cfg.saveReports)
+      try Reporting.saveReport(quality, s"$outDir/reports/${basename}_quality.json")
+      catch { case e: Exception => errors :+= "save_report" -> e.getMessage }
 
     ndf.unpersist()
     RunResult(symbol, normalized.report, quality, exports, errors)
