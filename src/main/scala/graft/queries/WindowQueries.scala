@@ -134,6 +134,30 @@ object WindowQueries {
         .limit(1000)
     },
 
+    // Sessionization (training-data pipeline staple): a >30-minute silence
+    // starts a new session; one row per session with stats. Gaps-and-islands
+    // via a running sum of new-session flags — one window pass + one agg.
+    "q47_sessionize" -> { (s, d) =>
+      val w = byUser.orderBy("ts", "event_id")
+      val newSession = when(
+        col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1)
+        .otherwise(0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lag(col("ts"), 1).over(w).as("prev_ts"))
+        .withColumn("new_s", newSession)
+        .withColumn("session_no",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(
+          min(col("ts")).cast("timestamp_ntz").as("session_start"),
+          count(lit(1)).as("n_events"),
+          (unix_seconds(max(col("ts"))) - unix_seconds(min(col("ts"))))
+            .as("duration_sec"))
+        .orderBy("user_id", "session_no")
+    },
+
     // Linear positional interpolation with limit_direction='both'
     // (O13; gaps.py:167-169) — the same window algebra is packaged as the
     // reusable operators.Interpolate transformer.
@@ -245,6 +269,31 @@ object WindowQueries {
         |SELECT user_id, event_id,
         |floor(max(v) OVER (PARTITION BY user_id, grp) * 1000000.0 + 0.5) / 1000000.0 AS v_ffill
         |FROM g ORDER BY user_id, event_id LIMIT 1000""".stripMargin,
+
+    "q47_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1
+        |              ELSE 0 END AS new_s
+        |  FROM x),
+        |g AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS session_no
+        |  FROM f)
+        |SELECT user_id, session_no,
+        |       CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |       count(*) AS n_events,
+        |       CAST(date_diff('second', CAST(min(ts) AS TIMESTAMP),
+        |                      CAST(max(ts) AS TIMESTAMP)) AS BIGINT) AS duration_sec
+        |FROM g GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
 
     "q30_interpolate" ->
       """WITH s AS (
