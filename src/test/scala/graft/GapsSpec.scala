@@ -81,6 +81,41 @@ class GapsSpec extends SparkSpec {
     assert(out.toSeq == Seq(5.0, 5.0, 5.0))
   }
 
+  test("multi-symbol repair: per-series grids, fills never cross series") {
+    val df = Seq(
+      // series A: minutes 0,1,4 (gap 2-3), values 10,11,14
+      ("A", ts(0), Some(10.0), Some(100.0)),
+      ("A", ts(1), Some(11.0), Some(110.0)),
+      ("A", ts(4), Some(14.0), Some(140.0)),
+      // series B: minutes 0,2 (gap 1), values 50,52; VOLUME null at start
+      ("B", ts(0), Some(50.0), Option.empty[Double]),
+      ("B", ts(2), Some(52.0), Some(520.0)))
+      .toDF("SYMBOL", "TIMESTAMP", "OPEN", "VOLUME")
+    val out = Gaps.repairGaps(df, "1T", useFfillFor = Seq("VOLUME"),
+        partitionCols = Seq("SYMBOL"), computeReport = false).df
+      .orderBy("SYMBOL", "TIMESTAMP").collect()
+    assert(out.length == 8) // A: 5 grid rows, B: 3 grid rows
+    val a = out.filter(_.getString(0) == "A")
+    assert(a.length == 5)
+    assert(a.map(_.getAs[Double]("OPEN")).toSeq ==
+      Seq(10.0, 11.0, 12.0, 13.0, 14.0), "A interpolates within A only")
+    assert(a.map(_.getAs[Double]("VOLUME")).toSeq ==
+      Seq(100.0, 110.0, 110.0, 110.0, 140.0), "A ffills within A only")
+    val b = out.filter(_.getString(0) == "B")
+    assert(b.length == 3)
+    assert(b.map(_.getAs[Double]("OPEN")).toSeq == Seq(50.0, 51.0, 52.0))
+    assert(b(0).isNullAt(b(0).fieldIndex("VOLUME")),
+      "B's leading null VOLUME is NOT filled from series A")
+    // per-series gap detection keyed the same way
+    val gaps = Gaps.detectGaps(df, "1T", partitionCols = Seq("SYMBOL"))
+      .orderBy("SYMBOL", "start").collect()
+    assert(gaps.length == 2)
+    assert(gaps(0).getString(0) == "A" &&
+      gaps(0).getAs[Long]("missing_count") == 2L)
+    assert(gaps(1).getString(0) == "B" &&
+      gaps(1).getAs[Long]("missing_count") == 1L)
+  }
+
   test("overnight classification beats long (dead long_gap parity)") {
     // 25h gap crossing midnight: must classify overnight_gap, NOT long_gap
     val df = Seq(
