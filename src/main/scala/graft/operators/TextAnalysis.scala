@@ -20,7 +20,9 @@ object TextAnalysis {
     * regex shape).
     */
   def bpeTokens(text: Column): Column =
-    filter(split(text, "(?<=\\s)|(?=\\s)|(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+    filter(split(text,
+      "(?<=\\s)|(?=\\s)|(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])" +
+        "|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"),
       t => trim(t) =!= "")
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")

@@ -121,6 +121,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fp(3L)._2 != fp(2L)._2, "token order changes rolling hash")
   }
 
+  test("bpe-ish tokenizer splits letter runs, digit runs, punctuation") {
+    val df = Seq((1L, "hello, world42! x-ray")).toDF("doc_id", "text")
+    val toks = df.select(TextAnalysis.bpeTokens(col("text")).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(toks == Seq("hello", ",", "world", "42", "!", "x", "-", "ray"))
+  }
+
   test("quality score computes sane ranges") {
     val df = Seq((1L, "the quick brown fox is near the lazy dog"))
       .toDF("doc_id", "text")
