@@ -47,9 +47,23 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** Distinct shingle hashes folded into [0, 2^31-1). */
-  private def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(shingles(text, n), s => pmod(xxhash64(s), lit(P))))
+  /** Distinct shingle hashes folded into [0, 2^31-1).
+    *
+    * Computed NUMERICALLY: hash each word once, then combine each n-window
+    * of word hashes with a rolling polynomial mod P — building the n-gram
+    * STRINGS first (concat_ws per shingle) materializes gigabytes of
+    * transient text at corpus scale for bytes the hash immediately
+    * discards. Order-sensitive combine keeps distinct shingles distinct;
+    * all arithmetic stays under 2^37 (ANSI-safe).
+    */
+  private def shingleHashes(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val wordHashes = transform(toks, t => pmod(xxhash64(t), lit(P)))
+    val nShingles = greatest(size(toks) - n + 1, lit(1))
+    array_distinct(transform(sequence(lit(1), nShingles), i =>
+      aggregate(slice(wordHashes, i, lit(n)), lit(7L),
+        (acc, h) => pmod(acc * 31L + h, lit(P)))))
+  }
 
   /** MinHash signatures via explode + partial aggregation: one row per
     * (doc, shingle-hash), then a single groupBy computing all `numHashes`
