@@ -21,11 +21,20 @@ object Runner {
   val TsCol: String = Normalize.TsCol
 
   /** Driver-side pool for concurrent timeframe chains (bounded: each task
-    * mostly waits on Spark jobs, not CPU).
+    * mostly waits on Spark jobs, not CPU). Daemon threads — the pool must
+    * never keep a driver JVM alive after main() returns.
     */
   lazy val tfExecutionContext: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(8))
+      java.util.concurrent.Executors.newFixedThreadPool(8,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+          override def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-tf-${n.incrementAndGet()}")
+            t.setDaemon(true)
+            t
+          }
+        }))
 
   private val timing = sys.env.get("GRAFT_TIMING").contains("1")
   private def timed[T](name: String)(f: => T): T = {
