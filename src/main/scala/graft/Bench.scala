@@ -84,16 +84,24 @@ object Bench {
       s"pipeline errors: ${result.errors.mkString("; ")}")
     require(result.exports.length == 4, "four timeframe exports expected")
 
+    var failed = Vector.empty[String]
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val q0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      name -> (System.nanoTime() - q0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed :+= name; false
+        }
+      // a broken query must be distinguishable in the JSON: negative time
+      name -> (if (ok) (System.nanoTime() - q0) / 1e9 else -1.0)
     }
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"etl_pipeline_sec","value":$pipelineSec%.3f,"unit":"sec","input_rows":$inputRows,"exports":${result.exports.map(_.rows).mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"etl_pipeline_sec","value":$pipelineSec%.3f,"unit":"sec","input_rows":$inputRows,"exports":${result.exports.map(_.rows).mkString("[", ",", "]")},"query_errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

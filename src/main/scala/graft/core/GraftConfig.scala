@@ -26,7 +26,12 @@ final case class GraftConfig(
     quarantinePath: String = "data/quarantine",
     compression: String = "zstd",
     partitionCols: Seq[String] = Seq("symbol", "year"),
-    rowGroupSize: Int = 65536,
+    /** Parquet row-group size in BYTES (`parquet.block.size`); None keeps
+      * Spark's default (128 MB). The reference's pyarrow knob counted ROWS
+      * (config_model.py:21) — sizes don't translate, so the Spark engine
+      * only honors an explicit byte value.
+      */
+    rowGroupSize: Option[Long] = None,
     columnsMap: ListMap[String, Seq[String]] = GraftConfig.defaultColumnsMap,
     requiredColumns: Seq[String] =
       Seq("TIMESTAMP", "OPEN", "HIGH", "LOW", "CLOSE"),
@@ -127,8 +132,7 @@ object GraftConfig {
       quarantinePath = str(io, "quarantine_path").getOrElse("data/quarantine"),
       compression = str(parquet, "compression").getOrElse("zstd"),
       partitionCols = parquet.get("partition_cols").map(strs).getOrElse(Nil),
-      rowGroupSize =
-        parquet.get("row_group_size").map(_.toString.toInt).getOrElse(65536),
+      rowGroupSize = parquet.get("row_group_size").map(_.toString.toLong),
       columnsMap = columnsMap,
       requiredColumns = strs(schema("required_columns")),
       targetTz = str(tz, "target").getOrElse("UTC"),

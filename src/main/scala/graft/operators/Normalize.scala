@@ -39,13 +39,14 @@ object Normalize {
 
   /** Verbatim port of `_build_rename_map` (normalize.py:18-56): exact
     * lowercase match, or `variant_` prefix / `_variant` suffix; protected
-    * names skipped; targets uppercased. First matching target wins per the
-    * reference's dict-iteration order, so `columnsMap` must be ordered
-    * (ListMap).
+    * names skipped; targets uppercased. A column matching variants of
+    * several targets takes the LAST matching target — Python dict
+    * assignment overwrites (and keeps the key's original position), so
+    * `columnsMap` must be ordered (ListMap).
     */
   def buildRenameMap(dfCols: Seq[String],
                      columnsMap: ListMap[String, Seq[String]]): ListMap[String, String] = {
-    var rename = ListMap.empty[String, String]
+    val rename = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for ((target, variants) <- columnsMap) {
       val targetUp = target.toUpperCase
       val variantsLower = variants.map(_.toLowerCase)
@@ -53,17 +54,17 @@ object Normalize {
         val colLower = col.toLowerCase
         if (!Protected.contains(colLower)) {
           if (variantsLower.contains(colLower)) {
-            if (!rename.contains(col)) rename += col -> targetUp
+            rename(col) = targetUp
           } else {
             val hit = variantsLower.exists(v =>
               v.nonEmpty &&
                 (colLower.startsWith(v + "_") || colLower.endsWith("_" + v)))
-            if (hit && !rename.contains(col)) rename += col -> targetUp
+            if (hit) rename(col) = targetUp
           }
         }
       }
     }
-    rename
+    ListMap(rename.toSeq: _*)
   }
 
   /** O5: rename + unmatched report. */
@@ -125,7 +126,12 @@ object Normalize {
             /** callers that count the deduped frame anyway (Runner's cache
               * materialization) can skip the internal count job and patch
               * the report via Result.withPostCount */
-            deferDuplicateCount: Boolean = false): Result = {
+            deferDuplicateCount: Boolean = false,
+            /** series key(s): dedup is keyed (keys, TIMESTAMP) so equal
+              * stamps of DIFFERENT series never dedup each other — the
+              * reference only ever sees single-series frames, where this is
+              * identical to its plain index dedup */
+            partitionCols: Seq[String] = Nil): Result = {
 
     val ordered =
       if (input.columns.contains(Readers.FileOrderCol)) input
@@ -209,7 +215,9 @@ object Normalize {
     }
 
     // O8: dedup keep-first in file order (pre-sort — normalize.py:271 vs 275)
-    val w = Window.partitionBy(col(TsCol)).orderBy(col(Readers.FileOrderCol))
+    val dedupKeys = partitionCols.filter(withTs.columns.contains) :+ TsCol
+    val w = Window.partitionBy(dedupKeys.map(col): _*)
+      .orderBy(col(Readers.FileOrderCol))
     val deduped = withTs
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

@@ -84,11 +84,15 @@ object Resample {
     val keyCols = partitionCols.map(col) :+ bucket(ts, rule).as(TsCol)
     val agged =
       if (inputOnBucketGrid) {
-        // single-row buckets: aggregation degenerates to a projection
+        // single-row buckets: aggregation degenerates to a projection. The
+        // label is still the epoch-aligned bucket floor — gap repair anchors
+        // its grid at each series' first stamp, so a series starting
+        // off-boundary (00:02 at 5T) has rows one-per-bucket but NOT on the
+        // bucket labels pandas resample emits; flooring here restores them.
         val sumSet = (Seq("VOLUME", "TICKVOL", "VOL").filter(cols.contains) ++
           (if (extraNumericPolicy == "sum") extras else Nil)).toSet
         df.filter(ts.isNotNull)
-          .select(partitionCols.map(col) ++ Seq(ts.as(TsCol)) ++
+          .select(partitionCols.map(col) ++ Seq(bucket(ts, rule).as(TsCol)) ++
             aggs.map { case (n, _) =>
               if (sumSet.contains(n)) coalesce(col(n), lit(0.0)).as(n)
               else col(n)
@@ -120,7 +124,11 @@ object Resample {
         withEmpty.filter(col("CLOSE").isNotNull)
       else withEmpty
 
-    dropped.orderBy((partitionCols :+ TsCol).map(col): _*)
+    // canonical column order regardless of keying: bucket, values, keys —
+    // a keyed run exports the same schema shape as the single-series run
+    dropped
+      .select((Seq(TsCol) ++ aggs.map(_._1) ++ partitionCols).map(col): _*)
+      .orderBy((partitionCols :+ TsCol).map(col): _*)
   }
 
   /** Faithful-mode pipeline step (SURVEY.md §2.2.4 / §7.3): the reference

@@ -100,10 +100,17 @@ object Runner {
         input.withColumn("SYMBOL", upper(col("SYMBOL")))
       else input.withColumn("SYMBOL", lit(symbol))
 
+    // every window/join/scan below is keyed on the series column — a
+    // multi-symbol frame never serializes through one task (the injected
+    // SYMBOL column always exists; single-symbol frames are one partition
+    // either way, so reference parity is unaffected)
+    val seriesKeys = Seq("SYMBOL")
+
     val normalized0 = timed("normalize")(
       Normalize(injected, cfg.columnsMap, cfg.requiredColumns,
         sourceTz.orElse(cfg.sourceTzDefault), cfg.targetTz,
-        computeReport = computeReports, deferDuplicateCount = true))
+        computeReport = computeReports, deferDuplicateCount = true,
+        partitionCols = seriesKeys))
     // cache before the per-timeframe fan-out — the reference re-reads its
     // in-memory frame for free; Spark must not re-run the normalize graph
     // once per timeframe. The materialization count doubles as the
@@ -135,7 +142,8 @@ object Runner {
     // timeframe chains
     val qualityF: Future[ListMap[String, Any]] =
       if (computeReports) Future(timed("quality_report")(
-        Reporting.dataQualityReport(ndf, knownDistinctTs = true)))
+        Reporting.dataQualityReport(ndf, partitionCols = seriesKeys,
+          knownDistinctTs = true)))
       else Future.successful(ListMap.empty[String, Any])
     val results = timeframes.map { tf =>
       tf -> Future {
@@ -147,12 +155,14 @@ object Runner {
           case Some(gp) =>
             timed(s"repair_$tf")(Gaps.repairGaps(ndf, tf, gp.useFfillFor,
               gp.interpolatePrices, gp.shortGapMinutes,
+              partitionCols = seriesKeys,
               computeReport = computeReports, cacheResult = true).df)
           case None => ndf
         }
         // repaired at the same rule => one row per bucket => the resample
         // aggregation degenerates to a projection (no shuffle)
         val res = Resample.resampleOhlc(repaired, tf,
+          partitionCols = seriesKeys,
           inputOnBucketGrid = cfg.gapPolicy.isDefined).cache()
         val name = s"${baseName}_${Rules.suffix(tf)}"
         val path = s"$outDir/$name.parquet"

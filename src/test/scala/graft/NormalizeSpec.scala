@@ -87,6 +87,14 @@ class NormalizeSpec extends SparkSpec {
     assert(m("close") == "CLOSE")
   }
 
+  test("a column matching variants of two targets takes the LAST target") {
+    // "vol_bid" prefix-matches VOLUME ("vol_") and suffix-matches BID
+    // ("_bid"); the reference's dict assignment overwrites, so BID wins
+    val m = Normalize.buildRenameMap(
+      Seq("vol_bid"), graft.core.GraftConfig.defaultColumnsMap)
+    assert(m("vol_bid") == "BID")
+  }
+
   test("missing required columns raise with column names") {
     val df = Seq(("2024-01-01 00:00:00", "1.0"))
       .toDF("timestamp", "close")

@@ -80,6 +80,22 @@ class ResampleSpec extends SparkSpec {
     assert(sumOut.select("spread_pts").as[Double].head() == 30.0)
   }
 
+  test("off-boundary repaired grid still gets epoch-aligned bucket labels") {
+    // series anchored at 00:02 repaired at 5T -> rows at 00:02, 00:07, 00:12;
+    // pandas resample floors labels to 00:00, 00:05, 00:10 regardless
+    val df = Seq(2, 7, 12).map(m => (ts(m), 1.0 + m, 1.0 + m))
+      .toDF("TIMESTAMP", "OPEN", "CLOSE")
+    val out = Resample.resampleOhlc(df, "5T", inputOnBucketGrid = true)
+      .orderBy("TIMESTAMP").collect()
+    assert(out.map(_.getAs[Timestamp]("TIMESTAMP")).toSeq ==
+      Seq(ts(0), ts(5), ts(10)))
+    assert(out.map(_.getAs[Double]("OPEN")).toSeq == Seq(3.0, 8.0, 13.0))
+    // and the projection path agrees with the groupBy path
+    val grouped = Resample.resampleOhlc(df, "5T")
+      .orderBy("TIMESTAMP").collect()
+    assert(out.map(_.toSeq).toSeq == grouped.map(_.toSeq).toSeq)
+  }
+
   test("SYMBOL survives as last and faithful mode grid-samples (§2.2.4)") {
     val df = (0 until 10).map { m =>
       (ts(m), 1.0 + m, 1.0 + m, 10.0 * (m + 1), "EURUSD")
