@@ -37,11 +37,17 @@ object FastFill {
     *                    grid materialization, no join
     * @param trueOnGenerated columns set to boolean true on generated grid
     *                    rows (pre-fill null flags for repair accounting)
+    * @param assumeSorted caller guarantees the input is already hash-
+    *                    partitioned by `partitionCols` and sorted by
+    *                    (partitionCols, tsCol) within partitions (the layout
+    *                    Normalize's keyed dedup emits) — the scan runs as a
+    *                    narrow mapPartitions with NO shuffle and NO sort
     */
   def fill(df: DataFrame, ffillCols: Seq[String], interpCols: Seq[String],
            tsCol: String, partitionCols: Seq[String] = Nil,
            reindexStepMicros: Option[Long] = None,
-           trueOnGenerated: Seq[String] = Nil): DataFrame = {
+           trueOnGenerated: Seq[String] = Nil,
+           assumeSorted: Boolean = false): DataFrame = {
     if (ffillCols.isEmpty && interpCols.isEmpty && reindexStepMicros.isEmpty)
       return df
     val schema = df.schema
@@ -55,9 +61,11 @@ object FastFill {
     val outSchema = StructType(schema.fields.map(_.copy(nullable = true)))
 
     val prepared =
-      (if (partitionCols.isEmpty) df.coalesce(1)
-       else df.repartition(partitionCols.map(col): _*))
-        .sortWithinPartitions((partitionCols :+ tsCol).map(col): _*)
+      if (assumeSorted && partitionCols.nonEmpty) df
+      else
+        (if (partitionCols.isEmpty) df.coalesce(1)
+         else df.repartition(partitionCols.map(col): _*))
+          .sortWithinPartitions((partitionCols :+ tsCol).map(col): _*)
 
     val filled = prepared.mapPartitions { it =>
       new Iterator[Row] {

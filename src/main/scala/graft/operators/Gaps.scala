@@ -138,7 +138,10 @@ object Gaps {
                  partitionCols: Seq[String] = Nil,
                  computeReport: Boolean = true,
                  maxGapsInReport: Int = 10000,
-                 cacheResult: Boolean = false): Result = {
+                 cacheResult: Boolean = false,
+                 /** input already partitioned by `partitionCols` and sorted
+                   * by (keys, stamp) within partitions — see FastFill */
+                 assumeSorted: Boolean = false): Result = {
 
     val dataCols = df.columns.filterNot(c =>
       c == TsCol || c == Readers.FileOrderCol || partitionCols.contains(c)).toSeq
@@ -165,7 +168,8 @@ object Gaps {
     val repaired0 = FastFill.fill(flagged, ffillCols,
       if (interpolatePrices) priceCols else Nil, TsCol, partitionCols,
       reindexStepMicros = Some(Rules.stepMicros(rule)),
-      trueOnGenerated = ffillCols.map(c => s"_wasnull_$c") :+ "_generated")
+      trueOnGenerated = ffillCols.map(c => s"_wasnull_$c") :+ "_generated",
+      assumeSorted = assumeSorted)
 
     val repaired1 = repaired0
       .select((partitionCols ++ Seq(TsCol) ++ dataCols ++
@@ -182,6 +186,16 @@ object Gaps {
 
     if (computeReport) {
       val step = Rules.stepSeconds(rule)
+      // the flat agg runs FIRST: it is the job that materializes the cache,
+      // and it parallelizes better than the windowed cluster pass below
+      val aggs = Seq(count(lit(1)).as("_rows")) ++
+        ffillCols.map(c =>
+          sum(when(col(s"_wasnull_$c") && col(c).isNotNull, 1).otherwise(0))
+            .as(s"_filled_$c")) ++
+        dataCols.map(c =>
+          sum(when(col(c).isNull, 1).otherwise(0)).as(s"_nan_$c"))
+      val row = repaired.agg(aggs.head, aggs.tail: _*).collect()(0)
+
       // the synthesized rows ARE the missing stamps: cluster them instead
       // of re-detecting over the full frame (the flagged subset is tiny)
       val gaps = clusterStamps(repaired.filter(col("_generated")),
@@ -196,14 +210,6 @@ object Gaps {
           "missing_count" -> r.getAs[Long]("missing_count"),
           "classification" -> r.getAs[String]("classification"))
       }
-
-      val aggs = Seq(count(lit(1)).as("_rows")) ++
-        ffillCols.map(c =>
-          sum(when(col(s"_wasnull_$c") && col(c).isNotNull, 1).otherwise(0))
-            .as(s"_filled_$c")) ++
-        dataCols.map(c =>
-          sum(when(col(c).isNull, 1).otherwise(0)).as(s"_nan_$c"))
-      val row = repaired.agg(aggs.head, aggs.tail: _*).collect()(0)
 
       report = Json.obj(
         "detected_gaps" -> gapList,

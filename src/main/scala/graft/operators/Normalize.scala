@@ -95,23 +95,38 @@ object Normalize {
 
   private val DatetimeNames = Set("datetime", "timestamp", "time")
 
-  final case class Result(df: DataFrame, report: ListMap[String, Any],
-                          preDedupRows: Long = 0L,
-                          sourceCache: Option[DataFrame] = None,
-                          /** Deduped frame WITHOUT the final global sort —
-                            * order-insensitive consumers (aggregation,
-                            * windowed repair, resample) should prefer this:
-                            * a global range sort mid-pipeline is pure waste
-                            * and can collapse the cached frame to few
-                            * partitions. */
-                          unsorted: DataFrame = null) {
+  /** @param df       normalized + deduped + time-sorted frame (O9 order)
+    * @param unsorted  deduped frame WITHOUT the final global sort —
+    *                  order-insensitive consumers (aggregation, windowed
+    *                  repair, resample) should prefer this: a global range
+    *                  sort mid-pipeline is pure waste. When `partitionCols`
+    *                  was non-empty this frame is additionally guaranteed
+    *                  hash-partitioned by those keys and sorted by
+    *                  (keys, TIMESTAMP) within partitions — downstream
+    *                  per-series scans (FastFill) can skip their own
+    *                  shuffle+sort against it.
+    *
+    * The report aggregation is DEFERRED: it first runs when `report` (or
+    * `reportWithPostCount`) is accessed, so callers can materialize their
+    * own cache of `unsorted` first (which also populates the pre-dedup
+    * source cache the agg reads) and compute the report off the critical
+    * path. Call `unpersistSource()` only after the report is computed.
+    */
+  final class Result private[operators] (
+      val df: DataFrame,
+      val unsorted: DataFrame,
+      buildReport: Option[Long] => ListMap[String, Any],
+      sourceCache: Option[DataFrame]) {
     def unpersistSource(): Unit = sourceCache.foreach(_.unpersist())
-    /** Patch the duplicate count from a post-dedup row count the caller
-      * already has (deferDuplicateCount mode).
+    /** Report with the duplicate count derived from an internal post-dedup
+      * count job.
       */
-    def withPostCount(postRows: Long): Result =
-      copy(report = report.updated("duplicates",
-        Json.obj("removed_duplicates" -> (preDedupRows - postRows))))
+    lazy val report: ListMap[String, Any] = buildReport(None)
+    /** Report using a post-dedup row count the caller already has (e.g.
+      * from its own cache materialization) — no internal count job.
+      */
+    def reportWithPostCount(postRows: Long): ListMap[String, Any] =
+      buildReport(Some(postRows))
   }
 
   /** O10: the full pipeline. `computeReport = false` skips the counter agg
@@ -123,10 +138,6 @@ object Normalize {
             sourceTz: Option[String],
             targetTz: String = "UTC",
             computeReport: Boolean = true,
-            /** callers that count the deduped frame anyway (Runner's cache
-              * materialization) can skip the internal count job and patch
-              * the report via Result.withPostCount */
-            deferDuplicateCount: Boolean = false,
             /** series key(s): dedup is keyed (keys, TIMESTAMP) so equal
               * stamps of DIFFERENT series never dedup each other — the
               * reference only ever sees single-series frames, where this is
@@ -188,68 +199,88 @@ object Normalize {
     // cache it so the parse/localize chain executes once, not twice.
     val withTs = if (computeReport) withTs0.cache() else withTs0
 
-    // Single report-aggregation job over the pre-dedup frame: numeric
-    // coercion counts (total nulls after cast — normalize.py:104-109 counts
-    // pre-existing NaNs too), parse-NaT count, post-localize NaT count
-    // (ambiguous), and the duplicate count.
-    val numericCols = CoercedCols.filter(withTs.columns.contains)
-    var preDedupRows = 0L
-    var coercedRows = 0L
-    var ambiguousNats = 0L
-    var coercions = ListMap.empty[String, Long]
-    if (computeReport) {
-      // no countDistinct here — the duplicate count falls out of
-      // preDedupRows minus the caller's post-dedup count (withPostCount),
-      // keeping this a plain one-pass partial/final aggregate
-      val aggs =
-        Seq(count(lit(1)).as("_n"),
-          sum(when(col("_ts_parsed").isNull, 1).otherwise(0)).as("_parse_nat"),
-          sum(when(col(TsCol).isNull, 1).otherwise(0)).as("_loc_nat")) ++
-          numericCols.map(c =>
-            sum(when(col(c).isNull, 1).otherwise(0)).as(s"_nc_$c"))
-      val row = withTs.agg(aggs.head, aggs.tail: _*).collect()(0)
-      preDedupRows = row.getAs[Long]("_n")
-      coercedRows = row.getAs[Long]("_parse_nat")
-      ambiguousNats = row.getAs[Long]("_loc_nat")
-      coercions = ListMap(numericCols.map(c => c -> row.getAs[Long](s"_nc_$c")): _*)
-    }
-
     // O8: dedup keep-first in file order (pre-sort — normalize.py:271 vs 275)
-    val dedupKeys = partitionCols.filter(withTs.columns.contains) :+ TsCol
-    val w = Window.partitionBy(dedupKeys.map(col): _*)
-      .orderBy(col(Readers.FileOrderCol))
-    val deduped = withTs
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "_ts_parsed", Readers.FileOrderCol)
-
-    // removed = preDedup - postDedup (pandas counts all-NaT stamps as
-    // duplicates of each other too, which the TS-keyed window mirrors);
-    // the count runs off the cached source, so it costs one window pass
-    val removedDuplicates =
-      if (computeReport && !deferDuplicateCount) preDedupRows - deduped.count()
-      else 0L
+    val dedupKeys = partitionCols.filter(withTs.columns.contains)
+    val deduped =
+      if (dedupKeys.nonEmpty) {
+        // Keyed form: ONE window partitioned by the series key, ordered by
+        // (stamp, file order) — a row survives iff it is the first file-order
+        // occurrence of its stamp (lag null-safe-compares so an all-NaT run
+        // dedups to its first row exactly like pandas index.duplicated).
+        // Deliberately partitioned by the KEY ALONE (not key+stamp): the
+        // surviving frame comes out hash(keys)-partitioned and (keys, stamp)-
+        // sorted within partitions, which is precisely the layout every
+        // downstream per-series scan (FastFill reindex+fill, resample
+        // projection) needs — they skip their own shuffle+sort entirely.
+        val w = Window.partitionBy(dedupKeys.map(col): _*)
+          .orderBy(col(TsCol).asc, col(Readers.FileOrderCol).asc)
+        withTs
+          .withColumn("_keep",
+            lag(col(Readers.FileOrderCol), 1).over(w).isNull ||
+              !(lag(col(TsCol), 1).over(w) <=> col(TsCol)))
+          .filter(col("_keep"))
+          .drop("_keep", "_ts_parsed", Readers.FileOrderCol)
+      } else {
+        // Unkeyed form: partition by the stamp itself — fully parallel, no
+        // single-task window (order within a stamp group is all that matters)
+        val w = Window.partitionBy(col(TsCol))
+          .orderBy(col(Readers.FileOrderCol))
+        withTs
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .drop("_rn", "_ts_parsed", Readers.FileOrderCol)
+      }
 
     // O9: final sort; pandas sort_index puts NaT last.
     val sorted = deduped.orderBy(col(TsCol).asc_nulls_last)
 
-    val report = Json.obj(
-      "columns" -> colReport,
-      "dtypes" -> Json.obj(
-        "missing_required" -> Seq.empty[String],
-        "numeric_coercions" -> coercions),
-      "datetime" -> Json.obj(
-        "datetime_col" -> dtCol,
-        "coerced_rows" -> coercedRows,
-        "tz_action" -> tzAction,
-        "original_tz" -> originalTzStr,
-        "final_tz" -> targetTz,
-        "ambiguous_count" -> ambiguousNats,
-        "needs_review" -> (needsReviewBase || ambiguousNats > 0)),
-      "duplicates" -> Json.obj("removed_duplicates" -> removedDuplicates))
+    // Single report-aggregation job over the pre-dedup frame: numeric
+    // coercion counts (total nulls after cast — normalize.py:104-109 counts
+    // pre-existing NaNs too), parse-NaT count, post-localize NaT count
+    // (ambiguous), and the duplicate count. Deferred into the Result so
+    // callers can overlap it with their own jobs; `postRows` (the caller's
+    // post-dedup count) saves the internal count job — no countDistinct
+    // either way, keeping this a plain one-pass partial/final aggregate.
+    val numericCols = CoercedCols.filter(withTs.columns.contains)
+    def buildReport(postRows: Option[Long]): ListMap[String, Any] = {
+      var preDedupRows = 0L
+      var coercedRows = 0L
+      var ambiguousNats = 0L
+      var coercions = ListMap.empty[String, Long]
+      var removedDuplicates = 0L
+      if (computeReport) {
+        val aggs =
+          Seq(count(lit(1)).as("_n"),
+            sum(when(col("_ts_parsed").isNull, 1).otherwise(0)).as("_parse_nat"),
+            sum(when(col(TsCol).isNull, 1).otherwise(0)).as("_loc_nat")) ++
+            numericCols.map(c =>
+              sum(when(col(c).isNull, 1).otherwise(0)).as(s"_nc_$c"))
+        val row = withTs.agg(aggs.head, aggs.tail: _*).collect()(0)
+        preDedupRows = row.getAs[Long]("_n")
+        coercedRows = row.getAs[Long]("_parse_nat")
+        ambiguousNats = row.getAs[Long]("_loc_nat")
+        coercions = ListMap(numericCols.map(c => c -> row.getAs[Long](s"_nc_$c")): _*)
+        // removed = preDedup - postDedup (pandas counts all-NaT stamps as
+        // duplicates of each other too, which the stamp-keyed dedup mirrors)
+        removedDuplicates = preDedupRows - postRows.getOrElse(deduped.count())
+      }
+      Json.obj(
+        "columns" -> colReport,
+        "dtypes" -> Json.obj(
+          "missing_required" -> Seq.empty[String],
+          "numeric_coercions" -> coercions),
+        "datetime" -> Json.obj(
+          "datetime_col" -> dtCol,
+          "coerced_rows" -> coercedRows,
+          "tz_action" -> tzAction,
+          "original_tz" -> originalTzStr,
+          "final_tz" -> targetTz,
+          "ambiguous_count" -> ambiguousNats,
+          "needs_review" -> (needsReviewBase || ambiguousNats > 0)),
+        "duplicates" -> Json.obj("removed_duplicates" -> removedDuplicates))
+    }
 
-    Result(sorted, report, preDedupRows,
-      sourceCache = if (computeReport) Some(withTs) else None,
-      unsorted = deduped)
+    new Result(sorted, deduped, buildReport,
+      sourceCache = if (computeReport) Some(withTs) else None)
   }
 }

@@ -31,12 +31,18 @@ object Reporting {
                         computeIndicators: Boolean = true,
                         smaWindows: Seq[Int] = Seq(10, 50),
                         partitionCols: Seq[String] = Nil,
-                        knownDistinctTs: Boolean = false): ListMap[String, Any] = {
+                        knownDistinctTs: Boolean = false,
+                        /** caller knows the keyed frame holds ONE series —
+                          * routes to the single-pass scan (exact median from
+                          * the sort, no percentile agg buffer, no window
+                          * shuffle) without giving up the keyed API */
+                        knownSingleSeries: Boolean = false): ListMap[String, Any] = {
 
     val cols = df.columns.filterNot(_ == Readers.FileOrderCol).toSeq
     val dataCols = cols.filterNot(_ == TsCol)
     val hasHL = cols.contains("HIGH") && cols.contains("LOW")
     val hasClose = cols.contains("CLOSE")
+    val singleSeries = partitionCols.isEmpty || knownSingleSeries
 
     var aggs = Vector(
       count(lit(1)).as("_rows"),
@@ -53,7 +59,7 @@ object Reporting {
     }
     // exact median via percentile agg buffers every value — on the
     // single-series path it instead falls out of the single-pass scan
-    val medianInScan = hasClose && partitionCols.isEmpty && computeIndicators
+    val medianInScan = hasClose && singleSeries && computeIndicators
     if (hasClose) {
       aggs :+= min(col("CLOSE")).as("_cmin")
       aggs :+= max(col("CLOSE")).as("_cmax")
@@ -112,7 +118,7 @@ object Reporting {
     var scanMedian: Option[Double] = None
     if (computeIndicators && hasClose && rows > 0) {
       val t1 = System.nanoTime()
-      if (partitionCols.isEmpty) {
+      if (singleSeries) {
         val (ind, med) = smaSummariesSinglePass(df, smaWindows)
         indicators = ind; scanMedian = med
       } else indicators = smaSummariesWindowed(df, smaWindows, partitionCols)

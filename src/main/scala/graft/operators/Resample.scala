@@ -126,9 +126,15 @@ object Resample {
 
     // canonical column order regardless of keying: bucket, values, keys —
     // a keyed run exports the same schema shape as the single-series run
-    dropped
+    val projected = dropped
       .select((Seq(TsCol) ++ aggs.map(_._1) ++ partitionCols).map(col): _*)
-      .orderBy((partitionCols :+ TsCol).map(col): _*)
+    // the projection fast path preserves the input's per-series order and
+    // partitioning (narrow ops over a monotone bucket floor) — a partition-
+    // local sort gives the same per-series time order WITHOUT the range-
+    // partitioner sampling pass + shuffle a global orderBy costs per export
+    if (inputOnBucketGrid && !emitEmpty)
+      projected.sortWithinPartitions((partitionCols :+ TsCol).map(col): _*)
+    else projected.orderBy((partitionCols :+ TsCol).map(col): _*)
   }
 
   /** Faithful-mode pipeline step (SURVEY.md §2.2.4 / §7.3): the reference
