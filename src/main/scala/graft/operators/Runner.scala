@@ -109,7 +109,7 @@ object Runner {
     val normalized0 = timed("normalize")(
       Normalize(injected, cfg.columnsMap, cfg.requiredColumns,
         sourceTz.orElse(cfg.sourceTzDefault), cfg.targetTz,
-        computeReport = computeReports, deferDuplicateCount = true,
+        computeReport = computeReports,
         partitionCols = seriesKeys))
     // cache before the per-timeframe fan-out — the reference re-reads its
     // in-memory frame for free; Spark must not re-run the normalize graph
@@ -117,11 +117,8 @@ object Runner {
     // post-dedup count for the duplicates report (no separate count job).
     val ndf = normalized0.unsorted.cache()
     val postRows = timed("materialize_cache")(ndf.count())
-    val normalized =
-      if (computeReports) normalized0.withPostCount(postRows) else normalized0
     if (timing)
       System.err.println(s"[graft-timing] ndf partitions: ${ndf.rdd.getNumPartitions}")
-    normalized0.unpersistSource()
 
     val timeframes = if (cfg.timeframes.nonEmpty) cfg.timeframes else Seq("1T")
     var exports = Vector.empty[StageResult]
@@ -138,6 +135,18 @@ object Runner {
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = Runner.tfExecutionContext
     val logLock = new Object
+    // the normalization-report aggregation reads the cached pre-dedup frame
+    // — overlap it with the timeframe chains; the source cache is released
+    // only after the agg has run (Normalize's deferred-report contract)
+    val normReportF: Future[ListMap[String, Any]] =
+      if (computeReports) Future {
+        val r = timed("normalize_report")(
+          normalized0.reportWithPostCount(postRows))
+        normalized0.unpersistSource()
+        r
+      }
+      else { normalized0.unpersistSource()
+        Future.successful(ListMap.empty[String, Any]) }
     // the QA report reads only the cached frame — overlap it with the
     // timeframe chains
     val qualityF: Future[ListMap[String, Any]] =
@@ -188,12 +197,16 @@ object Runner {
       try Await.result(qualityF, Duration.Inf)
       catch { case e: Exception => errors :+= "quality_report" -> e.getMessage
         ListMap.empty[String, Any] }
+    val normReport =
+      try Await.result(normReportF, Duration.Inf)
+      catch { case e: Exception => errors :+= "normalize_report" -> e.getMessage
+        ListMap.empty[String, Any] }
     if (computeReports && cfg.saveReports)
       try Reporting.saveReport(quality, s"$outDir/reports/${basename}_quality.json")
       catch { case e: Exception => errors :+= "save_report" -> e.getMessage }
 
     ndf.unpersist()
-    RunResult(symbol, normalized.report, quality, exports, errors)
+    RunResult(symbol, normReport, quality, exports, errors)
   }
 
   /** EP1: full batch run over a raw directory. */
