@@ -45,10 +45,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle/cache scratch on the fastest local storage available (Spark's
+    // own guidance for spark.local.dir); exports still write to real disk
+    val scratch = java.nio.file.Paths.get("/dev/shm")
+    val localDir =
+      if (Files.isWritable(scratch))
+        Files.createTempDirectory(scratch, "graft_scratch").toString
+      else Files.createTempDirectory("graft_scratch").toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -71,18 +79,42 @@ object Bench {
     // caches hit on the real run because the plan shapes are identical)
     val warm = genOhlcv(spark, 2000).cache()
     warm.count()
-    Runner.processDataFrame(spark, warm, cfg, sourceTz = None,
-      basename = "EURUSD_warm",
-      outDir = Files.createTempDirectory("graft_warm").toString)
+    for (mode <- Seq("faithful", "correct"))
+      Runner.processDataFrame(spark, warm, cfg.copy(resampleMode = mode),
+        sourceTz = None, basename = "EURUSD_warm",
+        outDir = Files.createTempDirectory("graft_warm").toString)
     warm.unpersist()
 
+    // faithful mode is the headline: apples-to-apples with BASELINE.md (the
+    // reference runs the repair-at-rule→grid-sample algorithm; §2.2.4).
+    // Median of 3 runs — the sandbox's virtual disk has multi-second I/O
+    // jitter, and a median is the standard way to report wall time under it.
+    def timedRun(mode: String): Double = {
+      val dir = Files.createTempDirectory(s"graft_bench_$mode").toString
+      val t0 = System.nanoTime()
+      val r = Runner.processDataFrame(spark, raw,
+        cfg.copy(resampleMode = mode), sourceTz = None,
+        basename = "EURUSD_bench", outDir = dir)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(r.errors.isEmpty, s"$mode errors: ${r.errors.mkString("; ")}")
+      require(r.exports.length == 4, "four timeframe exports expected")
+      sec
+    }
     val t0 = System.nanoTime()
-    val result = Runner.processDataFrame(spark, raw, cfg, sourceTz = None,
+    val result = Runner.processDataFrame(spark, raw,
+      cfg.copy(resampleMode = "faithful"), sourceTz = None,
       basename = "EURUSD_bench", outDir = outDir)
-    val pipelineSec = (System.nanoTime() - t0) / 1e9
+    val firstSec = (System.nanoTime() - t0) / 1e9
     require(result.errors.isEmpty,
       s"pipeline errors: ${result.errors.mkString("; ")}")
     require(result.exports.length == 4, "four timeframe exports expected")
+    val faithfulRuns =
+      (Seq(firstSec) ++ Seq.fill(2)(timedRun("faithful"))).sorted
+    val pipelineSec = faithfulRuns(1) // median of 3
+
+    // the engine's default mode (one base-rule repair + true aggregation —
+    // the 100 TB path) timed separately for the record
+    val correctSec = timedRun("correct")
 
     var failed = Vector.empty[String]
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -101,7 +133,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"etl_pipeline_sec","value":$pipelineSec%.3f,"unit":"sec","input_rows":$inputRows,"exports":${result.exports.map(_.rows).mkString("[", ",", "]")},"query_errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"etl_pipeline_sec","value":$pipelineSec%.3f,"unit":"sec","pipeline_runs":${faithfulRuns.map(s => f"$s%.3f").mkString("[", ",", "]")},"correct_mode_sec":$correctSec%.3f,"input_rows":$inputRows,"exports":${result.exports.map(_.rows).mkString("[", ",", "]")},"query_errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

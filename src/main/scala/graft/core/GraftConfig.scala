@@ -141,6 +141,7 @@ object GraftConfig {
       timeframes = resample.get("timeframes").map(strs).getOrElse(Nil),
       gapPolicy = gapPolicy,
       writeMode = str(export, "write_mode").getOrElse("overwrite"),
-      saveReports = export.get("save_reports").forall(_.toString.toBoolean))
+      saveReports = export.get("save_reports").forall(_.toString.toBoolean),
+      resampleMode = str(resample, "mode").getOrElse("correct"))
   }
 }

@@ -144,16 +144,53 @@ object Exporter {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  /** O20: validate → zstd parquet (+partitioning) → sidecar JSON → hash. */
+  /** O20: validate → zstd parquet (+partitioning) → sidecar JSON → hash.
+    *
+    * The validation aggregate and the parquet write are independent reads
+    * of the (cached) input, so they run CONCURRENTLY — Spark's cache locks
+    * per partition, so racing the first action never duplicates compute.
+    * Validation is warn-only in the reference (exporter.py:56-62), so
+    * write-before-validate-completes cannot change any outcome; the sidecar
+    * still waits for both.
+    *
+    * `rowGroupSize` maps to parquet.block.size in BYTES (the reference's
+    * pyarrow knob counts rows — config_model.py:21 — sizes don't translate,
+    * so only an explicit byte value is honored).
+    */
   def writeParquetWithMetadata(df: DataFrame, outPath: String,
                                compression: String = "zstd",
                                partitionCols: Seq[String] = Nil,
                                metadata: ListMap[String, Any] = ListMap.empty,
-                               knownDistinctTs: Boolean = false)
+                               knownDistinctTs: Boolean = false,
+                               writeMode: String = "overwrite",
+                               rowGroupSize: Option[Long] = None)
       : ListMap[String, Any] = {
-    val valReport = timed("ex_validate")(validateFinalDf(df, knownDistinctTs))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val valReportF = Future(
+      timed("ex_validate")(validateFinalDf(df, knownDistinctTs)))(
+      Runner.tfExecutionContext)
     val (prepared0, parts) = preparePartitionCols(df, partitionCols)
     val prepared = prepared0.drop(Readers.FileOrderCol)
+
+    // A single-partition frame (the shape every single-series pipeline
+    // export has) would write its whole parquet output on ONE task — a
+    // scale-killer at 100 TB and a straggler even at bench scale. Range-
+    // repartition on time so the write parallelizes while part-file order
+    // still follows global time order (part-00000 < part-00001 ranges).
+    val toWrite =
+      if (parts.isEmpty && prepared.columns.contains(TsCol) &&
+          prepared.rdd.getNumPartitions == 1)
+        prepared.repartitionByRange(8, col(TsCol))
+      else prepared
+    val writer0 = toWrite.write.mode(writeMode)
+      .option("compression", compression)
+    val writer = rowGroupSize.fold(writer0)(n =>
+      writer0.option("parquet.block.size", n))
+    timed("ex_write")(
+      (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+        .parquet(outPath))
+    val valReport = Await.result(valReportF, Duration.Inf)
 
     var exportReport = Json.obj(
       "path" -> outPath,
@@ -163,12 +200,6 @@ object Exporter {
       "rows" -> valReport("rows"))
     exportReport ++= valReport
     exportReport ++= metadata
-
-    val writer = prepared.write.mode("overwrite")
-      .option("compression", compression)
-    timed("ex_write")(
-      (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
-        .parquet(outPath))
 
     val metaPath = Paths.get(outPath + ".meta.json")
     if (metaPath.getParent != null) Files.createDirectories(metaPath.getParent)

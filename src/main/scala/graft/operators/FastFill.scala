@@ -80,23 +80,27 @@ object FastFill {
             case None => rows.iterator.map(_.toSeq.toArray).to(ArrayBuffer)
             case Some(stepUs) =>
               // inline reindex: keep on-grid rows, synthesize null rows for
-              // missing stamps; anchor = first observed stamp of the series
+              // missing stamps; anchor = first observed stamp of the series.
+              // Epoch-micros come straight off the Timestamp fields — no
+              // Instant allocation in the per-row loop.
+              def micros(t: java.sql.Timestamp): Long =
+                Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+              def stamp(us: Long): java.sql.Timestamp = {
+                val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+                t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+                t
+              }
               val out = new ArrayBuffer[Array[Any]](rows.length)
-              val anchorI = rows.head.getAs[java.sql.Timestamp](tsIdx).toInstant
-              val anchorUs =
-                anchorI.getEpochSecond * 1000000L + anchorI.getNano / 1000L
+              val anchorUs = micros(rows.head.getAs[java.sql.Timestamp](tsIdx))
               var prevUs = anchorUs - stepUs
               for (r <- rows) {
-                val t = r.getAs[java.sql.Timestamp](tsIdx).toInstant
-                val us = t.getEpochSecond * 1000000L + t.getNano / 1000L
+                val us = micros(r.getAs[java.sql.Timestamp](tsIdx))
                 if ((us - anchorUs) % stepUs == 0) {
                   var g = prevUs + stepUs
                   while (g < us) { // synthesize the missing stamps
                     val a = new Array[Any](schema.length)
                     for (ki <- kIdx) a(ki) = r.get(ki)
-                    a(tsIdx) = java.sql.Timestamp.from(
-                      java.time.Instant.ofEpochSecond(g / 1000000L,
-                        (g % 1000000L) * 1000L))
+                    a(tsIdx) = stamp(g)
                     for (gi <- genIdx) a(gi) = true
                     out += a
                     g += stepUs

@@ -26,7 +26,7 @@ object Runner {
     */
   lazy val tfExecutionContext: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(8,
+      java.util.concurrent.Executors.newFixedThreadPool(12,
         new java.util.concurrent.ThreadFactory {
           private val n = new java.util.concurrent.atomic.AtomicInteger(0)
           override def newThread(r: Runnable): Thread = {
@@ -154,25 +154,63 @@ object Runner {
         Reporting.dataQualityReport(ndf, partitionCols = seriesKeys,
           knownDistinctTs = true)))
       else Future.successful(ListMap.empty[String, Any])
+    // Resample mode (O26 `resampleMode`, SURVEY §7.3). "correct" (default):
+    // ONE gap repair at the finest configured rule, then every timeframe is
+    // a TRUE aggregation of that repaired base — coarse candles aggregate
+    // all base rows (industry semantics), and the pipeline runs one
+    // full-frame repair instead of one per timeframe. "faithful": replicate
+    // the reference's repair-at-target-rule → grid-sample order
+    // (src/run.py:194-216, the §2.2.4 quirk) per timeframe.
+    //
+    // The per-tf repair report is deliberately not computed: the reference
+    // attaches it to DataFrame.attrs (run.py:206) but never persists it —
+    // exporter.py only forwards `normalization_report` — so skipping the
+    // report aggregation is parity AND removes two jobs per timeframe.
+    //
+    // `assumeSorted = true` is sound here: `ndf` is Normalize's keyed-dedup
+    // output, guaranteed hash-partitioned by the series keys and sorted by
+    // (keys, TIMESTAMP) within partitions — the repair scan runs as a
+    // narrow mapPartitions with no shuffle and no sort.
+    val correctMode = cfg.resampleMode != "faithful"
+    val baseRule: Option[String] =
+      if (correctMode && cfg.gapPolicy.isDefined)
+        Some(timeframes.minBy(Rules.stepSeconds))
+      else None
+    val baseRepaired: Option[DataFrame] = baseRule.map { rule =>
+      val gp = cfg.gapPolicy.get
+      val df = Gaps.repairGaps(ndf, rule, gp.useFfillFor,
+        gp.interpolatePrices, gp.shortGapMinutes, partitionCols = seriesKeys,
+        computeReport = false, cacheResult = true, assumeSorted = true).df
+      // materialize BEFORE the fan-out: four chains read this cache
+      // concurrently, and racing an unmaterialized cache serializes them
+      // all on the partition lock
+      timed(s"repair_base_$rule")(df.count())
+      df
+    }
     val results = timeframes.map { tf =>
       tf -> Future {
-        // gap repair at the target rule, then resample (src/run.py:194-216;
-        // the faithful grid-align order — §2.2.4). The resampled frame is
-        // cached: export runs three actions (validate agg, write, hash) and
-        // must not re-execute the repair window chain for each.
-        val repaired = cfg.gapPolicy match {
-          case Some(gp) =>
-            timed(s"repair_$tf")(Gaps.repairGaps(ndf, tf, gp.useFfillFor,
-              gp.interpolatePrices, gp.shortGapMinutes,
-              partitionCols = seriesKeys,
-              computeReport = computeReports, cacheResult = true).df)
-          case None => ndf
-        }
-        // repaired at the same rule => one row per bucket => the resample
-        // aggregation degenerates to a projection (no shuffle)
-        val res = Resample.resampleOhlc(repaired, tf,
+        // The resampled frame is cached: export runs three actions
+        // (validate agg, write, hash) and must not re-execute the repair
+        // chain for each.
+        val (src, onGrid) =
+          if (correctMode) (baseRepaired.getOrElse(ndf), baseRule.contains(tf))
+          else cfg.gapPolicy match {
+            case Some(gp) =>
+              val r = Gaps.repairGaps(ndf, tf, gp.useFfillFor,
+                gp.interpolatePrices, gp.shortGapMinutes,
+                partitionCols = seriesKeys, computeReport = false,
+                cacheResult = true, assumeSorted = true).df
+              // materialize here so the export's concurrent validate+write
+              // read a hot cache instead of racing its first computation
+              timed(s"repair_$tf")(r.count())
+              (r, true)
+            case None => (ndf, false)
+          }
+        // input on the target bucket grid => one row per bucket => the
+        // resample aggregation degenerates to a projection (no shuffle)
+        val res = Resample.resampleOhlc(src, tf,
           partitionCols = seriesKeys,
-          inputOnBucketGrid = cfg.gapPolicy.isDefined).cache()
+          inputOnBucketGrid = onGrid).cache()
         val name = s"${baseName}_${Rules.suffix(tf)}"
         val path = s"$outDir/$name.parquet"
         val report = timed(s"export_$tf")(
@@ -180,12 +218,14 @@ object Runner {
             cfg.compression, cfg.partitionCols,
             Json.obj("exporter_version" -> "v1",
               "timeframe" -> tf, "symbol" -> symbol),
-            knownDistinctTs = true))
+            knownDistinctTs = true,
+            writeMode = cfg.writeMode,
+            rowGroupSize = cfg.rowGroupSize))
         logLock.synchronized {
           Exporter.appendExportLog(s"$outDir/exports", report)
         }
         res.unpersist()
-        if (!(repaired eq ndf)) repaired.unpersist()
+        if (!correctMode && !(src eq ndf)) src.unpersist()
         StageResult(name, report("rows").asInstanceOf[Long], path)
       }
     }
@@ -205,6 +245,7 @@ object Runner {
       try Reporting.saveReport(quality, s"$outDir/reports/${basename}_quality.json")
       catch { case e: Exception => errors :+= "save_report" -> e.getMessage }
 
+    baseRepaired.foreach(_.unpersist())
     ndf.unpersist()
     RunResult(symbol, normReport, quality, exports, errors)
   }

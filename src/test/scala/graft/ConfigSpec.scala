@@ -34,6 +34,7 @@ class ConfigSpec extends SparkSpec {
         |  source_default: null
         |resample:
         |  timeframes: ["1T", "5T", "1H"]
+        |  mode: "faithful"
         |  gap_policy:
         |    short_gap_minutes: 7
         |    use_ffill_for: ["VOLUME", "TICKVOL"]
@@ -50,9 +51,24 @@ class ConfigSpec extends SparkSpec {
     assert(cfg.requiredColumns == Seq("TIMESTAMP", "OPEN"))
     assert(cfg.sourceTzDefault.isEmpty)
     assert(cfg.timeframes == Seq("1T", "5T", "1H"))
+    assert(cfg.resampleMode == "faithful")
+    assert(cfg.rowGroupSize.contains(65536L))
+    assert(cfg.writeMode == "overwrite")
     val gp = cfg.gapPolicy.get
     assert(gp.shortGapMinutes == 7)
     assert(gp.useFfillFor == Seq("VOLUME", "TICKVOL"))
+  }
+
+  test("resample mode defaults to correct when absent") {
+    val cfg = GraftConfig.load(write(
+      """io: { raw_path: "r", processed_path: "p" }
+        |parquet: { compression: "zstd" }
+        |schema:
+        |  columns_map: { TIMESTAMP: ["ts"] }
+        |  required_columns: ["TIMESTAMP"]
+        |""".stripMargin))
+    assert(cfg.resampleMode == "correct")
+    assert(cfg.rowGroupSize.isEmpty)
   }
 
   test("${ENV} placeholders expand in string values") {

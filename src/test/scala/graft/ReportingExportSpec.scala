@@ -77,6 +77,39 @@ class ReportingExportSpec extends SparkSpec {
     assert(log.get(0).contains("content_hash"))
   }
 
+  test("writeMode append accumulates; rowGroupSize bounds parquet row groups") {
+    val dir = Files.createTempDirectory("graft_export_mode").toString
+    val path = s"$dir/append_test.parquet"
+    Exporter.writeParquetWithMetadata(frame(), path, writeMode = "append")
+    Exporter.writeParquetWithMetadata(frame(), path, writeMode = "append")
+    assert(spark.read.parquet(path).count() == 20, "append mode accumulates")
+
+    // a tiny block size forces multiple row groups in one file (the writer
+    // checks the block budget every >=100 records, so use a frame large
+    // enough to cross it several times)
+    val small = s"$dir/small_groups.parquet"
+    val big = (0 until 5000).map { m =>
+      (new Timestamp(ts(0).getTime + m * 60000L),
+        10.0 + m, 10.5 + m, 9.5 + m, 10.25 + m, 100.0)
+    }.toDF("TIMESTAMP", "OPEN", "HIGH", "LOW", "CLOSE", "VOLUME")
+    Exporter.writeParquetWithMetadata(
+      big.coalesce(1), small, rowGroupSize = Some(4096L))
+    // the exporter range-parallelizes single-partition writes; every part
+    // file holds ~625 rows, far above the 4KB block budget
+    val part = Files.list(Paths.get(small)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains(".meta"))
+    assert(part.nonEmpty)
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.sorted.head),
+        spark.sparkContext.hadoopConfiguration))
+    try
+      assert(footer.getRowGroups.size() > 1,
+        s"1KB block size must split 10 rows into >1 row group, " +
+          s"got ${footer.getRowGroups.size()}")
+    finally footer.close()
+  }
+
   test("partition derivation: case-insensitive resolve + auto YEAR/MONTH") {
     val withSym = frame().withColumn("SYMBOL",
       org.apache.spark.sql.functions.lit("EURUSD"))

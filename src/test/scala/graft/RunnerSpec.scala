@@ -62,6 +62,46 @@ class RunnerSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dryDir)))
   }
 
+  test("resample modes: correct aggregates the base grid, faithful grid-samples") {
+    import org.apache.spark.sql.functions.col
+    val work = Files.createTempDirectory("graft_modes")
+    val raw = Files.createDirectories(work.resolve("raw"))
+    // 30 one-minute candles, no gaps: minute m has OPEN=1.10+m*0.001,
+    // HIGH=OPEN+0.0005, VOLUME=100+m
+    val sb = new StringBuilder("timestamp,open,high,low,close,volume\n")
+    for (m <- 0 until 30) {
+      val o = 1.10 + m * 0.001
+      sb.append(f"2024-01-01 00:$m%02d:00,$o%.4f,${o + 0.0005}%.4f," +
+        f"${o - 0.0005}%.4f,${o + 0.0002}%.4f,${100 + m}\n")
+    }
+    Files.writeString(raw.resolve("EURUSD_modes.csv"), sb.toString)
+
+    def run(mode: String): org.apache.spark.sql.DataFrame = {
+      val out = work.resolve(s"out_$mode").toString
+      val cfg = GraftConfig(rawPath = raw.toString, processedPath = out,
+        timeframes = Seq("1T", "5T"), partitionCols = Nil,
+        resampleMode = mode)
+      val r = Runner.runBatch(spark, cfg, dryRun = false).head
+      assert(r.errors.isEmpty, s"$mode errors: ${r.errors}")
+      spark.read.parquet(r.exports.find(_.name.endsWith("_5m")).get.path)
+    }
+
+    // correct mode: the 00:00 5T candle aggregates minutes 0-4
+    val c = run("correct").orderBy("TIMESTAMP").collect()
+    assert(c.length == 6)
+    assert(math.abs(c(0).getAs[Double]("OPEN") - 1.1) < 1e-9)
+    assert(math.abs(c(0).getAs[Double]("HIGH") - 1.1045) < 1e-9, "max of m=0..4")
+    assert(math.abs(c(0).getAs[Double]("CLOSE") - 1.1042) < 1e-9, "last of m=0..4")
+    assert(math.abs(c(0).getAs[Double]("VOLUME") - 510.0) < 1e-9, "sum 100..104")
+
+    // faithful mode: the 00:00 candle is the boundary-minute grid sample
+    // (the reference's §2.2.4 repair-at-rule quirk)
+    val f = run("faithful").orderBy("TIMESTAMP").collect()
+    assert(f.length == 6)
+    assert(math.abs(f(0).getAs[Double]("HIGH") - 1.1005) < 1e-9, "m=0 row only")
+    assert(math.abs(f(0).getAs[Double]("VOLUME") - 100.0) < 1e-9, "m=0 row only")
+  }
+
   test("quarantine: a corrupt file is skipped, not fatal") {
     val work = Files.createTempDirectory("graft_quar")
     val raw = Files.createDirectories(work.resolve("raw"))
