@@ -47,46 +47,52 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** Distinct shingle hashes folded into [0, 2^31-1).
-    *
-    * Computed NUMERICALLY: hash each word once, then combine each n-window
-    * of word hashes with a rolling polynomial mod P — building the n-gram
-    * STRINGS first (concat_ws per shingle) materializes gigabytes of
-    * transient text at corpus scale for bytes the hash immediately
-    * discards. Order-sensitive combine keeps distinct shingles distinct;
-    * all arithmetic stays under 2^37 (ANSI-safe).
-    */
-  private def shingleHashes(text: Column, n: Int): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
-    val wordHashes = transform(toks, t => pmod(xxhash64(t), lit(P)))
-    val nShingles = greatest(size(toks) - n + 1, lit(1))
-    array_distinct(transform(sequence(lit(1), nShingles), i =>
-      aggregate(slice(wordHashes, i, lit(n)), lit(7L),
-        (acc, h) => pmod(acc * 31L + h, lit(P)))))
-  }
-
   /** MinHash signatures via explode + partial aggregation: one row per
-    * (doc, shingle-hash), then a single groupBy computing all `numHashes`
-    * mins at once. For each universal hash h_i(x) = (a_i x + b_i) mod P the
+    * (doc, shingle), then a single groupBy computing all `numHashes` mins at
+    * once. For each universal hash h_i(x) = (a_i x + b_i) mod P the
     * arithmetic stays below 2^62 — safe under ANSI overflow checking.
     *
-    * This shape matters: a nested `array_min(transform(...))` per hash
-    * function re-evaluates the shingle pipeline once per hash function after
-    * Catalyst collapses projections (measured 48 s for 500 docs); the
-    * exploded form hashes each shingle once and map-side-combines the mins —
-    * linear in corpus size, partial aggregation before the shuffle.
+    * Shape notes (each measured to matter):
+    *  - shingles are hashed NUMERICALLY — hash each word once, combine each
+    *    n-window with a rolling polynomial mod P; building n-gram STRINGS
+    *    first materializes gigabytes of transient text at corpus scale;
+    *  - the word-hash array is materialized ONCE per document in a
+    *    projection below the explode. Referencing the `transform(...)`
+    *    expression n times (one per element_at of the unrolled polynomial)
+    *    re-evaluates the whole word-hash pipeline per reference after
+    *    Catalyst collapses projections — keeping it as a bound attribute of
+    *    the Generate's child makes element_at O(1);
+    *  - shingle INDICES are exploded and the polynomial unrolls to flat
+    *    element_at arithmetic (n is a plan-time constant) — a
+    *    slice+aggregate per shingle allocates a sub-array and runs a lambda
+    *    fold per shingle, which dominated the signature stage;
+    *  - no distinct pass: duplicate shingles cannot change a min-aggregate.
     *
     * Returns (`id`, `minhash` array).
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleSize: Int): DataFrame = {
     val params = hashParams(numHashes)
-    val exploded = df.select(col(idCol).as("id"),
-      explode(shingleHashes(col(textCol), shingleSize)).as("h"))
+    val n = shingleSize
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val withWh = df.select(col(idCol).as("id"),
+      transform(toks, t => pmod(xxhash64(t), lit(P))).as("wh"))
+    val exploded = withWh.select(col("id"), col("wh"),
+      explode(sequence(lit(1), greatest(size(col("wh")) - n + 1, lit(1))))
+        .as("i"))
+    val rolled = (0 until n).foldLeft(lit(7L): Column)((acc, k) =>
+      pmod(acc * 31L + element_at(col("wh"), col("i") + k), lit(P)))
+    // short documents (fewer tokens than the shingle width) contribute one
+    // shingle folding the whole token list — same value the windowed
+    // polynomial gives when the window covers everything
+    val whole = aggregate(col("wh"), lit(7L),
+      (acc, h) => pmod(acc * 31L + h, lit(P)))
+    val hashed = exploded.select(col("id"),
+      when(size(col("wh")) < n, whole).otherwise(rolled).as("h"))
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(P))).as(s"_mh_$i")
     }
-    exploded.groupBy(col("id"))
+    hashed.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"_mh_$i")): _*).as("minhash"))
@@ -127,14 +133,20 @@ object Dedup {
       col("id").as("id_a"), col("minhash").as("ma"))
     val b = capped.select(col("band"), col("bh"),
       col("id").as("id_b"), col("minhash").as("mb"))
+    // est_jaccard is computed IMMEDIATELY after the band join and the
+    // signature arrays dropped, so the dedup exchange — the stage with the
+    // most rows (every band collision, duplicated per matching band) —
+    // shuffles bare (id_a, id_b, est) rows, and sub-threshold pairs are
+    // filtered before that shuffle rather than after it. The band join's
+    // two inputs are identical subplans, so Catalyst's exchange reuse
+    // computes the signature aggregation once.
     a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ma"), col("mb"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("est_jaccard",
+      .select(col("id_a"), col("id_b"),
         round(size(filter(zip_with(col("ma"), col("mb"),
           (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
-          .cast("double") / numHashes, 4))
+          .cast("double") / numHashes, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "est_jaccard")
   }
 
@@ -174,8 +186,8 @@ object Dedup {
     a.join(b, Seq("chunk", "ch")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingDist(col("sa"), col("sb")).as("hamming"))
+      .filter(col("hamming") <= maxHamming) // before the dedup shuffle
       .dropDuplicates("id_a", "id_b")
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Exact n-gram Jaccard similarity for a pair of text columns (the verify

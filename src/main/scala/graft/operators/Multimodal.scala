@@ -176,6 +176,23 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Media table derived from a REAL corpus: each document's UTF-8 bytes
+    * become the opaque payload (standing in for image/audio bytes), so the
+    * pipeline exercises the actual table read path and scales with the
+    * input — unlike [[syntheticMedia]], which fabricates its own rows.
+    */
+  def fromDocuments(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).cast(LongType).as("media_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        lit("txt").as("format"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("duration_ms"),
+        lit(null).cast(StringType).as("codec")).as("meta"))
+
   /** Synthesize a deterministic media table (for tests/demo: payload bytes
     * derived from the id; binary + metadata plumbing end-to-end).
     */

@@ -57,13 +57,14 @@ object Reporting {
       aggs :+= avg(rng).as("_mean_range")
       aggs :+= max(rng).as("_max_range")
     }
-    // exact median via percentile agg buffers every value — on the
-    // single-series path it instead falls out of the single-pass scan
-    val medianInScan = hasClose && singleSeries && computeIndicators
+    // exact median via the median() aggregate: partial-aggregated value
+    // counts, never a whole-series buffer on one task (the previous
+    // in-scan sort-for-median buffered every CLOSE value in task heap —
+    // unbounded for a multi-year single series)
     if (hasClose) {
       aggs :+= min(col("CLOSE")).as("_cmin")
       aggs :+= max(col("CLOSE")).as("_cmax")
-      if (!medianInScan) aggs :+= median(col("CLOSE")).as("_cmed")
+      aggs :+= median(col("CLOSE")).as("_cmed")
       aggs :+= count(col("CLOSE")).as("_cn")
     }
     val t0 = System.nanoTime()
@@ -96,7 +97,7 @@ object Reporting {
     if (hasClose && r.getAs[Long]("_cn") > 0) {
       val cmin = r.getAs[Double]("_cmin")
       val cmax = r.getAs[Double]("_cmax")
-      val cmed = if (medianInScan) 0.0 else r.getAs[Double]("_cmed")
+      val cmed = r.getAs[Double]("_cmed")
       val ratios =
         if (cmed != 0.0) Some((cmax / cmed, cmin / cmed)) else None
       val suspicious = ratios.exists { case (rx, rn) => rx > 100 || rn < 0.01 }
@@ -112,32 +113,17 @@ object Reporting {
         "suspicious_price_jump" -> false)
     }
 
-    // SMA summaries — all windows in one pass (reporting.py:106-123);
-    // the same scan yields the exact CLOSE median on the single-series path
+    // SMA summaries — all windows in one pass (reporting.py:106-123)
     var indicators = ListMap.empty[String, Any]
-    var scanMedian: Option[Double] = None
     if (computeIndicators && hasClose && rows > 0) {
       val t1 = System.nanoTime()
-      if (singleSeries) {
-        val (ind, med) = smaSummariesSinglePass(df, smaWindows)
-        indicators = ind; scanMedian = med
-      } else indicators = smaSummariesWindowed(df, smaWindows, partitionCols)
+      indicators =
+        if (singleSeries) smaSummariesSinglePass(df, smaWindows)
+        else smaSummariesWindowed(df, smaWindows, partitionCols)
       if (sys.env.get("GRAFT_TIMING").contains("1"))
         System.err.println(f"[graft-timing] qr_sma_agg ${(System.nanoTime()-t1)/1e9}%8.2f s")
     }
     report += "indicators" -> indicators
-    scanMedian.foreach { m =>
-      report = report.updated("close_median", m)
-      val cmaxv = report("close_max"); val cminv = report("close_min")
-      (cmaxv, cminv) match {
-        case (cx: Double, cn: Double) if m != 0.0 =>
-          report = report
-            .updated("close_max_over_median", cx / m)
-            .updated("close_min_over_median", cn / m)
-            .updated("suspicious_price_jump", cx / m > 100 || cn / m < 0.01)
-        case _ =>
-      }
-    }
 
     val nanTotal = ListMap(dataCols.map(c => c -> r.getAs[Long](s"_nan_$c")): _*)
     var notes = Vector.empty[String]
@@ -154,10 +140,11 @@ object Reporting {
     * min_periods=1 semantics (value = mean of non-null entries in the
     * trailing window; null only when the whole window is null). A sliding
     * window over a single symbol serializes onto one task anyway, so a
-    * ring-buffer scan beats a WindowExec sort+frame evaluation.
+    * ring-buffer scan beats a WindowExec sort+frame evaluation. Task memory
+    * is bounded by max(smaWindows) ring slots — never by series length.
     */
   private def smaSummariesSinglePass(df: DataFrame, smaWindows: Seq[Int])
-      : (ListMap[String, Any], Option[Double]) = {
+      : ListMap[String, Any] = {
     val ws = smaWindows.toArray
     val rows = df.select(col(TsCol), col("CLOSE"))
       .coalesce(1)
@@ -171,13 +158,11 @@ object Reporting {
         val mins = Array.fill(k)(Double.MaxValue)
         val maxs = Array.fill(k)(Double.MinValue)
         val lasts = new Array[java.lang.Double](k)
-        val closes = new scala.collection.mutable.ArrayBuffer[Double](1 << 16)
         var n = 0L
         while (it.hasNext) {
           val r = it.next()
           val v: java.lang.Double =
             if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
-          if (v != null) closes += v
           var j = 0
           while (j < k) {
             val w = ws(j)
@@ -197,19 +182,10 @@ object Reporting {
           }
           n += 1
         }
-        // exact median (pandas interpolating midpoint on even counts)
-        val med: java.lang.Double =
-          if (closes.isEmpty) null
-          else {
-            val a = closes.toArray
-            java.util.Arrays.sort(a)
-            val m = a.length
-            if (m % 2 == 1) a(m / 2) else (a(m / 2 - 1) + a(m / 2)) / 2.0
-          }
         Iterator.single(org.apache.spark.sql.Row.fromSeq(
           ws.indices.flatMap(j => Seq(lasts(j), nans(j),
             if (counts(j) >= 0 && mins(j) != Double.MaxValue) mins(j) else null,
-            if (maxs(j) != Double.MinValue) maxs(j) else null)) :+ med))
+            if (maxs(j) != Double.MinValue) maxs(j) else null))))
       }(org.apache.spark.sql.Encoders.row(org.apache.spark.sql.types.StructType(
         ws.flatMap(w => Seq(
           org.apache.spark.sql.types.StructField(s"last_$w",
@@ -219,20 +195,15 @@ object Reporting {
           org.apache.spark.sql.types.StructField(s"min_$w",
             org.apache.spark.sql.types.DoubleType, nullable = true),
           org.apache.spark.sql.types.StructField(s"max_$w",
-            org.apache.spark.sql.types.DoubleType, nullable = true))) :+
-          org.apache.spark.sql.types.StructField("median",
-            org.apache.spark.sql.types.DoubleType, nullable = true))))
+            org.apache.spark.sql.types.DoubleType, nullable = true))))))
       .collect()
     val sr = rows(0)
-    val ind = ListMap(ws.toIndexedSeq.zipWithIndex.map { case (w, j) =>
+    ListMap(ws.toIndexedSeq.zipWithIndex.map { case (w, j) =>
       def g(i: Int): Any = if (sr.isNullAt(j * 4 + i)) null else sr.get(j * 4 + i)
       s"SMA_$w" -> Json.obj(
         "last" -> g(0), "nan_count" -> sr.getLong(j * 4 + 1),
         "min" -> g(2), "max" -> g(3))
     }: _*)
-    val med = if (sr.isNullAt(ws.length * 4)) None
-      else Some(sr.getDouble(ws.length * 4))
-    (ind, med)
   }
 
   /** Multi-series SMA summaries via per-series windows (the declarative

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -17,6 +16,16 @@ import org.apache.spark.sql.functions._
   * shape, better recall; the bucketing column is pluggable.
   */
 object Similarity {
+
+  /** Native codegen cosine (plans.CosineSimilarity): one fused loop, no
+    * intermediate arrays — bit-identical to VectorFunctions.cosine (same
+    * accumulation order). Registration is idempotent per session.
+    */
+  private def cosineFast(s: org.apache.spark.sql.SparkSession,
+                         a: Column, b: Column): Column = {
+    graft.plans.GraftExtensions.register(s)
+    call_function("cosine_sim", a, b)
+  }
 
   /** Deterministic random hyperplanes (seed-fixed), dim x nBits. */
   private def planes(dim: Int, nBits: Int): Seq[Seq[Double]] = {
@@ -53,7 +62,8 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     broadcast(q).join(c, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qe"), col("ce")), 4).as("sim"))
+        round(cosineFast(queries.sparkSession, col("qe"), col("ce")), 4)
+          .as("sim"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
@@ -76,11 +86,16 @@ object Similarity {
       col("id").as("id_a"), col("emb").as("ea"))
     val b = capped.select(col("band"), col("bits"),
       col("id").as("id_b"), col("emb").as("eb"))
+    // cosine is computed IMMEDIATELY after the bucket join and the embedding
+    // arrays dropped, so the dedup exchange — the widest stage (every bucket
+    // collision, duplicated per matching band) — shuffles bare
+    // (id_a, id_b, sim) rows, and below-threshold pairs are filtered before
+    // that shuffle instead of after it.
     a.join(b, Seq("band", "bits")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ea"), col("eb"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("sim", round(cosine(col("ea"), col("eb")), 4))
+      .select(col("id_a"), col("id_b"),
+        round(cosineFast(df.sparkSession, col("ea"), col("eb")), 4).as("sim"))
       .filter(col("sim") >= threshold)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "sim")
   }
 
@@ -104,8 +119,13 @@ object Similarity {
     * DataFrame ops: assign = broadcast-centroid argmin, update = groupBy
     * avg. Deterministic: seeded sample for initialization.
     */
+  /** Default 3 Lloyd iterations: each one is a full job + driver collect of
+    * k centroids (serial latency, not a scale cost — centroids are tiny);
+    * coarse-quantizer quality plateaus after 2-3 rounds for bucketing
+    * purposes.
+    */
   def trainCentroids(df: DataFrame, vecCol: String, k: Int,
-                     iterations: Int = 5, sampleFraction: Double = 1.0): Seq[Seq[Double]] = {
+                     iterations: Int = 3, sampleFraction: Double = 1.0): Seq[Seq[Double]] = {
     val vecs = df.select(col(vecCol).cast("array<double>").as("v"))
     val training =
       (if (sampleFraction < 1.0) vecs.sample(sampleFraction, seed = 42)
@@ -170,7 +190,8 @@ object Similarity {
     broadcast(q).join(c, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qe"), col("ce")), 4).as("sim"))
+        round(cosineFast(queries.sparkSession, col("qe"), col("ce")), 4)
+          .as("sim"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }

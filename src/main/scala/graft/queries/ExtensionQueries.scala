@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object ExtensionQueries {
 
+  /** Native codegen cosine (plans.CosineSimilarity via the extension
+    * registry) — bit-identical to VectorFunctions.cosine, one fused loop.
+    */
+  private def cosineFast(s: SparkSession, a: org.apache.spark.sql.Column,
+                         b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    graft.plans.GraftExtensions.register(s)
+    call_function("cosine_sim", a, b)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup census by content hash (md5 — same hex on both engines).
     "q31_exact_dedup" -> { (s, d) =>
@@ -56,7 +65,7 @@ object ExtensionQueries {
       val b = emb.select(col("vec_id").as("qb"), col("emb").as("eb"))
       a.join(b, col("qa") < col("qb"))
         .select(col("qa"), col("qb"),
-          fr(VectorFunctions.cosine(col("ea"), col("eb")), 4).as("sim"))
+          fr(cosineFast(s, col("ea"), col("eb")), 4).as("sim"))
         .orderBy(col("sim").desc, col("qa"), col("qb"))
         .limit(20)
     },
@@ -126,15 +135,14 @@ object ExtensionQueries {
       val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
       q.join(c, col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"),
-          fr(VectorFunctions.cosine(col("qe"), col("ce")), 4).as("sim"))
+          fr(cosineFast(s, col("qe"), col("ce")), 4).as("sim"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .orderBy("qid", "rn")
     },
 
-    // ---- rows-only checks (no portable SQL oracle; pinned by ScalaTest) ----
-
-    // Heuristic language identification over documents.
+    // Heuristic language identification over documents (stopword-vote +
+    // CJK-ratio heuristic — fully SQL-expressible, so it carries an oracle).
     "q40_language_id" -> { (s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d), textCol = "text")
         .groupBy(col("lang"), col("lang_pred"))
@@ -142,8 +150,10 @@ object ExtensionQueries {
         .orderBy("lang", "lang_pred")
     },
 
-    // MinHash-LSH near-duplicate candidate pairs (threshold 0 => every
-    // banded collision surfaces; the synthetic corpus has no true dups).
+    // MinHash-LSH near-duplicate candidate pairs (rows-only: banded
+    // collisions are sketch-defined, not SQL-expressible; pinned by
+    // ScalaTest. threshold 0 => every banded collision surfaces; the
+    // synthetic corpus has no true dups).
     "q41_minhash_lsh" -> { (s, d) =>
       Dedup.minHashLshPairs(Tables.documents(s, d),
           idCol = "doc_id", textCol = "text",
@@ -159,12 +169,21 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
-    // Embedding-cosine near-duplicate detection. The synthetic embeddings
-    // are near-orthogonal (max pairwise cosine ~0.51 at sf0.01), so the
-    // threshold is set low enough to surface the most-similar LSH pairs.
+    // Embedding-cosine near-duplicate pairs above a threshold — EXACT on a
+    // bounded id slice, so DuckDB brute force is a true oracle. The
+    // approximate scale path (Similarity.nearDuplicates, hyperplane-LSH
+    // bucketing) has no exact SQL equivalent by construction (banding
+    // trades recall for candidate count); its subset-of-brute-force and
+    // planted-duplicate recall contracts are pinned in DedupSimilaritySpec.
     "q43_embedding_near_dup" -> { (s, d) =>
-      Similarity.nearDuplicates(Tables.embeddings(s, d),
-          idCol = "vec_id", vecCol = "embedding", threshold = 0.3)
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") <= 800)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val a = emb.select(col("vec_id").as("id_a"), col("emb").as("ea"))
+      val b = emb.select(col("vec_id").as("id_b"), col("emb").as("eb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          fr(cosineFast(s, col("ea"), col("eb")), 4).as("sim"))
+        .filter(col("sim") >= 0.3)
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(50)
     },
@@ -194,16 +213,17 @@ object ExtensionQueries {
         .orderBy("qid", "rn")
     },
 
-    // Multimodal plumbing: synthetic binary payloads -> probe + feature
-    // extraction -> embedding stats (rows-only; deterministic fake codec).
+    // Multimodal plumbing over DRIVER data: each document's bytes ride as
+    // the opaque payload through probe + feature extraction (rows-only;
+    // deterministic fake codec — row count scales with the sf directory).
     "q46_media_pipeline" -> { (s, d) =>
-      val media = graft.operators.Multimodal.syntheticMedia(s, 200)
+      val media = graft.operators.Multimodal.fromDocuments(
+        Tables.documents(s, d))
       val feats = graft.operators.Multimodal.extractFeatures(
         graft.operators.Multimodal.probeMedia(media), dim = 16)
       feats.select(col("media_id"), col("probe_width"), col("probe_height"),
           round(element_at(col("embedding"), 1).cast("double"), 4).as("f0"))
         .orderBy("media_id")
-        .limit(100)
     }
   )
 
@@ -276,6 +296,43 @@ object ExtensionQueries {
         |       (SELECT max(o.o_orderdate) FROM orders o
         |        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS asof_order
         |FROM events e ORDER BY e.event_id LIMIT 500""".stripMargin,
+
+    "q40_language_id" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks,
+        |    CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS cjk
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, cjk,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ist','ich','nicht','mit','ein','zu','den','von'))) AS DOUBLE) / greatest(len(toks), 1) AS s_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','you','that','for','was'))) AS DOUBLE) / greatest(len(toks), 1) AS s_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','es','se','no','los','por'))) AS DOUBLE) / greatest(len(toks), 1) AS s_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','une','est','que','dans','pour'))) AS DOUBLE) / greatest(len(toks), 1) AS s_fr,
+        |    CAST(len(list_filter(toks, x -> x IN ('的','是','了','在','我','有','和','就','不','人','一','这'))) AS DOUBLE) / greatest(len(toks), 1) AS s_zh
+        |  FROM t),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN cjk > 0.2 THEN 'zh'
+        |         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |         WHEN s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS lang_pred
+        |  FROM s)
+        |SELECT lang, lang_pred, count(*) AS docs
+        |FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+
+    "q43_embedding_near_dup" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |               CAST(b.embedding AS DOUBLE[])) * 10000.0 + 0.5) / 10000.0 AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id <= 800 AND b.vec_id <= 800)
+        |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.3
+        |ORDER BY sim DESC, id_a, id_b LIMIT 50""".stripMargin,
 
     "q39_ann_topk" ->
       """WITH s AS (

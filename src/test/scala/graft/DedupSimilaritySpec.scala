@@ -81,6 +81,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.forall(r => r.getAs[Double]("sim") >= 0.95))
   }
 
+  test("embedding LSH pairs are a subset of brute-force pairs at the threshold") {
+    val rnd = new scala.util.Random(5)
+    def vec(): Seq[Float] = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val rows = (0L until 60L).map(i => (i, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val threshold = 0.5
+    val lsh = Similarity.nearDuplicates(df, "vec_id", "embedding", threshold)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // driver-side brute force over the same vectors
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val brute = (for {
+      (ia, va) <- rows; (ib, vb) <- rows if ia < ib
+      if math.rint(cos(va, vb) * 10000) / 10000 >= threshold
+    } yield (ia, ib)).toSet
+    assert(lsh.subsetOf(brute),
+      s"LSH may miss pairs but never invent them: ${lsh.diff(brute)}")
+  }
+
   test("brute-force topK ranks the planted duplicate first") {
     val rnd = new scala.util.Random(2)
     def vec(): Seq[Double] = Seq.fill(16)(rnd.nextGaussian())

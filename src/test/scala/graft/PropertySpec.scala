@@ -118,6 +118,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("quality report handles a 1M-row single series with bounded task memory") {
+    import org.apache.spark.sql.functions._
+    // 1M minutes, one series: the ring-buffer SMA scan is O(max window)
+    // memory and the median comes from the partial-aggregated median() —
+    // nothing buffers the whole series on one task
+    val df = spark.range(1000000L).select(
+      timestamp_seconds(lit(1672531200L) + col("id") * 60).as("TIMESTAMP"),
+      (lit(1.0) + (col("id") % 1000).cast("double") / 1000.0).as("CLOSE"))
+    val rep = graft.operators.Reporting.dataQualityReport(df,
+      smaWindows = Seq(10, 50), knownDistinctTs = true)
+    assert(rep("rows") == 1000000L)
+    val med = rep("close_median").asInstanceOf[Double]
+    // values cycle uniformly over [1.0, 1.999] -> median ~1.4995
+    assert(med > 1.49 && med < 1.51, s"median $med")
+    val ind = rep("indicators").asInstanceOf[ListMap[String, Any]]
+    assert(ind.contains("SMA_10") && ind.contains("SMA_50"))
+  }
+
   test("minhash estimate is within sketch error of exact jaccard") {
     val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
       "zeta", "eta", "theta", "iota", "kappa")
