@@ -141,7 +141,10 @@ object Gaps {
                  cacheResult: Boolean = false,
                  /** input already partitioned by `partitionCols` and sorted
                    * by (keys, stamp) within partitions — see FastFill */
-                 assumeSorted: Boolean = false): Result = {
+                 assumeSorted: Boolean = false,
+                 /** input is RANGE-partitioned on (keys, stamp): one series
+                   * may span consecutive partitions (see FastFill) */
+                 crossPartition: Boolean = false): Result = {
 
     val dataCols = df.columns.filterNot(c =>
       c == TsCol || c == Readers.FileOrderCol || partitionCols.contains(c)).toSeq
@@ -169,7 +172,7 @@ object Gaps {
       if (interpolatePrices) priceCols else Nil, TsCol, partitionCols,
       reindexStepMicros = Some(Rules.stepMicros(rule)),
       trueOnGenerated = ffillCols.map(c => s"_wasnull_$c") :+ "_generated",
-      assumeSorted = assumeSorted)
+      assumeSorted = assumeSorted, crossPartition = crossPartition)
 
     val repaired1 = repaired0
       .select((partitionCols ++ Seq(TsCol) ++ dataCols ++

@@ -101,10 +101,11 @@ object Normalize {
     *                  repair, resample) should prefer this: a global range
     *                  sort mid-pipeline is pure waste. When `partitionCols`
     *                  was non-empty this frame is additionally guaranteed
-    *                  hash-partitioned by those keys and sorted by
-    *                  (keys, TIMESTAMP) within partitions — downstream
-    *                  per-series scans (FastFill) can skip their own
-    *                  shuffle+sort against it.
+    *                  RANGE-partitioned on (keys, TIMESTAMP) and sorted by
+    *                  (keys, TIMESTAMP) within partitions — one series may
+    *                  span consecutive ordered partitions, so downstream
+    *                  per-series scans must run in cross-partition mode
+    *                  (FastFill `crossPartition`, Reporting's seeded SMA).
     *
     * The report aggregation is DEFERRED: it first runs when `report` (or
     * `reportWithPostCount`) is accessed, so callers can materialize their
@@ -203,23 +204,33 @@ object Normalize {
     val dedupKeys = partitionCols.filter(withTs.columns.contains)
     val deduped =
       if (dedupKeys.nonEmpty) {
-        // Keyed form: ONE window partitioned by the series key, ordered by
-        // (stamp, file order) — a row survives iff it is the first file-order
-        // occurrence of its stamp (lag null-safe-compares so an all-NaT run
-        // dedups to its first row exactly like pandas index.duplicated).
-        // Deliberately partitioned by the KEY ALONE (not key+stamp): the
-        // surviving frame comes out hash(keys)-partitioned and (keys, stamp)-
-        // sorted within partitions, which is precisely the layout every
-        // downstream per-series scan (FastFill reindex+fill, resample
-        // projection) needs — they skip their own shuffle+sort entirely.
-        val w = Window.partitionBy(dedupKeys.map(col): _*)
-          .orderBy(col(TsCol).asc, col(Readers.FileOrderCol).asc)
-        withTs
-          .withColumn("_keep",
-            lag(col(Readers.FileOrderCol), 1).over(w).isNull ||
-              !(lag(col(TsCol), 1).over(w) <=> col(TsCol)))
-          .filter(col("_keep"))
-          .drop("_keep", "_ts_parsed", Readers.FileOrderCol)
+        // Keyed form, RANGE layout: repartitionByRange(keys, stamp) then one
+        // partition-local sort. The dedup window partitions by (keys, stamp)
+        // ordered by file order — RangePartitioning(keys, stamp) satisfies
+        // that window's ClusteredDistribution and the sort matches its
+        // required ordering, so Catalyst inserts NO further exchange and NO
+        // further sort (asserted by NormalizeSpec's plan test). A row
+        // survives iff it is the first file-order occurrence of its stamp
+        // (equal stamps — and all-NaT runs — share a window partition, so
+        // they dedup to their first row exactly like pandas
+        // index.duplicated).
+        //
+        // Why range and not hash-by-key: hash(keys) puts a symbol's ENTIRE
+        // history through one task — the per-symbol straggler/spill that
+        // kills a hot symbol at 100 TB (and serialized the whole single-
+        // symbol bench pipeline). The range layout splits a series across
+        // consecutive ordered partitions; downstream per-series scans
+        // (FastFill, SMA) stay narrow via cross-partition boundary seeds.
+        val laidOut = withTs
+          .repartitionByRange((dedupKeys :+ TsCol).map(col): _*)
+          .sortWithinPartitions(
+            (dedupKeys :+ TsCol :+ Readers.FileOrderCol).map(col): _*)
+        val w = Window.partitionBy((dedupKeys :+ TsCol).map(col): _*)
+          .orderBy(col(Readers.FileOrderCol).asc)
+        laidOut
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .drop("_rn", "_ts_parsed", Readers.FileOrderCol)
       } else {
         // Unkeyed form: partition by the stamp itself — fully parallel, no
         // single-task window (order within a stamp group is all that matters)

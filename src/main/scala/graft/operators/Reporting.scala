@@ -36,7 +36,13 @@ object Reporting {
                           * routes to the single-pass scan (exact median from
                           * the sort, no percentile agg buffer, no window
                           * shuffle) without giving up the keyed API */
-                        knownSingleSeries: Boolean = false): ListMap[String, Any] = {
+                        knownSingleSeries: Boolean = false,
+                        /** input is RANGE-partitioned on (keys, ts) and
+                          * sorted within partitions (Normalize's layout) —
+                          * SMA runs as a seeded parallel scan instead of a
+                          * per-key window (which would re-serialize a hot
+                          * symbol through one task) */
+                        layoutSorted: Boolean = false): ListMap[String, Any] = {
 
     val cols = df.columns.filterNot(_ == Readers.FileOrderCol).toSeq
     val dataCols = cols.filterNot(_ == TsCol)
@@ -119,6 +125,7 @@ object Reporting {
       val t1 = System.nanoTime()
       indicators =
         if (singleSeries) smaSummariesSinglePass(df, smaWindows)
+        else if (layoutSorted) smaSummariesChunked(df, smaWindows, partitionCols)
         else smaSummariesWindowed(df, smaWindows, partitionCols)
       if (sys.env.get("GRAFT_TIMING").contains("1"))
         System.err.println(f"[graft-timing] qr_sma_agg ${(System.nanoTime()-t1)/1e9}%8.2f s")
@@ -203,6 +210,171 @@ object Reporting {
       s"SMA_$w" -> Json.obj(
         "last" -> g(0), "nan_count" -> sr.getLong(j * 4 + 1),
         "min" -> g(2), "max" -> g(3))
+    }: _*)
+  }
+
+  /** SMA summaries over the RANGE layout: a series spans consecutive
+    * ordered partitions, so the ring-buffer scan runs per partition in
+    * parallel, primed with the previous partitions' trailing CLOSE values
+    * (a trailing window of w rows only ever needs the last w-1 predecessor
+    * rows). Two narrow jobs: a tail-collection pass (≤ maxW-1 values per
+    * (partition, series) — fixed-size metadata, never row-shaped data) and
+    * the seeded scan emitting per-(partition, series) partials merged on
+    * the driver. Exactly the windowed form's numbers, no key-alone shuffle.
+    */
+  private def smaSummariesChunked(df: DataFrame, smaWindows: Seq[Int],
+                                  partitionCols: Seq[String]): ListMap[String, Any] = {
+    import org.apache.spark.TaskContext
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    val ws = smaWindows.toArray
+    val maxW = ws.max
+    val schema = df.schema
+    val kIdx = partitionCols.map(schema.fieldIndex).toArray
+    val tsIdx = schema.fieldIndex(TsCol)
+    val cIdx = schema.fieldIndex("CLOSE")
+    val nK = kIdx.length
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    // pass 1: per-(partition, series) trailing values (nulls included — the
+    // ring counts null entries as window slots, exactly like rowsBetween)
+    val tailSchema = StructType(
+      Seq(StructField("_pid", IntegerType, nullable = false)) ++
+        kIdx.map(i => schema.fields(i)) ++
+        Seq(StructField("_tail", ArrayType(DoubleType, containsNull = true),
+          nullable = false)))
+    val tails = df.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val acc = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var key: List[Any] = null
+      var buf: scala.collection.mutable.ArrayDeque[java.lang.Double] = null
+      def flush(): Unit = if (key != null)
+        acc += Row.fromSeq(Seq(pid) ++ key ++ Seq(buf.toSeq))
+      while (it.hasNext) {
+        val r = it.next()
+        val k = kIdx.map(r.get).toList
+        if (k != key) {
+          flush(); key = k
+          buf = scala.collection.mutable.ArrayDeque.empty
+        }
+        buf += (if (r.isNullAt(cIdx)) null
+                else java.lang.Double.valueOf(r.getDouble(cIdx)))
+        if (buf.length > maxW - 1) buf.removeHead()
+      }
+      flush()
+      acc.iterator
+    }(Encoders.row(tailSchema)).collect()
+
+    // driver: carry-in per (partition, series) = last maxW-1 values of the
+    // concatenated predecessor tails
+    val carries = scala.collection.mutable.Map.empty[(Int, List[Any]), Array[java.lang.Double]]
+    for ((k, rows) <- tails.groupBy(r => (1 to nK).map(r.get).toList)) {
+      var run = Vector.empty[java.lang.Double]
+      for (r <- rows.sortBy(_.getInt(0))) {
+        carries((r.getInt(0), k)) = run.toArray
+        run = (run ++ r.getSeq[java.lang.Double](nK + 1)).takeRight(maxW - 1)
+      }
+    }
+    val seeds = carries.toMap
+
+    // pass 2: seeded ring scan, per-(partition, series) partials
+    val partSchema = StructType(
+      Seq(StructField("_pid", IntegerType, nullable = false)) ++
+        kIdx.map(i => schema.fields(i)) ++
+        ws.flatMap(w => Seq(
+          StructField(s"_last_$w", DoubleType, nullable = true),
+          StructField(s"_lastTs_$w", LongType, nullable = true),
+          StructField(s"_nans_$w", LongType, nullable = false),
+          StructField(s"_min_$w", DoubleType, nullable = true),
+          StructField(s"_max_$w", DoubleType, nullable = true))))
+    val partials = df.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val acc = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val k = ws.length
+      var key: List[Any] = null
+      var ring: Array[Array[java.lang.Double]] = null
+      val sums = new Array[Double](k); val counts = new Array[Int](k)
+      val nans = new Array[Long](k)
+      val mins = new Array[Double](k); val maxs = new Array[Double](k)
+      val lasts = new Array[java.lang.Double](k)
+      val lastTs = new Array[java.lang.Long](k)
+      var n = 0L
+      def push(v: java.lang.Double, emit: Boolean, ts: java.lang.Long): Unit = {
+        var j = 0
+        while (j < k) {
+          val w = ws(j)
+          val slot = (n % w).toInt
+          val old = ring(j)(slot)
+          if (old != null) { sums(j) -= old; counts(j) -= 1 }
+          ring(j)(slot) = v
+          if (v != null) { sums(j) += v; counts(j) += 1 }
+          if (emit) {
+            if (counts(j) == 0) nans(j) += 1
+            else {
+              val sma = sums(j) / counts(j)
+              if (ts != null) { lasts(j) = sma; lastTs(j) = ts }
+              if (sma < mins(j)) mins(j) = sma
+              if (sma > maxs(j)) maxs(j) = sma
+            }
+          }
+          j += 1
+        }
+        n += 1
+      }
+      def flush(): Unit = if (key != null)
+        acc += Row.fromSeq(Seq(pid) ++ key ++ ws.indices.flatMap(j => Seq(
+          lasts(j), lastTs(j), nans(j),
+          if (mins(j) != Double.MaxValue) mins(j) else null,
+          if (maxs(j) != Double.MinValue) maxs(j) else null)))
+      while (it.hasNext) {
+        val r = it.next()
+        val kk = kIdx.map(r.get).toList
+        if (kk != key) {
+          flush(); key = kk
+          ring = Array.fill(k)(new Array[java.lang.Double](maxW))
+          java.util.Arrays.fill(sums, 0.0); java.util.Arrays.fill(counts, 0)
+          java.util.Arrays.fill(nans, 0L)
+          java.util.Arrays.fill(mins, Double.MaxValue)
+          java.util.Arrays.fill(maxs, Double.MinValue)
+          java.util.Arrays.fill(lasts.asInstanceOf[Array[AnyRef]], null)
+          java.util.Arrays.fill(lastTs.asInstanceOf[Array[AnyRef]], null)
+          n = 0L
+          for (c <- seeds.getOrElse((pid, kk), Array.empty[java.lang.Double]))
+            push(c, emit = false, null)
+        }
+        push(if (r.isNullAt(cIdx)) null
+             else java.lang.Double.valueOf(r.getDouble(cIdx)),
+          emit = true,
+          if (r.isNullAt(tsIdx)) null
+          else java.lang.Long.valueOf(micros(r.getAs[java.sql.Timestamp](tsIdx))))
+      }
+      flush()
+      acc.iterator
+    }(Encoders.row(partSchema)).collect()
+
+    // merge: nans sum; min/max fold; last = value at the latest non-null-SMA
+    // timestamp (the windowed form's max_by(sma, ts))
+    ListMap(ws.toIndexedSeq.zipWithIndex.map { case (w, j) =>
+      val base = 1 + nK + j * 5
+      var last: Any = null; var lastT = Long.MinValue
+      var nan = 0L
+      var mn: Any = null; var mx: Any = null
+      for (r <- partials) {
+        if (!r.isNullAt(base) && !r.isNullAt(base + 1) &&
+            r.getLong(base + 1) > lastT) {
+          lastT = r.getLong(base + 1); last = r.getDouble(base)
+        }
+        nan += r.getLong(base + 2)
+        if (!r.isNullAt(base + 3) &&
+            (mn == null || r.getDouble(base + 3) < mn.asInstanceOf[Double]))
+          mn = r.getDouble(base + 3)
+        if (!r.isNullAt(base + 4) &&
+            (mx == null || r.getDouble(base + 4) > mx.asInstanceOf[Double]))
+          mx = r.getDouble(base + 4)
+      }
+      s"SMA_$w" -> Json.obj(
+        "last" -> last, "nan_count" -> nan, "min" -> mn, "max" -> mx)
     }: _*)
   }
 

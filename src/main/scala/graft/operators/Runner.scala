@@ -152,7 +152,7 @@ object Runner {
     val qualityF: Future[ListMap[String, Any]] =
       if (computeReports) Future(timed("quality_report")(
         Reporting.dataQualityReport(ndf, partitionCols = seriesKeys,
-          knownDistinctTs = true)))
+          knownDistinctTs = true, layoutSorted = true)))
       else Future.successful(ListMap.empty[String, Any])
     // Resample mode (O26 `resampleMode`, SURVEY §7.3). "correct" (default):
     // ONE gap repair at the finest configured rule, then every timeframe is
@@ -167,10 +167,11 @@ object Runner {
     // exporter.py only forwards `normalization_report` — so skipping the
     // report aggregation is parity AND removes two jobs per timeframe.
     //
-    // `assumeSorted = true` is sound here: `ndf` is Normalize's keyed-dedup
-    // output, guaranteed hash-partitioned by the series keys and sorted by
-    // (keys, TIMESTAMP) within partitions — the repair scan runs as a
-    // narrow mapPartitions with no shuffle and no sort.
+    // `assumeSorted + crossPartition` is sound here: `ndf` is Normalize's
+    // keyed-dedup output, guaranteed RANGE-partitioned on (keys, TIMESTAMP)
+    // and sorted within partitions — the repair scan runs as a narrow
+    // mapPartitions with no shuffle and no sort, parallel across a single
+    // symbol's time ranges (cross-boundary state via FastFill's seeds).
     val correctMode = cfg.resampleMode != "faithful"
     val baseRule: Option[String] =
       if (correctMode && cfg.gapPolicy.isDefined)
@@ -180,7 +181,8 @@ object Runner {
       val gp = cfg.gapPolicy.get
       val df = Gaps.repairGaps(ndf, rule, gp.useFfillFor,
         gp.interpolatePrices, gp.shortGapMinutes, partitionCols = seriesKeys,
-        computeReport = false, cacheResult = true, assumeSorted = true).df
+        computeReport = false, cacheResult = true, assumeSorted = true,
+        crossPartition = true).df
       // materialize BEFORE the fan-out: four chains read this cache
       // concurrently, and racing an unmaterialized cache serializes them
       // all on the partition lock
@@ -199,7 +201,8 @@ object Runner {
               val r = Gaps.repairGaps(ndf, tf, gp.useFfillFor,
                 gp.interpolatePrices, gp.shortGapMinutes,
                 partitionCols = seriesKeys, computeReport = false,
-                cacheResult = true, assumeSorted = true).df
+                cacheResult = true, assumeSorted = true,
+                crossPartition = true).df
               // materialize here so the export's concurrent validate+write
               // read a hot cache instead of racing its first computation
               timed(s"repair_$tf")(r.count())

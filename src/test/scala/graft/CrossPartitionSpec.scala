@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.{FastFill, Normalize, Reporting}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The RANGE layout contract: a series spanning many consecutive ordered
+  * partitions must repair/aggregate EXACTLY like the same series contained
+  * in one partition — the cross-partition seeds (grid continuation, ffill
+  * carry, interpolation neighbors, SMA ring priming) are pure plumbing.
+  *
+  * The fixture is adversarial on purpose: leading/trailing null runs, a
+  * null run and a missing-stamp gap that both straddle partition
+  * boundaries, off-grid rows that must drop, and a second symbol to check
+  * key-run isolation.
+  */
+class CrossPartitionSpec extends SparkSpec {
+
+  private val t0 = 1700000000000000L // epoch micros, on a 1-min grid
+
+  /** Two symbols, 1-min grid with holes/nulls engineered to straddle any
+    * 16-way range split of 4000 rows.
+    */
+  private def fixture(): DataFrame = {
+    val rows = for {
+      sym <- Seq("AAA", "BBB")
+      i <- 0 until 4000
+      // missing stamps: a 7-row gap every 250 rows, one 400-row gap
+      if !(i % 250 >= 110 && i % 250 < 117) && !(sym == "AAA" && i >= 2100 && i < 2500)
+      // BBB ends earlier so the global max stamp is unique (max_by ties are
+      // nondeterministic across engines; parity on ties is not contractual)
+      if !(sym == "BBB" && i >= 3800)
+    } yield {
+      val us = t0 + i * 60000000L
+      val close: java.lang.Double =
+        if (i < 5) null // leading nulls (partition 0 edge fill)
+        else if (i % 500 >= 240 && i % 500 < 260) null // null runs (interp)
+        else if (i >= 3990) null // trailing nulls
+        else 1.0 + (i % 97) * 0.01 + (if (sym == "AAA") 0.0 else 5.0)
+      val vol: java.lang.Double =
+        if (i % 300 < 30) null else 100.0 + i % 13
+      Row(sym, new java.sql.Timestamp(us / 1000L), close, vol)
+    }
+    // off-grid rows (17s/18s offsets) that reindex must drop; stamps stay
+    // globally unique and BBB's global max stays below AAA's — max_by ties
+    // are nondeterministic and parity on them is not contractual
+    val offGrid = Seq("AAA", "BBB").flatMap(sym =>
+      (0 until (if (sym == "AAA") 50 else 30)).map { i =>
+        val off = if (sym == "AAA") 17000000L else 18000000L
+        Row(sym, new java.sql.Timestamp((t0 + i * 97 * 60000000L + off) / 1000L),
+          9.99: java.lang.Double, 1.0: java.lang.Double)
+      })
+    val schema = StructType(Seq(
+      StructField("SYMBOL", StringType), StructField("TIMESTAMP", TimestampType),
+      StructField("CLOSE", DoubleType), StructField("VOLUME", DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(scala.util.Random.shuffle(rows ++ offGrid), 8),
+      schema)
+  }
+
+  private def rangeLayout(df: DataFrame, parts: Int): DataFrame =
+    df.repartitionByRange(parts, col("SYMBOL"), col("TIMESTAMP"))
+      .sortWithinPartitions(col("SYMBOL"), col("TIMESTAMP"))
+
+  private def collectSorted(df: DataFrame): Seq[Seq[Any]] =
+    df.orderBy("SYMBOL", "TIMESTAMP").collect()
+      .map(_.toSeq.map {
+        case d: Double => math.round(d * 1e9) // exact-arithmetic compare
+        case x => x
+      }.toSeq).toSeq
+
+  test("cross-partition FastFill matches the contained-series scan exactly") {
+    val df = fixture().cache()
+    df.count()
+    val cols = (Seq("VOLUME"), Seq("CLOSE"))
+    // reference: hash layout, each series contained in one partition
+    val ref = FastFill.fill(df, cols._1, cols._2, "TIMESTAMP",
+      partitionCols = Seq("SYMBOL"), reindexStepMicros = Some(60000000L))
+    // candidate: 16-way range layout, series span many partitions. The
+    // layout is CACHED: range bounds are re-sampled per job on uncached
+    // plans, and the seed pass + fill scan must see one pinned partitioning
+    // (the Runner's cached normalize output gives exactly this).
+    val laid = rangeLayout(df, 16).cache()
+    assert(laid.count() > 0 && laid.rdd.getNumPartitions == 16)
+    val got = FastFill.fill(laid, cols._1, cols._2, "TIMESTAMP",
+      partitionCols = Seq("SYMBOL"), reindexStepMicros = Some(60000000L),
+      assumeSorted = true, crossPartition = true)
+    assert(collectSorted(got) == collectSorted(ref))
+    df.unpersist()
+  }
+
+  test("chunked SMA summaries match the windowed form on a spanning series") {
+    val df = fixture().filter(col("TIMESTAMP").isNotNull).cache()
+    df.count()
+    val laid = rangeLayout(df, 16).cache()
+    laid.count()
+    val winForm = Reporting.dataQualityReport(df, partitionCols = Seq("SYMBOL"),
+      knownDistinctTs = true)
+    val chunked = Reporting.dataQualityReport(laid, partitionCols = Seq("SYMBOL"),
+      knownDistinctTs = true, layoutSorted = true)
+    def smas(m: scala.collection.immutable.ListMap[String, Any]) =
+      m("indicators").asInstanceOf[scala.collection.immutable.ListMap[String, Any]]
+        .map { case (k, v) =>
+          k -> v.asInstanceOf[scala.collection.immutable.ListMap[String, Any]]
+            .map { case (k2, x) => k2 -> (x match {
+              case d: Double => math.round(d * 1e9)
+              case other => other
+            })}
+        }
+    assert(smas(chunked) == smas(winForm))
+    laid.unpersist(); df.unpersist()
+  }
+
+  test("keyed dedup emits the range layout with a single exchange and sort") {
+    import scala.collection.immutable.ListMap
+    val df = fixture()
+    val res = Normalize(df,
+      ListMap("timestamp" -> Seq("timestamp"), "close" -> Seq("close"),
+        "volume" -> Seq("volume")),
+      requiredColumns = Seq("CLOSE"), sourceTz = Some("UTC"),
+      computeReport = false, partitionCols = Seq("SYMBOL"))
+    val plan = res.unsorted.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    val sorts = "Sort ".r.findAllIn(plan).length
+    assert(exchanges == 1, s"dedup must add exactly one exchange:\n$plan")
+    assert(sorts == 1, s"dedup must add exactly one sort:\n$plan")
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning")
+      || plan.toLowerCase.contains("range"), s"range layout expected:\n$plan")
+    // and the dedup itself still keeps first-in-file-order per stamp
+    val n = res.unsorted.count()
+    val distinctStamps = df.filter(col("TIMESTAMP").isNotNull)
+      .select("SYMBOL", "TIMESTAMP").distinct().count()
+    assert(n == distinctStamps)
+  }
+}
