@@ -89,22 +89,37 @@ object Bench {
     // reference runs the repair-at-rule→grid-sample algorithm; §2.2.4).
     // Median of 3 runs — the sandbox's virtual disk has multi-second I/O
     // jitter, and a median is the standard way to report wall time under it.
+    // per-run GC time + heap high-water: a contaminated/memory-starved run
+    // is self-diagnosing from the JSON (gc spikes or heap near -Xmx)
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    var gcPerRun = Vector.empty[Long]
+    var heapHighWater = 0L
     def timedRun(mode: String): Double = {
       val dir = Files.createTempDirectory(s"graft_bench_$mode").toString
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       val r = Runner.processDataFrame(spark, raw,
         cfg.copy(resampleMode = mode), sourceTz = None,
         basename = "EURUSD_bench", outDir = dir)
       val sec = (System.nanoTime() - t0) / 1e9
+      gcPerRun :+= gcMillis() - g0
+      heapHighWater = math.max(heapHighWater,
+        Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory)
       require(r.errors.isEmpty, s"$mode errors: ${r.errors.mkString("; ")}")
       require(r.exports.length == 4, "four timeframe exports expected")
       sec
     }
+    val g0 = gcMillis()
     val t0 = System.nanoTime()
     val result = Runner.processDataFrame(spark, raw,
       cfg.copy(resampleMode = "faithful"), sourceTz = None,
       basename = "EURUSD_bench", outDir = outDir)
     val firstSec = (System.nanoTime() - t0) / 1e9
+    gcPerRun :+= gcMillis() - g0
     require(result.errors.isEmpty,
       s"pipeline errors: ${result.errors.mkString("; ")}")
     require(result.exports.length == 4, "four timeframe exports expected")
@@ -132,8 +147,9 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val maxHeap = Runtime.getRuntime.maxMemory
     println(
-      f"""{"metric":"etl_pipeline_sec","value":$pipelineSec%.3f,"unit":"sec","pipeline_runs":${faithfulRuns.map(s => f"$s%.3f").mkString("[", ",", "]")},"correct_mode_sec":$correctSec%.3f,"input_rows":$inputRows,"exports":${result.exports.map(_.rows).mkString("[", ",", "]")},"query_errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"etl_pipeline_sec","value":$pipelineSec%.3f,"unit":"sec","pipeline_runs":${faithfulRuns.map(s => f"$s%.3f").mkString("[", ",", "]")},"correct_mode_sec":$correctSec%.3f,"gc_ms_per_run":${gcPerRun.mkString("[", ",", "]")},"heap_high_water_mb":${heapHighWater / 1048576},"heap_max_mb":${maxHeap / 1048576},"input_rows":$inputRows,"exports":${result.exports.map(_.rows).mkString("[", ",", "]")},"query_errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -143,7 +143,18 @@ object Normalize {
               * stamps of DIFFERENT series never dedup each other — the
               * reference only ever sees single-series frames, where this is
               * identical to its plain index dedup */
-            partitionCols: Seq[String] = Nil): Result = {
+            partitionCols: Seq[String] = Nil,
+            /** What to do with tz-NAIVE stamps when no source timezone is
+              * configured (O26 `timezone.policy_if_na`, config_model
+              * .py:33-45 — parsed but never consumed by the reference;
+              * implemented for real here):
+              *  - "assume_utc" (default): localize as UTC and flag
+              *    `needs_review` (the reference's normalize behavior);
+              *  - "mark_needs_review": same localization, the flag is the
+              *    point — kept explicit for config intent;
+              *  - "require_source": refuse to guess — raise before any
+              *    jobs run. */
+            policyIfNa: String = "assume_utc"): Result = {
 
     val ordered =
       if (input.columns.contains(Readers.FileOrderCol)) input
@@ -184,12 +195,24 @@ object Normalize {
           .getTotalSeconds * 1000000L
         if (offUs == 0L) parsed
         else timestamp_micros(unix_micros(parsed) - offUs)
-      } else TzLocalize.localize(parsed, effectiveSourceTz)
+      } else {
+        // DST-bearing region zone: the native codegen expression (the
+        // TzLocalize UDF is the reference form, kept for the spec's
+        // semantic cross-check; the expression keeps this projection
+        // inside whole-stage codegen)
+        graft.plans.GraftExtensions.register(input.sparkSession)
+        call_function("tz_localize", parsed, lit(effectiveSourceTz))
+      }
+
+    if (!tzAware && sourceTz.isEmpty && policyIfNa == "require_source")
+      throw new IllegalArgumentException(
+        "timezone.policy_if_na=require_source: timestamps are tz-naive and " +
+          "no source timezone is configured")
 
     val (tzAction, needsReviewBase) =
       if (tzAware) ("already_tzaware", false)
       else if (sourceTz.isDefined) (s"localized_to_${sourceTz.get}", false)
-      else ("localized_to_UTC_assumed", true)
+      else ("localized_to_UTC_assumed", true) // assume_utc / mark_needs_review
 
     val withTs0 = casted
       .withColumn("_ts_parsed", parsed)

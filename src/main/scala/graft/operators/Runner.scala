@@ -110,7 +110,8 @@ object Runner {
       Normalize(injected, cfg.columnsMap, cfg.requiredColumns,
         sourceTz.orElse(cfg.sourceTzDefault), cfg.targetTz,
         computeReport = computeReports,
-        partitionCols = seriesKeys))
+        partitionCols = seriesKeys,
+        policyIfNa = cfg.policyIfNa))
     // cache before the per-timeframe fan-out — the reference re-reads its
     // in-memory frame for free; Spark must not re-run the normalize graph
     // once per timeframe. The materialization count doubles as the

@@ -27,6 +27,12 @@ object Similarity {
     call_function("cosine_sim", a, b)
   }
 
+  /** floor(x·10⁴ + 0.5)/10⁴ — the engine-portable half-up rounding every
+    * gate query uses (`round()` half-up semantics differ across engines for
+    * negative cosines, and similarity outputs are oracle-compared).
+    */
+  private def fr4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
   /** Deterministic random hyperplanes (seed-fixed), dim x nBits. */
   private def planes(dim: Int, nBits: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(7)
@@ -62,8 +68,7 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     broadcast(q).join(c, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(cosineFast(queries.sparkSession, col("qe"), col("ce")), 4)
-          .as("sim"))
+        fr4(cosineFast(queries.sparkSession, col("qe"), col("ce"))).as("sim"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
@@ -93,7 +98,7 @@ object Similarity {
     // that shuffle instead of after it.
     a.join(b, Seq("band", "bits")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosineFast(df.sparkSession, col("ea"), col("eb")), 4).as("sim"))
+        fr4(cosineFast(df.sparkSession, col("ea"), col("eb"))).as("sim"))
       .filter(col("sim") >= threshold)
       .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "sim")
@@ -166,10 +171,19 @@ object Similarity {
     * probes its `nProbe` closest centroids and ranks exact cosine within
     * those buckets only.
     */
+  /** `nProbe = nLists` probes every list — the result is then EXACTLY the
+    * brute-force top-k (each corpus vector has one bucket and the probe set
+    * covers all of them once), which is how the operator is oracle-checked;
+    * smaller nProbe trades recall for probe cost (the production setting).
+    * Training cost is controlled independently of probe correctness:
+    * `sampleFraction`/`iterations` only shape centroid quality.
+    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, qIdCol: String,
               cIdCol: String, vecCol: String, k: Int,
-              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = trainCentroids(corpus, vecCol, nLists)
+              nLists: Int = 16, nProbe: Int = 4,
+              iterations: Int = 3, sampleFraction: Double = 1.0): DataFrame = {
+    val centroids = trainCentroids(corpus, vecCol, nLists, iterations,
+      sampleFraction)
     val c = corpus.select(col(cIdCol).as("cid"),
         col(vecCol).cast("array<double>").as("ce"))
       .withColumn("bucket", nearestCentroid(col("ce"), centroids))
@@ -190,8 +204,7 @@ object Similarity {
     broadcast(q).join(c, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(cosineFast(queries.sparkSession, col("qe"), col("ce")), 4)
-          .as("sim"))
+        fr4(cosineFast(queries.sparkSession, col("qe"), col("ce"))).as("sim"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }

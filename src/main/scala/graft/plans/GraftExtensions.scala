@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType, TimestampType}
 
 /** Engine extension point: registers graft's native expressions into the
   * session's function registry so they resolve from SQL and
@@ -23,6 +23,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.tzLocalizeDescriptor)
   }
 }
 
@@ -40,9 +41,25 @@ object GraftExtensions {
         Cast(children(1), ArrayType(DoubleType)))
     })
 
+  private[plans] val tzLocalizeDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("tz_localize"),
+    new ExpressionInfo(classOf[TzLocalizeExpr].getName, "tz_localize"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "tz_localize(ts, zone) takes a timestamp and a literal zone id")
+      val zone = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(z, StringType)
+            if z != null => z.toString
+        case other => throw new IllegalArgumentException(
+          s"tz_localize zone must be a string literal, got $other")
+      }
+      TzLocalizeExpr(Cast(children.head, TimestampType), zone)
+    })
+
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = cosineSimDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    for ((id, info, builder) <- Seq(cosineSimDescriptor, tzLocalizeDescriptor))
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }

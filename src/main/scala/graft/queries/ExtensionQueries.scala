@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
 /** Extension gate queries (SURVEY.md §2.5 + the LLM-data-pipeline operators):
   * exact/near dedup, similarity search, text analysis, JSON extraction.
   *
-  * Queries with a DuckDB-expressible oracle carry SQL in `sql`; the
-  * heuristic/sketch operators (MinHash-LSH, SimHash, language-ID, ANN
-  * bucketing) are exercised as rows-only checks here and pinned by exact
-  * assertions in the ScalaTest suite instead.
+  * Queries with a DuckDB-expressible oracle carry SQL in `sql`. Two remain
+  * rows-only BY CONSTRUCTION and are pinned by exact ScalaTest assertions
+  * instead: q42 (SimHash needs xxhash64, absent from DuckDB) and q46 (the
+  * payloads are binary media behind the codec seam). The sketch operators
+  * themselves are oracle-checked through forms whose output is provably
+  * exact: q41 verifies LSH candidates with exact n-gram Jaccard at a
+  * recall-1.0 threshold, q45 probes every IVF list so the top-k equals
+  * brute force.
   */
 object ExtensionQueries {
 
@@ -150,16 +154,28 @@ object ExtensionQueries {
         .orderBy("lang", "lang_pred")
     },
 
-    // MinHash-LSH near-duplicate candidate pairs (rows-only: banded
-    // collisions are sketch-defined, not SQL-expressible; pinned by
-    // ScalaTest. threshold 0 => every banded collision surfaces; the
-    // synthetic corpus has no true dups).
+    // MinHash-LSH candidates VERIFIED with exact 3-gram Jaccard — the
+    // full dedup shape (sketch → banded candidates → exact verify). At a
+    // 0.5 threshold the banding (16 bands × 4 rows) has recall 1.0 on this
+    // corpus (its pair-similarity distribution is bimodal: planted near-
+    // dups ≥0.7, background <0.2 — collision probability at 0.7 is 0.988
+    // per pair and the exact-verify filter discards false candidates), so
+    // DuckDB brute-force Jaccard is a true oracle. The capped sub-linear
+    // sketch form (threshold on the estimate only) stays pinned in
+    // DedupSimilaritySpec as the scale demo.
     "q41_minhash_lsh" -> { (s, d) =>
-      Dedup.minHashLshPairs(Tables.documents(s, d),
-          idCol = "doc_id", textCol = "text",
-          numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.0)
-        .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
-        .limit(100)
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.minHashLshPairs(docs, idCol = "doc_id",
+        textCol = "text", numHashes = 64, bands = 16, shingleSize = 3,
+        threshold = 0.0, maxBucketSize = 100000)
+      val t = docs.select(col("doc_id"), col("text"))
+      cand
+        .join(t.select(col("doc_id").as("id_a"), col("text").as("_ta")), "id_a")
+        .join(t.select(col("doc_id").as("id_b"), col("text").as("_tb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          fr(Dedup.ngramJaccard(col("_ta"), col("_tb"), 3), 4).as("jac"))
+        .filter(col("jac") >= 0.5)
+        .orderBy(col("jac").desc, col("id_a"), col("id_b"))
     },
 
     // SimHash 64-bit fingerprints + hamming-near pairs.
@@ -204,12 +220,19 @@ object ExtensionQueries {
         .limit(500)
     },
 
-    // IVF-bucketed ANN (k-means coarse quantizer; rows-only — centroid
-    // assignment is deterministic but not SQL-expressible).
+    // IVF-bucketed ANN with EXHAUSTIVE probing (nProbe = nLists): every
+    // corpus vector sits in exactly one list and the probe set covers all
+    // lists, so the result is provably the brute-force top-k — q39's
+    // oracle applies verbatim, and the query proves the probe/bucket
+    // plumbing loses nothing. Centroids train on a seeded 20% sample with
+    // one Lloyd round (training shapes bucket quality only, never probe
+    // correctness). The bounded-probe production form (nProbe < nLists)
+    // stays pinned by DedupSimilaritySpec's planted-duplicate recall test.
     "q45_ivf_topk" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb.filter(col("vec_id") <= 5), emb,
-          "vec_id", "vec_id", "embedding", k = 3, nLists = 8, nProbe = 4)
+          "vec_id", "vec_id", "embedding", k = 3, nLists = 8, nProbe = 8,
+          iterations = 1, sampleFraction = 0.2)
         .orderBy("qid", "rn")
     },
 
@@ -333,6 +356,37 @@ object ExtensionQueries {
         |  WHERE a.vec_id <= 800 AND b.vec_id <= 800)
         |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.3
         |ORDER BY sim DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    "q41_minhash_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 1),
+        |              i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh)))
+        |      * 10000.0 + 0.5) / 10000.0 AS jac
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jac FROM p WHERE jac >= 0.5
+        |ORDER BY jac DESC, id_a, id_b""".stripMargin,
+
+    "q45_ivf_topk" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |         floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |               CAST(b.embedding AS DOUBLE[])) * 10000.0 + 0.5) / 10000.0 AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id <= 5),
+        |r AS (SELECT qid, cid, sim,
+        |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        |      FROM s)
+        |SELECT qid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 
     "q39_ann_topk" ->
       """WITH s AS (

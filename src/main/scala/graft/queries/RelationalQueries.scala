@@ -134,18 +134,29 @@ object RelationalQueries {
         .orderBy("c_custkey")
     },
 
-    // Range/theta self-join. At 100 TB this is the bucketed-by-user_id
-    // pattern: both sides hash-partition on the equi key (user_id), the
-    // range predicate evaluates within partitions — no cartesian blow-up.
+    // Range/theta self-join, bucketed: joining on user_id alone makes pair
+    // enumeration quadratic in events-per-user — a task-killer under a
+    // power-law user at 100×. The 5-minute window is covered by exactly two
+    // 5-minute time buckets, so the left side explodes to (bucket, bucket+1)
+    // and the join key becomes (user_id, bucket): candidates per row are
+    // bounded by two buckets regardless of user skew, and the range
+    // predicate then filters exactly. Each right row has ONE bucket, so no
+    // pair can match twice.
     "q11_range_self_join" -> { (s, d) =>
+      val bucketSec = 300L
       val e1 = Tables.events(s, d).filter(col("event_type") === "click")
         .select(col("event_id").as("a"), col("user_id").as("u1"),
           col("ts").as("ts1"))
+        .withColumn("_bkt",
+          explode(array(floor(unix_seconds(col("ts1")) / bucketSec),
+            floor(unix_seconds(col("ts1")) / bucketSec) + 1)))
       val e2 = Tables.events(s, d)
         .select(col("event_id").as("b"), col("user_id").as("u2"),
           col("ts").as("ts2"))
+        .withColumn("_bkt2", floor(unix_seconds(col("ts2")) / bucketSec))
       e1.join(e2,
-          col("u1") === col("u2") && col("ts2") > col("ts1") &&
+          col("u1") === col("u2") && col("_bkt") === col("_bkt2") &&
+            col("ts2") > col("ts1") &&
             col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTES"))
         .select("a", "b")
         .orderBy("a", "b")

@@ -33,14 +33,66 @@ object Readers {
 
   final case class ReadResult(df: DataFrame, meta: ListMap[String, Any], filename: String)
 
-  def readCsv(spark: SparkSession, path: String): ReadResult = {
-    val df = spark.read
+  /** CSV source with ROW-level quarantine (the O1 scale note): rows that
+    * fail the schema are counted into the read metadata (`corrupt_rows`)
+    * and dropped, instead of poisoning the frame or failing the batch —
+    * the first thing a dirty 100 TB CSV drop hits.
+    *
+    * What counts as corrupt follows the schema's provenance:
+    *  - `schema` DECLARED (the production ingestion contract at scale):
+    *    rows whose values fail typed conversion quarantine;
+    *  - schema INFERRED (the reference-parity default): inference widens a
+    *    dirty column to string, so value badness flows to Normalize's
+    *    `try_cast` null-coercion with a report counter — exactly pandas
+    *    `to_numeric(errors="coerce")` — and only parser-level breakage
+    *    quarantines. (Spark's CSV parser never treats token-count mismatch
+    *    as corrupt: short rows null-fill, long rows drop extra tokens.)
+    * File-level quarantine (unreadable/unsupported files,
+    * extractor.py:56-59) stays in `loadAll`.
+    *
+    * The corrupt count is eager (the reference reads eagerly too) and runs
+    * on a transient PERMISSIVE+corrupt-column scan — referencing the
+    * corrupt column is what forces the parser to convert every field
+    * (column pruning would otherwise skip conversion and miss the bad
+    * rows), and the transient cache satisfies Spark's corrupt-column-only
+    * query restriction. The RETURNED frame filters on the corrupt column
+    * behind an RDD barrier: the barrier references every field, so the
+    * row set is identical under any downstream projection (with plain
+    * DROPMALFORMED, pruning would silently re-admit a bad row whenever the
+    * dirty column wasn't selected) and bare `count()`-style queries stay
+    * legal. Pruning/pushdown into a CSV parse is worthless anyway — the
+    * line must be read and split regardless.
+    */
+  def readCsv(spark: SparkSession, path: String,
+              schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : ReadResult = {
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val applied = schema.getOrElse(spark.read
       .option("header", "true")
       .option("inferSchema", "true")
       .csv(path)
+      .schema)
+    val corruptScan = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(StructType(applied.fields :+
+        org.apache.spark.sql.types.StructField(CorruptCol, StringType)))
+      .csv(path)
+      .cache()
+    val corruptRows = corruptScan.filter(col(CorruptCol).isNotNull).count()
+    corruptScan.unpersist()
+    val clean = corruptScan.filter(col(CorruptCol).isNull).drop(CorruptCol)
+    val df = spark
+      .createDataFrame(clean.rdd, clean.schema) // projection-proof barrier
       .withColumn(FileOrderCol, monotonically_increasing_id())
-    ReadResult(df, meta(df, path, "csv"), baseName(path))
+    ReadResult(df,
+      meta(df, path, "csv") + ("corrupt_rows" -> corruptRows),
+      baseName(path))
   }
+
+  /** Name of the transient PERMISSIVE corrupt-record column. */
+  val CorruptCol = "_graft_corrupt_record"
 
   def readParquet(spark: SparkSession, path: String): ReadResult = {
     val df = spark.read.parquet(path)

@@ -32,6 +32,7 @@ class ConfigSpec extends SparkSpec {
         |timezone:
         |  target: "UTC"
         |  source_default: null
+        |  policy_if_na: "require_source"
         |resample:
         |  timeframes: ["1T", "5T", "1H"]
         |  mode: "faithful"
@@ -50,6 +51,7 @@ class ConfigSpec extends SparkSpec {
       "columns_map preserves YAML order (rename precedence)")
     assert(cfg.requiredColumns == Seq("TIMESTAMP", "OPEN"))
     assert(cfg.sourceTzDefault.isEmpty)
+    assert(cfg.policyIfNa == "require_source")
     assert(cfg.timeframes == Seq("1T", "5T", "1H"))
     assert(cfg.resampleMode == "faithful")
     assert(cfg.rowGroupSize.contains(65536L))

@@ -65,6 +65,35 @@ class NormalizeSpec extends SparkSpec {
     assert(ts.toInstant == java.time.Instant.parse("2023-12-31T22:00:00Z"))
   }
 
+  test("policy_if_na=require_source refuses naive stamps; passes aware/sourced") {
+    val naive = csvDf(Seq(
+      ("2024-01-01 00:00:00", "1.0", "1.2", "0.9", "1.1")))
+    val e = intercept[IllegalArgumentException](
+      Normalize(naive, cmap, required, sourceTz = None,
+        policyIfNa = "require_source"))
+    assert(e.getMessage.contains("require_source"))
+    // tz-aware content: the policy never fires
+    val aware = csvDf(Seq(
+      ("2024-01-01 00:00:00+02:00", "1.0", "1.2", "0.9", "1.1")))
+    val okAware = Normalize(aware, cmap, required, sourceTz = None,
+      policyIfNa = "require_source")
+    assert(okAware.df.count() == 1)
+    // a configured source tz: the policy never fires
+    val okSourced = Normalize(naive, cmap, required,
+      sourceTz = Some("Europe/Madrid"), policyIfNa = "require_source")
+    assert(okSourced.df.count() == 1)
+  }
+
+  test("policy_if_na=mark_needs_review localizes as UTC and flags the report") {
+    val naive = csvDf(Seq(
+      ("2024-01-01 00:00:00", "1.0", "1.2", "0.9", "1.1")))
+    val res = Normalize(naive, cmap, required, sourceTz = None,
+      policyIfNa = "mark_needs_review")
+    val dt = res.report("datetime").asInstanceOf[ListMap[String, Any]]
+    assert(dt("tz_action") == "localized_to_UTC_assumed")
+    assert(dt("needs_review") == true)
+  }
+
   test("sample_strings: non-numeric CLOSE coerces to null and is counted") {
     val df = csvDf(Seq(
       ("2024-01-01 00:00:00", "1.0", "1.2", "0.9", "abc"),

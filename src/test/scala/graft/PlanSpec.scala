@@ -42,6 +42,18 @@ class PlanSpec extends SparkSpec {
       "partial + final aggregation phases present")
   }
 
+  test("q11: range self-join keys include the time bucket (skew-bounded)") {
+    val p = plan(RelationalQueries.defs("q11_range_self_join")(spark, d))
+    // the equi-join must run on (user_id, bucket), not user_id alone —
+    // otherwise pair enumeration is quadratic in events-per-user
+    assert(p.contains("_bkt"), s"bucket column must appear in the plan:\n$p")
+    val joinLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("u1"))
+      .getOrElse("")
+    assert(joinLine.contains("_bkt"),
+      s"join condition must include the bucket key:\n$joinLine\n$p")
+  }
+
   test("q24: global top-k avoids a full sort (TakeOrderedAndProject)") {
     val p = plan(RelationalQueries.defs("q24_global_topk")(spark, d))
     assert(p.contains("TakeOrderedAndProject"),

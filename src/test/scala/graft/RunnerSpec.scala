@@ -102,6 +102,41 @@ class RunnerSpec extends SparkSpec {
     assert(math.abs(f(0).getAs[Double]("VOLUME") - 100.0) < 1e-9, "m=0 row only")
   }
 
+  test("row quarantine: malformed CSV rows drop and are counted, good rows survive") {
+    import org.apache.spark.sql.types._
+    val work = Files.createTempDirectory("graft_rowquar")
+    // 5 good rows + 2 value-corrupt rows under the DECLARED ingestion
+    // schema — the reference contract (extractor.py:56-59) is that a dirty
+    // file never fails the batch; the scale note demands the bad ROWS drop
+    // instead of the whole file
+    val sb = new StringBuilder("timestamp,open,close\n")
+    for (m <- 0 until 5)
+      sb.append(f"2024-01-01 00:0$m:00,1.1$m,1.2$m\n")
+    sb.append("2024-01-01 00:05:00,boom,1.25\n")
+    sb.append("2024-01-01 00:06:00,1.16,also-not-a-price\n")
+    val p = work.resolve("mixed.csv")
+    Files.writeString(p, sb.toString)
+
+    val declared = StructType(Seq(
+      StructField("timestamp", TimestampType),
+      StructField("open", DoubleType), StructField("close", DoubleType)))
+    val r = graft.sources.Readers.readCsv(spark, p.toString, Some(declared))
+    assert(r.meta("corrupt_rows") == 2L, s"meta: ${r.meta}")
+    assert(r.df.count() == 5)
+    // surviving rows keep typed columns and in-file order; any downstream
+    // query shape is legal (no corrupt column in the plan)
+    val rows = r.df.orderBy(graft.sources.Readers.FileOrderCol).collect()
+    assert(rows.length == 5)
+    assert(math.abs(rows(0).getAs[Double]("open") - 1.10) < 1e-9)
+    assert(math.abs(rows(4).getAs[Double]("close") - 1.24) < 1e-9)
+
+    // inferred-schema path: the dirty column widens to string (pandas
+    // to_numeric-coerce parity downstream), nothing quarantines
+    val inferred = graft.sources.Readers.readCsv(spark, p.toString)
+    assert(inferred.meta("corrupt_rows") == 0L)
+    assert(inferred.df.count() == 7)
+  }
+
   test("quarantine: a corrupt file is skipped, not fatal") {
     val work = Files.createTempDirectory("graft_quar")
     val raw = Files.createDirectories(work.resolve("raw"))
