@@ -73,11 +73,13 @@ object Bench {
     val outDir = Files.createTempDirectory("graft_bench").toString
     val cfg = GraftConfig(timeframes = Seq("1T", "5T", "15T", "1H"))
 
-    // warmup: run the identical pipeline shape at tiny size so whole-stage
+    // warmup: run the identical pipeline shape at 5% size so whole-stage
     // codegen compilation and JIT happen outside the timed window (the
     // baseline's "excluding one-time startup" provision — generated-class
-    // caches hit on the real run because the plan shapes are identical)
-    val warm = genOhlcv(spark, 2000).cache()
+    // caches hit on the real run because the plan shapes are identical;
+    // a too-small warmup leaves AQE on different plan shapes and the first
+    // timed run pays multi-second codegen)
+    val warm = genOhlcv(spark, math.max(2000L, gridRows / 20)).cache()
     warm.count()
     for (mode <- Seq("faithful", "correct"))
       Runner.processDataFrame(spark, warm, cfg.copy(resampleMode = mode),
