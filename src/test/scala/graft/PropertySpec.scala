@@ -100,6 +100,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cross-partition repair equals contained repair on random fixtures") {
+    import org.apache.spark.sql.functions.col
+    // random series: random subsets of a 600-min grid, random null runs in
+    // both fill classes, random partition counts — the seeded cross-
+    // partition scan must be indistinguishable from the contained one
+    val gen = for {
+      keep <- Gen.listOfN(400, Gen.chooseNum(0, 599)).map(_.distinct.sorted)
+      nullEvery <- Gen.chooseNum(3, 17)
+      parts <- Gen.chooseNum(2, 23)
+    } yield (keep, nullEvery, parts)
+    for (((keep, nullEvery, parts), i) <- samples(gen, 4).zipWithIndex) {
+      if (keep.length >= 2) {
+        val rows = keep.map { m =>
+          val close: java.lang.Double =
+            if (m % nullEvery == 0) null else 100.0 + m
+          val vol: java.lang.Double =
+            if (m % (nullEvery + 2) == 0) null else 10.0 + m
+          ("S", ts(m), close, vol)
+        }
+        val df = rows.toDF("SYMBOL", "TIMESTAMP", "CLOSE", "VOLUME").cache()
+        df.count()
+        val ref = Gaps.repairGaps(df, "1T", useFfillFor = Seq("VOLUME"),
+          partitionCols = Seq("SYMBOL"), computeReport = false).df
+          .orderBy("TIMESTAMP").collect()
+        val laid = df
+          .repartitionByRange(parts, col("SYMBOL"), col("TIMESTAMP"))
+          .sortWithinPartitions(col("SYMBOL"), col("TIMESTAMP"))
+          .cache()
+        laid.count()
+        val got = Gaps.repairGaps(laid, "1T", useFfillFor = Seq("VOLUME"),
+          partitionCols = Seq("SYMBOL"), computeReport = false,
+          assumeSorted = true, crossPartition = true).df
+          .orderBy("TIMESTAMP").collect()
+        assert(got.map(_.toString).toSeq == ref.map(_.toString).toSeq,
+          s"case $i (parts=$parts nullEvery=$nullEvery n=${keep.length})")
+        laid.unpersist(); df.unpersist()
+      }
+    }
+  }
+
   test("dedup keep-first is idempotent") {
     val gen = Gen.listOfN(20, Gen.chooseNum(0, 9))
     for (minutes <- samples(gen, 5)) {
