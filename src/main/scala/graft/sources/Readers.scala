@@ -121,6 +121,42 @@ object Readers {
     }
   }
 
+  /** File-provenance column added by [[loadGlob]]. */
+  val SourceFileCol = "_source_file"
+
+  /** O1 at 100 TB: ONE `spark.read` over the whole drop directory instead
+    * of a driver-side per-file loop — a million-file listing never
+    * serializes through driver `listFiles`, splits parallelize across the
+    * cluster, and small files coalesce per `maxPartitionBytes`. Provenance
+    * rides as a `_source_file` column (`input_file_name`), so per-file
+    * lineage/reporting becomes a groupBy instead of a loop. In-file order
+    * capture is unchanged (`monotonically_increasing_id` at scan time,
+    * ascending within every file — dedup keep-first semantics hold per
+    * file).
+    *
+    * For CSV, pass the declared ingestion `schema` (one scan cannot
+    * reconcile heterogeneous headers — heterogeneous drops stay on
+    * `loadAll`, the reference-parity per-file surface) and malformed rows
+    * drop at the source (DROPMALFORMED, same row-quarantine contract as
+    * `readCsv` — count them by comparing against a PERMISSIVE count when
+    * the audit needs the number).
+    */
+  def loadGlob(spark: SparkSession, path: String, format: String = "csv",
+               schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val base = format match {
+      case "csv" =>
+        val r = spark.read.option("header", "true").option("mode", "DROPMALFORMED")
+        schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+      case "parquet" => spark.read.parquet(path)
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported glob format: $other")
+    }
+    base
+      .withColumn(SourceFileCol, input_file_name())
+      .withColumn(FileOrderCol, monotonically_increasing_id())
+  }
+
   /** Directory scan + dispatch with per-file quarantine (O1). */
   final case class ScanResult(loaded: Seq[ReadResult], quarantined: Seq[(String, String)])
 

@@ -51,6 +51,22 @@ object StreamingOps {
         aggs.map { case (n, _) => col(n) }: _*)
   }
 
+  /** Streaming dedup — the O8 keep-first analog for live feeds: duplicate
+    * (SYMBOL, TIMESTAMP) ticks within the watermark horizon are dropped
+    * (the first arrival wins, which is exactly batch keep-first-in-file-
+    * order when arrival order stands in for file order). State = one entry
+    * per distinct key inside the horizon, expired BY the watermark —
+    * `dropDuplicatesWithinWatermark` bounds state where a bare
+    * `dropDuplicates` on a stream would retain every key forever (the
+    * unbounded-state trap at 100 TB/day feeds).
+    */
+  def streamingDedup(stream: DataFrame, delay: String = "1 minute",
+                     tsCol: String = "TIMESTAMP",
+                     symbolCol: String = "SYMBOL"): DataFrame =
+    stream
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(symbolCol, tsCol)
+
   final case class Tick(symbol: String, ts: Timestamp, close: Double)
   final case class GapEvent(symbol: String, start: Timestamp, end: Timestamp,
                             missingCount: Long)

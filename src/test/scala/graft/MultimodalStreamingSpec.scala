@@ -73,6 +73,27 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(b0.getAs[Double]("VOLUME") == 500.0)
   }
 
+  test("streaming dedup: duplicate ticks within the watermark drop, first wins") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double, String)]
+    val stream = mem.toDF().toDF("TIMESTAMP", "CLOSE", "SYMBOL")
+    val deduped = StreamingOps.streamingDedup(stream)
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    def ts(min: Int) = Timestamp.from(Instant.parse(f"2024-01-01T00:$min%02d:00Z"))
+    mem.addData((ts(0), 1.0, "EURUSD"), (ts(1), 1.1, "EURUSD"))
+    q.processAllAvailable()
+    // same stamps again (a feed replay) + a fresh stamp
+    mem.addData((ts(0), 9.9, "EURUSD"), (ts(1), 8.8, "EURUSD"),
+      (ts(2), 1.2, "EURUSD"))
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").orderBy("TIMESTAMP").collect()
+    q.stop()
+    assert(out.length == 3, s"3 distinct stamps, got ${out.length}")
+    assert(out(0).getAs[Double]("CLOSE") == 1.0, "first arrival wins")
+    assert(out(1).getAs[Double]("CLOSE") == 1.1)
+  }
+
   test("streaming gap detect: keyed state emits gap events") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[StreamingOps.Tick]

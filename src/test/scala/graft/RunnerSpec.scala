@@ -137,6 +137,32 @@ class RunnerSpec extends SparkSpec {
     assert(inferred.df.count() == 7)
   }
 
+  test("glob ingestion: one scan over a drop directory with file provenance") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val work = Files.createTempDirectory("graft_glob")
+    val raw = Files.createDirectories(work.resolve("raw"))
+    for (f <- Seq("a", "b")) {
+      val sb = new StringBuilder("timestamp,close\n")
+      for (m <- 0 until 4)
+        sb.append(f"2024-01-0${if (f == "a") 1 else 2} 00:0$m:00,1.$m$m\n")
+      Files.writeString(raw.resolve(s"$f.csv"), sb.toString)
+    }
+    val declared = StructType(Seq(
+      StructField("timestamp", TimestampType), StructField("close", DoubleType)))
+    val df = graft.sources.Readers.loadGlob(spark, raw.toString,
+      schema = Some(declared))
+    assert(df.count() == 8)
+    val perFile = df.groupBy(graft.sources.Readers.SourceFileCol).count()
+      .collect().map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+    assert(perFile == Map("a.csv" -> 4L, "b.csv" -> 4L))
+    // in-file order: ids ascend within each file
+    val orders = df.filter(col(graft.sources.Readers.SourceFileCol).endsWith("a.csv"))
+      .orderBy("timestamp")
+      .select(graft.sources.Readers.FileOrderCol).collect().map(_.getLong(0))
+    assert(orders.toSeq == orders.sorted.toSeq)
+  }
+
   test("quarantine: a corrupt file is skipped, not fatal") {
     val work = Files.createTempDirectory("graft_quar")
     val raw = Files.createDirectories(work.resolve("raw"))
