@@ -21,12 +21,6 @@ object Dedup {
 
   private val P: Long = 2147483647L // 2^31 - 1, Mersenne prime
 
-  /** Universal-hash parameters (a, b) for the minhash family, fixed seed. */
-  private def hashParams(n: Int): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(n)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
-      rnd.nextInt(Int.MaxValue).toLong))
-  }
 
   /** Exact dedup: keep the smallest `idCol` row per distinct content hash.
     * One shuffle on the 16-byte hash — never on the full text.
@@ -72,30 +66,20 @@ object Dedup {
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleSize: Int): DataFrame = {
-    val params = hashParams(numHashes)
-    val n = shingleSize
+    // One fused codegen loop per document (plans.MinHashSignature): word
+    // hashes → rolling-polynomial shingle hashes → all `numHashes` mins,
+    // NARROW (no shingle explosion, no groupBy shuffle). Signatures are
+    // bit-identical to the explode + min-aggregate formulation this
+    // replaced — same seed-fixed family (MinHashSignature.params), same
+    // per-step mod — whose
+    // shape notes live in git history; at corpus scale the explode form
+    // shuffled ~tokens×docs rows where this streams one row per doc.
+    graft.plans.GraftExtensions.register(df.sparkSession)
     val toks = split(trim(lower(col(textCol))), "\\s+")
-    val withWh = df.select(col(idCol).as("id"),
-      transform(toks, t => pmod(xxhash64(t), lit(P))).as("wh"))
-    val exploded = withWh.select(col("id"), col("wh"),
-      explode(sequence(lit(1), greatest(size(col("wh")) - n + 1, lit(1))))
-        .as("i"))
-    val rolled = (0 until n).foldLeft(lit(7L): Column)((acc, k) =>
-      pmod(acc * 31L + element_at(col("wh"), col("i") + k), lit(P)))
-    // short documents (fewer tokens than the shingle width) contribute one
-    // shingle folding the whole token list — same value the windowed
-    // polynomial gives when the window covers everything
-    val whole = aggregate(col("wh"), lit(7L),
-      (acc, h) => pmod(acc * 31L + h, lit(P)))
-    val hashed = exploded.select(col("id"),
-      when(size(col("wh")) < n, whole).otherwise(rolled).as("h"))
-    val mins = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(P))).as(s"_mh_$i")
-    }
-    hashed.groupBy(col("id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(i => col(s"_mh_$i")): _*).as("minhash"))
+    df.select(col(idCol).as("id"),
+      call_function("minhash_sig",
+        transform(toks, t => pmod(xxhash64(t), lit(P))),
+        lit(numHashes), lit(shingleSize)).as("minhash"))
   }
 
   /** Signatures plus banded bucket hashes: (`id`, `minhash`, `bands`). */

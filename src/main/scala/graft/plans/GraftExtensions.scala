@@ -57,9 +57,27 @@ object GraftExtensions {
       TzLocalizeExpr(Cast(children.head, TimestampType), zone)
     })
 
+  private[plans] val minhashSigDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "minhash_sig(wordHashes, numHashes, shingleSize)")
+      def lit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig $what must be an integer literal, got $other")
+      }
+      MinHashSignature(children.head,
+        lit(children(1), "numHashes"), lit(children(2), "shingleSize"))
+    })
+
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit = {
-    for ((id, info, builder) <- Seq(cosineSimDescriptor, tzLocalizeDescriptor))
+    for ((id, info, builder) <- Seq(cosineSimDescriptor, tzLocalizeDescriptor,
+        minhashSigDescriptor))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }
