@@ -169,12 +169,20 @@ object ExtensionQueries {
       // at true j=0.5 the 64-position estimate sits 2.6σ above 0.35 (and
       // the corpus has no pairs between 0.2 and 0.7 at all), so no true
       // pair is lost while false band collisions skip the exact verify
+      // cached: the candidate set (a few hundred rows) feeds both the id
+      // restriction and the verify join — without it the whole LSH chain
+      // would execute twice
       val cand = Dedup.minHashLshPairs(docs, idCol = "doc_id",
         textCol = "text", numHashes = 64, bands = 16, shingleSize = 3,
-        threshold = 0.35, maxBucketSize = 100000)
-      // shingle each doc ONCE; the per-pair verify is then two array ops
-      val sh = docs.select(col("doc_id"),
-        array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+        threshold = 0.35, maxBucketSize = 100000).cache()
+      // shingle ONLY the docs that appear in a candidate pair (broadcast
+      // semi-join on the tiny id set) — shingling the full corpus for a
+      // candidate list 20× smaller was the query's dominant stage
+      val candIds = cand.select(col("id_a").as("doc_id"))
+        .union(cand.select(col("id_b").as("doc_id"))).distinct()
+      val sh = docs.join(broadcast(candIds), "doc_id")
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
       val jac = size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
         size(array_union(col("_sa"), col("_sb")))
       cand
