@@ -101,6 +101,12 @@ object Bench {
     var gcPerRun = Vector.empty[Long]
     var heapHighWater = 0L
     def timedRun(mode: String): Double = {
+      // between runs, outside the timed window: a full GC lets Spark's
+      // ContextCleaner reclaim the previous run's shuffle files from the
+      // RAM-backed /dev/shm scratch — without it the runs slow down
+      // monotonically as tmpfs pages compete with the executor heap
+      System.gc()
+      Thread.sleep(200)
       val dir = Files.createTempDirectory(s"graft_bench_$mode").toString
       val g0 = gcMillis()
       val t0 = System.nanoTime()
@@ -125,9 +131,12 @@ object Bench {
     require(result.errors.isEmpty,
       s"pipeline errors: ${result.errors.mkString("; ")}")
     require(result.exports.length == 4, "four timeframe exports expected")
+    // median of 5: the sandbox host has multi-second tenancy jitter and a
+    // 3-run median still moves ±25% between invocations; 5 runs cost ~20 s
+    // and pin the median to the quiet-machine value
     val faithfulRuns =
-      (Seq(firstSec) ++ Seq.fill(2)(timedRun("faithful"))).sorted
-    val pipelineSec = faithfulRuns(1) // median of 3
+      (Seq(firstSec) ++ Seq.fill(4)(timedRun("faithful"))).sorted
+    val pipelineSec = faithfulRuns(2) // median of 5
 
     // the engine's default mode (one base-rule repair + true aggregation —
     // the 100 TB path) timed separately for the record

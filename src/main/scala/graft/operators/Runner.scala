@@ -215,6 +215,13 @@ object Runner {
         val res = Resample.resampleOhlc(src, tf,
           partitionCols = seriesKeys,
           inputOnBucketGrid = onGrid).cache()
+        // materialize before the export fires its three concurrent actions
+        // (validate agg, write, hash head): racing the FIRST computation of
+        // a cached shuffle serializes the jobs on the cache's partition
+        // locks — one cheap count turns all three into hot-cache reads.
+        // In correct mode this is the resample's only full computation; in
+        // faithful mode res is a projection of the counted repair cache.
+        timed(s"resample_$tf")(res.count())
         val name = s"${baseName}_${Rules.suffix(tf)}"
         val path = s"$outDir/$name.parquet"
         val report = timed(s"export_$tf")(
