@@ -23,6 +23,13 @@ object Reporting {
 
   val TsCol: String = Normalize.TsCol
 
+  /** Above this row count the CLOSE median switches from the built-in
+    * `median()` aggregate (merge state grows with distinct values) to
+    * ExactMedian's bounded histogram selection. Same exact value either
+    * way — proven by ExactMedianSpec.
+    */
+  val ExactMedianRowThreshold: Long = 50_000_000L
+
   /** `knownDistinctTs`: callers holding a frame whose timestamps are
     * distinct by construction (anything post-dedup) can skip the
     * countDistinct expand — the reported value is identically 0.
@@ -42,7 +49,12 @@ object Reporting {
                           * SMA runs as a seeded parallel scan instead of a
                           * per-key window (which would re-serialize a hot
                           * symbol through one task) */
-                        layoutSorted: Boolean = false): ListMap[String, Any] = {
+                        layoutSorted: Boolean = false,
+                        /** row count the caller already holds (e.g. the
+                          * Runner's cache-materialization count) — lets the
+                          * CLOSE-median path pick its implementation without
+                          * an extra count job */
+                        knownRows: Option[Long] = None): ListMap[String, Any] = {
 
     val cols = df.columns.filterNot(_ == Readers.FileOrderCol).toSeq
     val dataCols = cols.filterNot(_ == TsCol)
@@ -63,15 +75,26 @@ object Reporting {
       aggs :+= avg(rng).as("_mean_range")
       aggs :+= max(rng).as("_max_range")
     }
-    // exact median via the median() aggregate: partial-aggregated value
-    // counts, never a whole-series buffer on one task (the previous
-    // in-scan sort-for-median buffered every CLOSE value in task heap —
-    // unbounded for a multi-year single series)
+    // exact CLOSE median, two implementations sharing the one agg pass:
+    //  - below ExactMedianRowThreshold: the median() aggregate —
+    //    partial-aggregated value counts merged on one reducer; fine while
+    //    the distinct-value map stays small
+    //  - above it: ExactMedian's histogram selection — median() merges
+    //    EVERY distinct value through one reducer (unbounded state on a
+    //    100 TB column), so large frames splice count/min/finite-max/NaN
+    //    stats into this same agg and locate the middle ranks with
+    //    fixed-size follow-up jobs
+    val useExactMedian = hasClose &&
+      knownRows.exists(_ > ExactMedianRowThreshold)
     if (hasClose) {
       aggs :+= min(col("CLOSE")).as("_cmin")
       aggs :+= max(col("CLOSE")).as("_cmax")
-      aggs :+= median(col("CLOSE")).as("_cmed")
       aggs :+= count(col("CLOSE")).as("_cn")
+      if (useExactMedian) {
+        val cd = col("CLOSE").cast("double")
+        aggs :+= max(when(isnan(cd), lit(null)).otherwise(cd)).as("_cmaxf")
+        aggs :+= sum(when(isnan(cd), 1L).otherwise(0L)).as("_cnan")
+      } else aggs :+= median(col("CLOSE")).as("_cmed")
     }
     val t0 = System.nanoTime()
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -103,7 +126,13 @@ object Reporting {
     if (hasClose && r.getAs[Long]("_cn") > 0) {
       val cmin = r.getAs[Double]("_cmin")
       val cmax = r.getAs[Double]("_cmax")
-      val cmed = r.getAs[Double]("_cmed")
+      val cmed =
+        if (useExactMedian)
+          graft.functions.ExactMedian.median(df, "CLOSE",
+            n = r.getAs[Long]("_cn"), lo = cmin,
+            hiFinite = opt[Double]("_cmaxf").getOrElse(Double.NaN),
+            nNaN = r.getAs[Long]("_cnan")).getOrElse(Double.NaN)
+        else r.getAs[Double]("_cmed")
       val ratios =
         if (cmed != 0.0) Some((cmax / cmed, cmin / cmed)) else None
       val suspicious = ratios.exists { case (rx, rn) => rx > 100 || rn < 0.01 }

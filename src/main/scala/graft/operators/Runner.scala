@@ -153,7 +153,8 @@ object Runner {
     val qualityF: Future[ListMap[String, Any]] =
       if (computeReports) Future(timed("quality_report")(
         Reporting.dataQualityReport(ndf, partitionCols = seriesKeys,
-          knownDistinctTs = true, layoutSorted = true)))
+          knownDistinctTs = true, layoutSorted = true,
+          knownRows = Some(postRows))))
       else Future.successful(ListMap.empty[String, Any])
     // Resample mode (O26 `resampleMode`, SURVEY §7.3). "correct" (default):
     // ONE gap repair at the finest configured rule, then every timeframe is
