@@ -169,12 +169,15 @@ object ExtensionQueries {
       // at true j=0.5 the 64-position estimate sits 2.6σ above 0.35 (and
       // the corpus has no pairs between 0.2 and 0.7 at all), so no true
       // pair is lost while false band collisions skip the exact verify
-      // cached: the candidate set (a few hundred rows) feeds both the id
-      // restriction and the verify join — without it the whole LSH chain
-      // would execute twice
+      // cached AND materialized before the fan-out: the candidate set (a
+      // few hundred rows) feeds both the id restriction and the verify
+      // join. Lazy caching is not enough — the candIds broadcast thread
+      // and the probe-side scan race to fill the cache and each computes
+      // the whole LSH chain; the eager count() runs it exactly once
       val cand = Dedup.minHashLshPairs(docs, idCol = "doc_id",
         textCol = "text", numHashes = 64, bands = 16, shingleSize = 3,
         threshold = 0.35, maxBucketSize = 100000).cache()
+      cand.count()
       // shingle ONLY the docs that appear in a candidate pair (broadcast
       // semi-join on the tiny id set) — shingling the full corpus for a
       // candidate list 20× smaller was the query's dominant stage
