@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
 import org.apache.spark.sql.functions._
@@ -9,12 +10,24 @@ import org.apache.spark.sql.types._
   * `rightTs <= leftTs` within the same key (the Q12 semantic — "latest
   * order at-or-before each event, per user").
   *
-  * Shape: tag both sides, union, repartition by key, sort within partitions
-  * by (key, ts, side), then one forward scan carrying the last-seen right
+  * Shape: tag both sides, union, partition, sort within partitions by
+  * (key, ts, side), then one forward scan carrying the last-seen right
   * row. ONE shuffle of combined size — no range-join explosion, no
   * per-row subquery. This is the standard distributed as-of algorithm
-  * (merge-scan over co-partitioned sorted runs); skewed keys shard
-  * naturally because state per key is a single row.
+  * (merge-scan over co-partitioned sorted runs). Per-key STATE is one
+  * row, but the default hash layout still scans one key's entire
+  * timeline through a single task — a straggler ceiling for a hot key.
+  *
+  * `crossPartition = true` removes that ceiling with FastFill's range
+  * layout + boundary seeds (`FastFill.scala` — the same technique, much
+  * smaller state): the unified stream is RANGE-partitioned on (key, ts,
+  * side) so a hot key spans consecutive partitions, and a fixed-size
+  * seed job supplies each partition with the latest right-side row from
+  * earlier partitions of its first key. The layout is pinned with an
+  * eager `localCheckpoint` so the seed pass and the scan observe ONE
+  * partitioning (uncached range exchanges re-sample bounds per job).
+  * Driver/seed memory is O(partitions × keys-per-boundary), never
+  * row-shaped data.
   *
   * The decorrelated join+regroup form (RelationalQueries q12) is kept for
   * the oracle gate; this operator is the 100 TB path.
@@ -27,11 +40,15 @@ object AsofJoin {
     * @param leftTs   event-time column on the left
     * @param rightTs  event-time column on the right
     * @param pickCols right-side columns to attach (null when no match)
+    * @param crossPartition range-partition on (key, ts) with boundary
+    *                 seeds so one hot key's timeline parallelizes across
+    *                 tasks; the default hash layout scans each key in one
+    *                 task (fine when no key dominates a partition)
     */
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            leftTs: String, rightTs: String,
-           pickCols: Seq[String]): DataFrame = {
-    val spark = left.sparkSession
+           pickCols: Seq[String],
+           crossPartition: Boolean = false): DataFrame = {
     val leftFields = left.schema.fields.toSeq
     val outSchema = StructType(
       leftFields.map(_.copy(nullable = true)) ++
@@ -60,19 +77,40 @@ object AsofJoin {
         lit(null).cast(unionSchema("_left").dataType).as("_left"),
         struct(pickCols.map(col): _*).as("_right")): _*)
 
-    val combined = l.unionByName(r)
-      .repartition(keyCols.map(col): _*)
-      .sortWithinPartitions(
-        (keyCols.map(col) :+ col("_ts") :+ col("_side")): _*)
+    val sortCols = (keyCols.map(col) :+ col("_ts") :+ col("_side"))
+    val unioned = l.unionByName(r)
+    val combined =
+      if (!crossPartition)
+        unioned.repartition(keyCols.map(col): _*)
+          .sortWithinPartitions(sortCols: _*)
+      else
+        // eager localCheckpoint PINS the sampled range bounds: every
+        // downstream job (the seed pass, the scan) reads these exact
+        // materialized partitions instead of re-executing the exchange
+        unioned.repartitionByRange(sortCols: _*)
+          .sortWithinPartitions(sortCols: _*)
+          .localCheckpoint()
 
     val kIdx = keyCols.indices.toArray
     val n = keyCols.length
+
+    // per-partition carry-in: key of the partition's FIRST run -> latest
+    // right row for that key in EARLIER partitions (range layout only)
+    val seeds: Map[(Int, List[Any]), Row] =
+      if (crossPartition) buildSeeds(combined, n) else Map.empty
+
     combined.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
       var curKey: Seq[Any] = null
       var lastRight: Row = null
       it.flatMap { row =>
         val key = kIdx.map(row.get(_)).toSeq
-        if (key != curKey) { curKey = key; lastRight = null }
+        if (key != curKey) {
+          curKey = key
+          lastRight =
+            if (seeds.isEmpty) null
+            else seeds.getOrElse((pid, key.toList), null)
+        }
         if (row.getInt(n + 1) == 0) { // right side: update state
           lastRight = row.getStruct(n + 3)
           Iterator.empty
@@ -86,5 +124,47 @@ object AsofJoin {
         }
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** One fixed-size metadata job over the pinned layout + a driver prefix
+    * fold: each partition emits one row per key-run — (pid, key, last
+    * right payload in the run, or null) — and the driver walks each key's
+    * runs in partition order so partition p's carry-in is the latest
+    * right row any earlier partition saw. Mirrors `FastFill.buildSeeds`
+    * with single-row state.
+    */
+  private def buildSeeds(combined: DataFrame, n: Int)
+      : Map[(Int, List[Any]), Row] = {
+    val schema = combined.schema
+    val kIdx = (0 until n).toArray
+    val sumSchema = StructType(
+      StructField("_pid", IntegerType, nullable = false) +:
+        (schema.fields.take(n) :+ schema.fields(n + 3)))
+    val runs = combined.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val acc = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var key: List[Any] = null
+      var lastRight: Row = null
+      def flush(): Unit = if (key != null)
+        acc += Row.fromSeq(pid +: key :+ lastRight)
+      while (it.hasNext) {
+        val row = it.next()
+        val k = kIdx.map(row.get(_)).toList
+        if (k != key) { flush(); key = k; lastRight = null }
+        if (row.getInt(n + 1) == 0) lastRight = row.getStruct(n + 3)
+      }
+      flush()
+      acc.iterator
+    }(Encoders.row(sumSchema)).collect()
+
+    val seeds = scala.collection.mutable.Map.empty[(Int, List[Any]), Row]
+    for ((key, rows0) <- runs.groupBy(r => (1 to n).map(r.get).toList)) {
+      var carry: Row = null
+      for (r <- rows0.sortBy(_.getInt(0))) {
+        if (carry != null) seeds((r.getInt(0), key)) = carry
+        if (!r.isNullAt(n + 1)) carry = r.getStruct(n + 1)
+      }
+    }
+    seeds.toMap
   }
 }

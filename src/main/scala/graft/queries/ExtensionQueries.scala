@@ -222,16 +222,17 @@ object ExtensionQueries {
         .limit(50)
     },
 
-    // The distributed as-of OPERATOR (tag-union + co-partitioned merge
-    // scan — AsofJoin scaladoc), checked against the same correlated-
-    // subquery oracle as q12: identical semantics, one-shuffle plan.
+    // The distributed as-of OPERATOR (tag-union + merge scan — AsofJoin
+    // scaladoc) in its hot-key-proof range layout (crossPartition), checked
+    // against the same correlated-subquery oracle as q12: identical
+    // semantics, one-shuffle plan, and no per-key straggler ceiling.
     "q44_asof_operator" -> { (s, d) =>
       val events = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("ts"))
       val orders = Tables.orders(s, d)
         .select(col("o_custkey").as("user_id"), col("o_orderdate"))
       graft.operators.AsofJoin.asof(events, orders, Seq("user_id"),
-          "ts", "o_orderdate", Seq("o_orderdate"))
+          "ts", "o_orderdate", Seq("o_orderdate"), crossPartition = true)
         .select(col("event_id"),
           col("asof_o_orderdate").cast("timestamp_ntz").as("asof_order"))
         .orderBy("event_id")

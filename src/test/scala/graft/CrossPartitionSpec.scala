@@ -133,4 +133,50 @@ class CrossPartitionSpec extends SparkSpec {
       .select("SYMBOL", "TIMESTAMP").distinct().count()
     assert(n == distinctStamps)
   }
+
+  test("cross-partition as-of join matches the hash layout on a hot key") {
+    import graft.operators.AsofJoin
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // one hot key (u=1) with 3000 events + sparse quotes, two cold keys;
+    // quote gaps engineered so several range-partition boundaries fall
+    // inside quote-less stretches (the carry seed must cross them)
+    val events = (
+      (0 until 3000).map(i => (1L, ts(t0 + i * 60000000L), s"h$i")) ++
+      (0 until 40).map(i => (2L, ts(t0 + i * 3600000000L), s"c$i")) ++
+      Seq((3L, ts(t0), "lonely"))
+    ).toDF("user_id", "ts", "name")
+    val quotes = (
+      // hot key: quotes only every ~500 events, none in the last third
+      (0 until 4).map(i => (1L, ts(t0 + i * 500L * 60000000L + 30000000L),
+        100.0 + i)) ++
+      (0 until 40 by 7).map(i => (2L, ts(t0 + i * 3600000000L), 900.0 + i))
+    ).toDF("user_id", "qts", "price")
+
+    val hash = AsofJoin.asof(events, quotes, Seq("user_id"),
+      "ts", "qts", Seq("price"))
+    // AQE would coalesce this KB-sized fixture's range shuffle into one
+    // partition (size-based — the right call in production, useless for a
+    // boundary test); pin it off while the eager checkpoint materializes
+    val adaptive = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val range =
+      try AsofJoin.asof(events, quotes, Seq("user_id"),
+        "ts", "qts", Seq("price"), crossPartition = true)
+      finally spark.conf.set("spark.sql.adaptive.enabled", adaptive)
+
+    // the range layout must actually split the hot key across tasks —
+    // otherwise this test proves nothing
+    val spread = range.filter($"user_id" === 1L)
+      .select(expr("spark_partition_id()").as("p")).distinct().count()
+    assert(spread > 1, s"hot key confined to $spread partition(s)")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id", "ts", "name").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+          Option(r.get(r.fieldIndex("asof_price")))))
+    assert(canon(range).sameElements(canon(hash)),
+      "range-partitioned scan must equal the single-task-per-key scan")
+  }
 }
