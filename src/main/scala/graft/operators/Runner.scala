@@ -267,12 +267,16 @@ object Runner {
                dryRun: Boolean = true): Seq[RunResult] = {
     val scan = Readers.loadAll(spark, cfg.rawPath)
     scan.loaded.map { r =>
-      if (dryRun)
-        RunResult(inferSymbol(r.df, r.filename), ListMap.empty,
-          ListMap.empty, Nil, Nil)
-      else
-        processDataFrame(spark, r.df, cfg, cfg.sourceTzDefault,
-          r.filename, cfg.processedPath)
+      try
+        if (dryRun)
+          RunResult(inferSymbol(r.df, r.filename), ListMap.empty,
+            ListMap.empty, Nil, Nil)
+        else
+          processDataFrame(spark, r.df, cfg, cfg.sourceTzDefault,
+            r.filename, cfg.processedPath)
+      // the pipeline materialized (and cached) everything it derives from
+      // the source frame — the read-time parse cache can go
+      finally r.release()
     }
   }
 }

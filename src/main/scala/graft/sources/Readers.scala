@@ -31,7 +31,14 @@ object Readers {
     else throw new IllegalArgumentException(s"Unsupported file type: $path")
   }
 
-  final case class ReadResult(df: DataFrame, meta: ListMap[String, Any], filename: String)
+  /** `release()` drops the read-time cache (CSV corrupt scan) once the
+    * consumer has materialized its derived frame; later actions recompute
+    * from the file with identical semantics (the quarantine filter is in
+    * the plan), just without the cache.
+    */
+  final case class ReadResult(df: DataFrame, meta: ListMap[String, Any],
+                              filename: String,
+                              release: () => Unit = () => ())
 
   /** CSV source with ROW-level quarantine (the O1 scale note): rows that
     * fail the schema are counted into the read metadata (`corrupt_rows`)
@@ -50,18 +57,21 @@ object Readers {
     * File-level quarantine (unreadable/unsupported files,
     * extractor.py:56-59) stays in `loadAll`.
     *
-    * The corrupt count is eager (the reference reads eagerly too) and runs
-    * on a transient PERMISSIVE+corrupt-column scan — referencing the
-    * corrupt column is what forces the parser to convert every field
-    * (column pruning would otherwise skip conversion and miss the bad
-    * rows), and the transient cache satisfies Spark's corrupt-column-only
-    * query restriction. The RETURNED frame filters on the corrupt column
-    * behind an RDD barrier: the barrier references every field, so the
-    * row set is identical under any downstream projection (with plain
-    * DROPMALFORMED, pruning would silently re-admit a bad row whenever the
-    * dirty column wasn't selected) and bare `count()`-style queries stay
-    * legal. Pruning/pushdown into a CSV parse is worthless anyway — the
-    * line must be read and split regardless.
+    * The metadata counts are eager (the reference reads eagerly too) and
+    * ONE cached PERMISSIVE+corrupt-column scan serves everything: the
+    * cache build parses every field once (caching materializes whole rows,
+    * so the parser converts every column and populates the corrupt column
+    * regardless of downstream pruning — which also satisfies Spark's
+    * corrupt-column-only query restriction), the total and corrupt counts
+    * read it, and the RETURNED frame's first materialization reads it too
+    * — the caller drops it via `ReadResult.release()` afterwards. The
+    * returned frame filters on the corrupt column behind an RDD barrier:
+    * the barrier references every field, so the row set is identical under
+    * any downstream projection (with plain DROPMALFORMED, pruning would
+    * silently re-admit a bad row whenever the dirty column wasn't
+    * selected) and bare `count()`-style queries stay legal. Pruning/
+    * pushdown into a CSV parse is worthless anyway — the line must be read
+    * and split regardless.
     */
   def readCsv(spark: SparkSession, path: String,
               schema: Option[org.apache.spark.sql.types.StructType] = None)
@@ -80,24 +90,28 @@ object Readers {
         org.apache.spark.sql.types.StructField(CorruptCol, StringType)))
       .csv(path)
       .cache()
+    val totalRows = corruptScan.count() // fills the cache — the only parse
     val corruptRows = corruptScan.filter(col(CorruptCol).isNotNull).count()
-    corruptScan.unpersist()
     val clean = corruptScan.filter(col(CorruptCol).isNull).drop(CorruptCol)
     val df = spark
       .createDataFrame(clean.rdd, clean.schema) // projection-proof barrier
       .withColumn(FileOrderCol, monotonically_increasing_id())
     ReadResult(df,
-      meta(df, path, "csv") + ("corrupt_rows" -> corruptRows),
-      baseName(path))
+      meta(df, path, "csv", totalRows - corruptRows) +
+        ("corrupt_rows" -> corruptRows),
+      baseName(path),
+      release = () => corruptScan.unpersist())
   }
 
   /** Name of the transient PERMISSIVE corrupt-record column. */
   val CorruptCol = "_graft_corrupt_record"
 
   def readParquet(spark: SparkSession, path: String): ReadResult = {
-    val df = spark.read.parquet(path)
-      .withColumn(FileOrderCol, monotonically_increasing_id())
-    ReadResult(df, meta(df, path, "parquet"), baseName(path))
+    val base = spark.read.parquet(path)
+    // zero-column count: answered from footer row counts, no data pages
+    val rows = base.count()
+    val df = base.withColumn(FileOrderCol, monotonically_increasing_id())
+    ReadResult(df, meta(df, path, "parquet", rows), baseName(path))
   }
 
   def read(spark: SparkSession, path: String): ReadResult =
@@ -106,10 +120,16 @@ object Readers {
       case "parquet" => readParquet(spark, path)
     }
 
-  private def meta(df: DataFrame, path: String, format: String): ListMap[String, Any] =
+  /** Reader metadata; field set mirrors the reference's sidecar
+    * (csv_reader.py:29-35: rows/columns/path/status/type — `rows` is the
+    * CLEAN row count, the reference's `len(df)` after a successful read).
+    */
+  private def meta(df: DataFrame, path: String, format: String,
+                   rows: Long): ListMap[String, Any] =
     ListMap(
       "path" -> path,
       "format" -> format,
+      "rows" -> rows,
       "columns" -> df.columns.filterNot(_ == FileOrderCol).toSeq,
       "status" -> "ok")
 

@@ -122,6 +122,13 @@ class RunnerSpec extends SparkSpec {
       StructField("open", DoubleType), StructField("close", DoubleType)))
     val r = graft.sources.Readers.readCsv(spark, p.toString, Some(declared))
     assert(r.meta("corrupt_rows") == 2L, s"meta: ${r.meta}")
+    // sidecar parity with the reference reader metadata (csv_reader.py:
+    // 29-35): rows = clean count, plus path/format/columns/status
+    assert(r.meta("rows") == 5L, s"meta: ${r.meta}")
+    assert(Seq("path", "format", "rows", "columns", "status")
+      .forall(r.meta.contains), s"meta: ${r.meta}")
+    assert(r.df.count() == 5)
+    r.release() // post-materialization: recompute must be identical
     assert(r.df.count() == 5)
     // surviving rows keep typed columns and in-file order; any downstream
     // query shape is legal (no corrupt column in the plan)
@@ -134,7 +141,17 @@ class RunnerSpec extends SparkSpec {
     // to_numeric-coerce parity downstream), nothing quarantines
     val inferred = graft.sources.Readers.readCsv(spark, p.toString)
     assert(inferred.meta("corrupt_rows") == 0L)
+    assert(inferred.meta("rows") == 7L)
     assert(inferred.df.count() == 7)
+    inferred.release()
+
+    // O27 parity: pipeline activity lands in $LOG_DIR/etl.log (the
+    // classpath log4j2 config ships a rolling-file appender; LOG_DIR
+    // defaults to ./logs like the reference's utils/logger.py:11-27)
+    val logFile = new java.io.File(
+      sys.env.getOrElse("LOG_DIR", "logs"), "etl.log")
+    assert(logFile.isFile && logFile.length() > 0,
+      s"rolling log expected at $logFile")
   }
 
   test("glob ingestion: one scan over a drop directory with file provenance") {
