@@ -148,6 +148,26 @@ object Dedup {
     df.select(col(idCol), fp.as("simhash"))
   }
 
+  /** Oracle-parity SimHash variant: identical bit-vote semantics, but the
+    * per-token 64-bit hash derives from md5's hex digits (bit i = bit
+    * (i mod 4) of hex digit i/4), so an ANSI SQL engine can reproduce the
+    * fingerprint exactly (no xxhash64 outside Spark). `simHash` stays the
+    * scale default — one fused token hash versus 16 substring/conv
+    * evaluations here — this form exists to make the fingerprint operator
+    * hash-checkable against an external engine.
+    */
+  def simHashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hs = transform(split(trim(lower(col(textCol))), "\\s+"), t => md5(t))
+    val fp = (0 until 64).map { i =>
+      val vote = aggregate(hs, lit(0L), (acc, h) => {
+        val d = conv(substring(h, 1 + i / 4, 1), 16, 10).cast("long")
+        acc + (shiftright(d, i % 4).bitwiseAND(lit(1L)) * 2L - 1L)
+      })
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    df.select(col(idCol), fp.as("simhash"))
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

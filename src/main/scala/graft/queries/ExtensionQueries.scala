@@ -11,14 +11,14 @@ import org.apache.spark.sql.functions._
 /** Extension gate queries (SURVEY.md §2.5 + the LLM-data-pipeline operators):
   * exact/near dedup, similarity search, text analysis, JSON extraction.
   *
-  * Queries with a DuckDB-expressible oracle carry SQL in `sql`. Two remain
-  * rows-only BY CONSTRUCTION and are pinned by exact ScalaTest assertions
-  * instead: q42 (SimHash needs xxhash64, absent from DuckDB) and q46 (the
-  * payloads are binary media behind the codec seam). The sketch operators
-  * themselves are oracle-checked through forms whose output is provably
-  * exact: q41 verifies LSH candidates with exact n-gram Jaccard at a
-  * recall-1.0 threshold, q45 probes every IVF list so the top-k equals
-  * brute force.
+  * Queries with a DuckDB-expressible oracle carry SQL in `sql`. One remains
+  * rows-only BY CONSTRUCTION and is pinned by exact ScalaTest assertions
+  * instead: q46 (the payloads are binary media behind the codec seam). The
+  * sketch operators themselves are oracle-checked through forms whose
+  * output is provably exact: q41 verifies LSH candidates with exact n-gram
+  * Jaccard at a recall-1.0 threshold, q42 fingerprints with the md5-hex
+  * dual-form hash DuckDB can replay bit-for-bit, q45 probes every IVF list
+  * so the top-k equals brute force.
   */
 object ExtensionQueries {
 
@@ -196,9 +196,12 @@ object ExtensionQueries {
         .orderBy(col("jac").desc, col("id_a"), col("id_b"))
     },
 
-    // SimHash 64-bit fingerprints + hamming-near pairs.
+    // SimHash 64-bit fingerprints, md5-hex form so DuckDB reproduces the
+    // bits exactly (the xxhash64 scale form and the hamming-near-pair
+    // operator stay pinned in DedupSimilaritySpec).
     "q42_simhash" -> { (s, d) =>
-      Dedup.simHash(Tables.documents(s, d), idCol = "doc_id", textCol = "text")
+      Dedup.simHashMd5(Tables.documents(s, d), idCol = "doc_id",
+          textCol = "text")
         .filter(col("doc_id") <= 50)
         .orderBy("doc_id")
     },
@@ -332,6 +335,29 @@ object ExtensionQueries {
         |      / length(list_distinct(list_concat(a.ws, b.ws))) * 10000.0 + 0.5) / 10000.0 AS jac
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |ORDER BY jac DESC, da, db LIMIT 30""".stripMargin,
+
+    // mirrors Dedup.simHashMd5 bit-for-bit: token hash = md5 hex digits,
+    // bit i = bit (i%4) of digit i/4; vote>0 sets fingerprint bit i. The
+    // i=63 term is written as long-min (1L<<63 in two's complement).
+    "q42_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents WHERE doc_id <= 50),
+        |th AS (SELECT doc_id, md5(t) AS h FROM toks),
+        |votes AS (
+        |  SELECT th.doc_id, r.i,
+        |    SUM(2 * (((strpos('0123456789abcdef', substr(th.h, CAST(1 + r.i // 4 AS INTEGER), 1)) - 1)
+        |              >> CAST(r.i % 4 AS INTEGER)) & 1) - 1) AS v
+        |  FROM th CROSS JOIN range(64) AS r(i)
+        |  GROUP BY th.doc_id, r.i),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v > 0 THEN
+        |      (CASE WHEN i = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+        |            ELSE (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) END)
+        |      ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id)
+        |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
 
     "q44_asof_operator" ->
       """SELECT e.event_id,
