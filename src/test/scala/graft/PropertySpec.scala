@@ -196,4 +196,37 @@ class PropertySpec extends AnyFunSuite {
         s"est=$est truth=$truth")
     }
   }
+
+  test("cross-partition as-of join equals hash layout on random fixtures") {
+    // random key skew, duplicate stamps, keys with no right rows, right
+    // rows after every left row — the seed fold must be invisible
+    val caseGen = for {
+      nKeys <- Gen.chooseNum(1, 4)
+      hotLen <- Gen.chooseNum(50, 400)
+      nRight <- Gen.chooseNum(0, 30)
+    } yield (nKeys, hotLen, nRight)
+    val adaptive = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try for (((nKeys, hotLen, nRight), i) <- samples(caseGen, 4).zipWithIndex) {
+      val rnd = new scala.util.Random(77L + i)
+      val events = (0 until hotLen).map { j =>
+        val k = if (j % 3 == 0) 1L + rnd.nextInt(nKeys) else 1L // key 1 hot
+        (k, ts(rnd.nextInt(240)), j.toLong)
+      }.toDF("k", "ts", "eid")
+      // distinct (k, qts) pairs: two right rows on one stamp have no
+      // defined winner (sort ties), which would flake either layout
+      val quotes = (0 until nRight)
+        .map(j => (1L + rnd.nextInt(nKeys), rnd.nextInt(240), j))
+        .distinctBy(q => (q._1, q._2))
+        .map { case (k, m, j) => (k, ts(m), j * 1.5) }.toDF("k", "qts", "v")
+      def run(cross: Boolean) =
+        graft.operators.AsofJoin.asof(events, quotes, Seq("k"),
+            "ts", "qts", Seq("v"), crossPartition = cross)
+          .collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+            Option(r.get(3)))).sortBy(t => (t._1, t._2.getTime, t._3))
+      assert(run(true).sameElements(run(false)),
+        s"case $i: nKeys=$nKeys hotLen=$hotLen nRight=$nRight")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", adaptive)
+  }
 }
