@@ -23,14 +23,20 @@ object Dedup {
 
 
   /** Exact dedup: keep the smallest `idCol` row per distinct content hash.
-    * One shuffle on the 16-byte hash — never on the full text.
+    *
+    * Shape: ONE hash-keyed aggregation with `min_by` carrying the kept
+    * row. Partial aggregation collapses duplicates map-side, so the
+    * shuffle moves at most one row per (task, distinct hash) — a viral
+    * document duplicated millions of times reduces inside each scan task
+    * instead of serializing its copies through one reducer (the window/
+    * row_number form shuffles EVERY row and sorts the hot hash's copies
+    * in a single task's partition).
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol).cast("string")))
-      .orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    val cols = df.columns.toSeq
+    df.groupBy(md5(col(textCol).cast("string")).as("_h"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .select(col("_row.*"))
   }
 
   /** Word n-gram shingles (lowercased) of the text column. */

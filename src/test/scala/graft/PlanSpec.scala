@@ -42,6 +42,18 @@ class PlanSpec extends SparkSpec {
       "partial + final aggregation phases present")
   }
 
+  test("exact dedup reduces duplicates map-side, no window over all rows") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("doc_id", "text")
+    val p = plan(graft.operators.Dedup.exact(df, "doc_id", "text"))
+    // two aggregation phases around one exchange: a hot duplicate
+    // collapses inside each scan task before it is shuffled
+    assert("Aggregate".r.findAllIn(p).length >= 2,
+      s"partial + final min_by phases expected:\n$p")
+    assert(!p.contains("Window"),
+      s"dedup must not sort every row through a window:\n$p")
+  }
+
   test("q11: range self-join keys include the time bucket (skew-bounded)") {
     val p = plan(RelationalQueries.defs("q11_range_self_join")(spark, d))
     // the equi-join must run on (user_id, bucket), not user_id alone —
