@@ -215,6 +215,31 @@ object Exporter {
       if (df.columns.contains("OPEN")) Seq("OPEN", "CLOSE") else Nil, pre)))
   }
 
+  /** Bucketed parquet sink for co-located joins: tables bucketed (and
+    * sorted) the same way on the same key join WITHOUT a shuffle — the
+    * scan's bucketing satisfies the join's required distribution, so a
+    * repeated big-big join (fact-to-fact enrichment, incremental dedup
+    * against yesterday's corpus) pays its exchange ONCE at write time
+    * instead of on every query. Pick `numBuckets` so one bucket's rows fit
+    * an executor core's working memory at target scale; co-join partners
+    * MUST use the same count and keys (Spark only elides the exchange when
+    * both sides' bucketing matches). Bucketed tables are catalog tables
+    * (`saveAsTable`) — plain `.parquet(path)` files carry no bucket
+    * metadata.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil,
+                    compression: String = "zstd",
+                    writeMode: String = "overwrite"): Unit = {
+    require(bucketCols.nonEmpty, "bucketed write needs bucket columns")
+    val w0 = df.drop(Readers.FileOrderCol).write.mode(writeMode)
+      .option("compression", compression)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val w = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*)
+            else w0
+    w.format("parquet").saveAsTable(table)
+  }
+
   /** O21: append one JSON line per export. */
   def appendExportLog(logDir: String, entry: ListMap[String, Any]): Unit = {
     Files.createDirectories(Paths.get(logDir))

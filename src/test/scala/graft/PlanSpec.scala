@@ -42,6 +42,30 @@ class PlanSpec extends SparkSpec {
       "partial + final aggregation phases present")
   }
 
+  test("co-bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    val a = (1L to 500L).map(i => (i % 40, i, i * 1.5)).toDF("k", "ida", "va")
+    val b = (1L to 300L).map(i => (i % 40, i, i * 2.5)).toDF("k", "idb", "vb")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.operators.Exporter.writeBucketed(a, "bkt_a", Seq("k"), 4,
+        sortCols = Seq("k"))
+      graft.operators.Exporter.writeBucketed(b, "bkt_b", Seq("k"), 4,
+        sortCols = Seq("k"))
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val p = plan(joined)
+      assert(!p.contains("Exchange"),
+        s"co-bucketed join must not shuffle:\n$p")
+      assert(joined.count() == (1L to 500L).flatMap(i =>
+        (1L to 300L).filter(j => j % 40 == i % 40)).size)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("exact dedup reduces duplicates map-side, no window over all rows") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("doc_id", "text")
