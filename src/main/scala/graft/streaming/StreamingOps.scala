@@ -80,6 +80,64 @@ object StreamingOps {
     * timeout keeps the engine scheduling wake-up batches forever, which
     * blocks processAllAvailable-style draining in tests and batch jobs.
     */
+  final case class AsofEvent(symbol: String, ts: Timestamp, eventId: Long)
+  final case class AsofQuote(symbol: String, ts: Timestamp, value: Double)
+  final case class AsofOut(symbol: String, ts: Timestamp, eventId: Long,
+                           asofValue: Option[Double])
+  /** Internal tagged-union row (public: Catalyst's generated encoder
+    * cannot access a private class).
+    */
+  final case class AsofRow(symbol: String, tsMicros: Long, side: Int,
+                           eventId: Long, value: Double)
+  final case class QuoteSeen(tsMicros: Long, value: Double)
+
+  /** Streaming as-of attach — the live-feed analog of `AsofJoin.asof`:
+    * each event gets the latest quote with `quote.ts <= event.ts` for its
+    * key. Both feeds union into one tagged stream (quotes sort before
+    * events at equal stamps, the batch operator's `<=` convention), keyed
+    * state is ONE quote per symbol, and each micro-batch runs the same
+    * sorted merge scan as the batch form.
+    *
+    * Ordering contract: rows are re-ordered by event time WITHIN each
+    * micro-batch; across batches, an event only sees quotes that arrived
+    * in its batch or earlier (delivery-order semantics — the streaming
+    * standard for enrichment joins). A production deployment adds
+    * EventTimeTimeout to retire symbols that stop ticking; see
+    * `streamingGapDetect` for why processing-time timeouts are wrong.
+    */
+  def streamingAsof(events: Dataset[AsofEvent], quotes: Dataset[AsofQuote])
+      : Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val tagged =
+      quotes.map(q => AsofRow(q.symbol, micros(q.ts), 0, 0L, q.value))
+        .unionByName(
+          events.map(e => AsofRow(e.symbol, micros(e.ts), 1, e.eventId, 0.0)))
+    tagged
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (symbol: String, rows: Iterator[AsofRow], state: GroupState[QuoteSeen]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.side))
+          var last: Option[QuoteSeen] = state.getOption
+          val out = Seq.newBuilder[AsofOut]
+          for (r <- sorted) {
+            if (r.side == 0) {
+              // keep the newest quote only (monotone within the sorted scan)
+              if (last.forall(_.tsMicros <= r.tsMicros))
+                last = Some(QuoteSeen(r.tsMicros, r.value))
+            } else {
+              val at = last.filter(_.tsMicros <= r.tsMicros)
+              out += AsofOut(symbol,
+                new Timestamp(Math.floorDiv(r.tsMicros, 1000L)),
+                r.eventId, at.map(_.value))
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   def streamingGapDetect(ticks: Dataset[Tick], rule: String): Dataset[GapEvent] = {
     import ticks.sparkSession.implicits._
     val stepUs = Rules.stepMicros(rule)

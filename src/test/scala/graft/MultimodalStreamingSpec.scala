@@ -114,6 +114,40 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(out(0).getAs[Long]("missingCount") == 3L)
   }
 
+  test("streaming as-of: events attach the latest at-or-before quote") {
+    implicit val sc = spark.sqlContext
+    val evMem = MemoryStream[StreamingOps.AsofEvent]
+    val qtMem = MemoryStream[StreamingOps.AsofQuote]
+    val out = StreamingOps.streamingAsof(evMem.toDS(), qtMem.toDS())
+    val q = out.writeStream.format("memory")
+      .queryName("asof_out").outputMode("append").start()
+    def ts(min: Int) = Timestamp.from(Instant.parse(f"2024-01-01T00:$min%02d:00Z"))
+    // batch 1: out-of-order within the batch — the merge scan must reorder
+    qtMem.addData(StreamingOps.AsofQuote("EURUSD", ts(4), 100.0))
+    evMem.addData(
+      StreamingOps.AsofEvent("EURUSD", ts(5), 1L),
+      StreamingOps.AsofEvent("EURUSD", ts(3), 2L), // before any quote
+      StreamingOps.AsofEvent("EURUSD", ts(4), 3L)) // equal stamp: quote wins
+    q.processAllAvailable()
+    // batch 2: state carries the ts(4) quote; a newer quote supersedes it
+    qtMem.addData(StreamingOps.AsofQuote("EURUSD", ts(8), 200.0))
+    evMem.addData(
+      StreamingOps.AsofEvent("EURUSD", ts(7), 4L), // old quote from state
+      StreamingOps.AsofEvent("EURUSD", ts(9), 5L)) // new quote
+    q.processAllAvailable()
+    val rows = spark.table("asof_out").orderBy("eventId").collect()
+    q.stop()
+    assert(rows.length == 5)
+    def v(i: Int): Option[Double] =
+      if (rows(i).isNullAt(rows(i).fieldIndex("asofValue"))) None
+      else Some(rows(i).getAs[Double]("asofValue"))
+    assert(v(0).contains(100.0)) // e@5 <- q@4
+    assert(v(1).isEmpty)         // e@3: no quote at-or-before
+    assert(v(2).contains(100.0)) // e@4: equal stamp eligible (<=)
+    assert(v(3).contains(100.0)) // e@7 <- state-carried q@4
+    assert(v(4).contains(200.0)) // e@9 <- q@8
+  }
+
   test("IVF top-k finds the planted duplicate with bounded probes") {
     val rnd = new scala.util.Random(3)
     def vec(): Seq[Double] = Seq.fill(16)(rnd.nextGaussian())
