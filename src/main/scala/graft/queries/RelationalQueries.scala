@@ -263,6 +263,29 @@ object RelationalQueries {
       val a = Tables.customer(s, d).select(col("c_custkey").as("x"))
       val b = Tables.orders(s, d).select(col("o_custkey").as("x"))
       a.except(b).orderBy("x")
+    },
+
+    // Co-located join over bucketed tables (Exporter.writeBucketed): both
+    // sides bucketed+sorted on the join key, so the join plan has NO
+    // exchange — the physical property is asserted by PlanSpec; this gate
+    // row proves the VALUES survive the bucketed layout (the oracle joins
+    // the plain parquet). Integer-floored sum keeps the aggregate
+    // order-independent across engines.
+    "q48_bucketed_join" -> { (s, d) =>
+      import graft.operators.Exporter
+      Exporter.writeBucketed(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "graft_bkt_orders", Seq("o_custkey"), 8, sortCols = Seq("o_custkey"))
+      Exporter.writeBucketed(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment")),
+        "graft_bkt_customer", Seq("c_custkey"), 8, sortCols = Seq("c_custkey"))
+      s.table("graft_bkt_orders")
+        .join(s.table("graft_bkt_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice")).cast("long")).as("sum_price_int"))
+        .orderBy("c_mktsegment")
     }
   )
 
@@ -391,6 +414,14 @@ object RelationalQueries {
 
     "q27_except" ->
       """SELECT x FROM (SELECT c_custkey AS x FROM customer
-        |EXCEPT SELECT o_custkey FROM orders) ORDER BY x""".stripMargin
+        |EXCEPT SELECT o_custkey FROM orders) ORDER BY x""".stripMargin,
+
+    // the oracle joins the plain parquet — bucketing must not change values
+    "q48_bucketed_join" ->
+      """SELECT c.c_mktsegment,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(floor(o.o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price_int
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
   )
 }
