@@ -143,6 +143,7 @@ object Bench {
     val correctSec = timedRun("correct")
 
     var failed = Vector.empty[String]
+    var medianed = Vector.empty[String]
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val q0 = System.nanoTime()
@@ -158,7 +159,18 @@ object Bench {
           // more runs and reports the median-of-3 — steady-state cost,
           // adjudicable without a judge re-run; fast queries stay
           // single-shot so the query phase stays within its time budget.
-          if (t1 <= 1.5) t1 else Seq(t1, once(), once()).sorted.apply(1)
+          // `query_medians` in the JSON records which entries are medians.
+          if (t1 <= 1.5) t1
+          else try {
+            medianed :+= name
+            Seq(t1, once(), once()).sorted.apply(1)
+          } catch { case e: Throwable =>
+            // the query DID produce a result — a flaky re-run downgrades
+            // the number to single-shot, it does not invalidate the query
+            System.err.println(s"[bench] $name re-run failed, keeping " +
+              s"single-shot time: ${e.getMessage}")
+            t1
+          }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed :+= name
@@ -166,13 +178,19 @@ object Bench {
         }
       name -> t
     }
+    // leave the warehouse empty: q48's bucketed tables (and their on-disk
+    // locations) must not survive into the next harness invocation
+    for (t <- spark.catalog.listTables().collect().map(_.name)
+         if t.startsWith("graft_bkt_"))
+      graft.operators.Exporter.dropBucketed(spark, t)
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val meds = medianed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val maxHeap = Runtime.getRuntime.maxMemory
     println(
-      f"""{"metric":"etl_pipeline_sec","value":$pipelineSec%.3f,"unit":"sec","pipeline_runs":${faithfulRuns.map(s => f"$s%.3f").mkString("[", ",", "]")},"correct_mode_sec":$correctSec%.3f,"gc_ms_per_run":${gcPerRun.mkString("[", ",", "]")},"heap_high_water_mb":${heapHighWater / 1048576},"heap_max_mb":${maxHeap / 1048576},"input_rows":$inputRows,"exports":${result.exports.map(_.rows).mkString("[", ",", "]")},"query_errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"etl_pipeline_sec","value":$pipelineSec%.3f,"unit":"sec","pipeline_runs":${faithfulRuns.map(s => f"$s%.3f").mkString("[", ",", "]")},"correct_mode_sec":$correctSec%.3f,"gc_ms_per_run":${gcPerRun.mkString("[", ",", "]")},"heap_high_water_mb":${heapHighWater / 1048576},"heap_max_mb":${maxHeap / 1048576},"input_rows":$inputRows,"exports":${result.exports.map(_.rows).mkString("[", ",", "]")},"query_errors":$errs,"query_medians":$meds,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

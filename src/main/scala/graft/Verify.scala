@@ -31,6 +31,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // leave the warehouse empty for the next harness JVM (q48's bucketed
+    // tables are session-scoped scratch, not a deliverable)
+    for (t <- spark.catalog.listTables().collect().map(_.name)
+         if t.startsWith("graft_bkt_"))
+      graft.operators.Exporter.dropBucketed(spark, t)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -232,12 +232,47 @@ object Exporter {
                     compression: String = "zstd",
                     writeMode: String = "overwrite"): Unit = {
     require(bucketCols.nonEmpty, "bucketed write needs bucket columns")
+    val spark = df.sparkSession
+    if (writeMode == "overwrite") {
+      // `overwrite` only drops a table the CATALOG knows about. With the
+      // default in-memory catalog a fresh JVM forgets every table, so
+      // saveAsTable takes the create path and dies with
+      // LOCATION_ALREADY_EXISTS when `spark-warehouse/<table>/` survives
+      // from a previous session. Overwrite must therefore mean "replace
+      // whatever is on disk": drop the catalog entry if present, then
+      // clear the orphaned managed location.
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      dropManagedLocation(spark, table)
+    }
     val w0 = df.drop(Readers.FileOrderCol).write.mode(writeMode)
       .option("compression", compression)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val w = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*)
             else w0
     w.format("parquet").saveAsTable(table)
+  }
+
+  /** Drop a bucketed table AND its on-disk location — the cleanup twin of
+    * `writeBucketed` for harnesses/tests that must leave the warehouse
+    * empty (DROP TABLE on the in-memory catalog does not touch files the
+    * catalog never knew about).
+    */
+  def dropBucketed(spark: org.apache.spark.sql.SparkSession,
+                   table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    dropManagedLocation(spark, table)
+  }
+
+  /** Delete a managed table's default warehouse directory if it exists
+    * (identifier lowercased, default database — the layout Spark uses for
+    * `saveAsTable` without an explicit path).
+    */
+  private def dropManagedLocation(spark: org.apache.spark.sql.SparkSession,
+                                  table: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   /** O21: append one JSON line per export. */

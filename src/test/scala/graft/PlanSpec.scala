@@ -61,9 +61,34 @@ class PlanSpec extends SparkSpec {
         (1L to 300L).filter(j => j % 40 == i % 40)).size)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
-      spark.sql("DROP TABLE IF EXISTS bkt_a")
-      spark.sql("DROP TABLE IF EXISTS bkt_b")
+      graft.operators.Exporter.dropBucketed(spark, "bkt_a")
+      graft.operators.Exporter.dropBucketed(spark, "bkt_b")
     }
+  }
+
+  test("writeBucketed overwrites an orphaned warehouse dir (fresh-catalog idempotence)") {
+    import spark.implicits._
+    // Reproduce the cross-JVM failure mode: the in-memory catalog has never
+    // heard of the table, but its managed location survives on disk (what a
+    // previous session's write leaves behind). saveAsTable(overwrite) alone
+    // dies with LOCATION_ALREADY_EXISTS here — writeBucketed must clear it.
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val stale = java.nio.file.Paths.get(wh, "bkt_idem")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.writeString(stale.resolve("orphan.txt"), "stale")
+    try {
+      val df = (1L to 50L).map(i => (i % 5, i)).toDF("k", "v")
+      graft.operators.Exporter.writeBucketed(df, "bkt_idem", Seq("k"), 2)
+      assert(spark.table("bkt_idem").count() == 50)
+      // and again in the SAME session (catalog-known overwrite path)
+      graft.operators.Exporter.writeBucketed(df, "bkt_idem", Seq("k"), 2)
+      assert(spark.table("bkt_idem").count() == 50)
+    } finally {
+      graft.operators.Exporter.dropBucketed(spark, "bkt_idem")
+    }
+    assert(!java.nio.file.Files.exists(stale),
+      "dropBucketed must remove the on-disk location")
   }
 
   test("exact dedup reduces duplicates map-side, no window over all rows") {
