@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.tzLocalizeDescriptor)
+    ext.injectFunction(GraftExtensions.minhashSigDescriptor)
+    ext.injectFunction(GraftExtensions.nearestCentroidDescriptor)
   }
 }
 
@@ -74,10 +76,35 @@ object GraftExtensions {
         lit(children(1), "numHashes"), lit(children(2), "shingleSize"))
     })
 
+  private[plans] val nearestCentroidDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nearest_centroid"),
+    new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "nearest_centroid(vec, centroidsMatrix) takes two arguments")
+      val matrixExpr = children(1)
+      require(matrixExpr.foldable,
+        "nearest_centroid codebook must be a foldable array<array<double>>")
+      // fold the codebook ONCE at plan construction: the expression carries
+      // a double[][] reference constant instead of re-evaluating a
+      // CreateArray tree per row
+      val matrix = matrixExpr.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          Array.tabulate(a.numElements()) { c =>
+            val row = a.getArray(c)
+            Array.tabulate(row.numElements())(row.getDouble)
+          }
+        case other => throw new IllegalArgumentException(
+          s"nearest_centroid codebook evaluated to $other")
+      }
+      NearestCentroid(Cast(children.head, ArrayType(DoubleType)), matrix)
+    })
+
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit = {
     for ((id, info, builder) <- Seq(cosineSimDescriptor, tzLocalizeDescriptor,
-        minhashSigDescriptor))
+        minhashSigDescriptor, nearestCentroidDescriptor))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }
