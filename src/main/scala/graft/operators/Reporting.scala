@@ -87,13 +87,17 @@ object Reporting {
     //    100 TB column), so large frames splice count/min/finite-max/NaN
     //    stats into this same agg and locate the middle ranks with
     //    fixed-size follow-up jobs
-    val useExactMedian = hasClose &&
+    // provisional, from the caller-claimed TOTAL row count — the real gate
+    // is the non-null CLOSE count (_cn), known only after the agg runs, so
+    // frames claimed large get the cheap histogram stat columns here and
+    // the final histogram-vs-median() choice is made post-agg
+    val maybeExactMedian = hasClose &&
       knownRows.exists(_ > ExactMedianRowThreshold)
     if (hasClose) {
       aggs :+= min(col("CLOSE")).as("_cmin")
       aggs :+= max(col("CLOSE")).as("_cmax")
       aggs :+= count(col("CLOSE")).as("_cn")
-      if (useExactMedian) {
+      if (maybeExactMedian) {
         val cd = col("CLOSE").cast("double")
         aggs :+= max(when(isnan(cd), lit(null)).otherwise(cd)).as("_cmaxf")
         aggs :+= sum(when(isnan(cd), 1L).otherwise(0L)).as("_cnan")
@@ -130,12 +134,19 @@ object Reporting {
       val cmin = r.getAs[Double]("_cmin")
       val cmax = r.getAs[Double]("_cmax")
       val cmed =
-        if (useExactMedian)
-          graft.functions.ExactMedian.median(df, "CLOSE",
-            n = r.getAs[Long]("_cn"), lo = cmin,
-            hiFinite = opt[Double]("_cmaxf").getOrElse(Double.NaN),
-            nNaN = r.getAs[Long]("_cnan")).getOrElse(Double.NaN)
-        else r.getAs[Double]("_cmed")
+        if (maybeExactMedian) {
+          if (r.getAs[Long]("_cn") > ExactMedianRowThreshold)
+            graft.functions.ExactMedian.median(df, "CLOSE",
+              n = r.getAs[Long]("_cn"), lo = cmin,
+              hiFinite = opt[Double]("_cmaxf").getOrElse(Double.NaN),
+              nNaN = r.getAs[Long]("_cnan")).getOrElse(Double.NaN)
+          else
+            // the frame is large but its non-null CLOSE count is below the
+            // crossover: one small median() job (merge state bounded by
+            // _cn distinct values) beats the histogram path's two
+            // full-frame selection scans
+            df.agg(median(col("CLOSE"))).collect()(0).getDouble(0)
+        } else r.getAs[Double]("_cmed")
       val ratios =
         if (cmed != 0.0) Some((cmax / cmed, cmin / cmed)) else None
       val suspicious = ratios.exists { case (rx, rn) => rx > 100 || rn < 0.01 }

@@ -87,54 +87,82 @@ object StreamingOps {
   /** Internal tagged-union row (public: Catalyst's generated encoder
     * cannot access a private class).
     */
-  final case class AsofRow(symbol: String, tsMicros: Long, side: Int,
+  final case class AsofRow(symbol: String, ts: Timestamp, side: Int,
                            eventId: Long, value: Double)
   final case class QuoteSeen(tsMicros: Long, value: Double)
+  /** Keyed state: the quote buffer, ascending by stamp. Bounded by the
+    * watermark — everything except the floor quote at the watermark is
+    * inside the lateness horizon.
+    */
+  final case class AsofState(quotes: Seq[QuoteSeen])
 
   /** Streaming as-of attach — the live-feed analog of `AsofJoin.asof`:
     * each event gets the latest quote with `quote.ts <= event.ts` for its
-    * key. Both feeds union into one tagged stream (quotes sort before
-    * events at equal stamps, the batch operator's `<=` convention), keyed
-    * state is ONE quote per symbol, and each micro-batch runs the same
-    * sorted merge scan as the batch form.
+    * key. Both feeds union into one tagged watermarked stream; keyed state
+    * is a time-ordered quote buffer, so an event arriving in a LATER
+    * micro-batch than a newer quote still matches its true at-or-before
+    * quote (a newest-quote-only state silently diverges from
+    * `AsofJoin.asof` exactly there). Equal stamps match (`<=`), the batch
+    * operator's convention.
     *
-    * Ordering contract: rows are re-ordered by event time WITHIN each
-    * micro-batch; across batches, an event only sees quotes that arrived
-    * in its batch or earlier (delivery-order semantics — the streaming
-    * standard for enrichment joins). A production deployment adds
-    * EventTimeTimeout to retire symbols that stop ticking; see
-    * `streamingGapDetect` for why processing-time timeouts are wrong.
+    * Bounds, both via the event-time watermark (`delay`):
+    *  - buffer size: events older than the watermark are dropped by Spark
+    *    before reaching the state function, so only the newest quote
+    *    at-or-before the watermark plus every quote after it are retained;
+    *  - state lifetime: a symbol whose feeds go quiet is retired by
+    *    `EventTimeTimeout` once the watermark passes its newest quote by
+    *    `retention` — events for a retired symbol get no match (quote
+    *    drop), the documented trade of bounded state.
     */
-  def streamingAsof(events: Dataset[AsofEvent], quotes: Dataset[AsofQuote])
-      : Dataset[AsofOut] = {
+  def streamingAsof(events: Dataset[AsofEvent], quotes: Dataset[AsofQuote],
+                    delay: String = "1 minute",
+                    retention: String = "1 hour"): Dataset[AsofOut] = {
     import events.sparkSession.implicits._
     def micros(t: Timestamp): Long =
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     val tagged =
-      quotes.map(q => AsofRow(q.symbol, micros(q.ts), 0, 0L, q.value))
+      quotes.map(q => AsofRow(q.symbol, q.ts, 0, 0L, q.value))
         .unionByName(
-          events.map(e => AsofRow(e.symbol, micros(e.ts), 1, e.eventId, 0.0)))
+          events.map(e => AsofRow(e.symbol, e.ts, 1, e.eventId, 0.0)))
+        .withWatermark("ts", delay)
     tagged
       .groupByKey(_.symbol)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (symbol: String, rows: Iterator[AsofRow], state: GroupState[QuoteSeen]) =>
-          val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.side))
-          var last: Option[QuoteSeen] = state.getOption
-          val out = Seq.newBuilder[AsofOut]
-          for (r <- sorted) {
-            if (r.side == 0) {
-              // keep the newest quote only (monotone within the sorted scan)
-              if (last.forall(_.tsMicros <= r.tsMicros))
-                last = Some(QuoteSeen(r.tsMicros, r.value))
-            } else {
-              val at = last.filter(_.tsMicros <= r.tsMicros)
-              out += AsofOut(symbol,
-                new Timestamp(Math.floorDiv(r.tsMicros, 1000L)),
-                r.eventId, at.map(_.value))
-            }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (symbol: String, rows: Iterator[AsofRow], state: GroupState[AsofState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq
+            // merge this batch's quotes into the buffer; the sort is stable,
+            // so at equal stamps the later arrival wins (feed-correction
+            // semantics, matching the old sorted-merge scan)
+            val merged = (state.getOption.map(_.quotes).getOrElse(Seq.empty) ++
+                batch.filter(_.side == 0)
+                  .map(r => QuoteSeen(micros(r.ts), r.value)))
+              .sortBy(_.tsMicros)
+            // deterministic output order within the batch: event time, id
+            val out = batch.filter(_.side == 1)
+              .sortBy(r => (micros(r.ts), r.eventId))
+              .map { r =>
+                val t = micros(r.ts)
+                val at = merged.takeWhile(_.tsMicros <= t).lastOption
+                AsofOut(symbol, r.ts, r.eventId, at.map(_.value))
+              }
+            // evict below the watermark: future events all have
+            // ts >= watermark, so they can only ever need the newest quote
+            // at-or-before it (their floor) and anything after it
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val floorIdx = merged.lastIndexWhere(_.tsMicros <= wmUs)
+            val kept = if (floorIdx <= 0) merged else merged.drop(floorIdx)
+            if (kept.nonEmpty) {
+              state.update(AsofState(kept))
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1,
+                  Math.floorDiv(kept.last.tsMicros, 1000L)), retention)
+            } else state.remove()
+            out.iterator
           }
-          last.foreach(state.update)
-          out.result().iterator
       }
   }
 

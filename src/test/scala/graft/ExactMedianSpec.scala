@@ -102,6 +102,9 @@ class ExactMedianSpec extends SparkSpec {
   }
 
   test("dataQualityReport exact-median path matches builtin path") {
+    // 500 non-null CLOSE values under a 200k+ claimed row count: the
+    // provisional histogram choice must downgrade to the small median()
+    // job post-agg (the gate runs on _cn, not the caller-claimed total)
     val df = (1 to 500).map(i =>
       ("AAA", java.sql.Timestamp.valueOf(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"),
         100.0 + (i % 37) * 0.5)).toDF("SYMBOL", Reporting.TsCol, "CLOSE")
@@ -110,5 +113,19 @@ class ExactMedianSpec extends SparkSpec {
       knownRows = Some(Reporting.ExactMedianRowThreshold + 1))
     assert(big("close_median") == small("close_median"),
       s"report medians differ: ${big("close_median")} vs ${small("close_median")}")
+  }
+
+  test("dataQualityReport histogram path matches builtin above the _cn gate") {
+    import org.apache.spark.sql.functions._
+    val n = Reporting.ExactMedianRowThreshold + 100
+    val df = spark.range(n).select(
+      lit("AAA").as("SYMBOL"),
+      timestamp_seconds(lit(1704067200L) + col("id")).as(Reporting.TsCol),
+      (col("id") % 997).cast("double").as("CLOSE"))
+    val rep = Reporting.dataQualityReport(df, computeIndicators = false,
+      knownRows = Some(n))
+    val expected = df.agg(median(col("CLOSE"))).collect()(0).getDouble(0)
+    assert(rep("close_median") == expected,
+      s"histogram median ${rep("close_median")} != builtin $expected")
   }
 }

@@ -148,6 +148,63 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(v(4).contains(200.0)) // e@9 <- q@8
   }
 
+  test("streaming as-of: a late event matches an OLDER quote across batches") {
+    implicit val sc = spark.sqlContext
+    val evMem = MemoryStream[StreamingOps.AsofEvent]
+    val qtMem = MemoryStream[StreamingOps.AsofQuote]
+    val out = StreamingOps.streamingAsof(evMem.toDS(), qtMem.toDS())
+    val q = out.writeStream.format("memory")
+      .queryName("asof_late_out").outputMode("append").start()
+    def ts(min: Int) = Timestamp.from(Instant.parse(f"2024-01-01T00:$min%02d:00Z"))
+    def tss(min: Int, sec: Int) =
+      Timestamp.from(Instant.parse(f"2024-01-01T00:$min%02d:$sec%02dZ"))
+    // batch 1: two quotes, no events — watermark lands between them (8')
+    qtMem.addData(
+      StreamingOps.AsofQuote("EURUSD", ts(4), 100.0),
+      StreamingOps.AsofQuote("EURUSD", ts(9), 200.0))
+    q.processAllAvailable()
+    // batch 2: event OLDER than the newest quote but above the watermark —
+    // its true at-or-before quote is q@4, which a newest-quote-only state
+    // would have discarded
+    evMem.addData(StreamingOps.AsofEvent("EURUSD", tss(8, 30), 1L))
+    q.processAllAvailable()
+    val rows = spark.table("asof_late_out").collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Double]("asofValue") == 100.0,
+      "late event must see the buffered older quote, not null")
+  }
+
+  test("streaming as-of: quiet symbols retire after the retention horizon") {
+    implicit val sc = spark.sqlContext
+    val evMem = MemoryStream[StreamingOps.AsofEvent]
+    val qtMem = MemoryStream[StreamingOps.AsofQuote]
+    val out = StreamingOps.streamingAsof(evMem.toDS(), qtMem.toDS(),
+      retention = "10 minutes")
+    val q = out.writeStream.format("memory")
+      .queryName("asof_retire_out").outputMode("append").start()
+    def ts(min: Int) = Timestamp.from(Instant.parse(f"2024-01-01T00:$min%02d:00Z"))
+    // batch 1: symbol A gets a quote; its timeout arms at q@4 + 10' = 14'
+    qtMem.addData(StreamingOps.AsofQuote("A", ts(4), 100.0))
+    q.processAllAvailable()
+    // batches 2-3: symbol B advances the global watermark far past A's
+    // horizon; the extra batch gives the timed-out group its firing trigger
+    evMem.addData(StreamingOps.AsofEvent("B", ts(30), 1L))
+    q.processAllAvailable()
+    evMem.addData(StreamingOps.AsofEvent("B", ts(31), 2L))
+    q.processAllAvailable()
+    // batch 4: a FRESH event on A (above the watermark) — had the state
+    // survived, q@4 would match; retirement means no quote
+    evMem.addData(StreamingOps.AsofEvent("A", ts(32), 3L))
+    q.processAllAvailable()
+    val rows = spark.table("asof_retire_out").orderBy("eventId").collect()
+    q.stop()
+    assert(rows.length == 3)
+    assert(rows(2).getAs[String]("symbol") == "A")
+    assert(rows(2).isNullAt(rows(2).fieldIndex("asofValue")),
+      "retired symbol's events get no match (quote drop)")
+  }
+
   test("IVF top-k finds the planted duplicate with bounded probes") {
     val rnd = new scala.util.Random(3)
     def vec(): Seq[Double] = Seq.fill(16)(rnd.nextGaussian())

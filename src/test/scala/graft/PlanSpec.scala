@@ -33,6 +33,11 @@ class PlanSpec extends SparkSpec {
   test("q07: dimension joins broadcast; no shuffle for nation/region") {
     val p = plan(RelationalQueries.defs("q07_multiway_join_agg")(spark, d))
     assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    // the fact side must flow scan → broadcast joins → partial agg with NO
+    // join shuffle: every exchange in the plan belongs to the aggregate or
+    // the final ordering, never to a join input
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no join may shuffle the fact table:\n$p")
   }
 
   test("q13: aggregation is partial (map-side combine) then final") {
