@@ -209,4 +209,71 @@ object Dedup {
     size(array_intersect(sa, sb)).cast("double") /
       size(array_union(sa, sb))
   }
+
+  /** Connected components over a near-duplicate pair set — the FINAL stage
+    * of a dedup pipeline (pairs alone don't dedup anything): transitively
+    * linked documents form one cluster, labeled by the minimum document id
+    * it contains, which doubles as the canonical representative
+    * (`component == id` selects the keeper).
+    *
+    * Algorithm: iterative min-label propagation. Each round is one
+    * edges⋈labels equi-join + a min-aggregate — both partial-aggregated,
+    * keyed shuffles; convergence is detected by the label sum (min
+    * propagation strictly decreases some label every non-converged round),
+    * a fixed-size aggregate — nothing row-shaped reaches the driver.
+    * Rounds needed = the largest cluster's diameter; near-dup clusters are
+    * dense (diameter a few hops), so this converges in single-digit rounds
+    * in practice. A 100 TB deployment with adversarially long chains would
+    * swap the propagation body for alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce"), which is
+    * O(log n) rounds of the same join shape — the surrounding
+    * persist/converge scaffolding here is unchanged by that swap.
+    *
+    * Throws if `maxIter` rounds don't converge (a silent partial clustering
+    * would under-dedup downstream).
+    *
+    * @return one row per node: (`idCol`, `component`), both long.
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs
+      .select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
+      .unionByName(pairs
+        .select(col(bCol).cast("long").as("s"), col(aCol).cast("long").as("d")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // each round references `labels` twice (propagation join + merge join),
+    // so a persist-only chain DOUBLES the logical plan per round —
+    // localCheckpoint materializes the round AND truncates lineage to a
+    // LogicalRDD (a fault-tolerant deployment swaps in reliable
+    // checkpointing via sparkContext.setCheckpointDir; same shape)
+    var labels = nodes.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum("comp")).collect()(0).getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, col("s") === col("id"))
+        .groupBy(col("d"))
+        .agg(min(col("comp")).as("pcomp"))
+      val next = labels.join(prop, col("id") === col("d"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val newSum = next.agg(sum("comp")).collect()(0).getLong(0)
+      labels = next
+      converged = newSum == prevSum
+      prevSum = newSum
+      iter += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (cluster diameter exceeds the bound)")
+    labels.select(col("id").as(idCol), col("comp").as("component"))
+  }
 }

@@ -96,4 +96,31 @@ object TextAnalysis {
     aggregate(tokens(text), lit(7L),
       (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), lit(p)), lit(p)))
   }
+
+  /** Corpus vocabulary census: one row per distinct token with its global
+    * count. Shape: explode + ONE hash-keyed count — partial aggregation
+    * collapses hot tokens ("the") inside each scan task, so the shuffle
+    * carries at most one row per (task, distinct token), not one per token
+    * occurrence; top-k consumers (`orderBy(cnt).limit(k)`) then plan as
+    * TakeOrderedAndProject, never a full sort.
+    */
+  def vocabulary(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Repeated-n-gram fraction (default bigrams): 1 − distinct/total grams —
+    * the standard repetition quality signal for pretraining corpora
+    * (boilerplate and looping generations score high). Pure per-row
+    * projection; null for documents with fewer than `n` tokens.
+    */
+  def repetitionRatio(text: Column, n: Int = 2): Column = {
+    val toks = tokens(text)
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
+    when(size(toks) < n, lit(null).cast("double"))
+      .otherwise(lit(1.0) -
+        size(array_distinct(grams)).cast("double") / size(grams))
+  }
 }

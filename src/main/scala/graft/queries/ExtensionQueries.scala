@@ -269,6 +269,43 @@ object ExtensionQueries {
       feats.select(col("media_id"), col("probe_width"), col("probe_height"),
           round(element_at(col("embedding"), 1).cast("double"), 4).as("f0"))
         .orderBy("media_id")
+    },
+
+    // Near-dup CLUSTERING — the dedup pipeline's final stage: word-Jaccard
+    // pairs (bounded doc subset so the all-pairs oracle stays replayable;
+    // the operator itself takes ANY pair frame — LSH pairs at scale) →
+    // connected components → min-id canonical label per doc. The oracle
+    // recomputes the transitive closure with a recursive CTE.
+    "q49_dedup_clusters" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 200)
+        .select(col("doc_id"),
+          array_distinct(split(trim(col("text")), "\\s+")).as("ws"))
+      val a = docs.select(col("doc_id").as("da"), col("ws").as("wa"))
+      val b = docs.select(col("doc_id").as("db"), col("ws").as("wb"))
+      val pairs = a.join(b, col("da") < col("db"))
+        .filter(size(array_intersect(col("wa"), col("wb"))).cast("double")
+          / size(array_union(col("wa"), col("wb"))) >= 0.94)
+        .select(col("da"), col("db"))
+      Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
+          pairs, "da", "db")
+        .orderBy("doc_id")
+    },
+
+    // Global vocabulary top-k (token-frequency census): the map-side-
+    // combine shape every corpus statistics job needs — hot tokens collapse
+    // inside scan tasks, top-k plans as TakeOrderedAndProject.
+    "q50_vocab_topk" -> { (s, d) =>
+      TextAnalysis.vocabulary(Tables.documents(s, d), "text")
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(30)
+    },
+
+    // Repeated-bigram fraction (repetition quality signal).
+    "q51_repetition_ratio" -> { (s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") <= 50)
+        .select(col("doc_id"),
+          fr(TextAnalysis.repetitionRatio(col("text")), 4).as("rep_ratio"))
+        .orderBy("doc_id")
     }
   )
 
@@ -443,6 +480,41 @@ object ExtensionQueries {
         |r AS (SELECT qid, cid, sim,
         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
         |      FROM s)
-        |SELECT qid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+        |SELECT qid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // transitive closure by recursive CTE: `reach` propagates every label
+    // along edges until fixpoint (UNION dedups), min per node = the
+    // operator's min-label component
+    "q49_dedup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS ws
+        |      FROM documents WHERE doc_id <= 200),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(length(list_intersect(a.ws, b.ws)) AS DOUBLE)
+        |        / length(list_distinct(list_concat(a.ws, b.ws))) >= 0.94),
+        |edges AS (SELECT da AS s, db AS d FROM pairs UNION ALL SELECT db, da FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id)
+        |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS component
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q50_vocab_topk" ->
+      """SELECT t AS token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |      FROM documents)
+        |WHERE t <> '' GROUP BY t ORDER BY cnt DESC, token LIMIT 30""".stripMargin,
+
+    "q51_repetition_ratio" ->
+      """WITH l AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id <= 50),
+        |g AS (SELECT doc_id,
+        |  list_transform(range(1, length(t)), i -> t[i] || ' ' || t[i+1]) AS b FROM l)
+        |SELECT doc_id, CASE WHEN length(b) < 1 THEN NULL ELSE
+        |  floor((1 - CAST(length(list_distinct(b)) AS DOUBLE)/length(b)) * 10000.0 + 0.5)/10000.0
+        |  END AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin
   )
 }

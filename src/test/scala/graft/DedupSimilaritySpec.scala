@@ -160,4 +160,46 @@ class DedupSimilaritySpec extends SparkSpec {
     val stop = r.getAs[Double]("stopword_ratio")
     assert(stop > 0.2 && stop < 0.6)
   }
+
+  test("connected components: transitive chains merge, singletons stay") {
+    // chain 1-2-3 (1-3 never paired directly), pair 8-9, singleton 5
+    val nodes = Seq(1L, 2L, 3L, 5L, 8L, 9L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (2L, 3L), (8L, 9L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(nodes, "doc_id", pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L,
+      8L -> 8L, 9L -> 8L))
+  }
+
+  test("connected components: long path needs diameter rounds; maxIter throws") {
+    val n = 12L
+    val nodes = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.connectedComponents(nodes, "doc_id", pairs, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(out.forall(_._2 == 1L), "one path component labeled by its min")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, "doc_id", pairs, "a", "b", maxIter = 2)
+    }
+  }
+
+  test("vocabulary counts tokens globally; repetition ratio flags loops") {
+    val df = Seq((1L, "spark and spark and spark"), (2L, "fresh words only"))
+      .toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabulary(df, "text")
+      .as[(String, Long)].collect().toMap
+    assert(vocab == Map("spark" -> 3L, "and" -> 2L, "fresh" -> 1L,
+      "words" -> 1L, "only" -> 1L))
+
+    val rep = df.select($"doc_id",
+        TextAnalysis.repetitionRatio($"text").as("r"))
+      .as[(Long, Double)].collect().toMap
+    // doc 1 bigrams: [spark and, and spark, spark and, and spark] -> 2/4 distinct
+    assert(rep(1L) == 0.5)
+    assert(rep(2L) == 0.0)
+    // fewer than n tokens -> null
+    val short = Seq((3L, "one")).toDF("doc_id", "text")
+      .select(TextAnalysis.repetitionRatio($"text").as("r")).collect()(0)
+    assert(short.isNullAt(0))
+  }
 }
