@@ -72,12 +72,12 @@ object StreamingOps {
                             missingCount: Long)
   final case class LastSeen(tsMicros: Long)
 
-  /** Stateful streaming gap detection: per symbol, emit a GapEvent whenever
-    * consecutive ticks are further apart than the grid step — the streaming
-    * analog of O12. State = last stamp per symbol (O(symbols), a few bytes
-    * each). A production deployment adds EventTimeTimeout keyed to the
-    * watermark to retire symbols that stop ticking; a processing-time
-    * timeout keeps the engine scheduling wake-up batches forever, which
+  /** (streamingGapDetect below): stateful streaming gap detection — per
+    * symbol, emit a GapEvent whenever consecutive ticks are further apart
+    * than the grid step, the streaming analog of O12. State = last stamp
+    * per symbol (O(symbols), a few bytes each), retired by
+    * `EventTimeTimeout` keyed to the watermark; a processing-time timeout
+    * would keep the engine scheduling wake-up batches forever, which
     * blocks processAllAvailable-style draining in tests and batch jobs.
     */
   final case class AsofEvent(symbol: String, ts: Timestamp, eventId: Long)
@@ -166,29 +166,48 @@ object StreamingOps {
       }
   }
 
-  def streamingGapDetect(ticks: Dataset[Tick], rule: String): Dataset[GapEvent] = {
+  /** @param delay watermark lateness bound on tick event time.
+    * @param retention how far past a symbol's last tick the watermark may
+    *        advance before its state is retired (`EventTimeTimeout`). A
+    *        tick arriving AFTER retirement restarts the symbol fresh — the
+    *        quiet period emits no GapEvent, the documented trade of
+    *        bounded state (an unbounded-retention deployment would flag it
+    *        as one giant gap).
+    */
+  def streamingGapDetect(ticks: Dataset[Tick], rule: String,
+                         delay: String = "1 minute",
+                         retention: String = "1 hour"): Dataset[GapEvent] = {
     import ticks.sparkSession.implicits._
     val stepUs = Rules.stepMicros(rule)
 
     ticks
+      .withWatermark("ts", delay)
       .groupByKey(_.symbol)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (symbol: String, rows: Iterator[Tick], state: GroupState[LastSeen]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          var lastUs = state.getOption.map(_.tsMicros).getOrElse(Long.MinValue)
-          val out = Seq.newBuilder[GapEvent]
-          for (t <- sorted) {
-            val us = t.ts.getTime * 1000L
-            if (lastUs != Long.MinValue && us - lastUs > stepUs) {
-              out += GapEvent(symbol,
-                new Timestamp((lastUs + stepUs) / 1000L),
-                new Timestamp((us - stepUs) / 1000L),
-                (us - lastUs) / stepUs - 1)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var lastUs = state.getOption.map(_.tsMicros).getOrElse(Long.MinValue)
+            val out = Seq.newBuilder[GapEvent]
+            for (t <- sorted) {
+              val us = t.ts.getTime * 1000L
+              if (lastUs != Long.MinValue && us - lastUs > stepUs) {
+                out += GapEvent(symbol,
+                  new Timestamp((lastUs + stepUs) / 1000L),
+                  new Timestamp((us - stepUs) / 1000L),
+                  (us - lastUs) / stepUs - 1)
+              }
+              lastUs = math.max(lastUs, us)
             }
-            lastUs = math.max(lastUs, us)
+            state.update(LastSeen(lastUs))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1,
+                Math.floorDiv(lastUs, 1000L)), retention)
+            out.result().iterator
           }
-          state.update(LastSeen(lastUs))
-          out.result().iterator
       }
   }
 }

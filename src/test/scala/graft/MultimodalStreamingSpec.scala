@@ -114,6 +114,34 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(out(0).getAs[Long]("missingCount") == 3L)
   }
 
+  test("streaming gap detect: quiet symbols retire; post-retirement ticks restart fresh") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.Tick]
+    val gaps = StreamingOps.streamingGapDetect(mem.toDS(), "1T",
+      retention = "10 minutes")
+    val q = gaps.writeStream.format("memory")
+      .queryName("gap_retire_out").outputMode("append").start()
+    def ts(hm: (Int, Int)) = Timestamp.from(
+      Instant.parse(f"2024-01-01T${hm._1}%02d:${hm._2}%02d:00Z"))
+    // A ticks at 0:00/0:01, then goes quiet; B pushes the watermark an hour
+    // ahead (past A's 10-minute horizon), the extra batch fires A's timeout
+    mem.addData(StreamingOps.Tick("A", ts((0, 0)), 1.0),
+      StreamingOps.Tick("A", ts((0, 1)), 1.1))
+    q.processAllAvailable()
+    mem.addData(StreamingOps.Tick("B", ts((1, 30)), 2.0))
+    q.processAllAvailable()
+    mem.addData(StreamingOps.Tick("B", ts((1, 31)), 2.1))
+    q.processAllAvailable()
+    // A returns: retired state means a fresh start — NO GapEvent spanning
+    // the quiet 0:01→1:40 stretch (the documented bounded-state trade)
+    mem.addData(StreamingOps.Tick("A", ts((1, 40)), 1.2))
+    q.processAllAvailable()
+    val out = spark.table("gap_retire_out").collect()
+    q.stop()
+    assert(out.isEmpty,
+      s"no gap may be emitted for a retired symbol, got ${out.mkString(";")}")
+  }
+
   test("streaming as-of: events attach the latest at-or-before quote") {
     implicit val sc = spark.sqlContext
     val evMem = MemoryStream[StreamingOps.AsofEvent]

@@ -126,6 +126,14 @@ class PlanSpec extends SparkSpec {
       s"LIMIT+ORDER BY must use per-partition top-k:\n$p")
   }
 
+  test("q50: vocabulary top-k is partial-aggregated and sort-free") {
+    val p = plan(graft.queries.ExtensionQueries.defs("q50_vocab_topk")(spark, d))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab top-k must not global-sort the token census:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"hot tokens must collapse map-side before the shuffle:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     val p = plan(Tables.lineitem(spark, d)
       .filter(col("l_quantity") > 30)
