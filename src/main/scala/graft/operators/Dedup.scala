@@ -216,18 +216,18 @@ object Dedup {
     * it contains, which doubles as the canonical representative
     * (`component == id` selects the keeper).
     *
-    * Algorithm: iterative min-label propagation. Each round is one
-    * edges⋈labels equi-join + a min-aggregate — both partial-aggregated,
-    * keyed shuffles; convergence is detected by the label sum (min
-    * propagation strictly decreases some label every non-converged round),
-    * a fixed-size aggregate — nothing row-shaped reaches the driver.
-    * Rounds needed = the largest cluster's diameter; near-dup clusters are
-    * dense (diameter a few hops), so this converges in single-digit rounds
-    * in practice. A 100 TB deployment with adversarially long chains would
-    * swap the propagation body for alternating large-star/small-star
-    * (Kiveris et al., "Connected Components in MapReduce"), which is
-    * O(log n) rounds of the same join shape — the surrounding
-    * persist/converge scaffolding here is unchanged by that swap.
+    * Algorithm: iterative min-label propagation with pointer jumping.
+    * Each round propagates labels one hop (edges⋈labels equi-join + a
+    * partial-aggregated min), then jumps `comp := comp(comp)` (labels
+    * self-join on a total mapping) — the jump doubles the effective hop
+    * distance per round, so rounds needed are O(log diameter), not
+    * O(diameter). Convergence is detected by the label sum (min
+    * propagation strictly decreases some label every non-converged
+    * round), a fixed-size aggregate — nothing row-shaped reaches the
+    * driver. The alternating large-star/small-star formulation (Kiveris
+    * et al., "Connected Components in MapReduce") additionally bounds
+    * per-round edge growth for adversarial skew; it drops into the same
+    * checkpoint/converge scaffolding.
     *
     * Throws if `maxIter` rounds don't converge (a silent partial clustering
     * would under-dedup downstream).
@@ -259,10 +259,17 @@ object Dedup {
       val prop = edges.join(labels, col("s") === col("id"))
         .groupBy(col("d"))
         .agg(min(col("comp")).as("pcomp"))
-      val next = labels.join(prop, col("id") === col("d"), "left")
+      val merged = labels.join(prop, col("id") === col("d"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+      // pointer jumping: comp := comp(comp). Labels are node ids (mins over
+      // ids), so the mapping is total and the inner join loses no rows.
+      val jump = merged.select(col("id").as("jid"), col("comp").as("jcomp"))
+      // lazy checkpoint: the convergence probe below is the materializing
+      // action, so each round runs ONE job, not checkpoint + probe
+      val next = merged.join(jump, col("comp") === col("jid"))
+        .select(col("id"), col("jcomp").as("comp"))
+        .localCheckpoint(false)
       val newSum = next.agg(sum("comp")).collect()(0).getLong(0)
       labels = next
       converged = newSum == prevSum
