@@ -110,6 +110,52 @@ object TextAnalysis {
       .groupBy("token")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Benchmark-contamination score — the eval-leakage check every training
+    * corpus needs: for each corpus document, the fraction of its DISTINCT
+    * word n-gram shingles that also occur anywhere in the benchmark set.
+    *
+    * Scale shape: the benchmark shingle set is small by definition (eval
+    * suites, not corpora) — broadcast it; the corpus side is one explode +
+    * one broadcast left-join + one keyed count, no corpus-vs-corpus
+    * shuffle. Shingling matches `Dedup.shingles` exactly (shorter-than-n
+    * documents collapse to one whole-text shingle).
+    *
+    * @return one row per corpus document: (`idCol`, `contamination` ∈ [0,1])
+    */
+  def contaminationScore(corpus: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int = 3): DataFrame = {
+    val benchSet = bench
+      .select(explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    corpus
+      .select(col(idCol),
+        explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
+      .join(broadcast(benchSet), Seq("g"), "left")
+      .groupBy(idCol)
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
+        .as("contamination"))
+  }
+
+  /** Deterministic stratified downsampling: keep a row iff the first 16
+    * bits of `md5(text)` fall under its stratum's rate threshold
+    * (quantized to 1/65536). Content-hash selection makes the sample a
+    * pure, shuffle-free filter that is reproducible across runs, engines,
+    * and partitionings — and stable under corpus re-sharding, which a
+    * `rand()`-based sample is not. Duplicate texts always land on the same
+    * side of the cut (a feature: dedup before or after sampling commutes).
+    */
+  def stratifiedSample(df: DataFrame, textCol: String, stratumCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val hv = conv(substring(md5(col(textCol)), 1, 4), 16, 10).cast("int")
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(
+      lit((defaultRate * 65536).toInt)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit((v * 65536).toInt)).otherwise(acc)
+    }
+    df.filter(hv < thr)
+  }
+
   /** Repeated-n-gram fraction (default bigrams): 1 − distinct/total grams —
     * the standard repetition quality signal for pretraining corpora
     * (boilerplate and looping generations score high). Pure per-row

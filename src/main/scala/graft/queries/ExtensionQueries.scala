@@ -306,6 +306,29 @@ object ExtensionQueries {
         .select(col("doc_id"),
           fr(TextAnalysis.repetitionRatio(col("text")), 4).as("rep_ratio"))
         .orderBy("doc_id")
+    },
+
+    // Benchmark-contamination scoring: docs 0-10 stand in for the eval
+    // suite, docs 11-100 are the corpus slice; broadcast shingle-set
+    // left-join, no corpus-vs-corpus shuffle.
+    "q52_contamination" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.contaminationScore(
+          docs.filter(col("doc_id") > 10 && col("doc_id") <= 100),
+          docs.filter(col("doc_id") <= 10), "doc_id", "text", n = 3)
+        .select(col("doc_id"), fr(col("contamination"), 4).as("contamination"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic stratified downsampling (content-hash thresholds:
+    // en 50%, de 25%, rest 12.5%), verified through per-stratum counts.
+    "q53_stratified_sample" -> { (s, d) =>
+      TextAnalysis.stratifiedSample(Tables.documents(s, d), "text", "lang",
+          Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.125)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept"),
+          fr(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy("lang")
     }
   )
 
@@ -515,6 +538,38 @@ object ExtensionQueries {
         |SELECT doc_id, CASE WHEN length(b) < 1 THEN NULL ELSE
         |  floor((1 - CAST(length(list_distinct(b)) AS DOUBLE)/length(b)) * 10000.0 + 0.5)/10000.0
         |  END AS rep_ratio
-        |FROM g ORDER BY doc_id""".stripMargin
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // 3-gram shingles replicate Dedup.shingles exactly, including the
+    // shorter-than-n whole-text collapse
+    "q52_contamination" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN length(t) < 3 THEN [array_to_string(t, ' ')]
+        |  ELSE list_transform(range(1, length(t) - 1),
+        |                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS s
+        |  FROM tok),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id <= 10),
+        |corp AS (SELECT doc_id, unnest(list_distinct(s)) AS g FROM sh
+        |  WHERE doc_id > 10 AND doc_id <= 100)
+        |SELECT c.doc_id,
+        |  floor(CAST(count(b.g) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS contamination
+        |FROM corp c LEFT JOIN bench b ON c.g = b.g
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // first 16 bits of md5(text) vs per-stratum thresholds (en 50%,
+    // de 25%, default 12.5%) — hex digits parsed the q42 strpos way
+    "q53_stratified_sample" ->
+      """WITH h AS (SELECT lang, n_chars,
+        |  (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS hv
+        |  FROM documents),
+        |s AS (SELECT * FROM h WHERE hv <
+        |  CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384 ELSE 8192 END)
+        |SELECT lang, count(*) AS kept,
+        |  floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

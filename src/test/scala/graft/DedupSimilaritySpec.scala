@@ -161,6 +161,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(stop > 0.2 && stop < 0.6)
   }
 
+  test("contamination: identical doc scores 1.0, disjoint doc 0.0") {
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, base),                                        // verbatim leak
+      (2L, "totally different words about nothing here relevant at all"),
+      (3L, base + " with a short extra tail appended"))  // partial overlap
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationScore(corpus, bench, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 0.0)
+    assert(out(3L) > 0.5 && out(3L) < 1.0,
+      s"partial overlap must land strictly between: ${out(3L)}")
+  }
+
+  test("stratified sample is deterministic, rate-respecting, dup-consistent") {
+    val rnd = new scala.util.Random(11)
+    def words() = Seq.fill(8)("w" + rnd.nextInt(1000)).mkString(" ")
+    val rows = (1L to 2000L).map(i =>
+      (i, words(), if (i % 2 == 0) "en" else "de"))
+    val df = rows.toDF("doc_id", "text", "lang")
+    val rates = Map("en" -> 0.5, "de" -> 0.125)
+    def run() = TextAnalysis.stratifiedSample(df, "text", "lang", rates, 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    val s1 = run()
+    assert(s1 == run(), "content-hash selection must be reproducible")
+    val byLang = df.filter($"doc_id".isInCollection(s1))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byLang("en") / 1000.0 - 0.5) < 0.08, s"en rate: $byLang")
+    assert(math.abs(byLang("de") / 1000.0 - 0.125) < 0.05, s"de rate: $byLang")
+    // duplicate text in the same stratum: both copies land the same side
+    val dup = Seq((1L, "same exact text", "en"), (2L, "same exact text", "en"))
+      .toDF("doc_id", "text", "lang")
+    val kept = TextAnalysis.stratifiedSample(dup, "text", "lang", rates, 0.25)
+      .count()
+    assert(kept == 0L || kept == 2L, s"dup copies split: $kept")
+  }
+
   test("connected components: transitive chains merge, singletons stay") {
     // chain 1-2-3 (1-3 never paired directly), pair 8-9, singleton 5
     val nodes = Seq(1L, 2L, 3L, 5L, 8L, 9L).toDF("doc_id")
