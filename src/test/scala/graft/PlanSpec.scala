@@ -126,6 +126,14 @@ class PlanSpec extends SparkSpec {
       s"LIMIT+ORDER BY must use per-partition top-k:\n$p")
   }
 
+  test("q52: benchmark shingle set broadcasts into the contamination join") {
+    val p = plan(graft.queries.ExtensionQueries.defs("q52_contamination")(spark, d))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"bench set must broadcast; corpus stays un-shuffled through the join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"contamination must never sort-merge the corpus:\n$p")
+  }
+
   test("q50: vocabulary top-k is partial-aggregated and sort-free") {
     val p = plan(graft.queries.ExtensionQueries.defs("q50_vocab_topk")(spark, d))
     assert(p.contains("TakeOrderedAndProject"),
