@@ -241,6 +241,11 @@ object Exporter {
       // from a previous session. Overwrite must therefore mean "replace
       // whatever is on disk": drop the catalog entry if present, then
       // clear the orphaned managed location.
+      //
+      // NOT atomic: the old table is gone before the new write starts, so
+      // a failed write leaves neither. Fine for harness/test scratch
+      // tables (every caller here); a durable deployment would write to a
+      // temp table and swap names after the write commits.
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
       dropManagedLocation(spark, table)
     }
@@ -250,6 +255,39 @@ object Exporter {
     val w = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*)
             else w0
     w.format("parquet").saveAsTable(table)
+  }
+
+  /** Catalog-table twin of the path-based partitioned export: write `df`
+    * PARTITIONED BY `partitionCols` as a managed parquet table. Scans that
+    * filter on the partition columns with literals prune to the matching
+    * directories only (`PartitionFilters` in the scan) — the layout the
+    * persisted IVF index probes rely on. Same overwrite semantics (and the
+    * same non-atomicity caveat) as `writeBucketed`.
+    */
+  def writePartitioned(df: DataFrame, table: String,
+                       partitionCols: Seq[String],
+                       compression: String = "zstd",
+                       writeMode: String = "overwrite"): Unit = {
+    require(partitionCols.nonEmpty, "partitioned write needs partition columns")
+    val spark = df.sparkSession
+    if (writeMode == "overwrite") {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      dropManagedLocation(spark, table)
+    }
+    df.drop(Readers.FileOrderCol).write.mode(writeMode)
+      .option("compression", compression)
+      .partitionBy(partitionCols: _*)
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** A managed table's default warehouse location (identifier lowercased,
+    * default database — the layout Spark uses for `saveAsTable` without an
+    * explicit path). Exposed for sidecar files that ride with the table.
+    */
+  def managedLocation(spark: org.apache.spark.sql.SparkSession,
+                      table: String): org.apache.hadoop.fs.Path = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
   }
 
   /** Drop a bucketed table AND its on-disk location — the cleanup twin of
@@ -269,8 +307,7 @@ object Exporter {
     */
   private def dropManagedLocation(spark: org.apache.spark.sql.SparkSession,
                                   table: String): Unit = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val loc = managedLocation(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }

@@ -181,16 +181,32 @@ object Similarity {
     * Training cost is controlled independently of probe correctness:
     * `sampleFraction`/`iterations` only shape centroid quality.
     */
+  /** Column: the `nProbe` nearest centroid ids for query vector `qe`, as an
+    * array of equi-join keys (squared-L2 scored, ties to the lower index via
+    * the (dist, idx) struct sort).
+    */
+  private def probeListsCol(qe: Column, centroids: Seq[Seq[Double]],
+                            nProbe: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (cen, i) =>
+      struct(
+        aggregate(zip_with(qe, array(cen.map(lit): _*),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, p) => acc + p).as("d"),
+        lit(i).as("i"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, nProbe), s => s.getField("i"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, qIdCol: String,
               cIdCol: String, vecCol: String, k: Int,
               nLists: Int = 16, nProbe: Int = 4,
               iterations: Int = 3, sampleFraction: Double = 1.0): DataFrame = {
     // the casted corpus feeds BOTH centroid training and the final bucket
-    // assignment (2+ passes) — cache it once. The cache is keyed by the
-    // analyzed plan, so repeated invocations over the same corpus reuse the
-    // same entry (training becomes a cache read on re-runs); a production
-    // deployment would instead persist the bucketed corpus as a partitioned
-    // table and skip training entirely on the probe path.
+    // assignment (2+ passes) — cache it for the duration of the call, then
+    // release it once the result materializes (the result frame re-deriving
+    // the assignment from scratch on a post-unpersist recompute is correct,
+    // just slower). The persisted-index path (buildIvfIndex/ivfProbe) is the
+    // production form: train/assign once at write time, probe pruned
+    // partitions with no per-call training at all.
     val c0 = corpus.select(col(cIdCol).as("cid"),
         col(vecCol).cast("array<double>").as("ce"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -198,25 +214,128 @@ object Similarity {
       iterations, sampleFraction)
     val c = c0.withColumn("bucket",
       nearestCentroid(corpus.sparkSession, col("ce"), centroids))
-    // query probes: nProbe nearest centroid ids, exploded to equi-join keys
-    val probeArr = {
-      val scored = array(centroids.zipWithIndex.map { case (cen, i) =>
-        struct(
-          aggregate(zip_with(col("qe"), array(cen.map(lit): _*),
-            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, p) => acc + p).as("d"),
-          lit(i).as("i"))
-      }: _*)
-      transform(slice(array_sort(scored), 1, nProbe), s => s.getField("i"))
-    }
     val q = queries.select(col(qIdCol).as("qid"),
         col(vecCol).cast("array<double>").as("qe"))
-      .withColumn("bucket", explode(probeArr))
+      .withColumn("bucket", explode(probeListsCol(col("qe"), centroids, nProbe)))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-    broadcast(q).join(c, Seq("bucket"))
+    val ranked = broadcast(q).join(c, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         fr4(cosineFast(queries.sparkSession, col("qe"), col("ce"))).as("sim"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
+    // materialize to driver-side rows while the corpus cache is hot, then
+    // drop the cache: top-k per query is k×|queries| rows — bounded small
+    // by construction (the query side is the broadcast side)
+    val rows = ranked.collect()
+    c0.unpersist()
+    queries.sparkSession.createDataFrame(
+      queries.sparkSession.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      ranked.schema)
   }
+
+  // --------------------------------------------------------------------
+  // Persisted IVF index: the production 100 TB layout. `buildIvfIndex`
+  // pays training + assignment ONCE and writes the corpus as a managed
+  // parquet table PARTITIONED BY list id, with the centroid codebook in a
+  // `_ivf_codebook.json` sidecar inside the table directory (underscore
+  // prefix = invisible to data discovery). `ivfProbe` reads the codebook,
+  // scores each query against it driver-side-free (codegen projection),
+  // and scans ONLY the probed partitions — no training, no full-corpus
+  // pass, partition pruning visible in the scan's PartitionFilters.
+  // --------------------------------------------------------------------
+
+  /** Train + assign + write the IVF-partitioned corpus table and codebook
+    * sidecar. Returns the trained centroids (driver-side, k×dim doubles).
+    */
+  def buildIvfIndex(corpus: DataFrame, table: String, cIdCol: String,
+                    vecCol: String, nLists: Int = 16, iterations: Int = 3,
+                    sampleFraction: Double = 1.0): Seq[Seq[Double]] = {
+    val spark = corpus.sparkSession
+    val c0 = corpus.select(col(cIdCol).as("cid"),
+        col(vecCol).cast("array<double>").as("ce"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centroids = trainCentroids(c0.select(col("ce").as("v")), "v",
+        nLists, iterations, sampleFraction)
+      val assigned = c0.withColumn("ivf_list",
+        nearestCentroid(spark, col("ce"), centroids))
+      Exporter.writePartitioned(assigned, table, Seq("ivf_list"))
+      writeCodebook(spark, table, centroids)
+      centroids
+    } finally {
+      c0.unpersist()
+      ()
+    }
+  }
+
+  private def writeCodebook(spark: org.apache.spark.sql.SparkSession,
+                            table: String,
+                            centroids: Seq[Seq[Double]]): Unit = {
+    val json = graft.core.Json.write(graft.core.Json.obj(
+      "nLists" -> centroids.length,
+      "dim" -> centroids.headOption.map(_.length).getOrElse(0),
+      "centroids" -> centroids), indent = 0).replace("\n", " ")
+    val loc = Exporter.managedLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(loc, "_ivf_codebook.json"), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The codebook written by `buildIvfIndex` (one small JSON file — read
+    * through the JSON source so no hand-rolled parsing).
+    */
+  def readCodebook(spark: org.apache.spark.sql.SparkSession,
+                   table: String): Seq[Seq[Double]] = {
+    val path = new org.apache.hadoop.fs.Path(
+      Exporter.managedLocation(spark, table), "_ivf_codebook.json")
+    // the underscore prefix hides the sidecar from data discovery (that is
+    // the point), so path-based spark.read.json cannot see it — read the
+    // bytes through the filesystem and parse from a Dataset instead
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val json =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    import spark.implicits._
+    spark.read.json(Seq(json).toDS()).select(col("centroids")).first()
+      .getSeq[scala.collection.Seq[Double]](0).map(_.toSeq).toSeq
+  }
+
+  /** Probe a persisted IVF index: each query scores the codebook (a plan
+    * constant), probes its `nProbe` nearest lists, and ranks exact cosine
+    * within those lists only. The corpus scan carries an `isin` filter on
+    * the partition column, so only the probed list directories are read —
+    * at 100 TB with nLists=4096, nProbe=64, that is 1.6% of the corpus.
+    * With `nProbe = nLists` the result is exactly the brute-force top-k.
+    */
+  def ivfProbe(spark: org.apache.spark.sql.SparkSession, table: String,
+               queries: DataFrame, qIdCol: String, vecCol: String, k: Int,
+               nProbe: Int): DataFrame = {
+    val centroids = readCodebook(spark, table)
+    val q = queries.select(col(qIdCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qe"))
+      .withColumn("ivf_list",
+        explode(probeListsCol(col("qe"), centroids, nProbe)))
+    // the union of probed list ids: ≤ nLists ints of metadata, never row
+    // data — collected so the scan filter is a literal the catalog can
+    // prune partitions with at planning time
+    val probed = q.select(col("ivf_list")).distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq
+    val c = spark.table(table)
+      .filter(col("ivf_list").isin(probed.map(Integer.valueOf): _*))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    broadcast(q).join(c, Seq("ivf_list"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        fr4(cosineFast(spark, col("qe"), col("ce"))).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Drop a persisted IVF index (table + location + sidecar). */
+  def dropIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   table: String): Unit =
+    Exporter.dropBucketed(spark, table)
 }

@@ -240,4 +240,38 @@ class DedupSimilaritySpec extends SparkSpec {
       .select(TextAnalysis.repetitionRatio($"text").as("r")).collect()(0)
     assert(short.isNullAt(0))
   }
+
+  test("persisted IVF index: exhaustive probe equals brute-force top-k") {
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.embeddings(spark, d)
+    val table = "bkt_ivf_dedupspec"
+    try {
+      Similarity.buildIvfIndex(emb, table, "vec_id", "embedding",
+        nLists = 8, iterations = 1, sampleFraction = 0.3)
+      val probed = Similarity.ivfProbe(spark, table,
+          emb.filter($"vec_id" <= 3), "vec_id", "embedding", k = 4,
+          nProbe = 8)
+        .orderBy("qid", "rn").collect().toSeq
+      val brute = Similarity.topK(emb.filter($"vec_id" <= 3), emb,
+          "vec_id", "vec_id", "embedding", k = 4)
+        .orderBy("qid", "rn").collect().toSeq
+      assert(probed == brute,
+        "nProbe = nLists must reproduce brute force exactly")
+      // rebuilding over the same table name is idempotent (overwrite)
+      Similarity.buildIvfIndex(emb, table, "vec_id", "embedding",
+        nLists = 4, iterations = 1, sampleFraction = 0.3)
+      assert(Similarity.readCodebook(spark, table).length == 4)
+    } finally Similarity.dropIvfIndex(spark, table)
+  }
+
+  test("gate queries leave no session cache entries behind (q41, q45)") {
+    val d = "/root/testdata/sf0.001"
+    // r6 advice: q41 cached its candidate set and ivfTopK its corpus with
+    // no unpersist path — over a long-lived session over changing inputs
+    // those accumulate. Both now materialize-and-release instead.
+    graft.queries.ExtensionQueries.defs("q41_minhash_lsh")(spark, d).collect()
+    graft.queries.ExtensionQueries.defs("q45_ivf_topk")(spark, d).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "no cache entries may survive a gate-query run")
+  }
 }

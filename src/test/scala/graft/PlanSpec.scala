@@ -142,6 +142,44 @@ class PlanSpec extends SparkSpec {
       s"hot tokens must collapse map-side before the shuffle:\n$p")
   }
 
+  test("persisted IVF probe scans only the probed list partitions") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val table = "bkt_ivf_planspec"
+    try {
+      graft.operators.Similarity.buildIvfIndex(emb, table, "vec_id",
+        "embedding", nLists = 8, iterations = 1, sampleFraction = 0.5)
+      // the index must have more lists on disk than a bounded probe touches
+      val loc = graft.operators.Exporter.managedLocation(spark, table)
+      val listDirs = new java.io.File(loc.toUri).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("ivf_list="))
+      assert(listDirs > 2, s"expected >2 populated lists, got $listDirs")
+      val probe = graft.operators.Similarity.ivfProbe(spark, table,
+        emb.filter($"vec_id" === 1), "vec_id", "embedding", k = 3, nProbe = 2)
+      val p = plan(probe)
+      // the CORPUS scan (the catalog table) must carry the list filter —
+      // the query-side scan has no partition columns at all
+      val pf = p.linesIterator
+        .find(l => l.contains(table) && l.contains("PartitionFilters"))
+        .getOrElse("")
+      assert(pf.contains("ivf_list"),
+        s"probe scan must prune on the list partition column:\n$p")
+      // the pruning predicate carries at most nProbe list ids (single
+      // query => exactly its nProbe nearest lists)...
+      val inVals = "IN \\(([^)]*)\\)".r.findFirstMatchIn(pf).map(_.group(1))
+      val nPruned = inVals.map(_.split(",").length)
+        .getOrElse(if (pf.contains(" = ")) 1 else Int.MaxValue)
+      assert(nPruned <= 2,
+        s"probe must touch at most nProbe=2 partitions, got $nPruned:\n$pf")
+      // ...and the scan's file index lists only the pruned directories
+      val nPaths = "InMemoryFileIndex\\((\\d+) paths\\)".r
+        .findFirstMatchIn(pf).map(_.group(1).toInt).getOrElse(Int.MaxValue)
+      assert(nPaths <= 2,
+        s"file index must list only the probed list dirs:\n$pf")
+      assert(probe.count() == 3, "bounded probe still returns full top-k")
+    } finally graft.operators.Similarity.dropIvfIndex(spark, table)
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     val p = plan(Tables.lineitem(spark, d)
       .filter(col("l_quantity") > 30)
