@@ -216,18 +216,22 @@ object Dedup {
     * it contains, which doubles as the canonical representative
     * (`component == id` selects the keeper).
     *
-    * Algorithm: iterative min-label propagation with pointer jumping.
-    * Each round propagates labels one hop (edges⋈labels equi-join + a
-    * partial-aggregated min), then jumps `comp := comp(comp)` (labels
-    * self-join on a total mapping) — the jump doubles the effective hop
-    * distance per round, so rounds needed are O(log diameter), not
-    * O(diameter). Convergence is detected by the label sum (min
-    * propagation strictly decreases some label every non-converged
-    * round), a fixed-size aggregate — nothing row-shaped reaches the
-    * driver. The alternating large-star/small-star formulation (Kiveris
-    * et al., "Connected Components in MapReduce") additionally bounds
-    * per-round edge growth for adversarial skew; it drops into the same
-    * checkpoint/converge scaffolding.
+    * Two algorithms behind one API, both O(log) rounds with fixed-size
+    * convergence probes (nothing row-shaped reaches the driver):
+    *
+    *  - `"pointer-jumping"` (default): per-round min-label propagation
+    *    (edges⋈labels + partial-aggregated min) followed by the jump
+    *    `comp := comp(comp)` — the jump doubles effective hop distance per
+    *    round, so rounds are O(log diameter). The per-round propagation
+    *    join carries ALL edges every round, which a star-shaped hot
+    *    cluster inflates.
+    *  - `"star"`: alternating large-star/small-star edge rewriting
+    *    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    *    SoCC'14). Each round REWRITES the edge set toward per-component
+    *    stars, so hot-cluster edges collapse onto the component minimum as
+    *    rounds progress — the per-round join volume shrinks instead of
+    *    replaying, which is the right trade under adversarial skew
+    *    (a 10k-leaf star converges in one round).
     *
     * Throws if `maxIter` rounds don't converge (a silent partial clustering
     * would under-dedup downstream).
@@ -236,7 +240,36 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          algorithm: String = "pointer-jumping"): DataFrame = {
+    val ids = nodes.select(col(idCol).cast("long").as("id")).distinct()
+    // an empty node set has nothing to label — and sum() over zero rows is
+    // null, which the convergence probes must never see
+    if (ids.isEmpty)
+      return ids.select(col("id").as(idCol), col("id").as("component"))
+    val out = algorithm match {
+      case "pointer-jumping" => ccPointerJumping(ids, pairs, aCol, bCol, maxIter)
+      case "star"            => ccStar(ids, pairs, aCol, bCol, maxIter)
+      case other => throw new IllegalArgumentException(
+        s"unknown connectedComponents algorithm '$other' " +
+          "(expected pointer-jumping or star)")
+    }
+    out.select(col("id").as(idCol), col("comp").as("component"))
+  }
+
+  /** The local-checkpoint block handle of a checkpointed frame: its
+    * analyzed plan is a LogicalRDD over the persisted RDD. Unpersisting
+    * the PREVIOUS round's handle after the next round materializes keeps
+    * exactly one round snapshot alive instead of `maxIter` of them.
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  private def ccPointerJumping(ids: DataFrame, pairs: DataFrame,
+                               aCol: String, bCol: String,
+                               maxIter: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs
       .select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
@@ -249,9 +282,8 @@ object Dedup {
     // localCheckpoint materializes the round AND truncates lineage to a
     // LogicalRDD (a fault-tolerant deployment swaps in reliable
     // checkpointing via sparkContext.setCheckpointDir; same shape)
-    var labels = nodes.select(col(idCol).cast("long").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+    var labels = ids.withColumn("comp", col("id")).localCheckpoint()
+    var prevCkpt = checkpointRdd(labels)
     var prevSum = labels.agg(sum("comp")).collect()(0).getLong(0)
     var iter = 0
     var converged = false
@@ -271,6 +303,11 @@ object Dedup {
         .select(col("id"), col("jcomp").as("comp"))
         .localCheckpoint(false)
       val newSum = next.agg(sum("comp")).collect()(0).getLong(0)
+      // `next` is materialized and lineage-truncated now — the previous
+      // round's snapshot can go (the FINAL round's snapshot backs the
+      // returned frame and stays)
+      prevCkpt.foreach(_.unpersist(false))
+      prevCkpt = checkpointRdd(next)
       labels = next
       converged = newSum == prevSum
       prevSum = newSum
@@ -281,6 +318,73 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "raise maxIter (cluster diameter exceeds the bound)")
-    labels.select(col("id").as(idCol), col("comp").as("component"))
+    labels
+  }
+
+  /** Alternating large-star/small-star rounds (Kiveris et al., SoCC'14).
+    * Edge set is kept oriented large→small; a round rewrites every edge
+    * toward the neighborhood minimum (large-star hangs big neighbors onto
+    * it, small-star contracts the small ones), and at the fixpoint the
+    * edges ARE the labeling: one (node, component-min) edge per non-min
+    * node. Convergence = the (count, endpoint-sum, xxhash64-sum) probe of
+    * the edge set repeating — a fixed-size aggregate; a false positive
+    * needs a 64-bit hash-sum collision between consecutive rounds on top
+    * of equal counts and sums.
+    */
+  private def ccStar(ids: DataFrame, pairs: DataFrame,
+                     aCol: String, bCol: String, maxIter: Int): DataFrame = {
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).cast("long").as("s"),
+        least(col(aCol), col(bCol)).cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .distinct()
+      .localCheckpoint()
+    var prevCkpt = checkpointRdd(edges)
+    // xxhash64 spans the full long range, so its sum accumulates in
+    // decimal — a long sum would hit ANSI ARITHMETIC_OVERFLOW
+    def probe(e: DataFrame): Seq[Any] = e.agg(count(lit(1)),
+      coalesce(sum(col("s") + col("d")), lit(0L)),
+      coalesce(sum(xxhash64(col("s"), col("d")).cast("decimal(20,0)")),
+        lit(0).cast("decimal(30,0)"))).collect()(0).toSeq
+    var prev = probe(edges)
+    var iter = 0
+    var converged = prev.head == 0L // no edges at all: nothing to contract
+    while (!converged && iter < maxIter) {
+      // large-star: for every node u, neighbors v > u re-link to
+      // m = min(Γ(u) ∪ {u}); output stays oriented v > u >= m
+      val sym = edges.select(col("s").as("u"), col("d").as("v"))
+        .unionByName(edges.select(col("d").as("u"), col("s").as("v")))
+      val lm = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val large = sym.join(lm, "u").filter(col("v") > col("u"))
+        .select(col("v").as("s"), col("m").as("d"))
+        .distinct()
+      // small-star: for every node u, its smaller neighbors (plus u) hang
+      // off m = min of them; d >= m always, so orientation is preserved
+      val sm = large.groupBy(col("s")).agg(min(col("d")).as("m"))
+      val next = large.join(sm, "s")
+        .filter(col("d") =!= col("m"))
+        .select(col("d").as("s"), col("m").as("d"))
+        .unionByName(sm.select(col("s"), col("m").as("d")))
+        .distinct()
+        .localCheckpoint(false) // the probe below materializes it
+      val cur = probe(next)
+      prevCkpt.foreach(_.unpersist(false))
+      prevCkpt = checkpointRdd(next)
+      edges = next
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents(star) did not converge in $maxIter rounds — " +
+          "raise maxIter")
+    // star fixpoint: every non-min node carries exactly one edge to its
+    // component min; isolated nodes label themselves
+    val lab = edges.groupBy(col("s")).agg(min(col("d")).as("comp"))
+      .select(col("s").as("lid"), col("comp"))
+    ids.join(lab, col("id") === col("lid"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 }

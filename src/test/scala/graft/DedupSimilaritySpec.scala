@@ -221,6 +221,55 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("connected components: star algorithm matches pointer jumping on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 40
+      val nodes = (1L to n.toLong).toDF("doc_id")
+      val es = Seq.fill(n)((rnd.nextInt(n) + 1L, rnd.nextInt(n) + 1L))
+        .filter(p => p._1 != p._2)
+      val pairs = es.toDF("a", "b")
+      val pj = Dedup.connectedComponents(nodes, "doc_id", pairs, "a", "b")
+        .as[(Long, Long)].collect().sorted.toSeq
+      val st = Dedup.connectedComponents(nodes, "doc_id", pairs, "a", "b",
+        algorithm = "star").as[(Long, Long)].collect().sorted.toSeq
+      assert(pj == st, s"algorithms disagree on random graph trial $trial")
+    }
+  }
+
+  test("connected components(star): 1000-node path (worst diameter) converges") {
+    val n = 1000L
+    val nodes = (1L to n).toDF("doc_id")
+    val path = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.connectedComponents(nodes, "doc_id", path, "a", "b",
+      algorithm = "star").as[(Long, Long)].collect()
+    assert(out.length == n && out.forall(_._2 == 1L),
+      "one path component labeled by its min")
+  }
+
+  test("connected components(star): 10k-leaf star (worst skew) converges fast") {
+    val n = 10001L
+    val nodes = (1L to n).toDF("doc_id")
+    val star = (2L to n).map(i => (1L, i)).toDF("a", "b")
+    val out = Dedup.connectedComponents(nodes, "doc_id", star, "a", "b",
+      maxIter = 4, algorithm = "star").as[(Long, Long)].collect()
+    assert(out.length == n && out.forall(_._2 == 1L),
+      "hub component labeled 1 within a tight round budget")
+  }
+
+  test("connected components: empty node set and edgeless nodes, no NPE") {
+    val noNodes = Seq.empty[Long].toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    for (alg <- Seq("pointer-jumping", "star")) {
+      assert(Dedup.connectedComponents(noNodes, "doc_id", noPairs, "a", "b",
+        algorithm = alg).count() == 0)
+      val lone = Dedup.connectedComponents(Seq(7L, 9L).toDF("doc_id"),
+        "doc_id", noPairs, "a", "b", algorithm = alg)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(lone == Seq((7L, 7L), (9L, 9L)), "edgeless nodes self-label")
+    }
+  }
+
   test("vocabulary counts tokens globally; repetition ratio flags loops") {
     val df = Seq((1L, "spark and spark and spark"), (2L, "fresh words only"))
       .toDF("doc_id", "text")
