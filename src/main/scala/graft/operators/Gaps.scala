@@ -84,20 +84,83 @@ object Gaps {
           pmod(unix_micros(col(TsCol)) - unix_micros(col("_anchor")),
             lit(stepMicros)) === 0)
 
-    val w =
-      if (partitionCols.isEmpty) Window.orderBy(TsCol)
-      else Window.partitionBy(keys: _*).orderBy(TsCol)
-    val withPrev = obs.withColumn("_prev", lag(col(TsCol), 1).over(w))
-    val delta = unix_micros(col(TsCol)) - unix_micros(col("_prev"))
-    val clustered = withPrev
-      .filter(col("_prev").isNotNull && delta > stepMicros)
-      .select(partitionCols.map(col) ++ Seq(
-        timestamp_micros(unix_micros(col("_prev")) + stepMicros).as("start"),
-        timestamp_micros(unix_micros(col(TsCol)) - stepMicros).as("end"),
-        ((delta / stepMicros).cast("long") - 1).as("missing_count")): _*)
+    val clustered =
+      if (partitionCols.isEmpty) keylessGapClusters(obs, stepMicros)
+      else {
+        val w = Window.partitionBy(keys: _*).orderBy(TsCol)
+        val withPrev = obs.withColumn("_prev", lag(col(TsCol), 1).over(w))
+        val delta = unix_micros(col(TsCol)) - unix_micros(col("_prev"))
+        withPrev
+          .filter(col("_prev").isNotNull && delta > stepMicros)
+          .select(partitionCols.map(col) ++ Seq(
+            timestamp_micros(unix_micros(col("_prev")) + stepMicros).as("start"),
+            timestamp_micros(unix_micros(col(TsCol)) - stepMicros).as("end"),
+            ((delta / stepMicros).cast("long") - 1).as("missing_count")): _*)
+      }
 
     withClassification(clustered, step, shortGapMinutes)
       .orderBy((partitionCols :+ "start").map(col): _*)
+  }
+
+  /** Keyless (single-series) gap clusters WITHOUT a global window: a
+    * keyless `Window.orderBy` serializes the whole series onto one task —
+    * the r6-flagged scale trap. Instead the observed on-grid stamps are
+    * RANGE-partitioned by stamp, every task detects the gaps between ITS
+    * consecutive stamps in one narrow scan, and the only cross-task state
+    * is each partition's (first, last) stamp — fixed-size metadata
+    * stitched on the driver, never row data.
+    *
+    * @param obs  observed on-grid rows; only `TsCol` is read
+    * @return (start, end, missing_count) — one row per gap cluster
+    */
+  private def keylessGapClusters(obs: DataFrame,
+                                 stepMicros: Long): DataFrame = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val ranged = obs.select(unix_micros(col(TsCol)).as("us")).as[Long]
+      .repartitionByRange(nPart, col("us"))
+      .sortWithinPartitions("us")
+    // tag 0 = in-partition gap pair (prev, cur); tag 1/2 = the partition's
+    // first/last stamp keyed by partition id. Checkpointed because both
+    // the boundary collect and the pair job below read it (it is tiny:
+    // one row per gap + two per partition).
+    val tagged = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      if (!it.hasNext) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+        var cur = it.next()
+        val first = cur
+        var prev = cur
+        while (it.hasNext) {
+          cur = it.next()
+          if (cur - prev > stepMicros) out += ((0, prev, cur))
+          prev = cur
+        }
+        out += ((1, pid, first))
+        out += ((2, pid, prev))
+        out.iterator
+      }
+    }.localCheckpoint()
+    val bounds = tagged.filter(_._1 != 0).collect()
+    val firsts = bounds.filter(_._1 == 1).map(t => t._2 -> t._3).toMap
+    val lasts = bounds.filter(_._1 == 2).map(t => t._2 -> t._3).toMap
+    val pids = firsts.keys.toSeq.sorted
+    // a gap spanning two range partitions appears as (last of i, first of
+    // the next non-empty partition) — empty partitions were never emitted
+    val stitched = pids.zip(pids.drop(1)).collect {
+      case (a, b) if firsts(b) - lasts(a) > stepMicros =>
+        (lasts(a), firsts(b))
+    }
+    tagged.filter(_._1 == 0).map(t => (t._2, t._3))
+      .union(spark.createDataset(stitched))
+      .toDF("_p", "_c")
+      .select(
+        timestamp_micros(col("_p") + stepMicros).as("start"),
+        timestamp_micros(col("_c") - stepMicros).as("end"),
+        (((col("_c") - col("_p")) / stepMicros).cast("long") - 1)
+          .as("missing_count"))
   }
 
   /** length + 4-way classification columns (order short → overnight → long
@@ -200,9 +263,18 @@ object Gaps {
       val row = repaired.agg(aggs.head, aggs.tail: _*).collect()(0)
 
       // the synthesized rows ARE the missing stamps: cluster them instead
-      // of re-detecting over the full frame (the flagged subset is tiny)
-      val gaps = clusterStamps(repaired.filter(col("_generated")),
-          step, shortGapMinutes, partitionCols)
+      // of re-detecting over the full frame (the flagged subset is tiny).
+      // Keyless inputs take the range-layout path over the OBSERVED rows
+      // (runs of generated stamps = gaps between consecutive observed
+      // stamps — same clusters, no single-task global window)
+      val clustered =
+        if (partitionCols.isEmpty)
+          keylessGapClusters(repaired.filter(!col("_generated")),
+            Rules.stepMicros(rule))
+        else clusterStamps(repaired.filter(col("_generated")), step,
+          partitionCols)
+      val gaps = withClassification(clustered, step, shortGapMinutes)
+        .orderBy((partitionCols :+ "start").map(col): _*)
         .limit(maxGapsInReport).collect()
       val gapList = gaps.toSeq.map { r =>
         val endPlus = r.getAs[java.sql.Timestamp]("end").toInstant
@@ -229,16 +301,18 @@ object Gaps {
   }
 
   /** Cluster a small frame of missing stamps into gap records (the
-    * gaps-and-islands step shared by detectGaps and the repair report).
+    * gaps-and-islands step of the repair report). Keyed inputs only — the
+    * keyless case routes through [[keylessGapClusters]] instead of an
+    * unpartitioned window.
     */
   private def clusterStamps(missing: DataFrame, step: Long,
-                            shortGapMinutes: Int,
                             partitionCols: Seq[String]): DataFrame = {
-    val w =
-      if (partitionCols.isEmpty) Window.orderBy(TsCol)
-      else Window.partitionBy(partitionCols.map(col): _*).orderBy(TsCol)
+    require(partitionCols.nonEmpty,
+      "clusterStamps needs partition keys (keyless goes through " +
+        "keylessGapClusters)")
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(TsCol)
     val island = unix_seconds(col(TsCol)) - row_number().over(w) * step
-    val clustered = missing
+    missing
       .select((partitionCols :+ TsCol).map(col): _*)
       .withColumn("_island", island)
       .groupBy((partitionCols :+ "_island").map(col): _*)
@@ -247,8 +321,6 @@ object Gaps {
         max(col(TsCol)).as("end"),
         count(lit(1)).as("missing_count"))
       .drop("_island")
-    withClassification(clustered, step, shortGapMinutes)
-      .orderBy((partitionCols :+ "start").map(col): _*)
   }
 
   /** pandas str(Timestamp) formatting: "2024-01-01 00:03:00+00:00". */

@@ -16,9 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Interpolate {
 
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(Interpolate.getClass)
+
   private def base(partitionCols: Seq[String], orderCol: String): WindowSpec =
-    if (partitionCols.isEmpty) Window.orderBy(orderCol)
-    else Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
+    if (partitionCols.isEmpty) {
+      // deliberate, LOUD: an unpartitioned window serializes every row
+      // onto one task. Single-series parity tests are the only sane
+      // caller; anything at scale belongs on FastFill.fill (range layout)
+      log.warn("Interpolate with no partition keys plans a single-task " +
+        "global window — use FastFill.fill(crossPartition = true) for " +
+        "anything beyond a small single-series frame")
+      Window.orderBy(orderCol)
+    } else Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
 
   /** Forward-fill `cols` in order of `orderCol`. */
   def ffill(df: DataFrame, cols: Seq[String], orderCol: String,

@@ -317,7 +317,10 @@ class DedupSimilaritySpec extends SparkSpec {
     val d = "/root/testdata/sf0.001"
     // r6 advice: q41 cached its candidate set and ivfTopK its corpus with
     // no unpersist path — over a long-lived session over changing inputs
-    // those accumulate. Both now materialize-and-release instead.
+    // those accumulate. Both now materialize-and-release instead. The
+    // session is shared across suites, so start from a clean cache: the
+    // contract under test is that THESE queries add nothing.
+    spark.sharedState.cacheManager.clearCache()
     graft.queries.ExtensionQueries.defs("q41_minhash_lsh")(spark, d).collect()
     graft.queries.ExtensionQueries.defs("q45_ivf_topk")(spark, d).collect()
     assert(spark.sharedState.cacheManager.isEmpty,
