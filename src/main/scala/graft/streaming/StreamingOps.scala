@@ -166,6 +166,113 @@ object StreamingOps {
       }
   }
 
+  /** Repaired stream row: real ticks pass through with
+    * `generated = false`; synthesized grid rows carry the forward-filled
+    * value and `generated = true` (the streaming analog of the batch
+    * repair's `_generated` accounting column).
+    */
+  final case class RepairedTick(symbol: String, ts: Timestamp,
+                                close: Double, generated: Boolean)
+  /** Keyed repair state: ticks still above the watermark (not yet final)
+    * plus the last emitted (stamp, value) — the ffill carry. Bounded: the
+    * buffer holds at most one lateness horizon of ticks, the carry is two
+    * fields.
+    */
+  final case class RepairState(pending: Seq[QuoteSeen],
+                               lastUs: Long, lastVal: Double,
+                               hasLast: Boolean)
+
+  /** Streaming gap REPAIR — the ffill stage of batch O13 for live feeds:
+    * missing grid stamps between consecutive ticks are synthesized with
+    * the previous tick's value carried forward (VOLUME-style ffill;
+    * interpolation needs the gap's far edge and belongs to the consumer
+    * that sees both, e.g. a downstream batch pass).
+    *
+    * Output is emitted only once the watermark has passed a tick, so a
+    * LATE tick (within `delay`) slots into its true grid position before
+    * anything around it is finalized — emission order per symbol is
+    * strictly by event time, and fills bridge the actual neighbors, never
+    * a premature pair. Until then ticks wait in keyed state (bounded by
+    * the lateness horizon). Duplicate stamps keep the first arrival (the
+    * O8 convention). Finalized rows leave on the symbol's NEXT invocation
+    * (data arrival or timeout) after the watermark passes them — the
+    * standard lag of watermark-finalized buffering.
+    *
+    * State retirement mirrors [[streamingAsof]]: once the watermark passes
+    * a symbol's newest tick by `retention`, the symbol times out
+    * (`EventTimeTimeout`), its still-pending ticks FLUSH (emitted with
+    * their fills — nothing buffered is lost), and the carry is dropped —
+    * a tick after retirement restarts the series fresh, so the quiet
+    * stretch itself is never filled (the documented bounded-state trade,
+    * same as [[streamingGapDetect]]).
+    */
+  def streamingGapRepair(ticks: Dataset[Tick], rule: String,
+                         delay: String = "1 minute",
+                         retention: String = "1 hour"): Dataset[RepairedTick] = {
+    import ticks.sparkSession.implicits._
+    val stepUs = Rules.stepMicros(rule)
+    def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    ticks
+      .withWatermark("ts", delay)
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (symbol: String, rows: Iterator[Tick], state: GroupState[RepairState]) =>
+          val st = state.getOption
+            .getOrElse(RepairState(Seq.empty, 0L, 0.0, hasLast = false))
+          // stable sort: at equal stamps the earlier arrival stays first,
+          // so the keep-first dedup below is arrival-order faithful
+          val merged = (st.pending ++ rows.toSeq
+            .map(t => QuoteSeen(micros(t.ts), t.close)))
+            .sortBy(_.tsMicros)
+
+          // ticks at-or-below the watermark are final (Spark admits no
+          // later row below it); on timeout everything flushes
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (fin, pending) =
+            if (state.hasTimedOut) (merged, Seq.empty[QuoteSeen])
+            else merged.span(_.tsMicros <= wmUs)
+
+          val out = Seq.newBuilder[RepairedTick]
+          var lastUs = st.lastUs
+          var lastVal = st.lastVal
+          var hasLast = st.hasLast
+          for (t <- fin) {
+            if (!(hasLast && t.tsMicros <= lastUs)) { // keep-first dedup
+              if (hasLast && t.tsMicros - lastUs > stepUs) {
+                var g = lastUs + stepUs
+                while (g < t.tsMicros) {
+                  out += RepairedTick(symbol,
+                    new Timestamp(Math.floorDiv(g, 1000L)), lastVal,
+                    generated = true)
+                  g += stepUs
+                }
+              }
+              out += RepairedTick(symbol,
+                new Timestamp(Math.floorDiv(t.tsMicros, 1000L)), t.value,
+                generated = false)
+              lastUs = t.tsMicros
+              lastVal = t.value
+              hasLast = true
+            }
+          }
+
+          if (state.hasTimedOut) {
+            state.remove()
+          } else {
+            state.update(RepairState(pending, lastUs, lastVal, hasLast))
+            val newestUs =
+              pending.lastOption.map(_.tsMicros)
+                .getOrElse(if (hasLast) lastUs else wmUs)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1,
+                Math.floorDiv(newestUs, 1000L)), retention)
+          }
+          out.result().iterator
+      }
+  }
+
   /** @param delay watermark lateness bound on tick event time.
     * @param retention how far past a symbol's last tick the watermark may
     *        advance before its state is retired (`EventTimeTimeout`). A

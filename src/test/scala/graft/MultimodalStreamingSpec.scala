@@ -142,6 +142,106 @@ class MultimodalStreamingSpec extends SparkSpec {
       s"no gap may be emitted for a retired symbol, got ${out.mkString(";")}")
   }
 
+  test("streaming gap repair: missing grid stamps fill with the carried value") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.Tick]
+    val rep = StreamingOps.streamingGapRepair(mem.toDS(), "1T")
+    val q = rep.writeStream.format("memory")
+      .queryName("repair_out").outputMode("append").start()
+    def ts(min: Int) = Timestamp.from(Instant.parse(f"2024-01-01T00:$min%02d:00Z"))
+    mem.addData(StreamingOps.Tick("EURUSD", ts(0), 1.0),
+      StreamingOps.Tick("EURUSD", ts(1), 1.5),
+      StreamingOps.Tick("EURUSD", ts(4), 2.0))
+    q.processAllAvailable()
+    // watermark still trails: nothing final yet — push it past min 4, then
+    // one more tick so the group runs again UNDER the advanced watermark
+    // (finalization happens on the symbol's next invocation)
+    mem.addData(StreamingOps.Tick("EURUSD", ts(30), 9.0))
+    q.processAllAvailable()
+    mem.addData(StreamingOps.Tick("EURUSD", ts(31), 9.1))
+    q.processAllAvailable()
+    val out = spark.table("repair_out").collect()
+      .map(r => (r.getAs[Timestamp]("ts"), r.getAs[Double]("close"),
+        r.getAs[Boolean]("generated"))).sortBy(_._1.getTime)
+    q.stop()
+    // minutes 2 and 3 synthesize with min-1's value carried forward
+    assert(out.toSeq == Seq(
+      (ts(0), 1.0, false), (ts(1), 1.5, false),
+      (ts(2), 1.5, true), (ts(3), 1.5, true),
+      (ts(4), 2.0, false)), s"got ${out.mkString(";")}")
+  }
+
+  test("streaming gap repair: a late tick slots into its true grid position") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.Tick]
+    val rep = StreamingOps.streamingGapRepair(mem.toDS(), "1T",
+      delay = "10 minutes")
+    val q = rep.writeStream.format("memory")
+      .queryName("repair_late_out").outputMode("append").start()
+    def ts(min: Int) = Timestamp.from(Instant.parse(f"2024-01-01T00:$min%02d:00Z"))
+    // min 0 and min 4 arrive first; min 2 arrives one batch LATER but
+    // within the 10-minute lateness bound (watermark is still at -10 + 4)
+    mem.addData(StreamingOps.Tick("EURUSD", ts(0), 1.0),
+      StreamingOps.Tick("EURUSD", ts(4), 2.0))
+    q.processAllAvailable()
+    mem.addData(StreamingOps.Tick("EURUSD", ts(2), 5.0))
+    q.processAllAvailable()
+    // advance the watermark past min 4, then nudge the group once more so
+    // it finalizes under the advanced watermark
+    mem.addData(StreamingOps.Tick("EURUSD", ts(30), 9.0))
+    q.processAllAvailable()
+    mem.addData(StreamingOps.Tick("EURUSD", ts(31), 9.1))
+    q.processAllAvailable()
+    val out = spark.table("repair_late_out").collect()
+      .map(r => (r.getAs[Timestamp]("ts"), r.getAs[Double]("close"),
+        r.getAs[Boolean]("generated"))).sortBy(_._1.getTime)
+    q.stop()
+    // the late min-2 tick is REAL in the output and the fills bridge its
+    // actual neighbors: 1 carries min 0, 3 carries min 2 — a buffer-less
+    // repair would have filled 1-3 from min 0 before min 2 ever arrived
+    assert(out.toSeq == Seq(
+      (ts(0), 1.0, false), (ts(1), 1.0, true),
+      (ts(2), 5.0, false), (ts(3), 5.0, true),
+      (ts(4), 2.0, false)), s"got ${out.mkString(";")}")
+  }
+
+  test("streaming gap repair: retirement flushes pending ticks, then restarts fresh") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.Tick]
+    val rep = StreamingOps.streamingGapRepair(mem.toDS(), "1T",
+      retention = "10 minutes")
+    val q = rep.writeStream.format("memory")
+      .queryName("repair_retire_out").outputMode("append").start()
+    def ts(hm: (Int, Int)) = Timestamp.from(
+      Instant.parse(f"2024-01-01T${hm._1}%02d:${hm._2}%02d:00Z"))
+    // A ticks at 0:00/0:02 then goes quiet; B drives the watermark far
+    // past A's 10-minute retention, firing A's timeout
+    mem.addData(StreamingOps.Tick("A", ts((0, 0)), 1.0),
+      StreamingOps.Tick("A", ts((0, 2)), 2.0))
+    q.processAllAvailable()
+    mem.addData(StreamingOps.Tick("B", ts((1, 30)), 7.0))
+    q.processAllAvailable()
+    mem.addData(StreamingOps.Tick("B", ts((1, 31)), 7.1))
+    q.processAllAvailable()
+    // A returns after retirement: fresh series, NO fill across the quiet
+    // hour (bounded-state trade, same as gap detect)
+    mem.addData(StreamingOps.Tick("A", ts((1, 40)), 3.0))
+    q.processAllAvailable()
+    mem.addData(StreamingOps.Tick("B", ts((3, 0)), 8.0)) // finalize A's 1:40
+    q.processAllAvailable()
+    val a = spark.table("repair_retire_out").collect()
+      .filter(_.getAs[String]("symbol") == "A")
+      .map(r => (r.getAs[Timestamp]("ts"), r.getAs[Double]("close"),
+        r.getAs[Boolean]("generated"))).sortBy(_._1.getTime)
+    q.stop()
+    // the flush emits 0:00, the 0:01 fill, 0:02 — buffered rows are not
+    // lost at retirement — and 1:40 restarts with no bridging fills
+    assert(a.toSeq == Seq(
+      (ts((0, 0)), 1.0, false), (ts((0, 1)), 1.0, true),
+      (ts((0, 2)), 2.0, false), (ts((1, 40)), 3.0, false)),
+      s"got ${a.mkString(";")}")
+  }
+
   test("streaming as-of: events attach the latest at-or-before quote") {
     implicit val sc = spark.sqlContext
     val evMem = MemoryStream[StreamingOps.AsofEvent]
