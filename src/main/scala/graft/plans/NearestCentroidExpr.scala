@@ -19,21 +19,37 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * argmin is bit-identical; ties keep the lowest centroid index, matching
   * `array_min` over `struct(dist, idx)` lexicographic ordering.
   *
-  * Null/edge semantics: null in → null out; a vector shorter than the
-  * codebook dimension scores only the shared prefix (the caller guarantees
-  * consistent dimensions — same contract as the HOF form, where zip_with
-  * pads with nulls and the sum turns NaN; here we make the prefix explicit).
+  * Null/edge semantics: null vector → null out; a vector containing a
+  * null ELEMENT also yields null (the HOF form's zip_with/aggregate
+  * propagates the null instead of scoring garbage — reading it as 0.0
+  * would silently pick a wrong bucket). The element check is emitted only
+  * when the array type admits nulls (`containsNull`), so schemas that
+  * guarantee dense vectors pay nothing. A vector shorter than the
+  * codebook dimension scores only the shared prefix (the caller
+  * guarantees consistent dimensions — same contract as the HOF form).
   */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
 
+  private def mayHaveNullElements: Boolean = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_, cn) => cn
+    case _ => true
+  }
+
   override def dataType: DataType = IntegerType
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = child.nullable || mayHaveNullElements
   override def prettyName: String = "nearest_centroid"
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    if (mayHaveNullElements) {
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) return null
+        i += 1
+      }
+    }
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
@@ -60,13 +76,26 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
       val m = ctx.freshName("m")
       val c = ctx.freshName("c")
       val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
       val d = ctx.freshName("d")
       val diff = ctx.freshName("diff")
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
       val row = ctx.freshName("row")
+      val hasNull = ctx.freshName("hasNull")
+      val nullScan = if (mayHaveNullElements)
+        s"""
+           |boolean $hasNull = false;
+           |for (int $j = 0; $j < $n; $j++) {
+           |  if ($v.isNullAt($j)) { $hasNull = true; break; }
+           |}
+           |if ($hasNull) { ${ev.isNull} = true; } else {
+         """.stripMargin
+      else ""
+      val nullScanEnd = if (mayHaveNullElements) "}" else ""
       s"""
          |int $n = $v.numElements();
+         |$nullScan
          |int $best = 0; double $bestD = Double.MAX_VALUE;
          |for (int $c = 0; $c < $cen.length; $c++) {
          |  double[] $row = $cen[$c];
@@ -79,6 +108,7 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
          |  if ($d < $bestD) { $bestD = $d; $best = $c; }
          |}
          |${ev.value} = $best;
+         |$nullScanEnd
        """.stripMargin
     })
 

@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
 /** Extension gate queries (SURVEY.md §2.5 + the LLM-data-pipeline operators):
   * exact/near dedup, similarity search, text analysis, JSON extraction.
   *
-  * Queries with a DuckDB-expressible oracle carry SQL in `sql`. One remains
-  * rows-only BY CONSTRUCTION and is pinned by exact ScalaTest assertions
-  * instead: q46 (the payloads are binary media behind the codec seam). The
+  * Every query carries a DuckDB-expressible oracle in `sql` — including
+  * q46, whose digest-fallback probe is pure md5/sha256 byte math that the
+  * oracle replays hex-digit by hex-digit (the real header-probe path is
+  * spec-pinned on crafted magic bytes instead). The
   * sketch operators themselves are oracle-checked through forms whose
   * output is provably exact: q41 verifies LSH candidates with exact n-gram
   * Jaccard at a recall-1.0 threshold, q42 fingerprints with the md5-hex
@@ -263,8 +264,11 @@ object ExtensionQueries {
     },
 
     // Multimodal plumbing over DRIVER data: each document's bytes ride as
-    // the opaque payload through probe + feature extraction (rows-only;
-    // deterministic fake codec — row count scales with the sf directory).
+    // the opaque payload through probe + feature extraction. Text payloads
+    // carry no PNG/GIF/JPEG magic, so the probe takes the deterministic
+    // digest path (md5/sha256 byte math) — which DuckDB replays hex-digit
+    // by hex-digit, giving the query a full oracle; the REAL header-probe
+    // path is pinned by MultimodalStreamingSpec on crafted magic bytes.
     "q46_media_pipeline" -> { (s, d) =>
       val media = graft.operators.Multimodal.fromDocuments(
         Tables.documents(s, d))
@@ -513,6 +517,25 @@ object ExtensionQueries {
         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
         |      FROM s)
         |SELECT qid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // mirrors MediaCodec's digest fallback bit-for-bit: probe dims from
+    // md5 bytes 0/1 (& 0x7f, biased +64), f0 from sha256 byte 0 mapped to
+    // [-1, 1) — hex digits parsed the q42 strpos way. Text payloads never
+    // match an image magic, so the fallback is the whole story here.
+    "q46_media_pipeline" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS mh, sha256(text) AS sh
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |CAST(64 + ((strpos('0123456789abcdef', substr(mh, 1, 1)) - 1) * 16
+        |         + (strpos('0123456789abcdef', substr(mh, 2, 1)) - 1)) % 128
+        |     AS INTEGER) AS probe_width,
+        |CAST(64 + ((strpos('0123456789abcdef', substr(mh, 3, 1)) - 1) * 16
+        |         + (strpos('0123456789abcdef', substr(mh, 4, 1)) - 1)) % 128
+        |     AS INTEGER) AS probe_height,
+        |round((((strpos('0123456789abcdef', substr(sh, 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(sh, 2, 1)) - 1)) - 128)
+        |      / 128.0, 4) AS f0
+        |FROM b ORDER BY media_id""".stripMargin,
 
     // identical oracle to q45: exhaustive probing of a lossless partition
     // of the corpus reproduces brute-force top-k exactly

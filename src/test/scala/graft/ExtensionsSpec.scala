@@ -53,6 +53,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(out(2).getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("nearest_centroid: null vector and null ELEMENT both yield null") {
+    GraftExtensions.register(spark)
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0))
+    val df = Seq(
+      (1L, Some(Seq(Some(9.0), Some(9.0)))),
+      (2L, Some(Seq(Some(1.0), None))), // null element: no garbage 0.0 score
+      (3L, None))
+      .toDF("id", "v")
+    val out = df
+      .select(col("id"), graft.operators.Similarity
+        .nearestCentroid(spark, col("v"), cents).as("c"))
+      .orderBy("id").collect()
+    assert(out(0).getInt(1) == 1, "dense vector picks the true argmin")
+    assert(out(1).isNullAt(1), "null element -> null, never a wrong bucket")
+    assert(out(2).isNullAt(1), "null vector -> null")
+    // interpreted path agrees (the expression also runs off-codegen)
+    val expr = graft.plans.NearestCentroid(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, null, 3.0),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true)),
+      Array(Array(0.0, 0.0, 0.0)))
+    assert(expr.eval(null) == null)
+  }
+
   test("float32 embeddings widen through the registration cast") {
     GraftExtensions.register(spark)
     graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -50,6 +50,31 @@ class MultimodalStreamingSpec extends SparkSpec {
       .filter($"count" =!= 4).count() == 0)
   }
 
+  test("media probe parses real PNG/GIF/JPEG headers; text falls back to digest") {
+    import graft.operators.Multimodal.MediaCodec
+    // PNG: signature + IHDR length/type, width 640, height 480, bit depth
+    // 8, color type 6 (truecolor+alpha -> 4 channels)
+    val png = Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, 0, 0, 0x01, 0xe0, 8, 6, 0, 0, 0).map(_.toByte)
+    assert(MediaCodec.probe(png) == ((640, 480, 4)))
+    // GIF89a: little-endian logical screen 320x200
+    val gif = ("GIF89a".getBytes.map(_.toInt) ++
+      Array(0x40, 0x01, 0xc8, 0x00)).map(_.toByte)
+    assert(MediaCodec.probe(gif) == ((320, 200, 3)))
+    // JPEG: SOI, APP0 (skipped via its length), SOF0 with height 120,
+    // width 80, 3 components
+    val jpg = Array[Int](0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x00, 0x00, // APP0, len 4
+      0xff, 0xc0, 0x00, 0x0b, 8, 0x00, 0x78, 0x00, 0x50, 3).map(_.toByte)
+    assert(MediaCodec.probe(jpg) == ((80, 120, 3)))
+    // truncated PNG signature: not parseable -> digest fallback, in range
+    val txt = "plain text payload".getBytes
+    assert(MediaCodec.parseHeader(txt).isEmpty)
+    val (w, h, c) = MediaCodec.probe(txt)
+    assert(w >= 64 && w < 192 && h >= 64 && h < 192 && c == 3)
+  }
+
   test("streaming resample: tumbling event-time windows over a memory stream") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Double, Double, String)]
