@@ -232,6 +232,8 @@ object Dedup {
     *    rounds progress — the per-round join volume shrinks instead of
     *    replaying, which is the right trade under adversarial skew
     *    (a 10k-leaf star converges in one round).
+    *  - `"auto"`: one fixed-size max-degree probe over the pair set picks
+    *    between them (hot degree ≥ 16384 → star).
     *
     * Throws if `maxIter` rounds don't converge (a silent partial clustering
     * would under-dedup downstream).
@@ -250,9 +252,23 @@ object Dedup {
     val out = algorithm match {
       case "pointer-jumping" => ccPointerJumping(ids, pairs, aCol, bCol, maxIter)
       case "star"            => ccStar(ids, pairs, aCol, bCol, maxIter)
+      case "auto" =>
+        // one fixed-size skew probe: pointer jumping replays EVERY edge
+        // through the propagation join each round, so a hot node (star-
+        // shaped near-dup cluster: boilerplate, headers, license text)
+        // makes each round pay the hot degree again; the star rewrite
+        // contracts it instead. Low-skew graphs keep pointer jumping
+        // (fewer, cheaper jobs per round).
+        val maxDeg = pairs
+          .select(col(aCol).cast("long").as("n"))
+          .unionByName(pairs.select(col(bCol).cast("long").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+          .agg(coalesce(max(col("d")), lit(0L))).collect()(0).getLong(0)
+        if (maxDeg >= 16384) ccStar(ids, pairs, aCol, bCol, maxIter)
+        else ccPointerJumping(ids, pairs, aCol, bCol, maxIter)
       case other => throw new IllegalArgumentException(
         s"unknown connectedComponents algorithm '$other' " +
-          "(expected pointer-jumping or star)")
+          "(expected pointer-jumping, star, or auto)")
     }
     out.select(col("id").as(idCol), col("comp").as("component"))
   }

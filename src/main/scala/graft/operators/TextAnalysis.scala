@@ -156,6 +156,23 @@ object TextAnalysis {
     df.filter(hv < thr)
   }
 
+  /** PII redaction for training corpora: emails, IPv4 addresses, and
+    * phone-shaped digit runs become typed placeholder tokens. A pure
+    * codegen regexp_replace chain (no UDF), ordered so earlier rewrites
+    * cannot manufacture later matches' inputs (emails first — their local
+    * part may contain digit runs; IPs before phones — dotted quads would
+    * otherwise phone-match). Patterns are deliberately RE2-compatible
+    * (no lookaround/backrefs), so other engines replay them verbatim —
+    * the q55 oracle runs the same three in DuckDB.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val ip = regexp_replace(email,
+      "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "[IP]")
+    regexp_replace(ip, "\\+?[0-9][0-9() .-]{7,}[0-9]", "[PHONE]")
+  }
+
   /** Repeated-n-gram fraction (default bigrams): 1 − distinct/total grams —
     * the standard repetition quality signal for pretraining corpora
     * (boilerplate and looping generations score high). Pure per-row

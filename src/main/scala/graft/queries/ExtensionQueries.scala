@@ -345,6 +345,25 @@ object ExtensionQueries {
         .orderBy("qid", "rn")
     },
 
+    // PII redaction (emails / IPv4s / phone-shaped runs -> typed
+    // placeholders). The corpus plants no PII, so the query injects a
+    // deterministic synthetic footer per document (built from doc_id —
+    // both engines concat identical bytes), redacts, and compares the
+    // full digest, so every replacement byte is oracle-checked.
+    "q55_pii_redact" -> { (s, d) =>
+      val footer = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0."),
+        (col("doc_id") % 256).cast("string"),
+        lit(".7 call +49 30 1234 "),
+        (col("doc_id") % 10000).cast("string"))
+      val red = TextAnalysis.redactPii(footer)
+      Tables.documents(s, d).filter(col("doc_id") <= 100)
+        .select(col("doc_id"), md5(red).as("red_md5"),
+          length(red).cast("long").as("red_len"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic stratified downsampling (content-hash thresholds:
     // en 50%, de 25%, rest 12.5%), verified through per-stratum counts.
     "q53_stratified_sample" -> { (s, d) =>
@@ -517,6 +536,24 @@ object ExtensionQueries {
         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
         |      FROM s)
         |SELECT qid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // the same three RE2-compatible patterns, same order (emails, then
+    // IPs so dotted quads never phone-match, then phones), 'g' for the
+    // replace-all semantics Spark applies by default
+    "q55_pii_redact" ->
+      """WITH w AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |       || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |       || '.7 call +49 30 1234 ' || CAST(doc_id % 10000 AS VARCHAR) AS t
+        |  FROM documents WHERE doc_id <= 100),
+        |r AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |  '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+        |  '\+?[0-9][0-9() .-]{7,}[0-9]', '[PHONE]', 'g') AS red
+        |  FROM w)
+        |SELECT doc_id, md5(red) AS red_md5,
+        |CAST(length(red) AS BIGINT) AS red_len
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // mirrors MediaCodec's digest fallback bit-for-bit: probe dims from
     // md5 bytes 0/1 (& 0x7f, biased +64), f0 from sha256 byte 0 mapped to

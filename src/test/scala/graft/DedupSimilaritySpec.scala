@@ -221,6 +221,23 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pii redaction: emails, IPs, phones become typed placeholders in order") {
+    val df = Seq(
+      (1L, "mail alice.smith+x@sub.example.org then 192.168.001.250 then " +
+        "call +1 (555) 010-7788 done"),
+      (2L, "no pii here at all"),
+      (3L, "bare long number 123456789012 and short 12345"))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextAnalysis.redactPii($"text").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "mail [EMAIL] then [IP] then call [PHONE] done",
+      s"got ${out(1L)}")
+    assert(out(2L) == "no pii here at all", "clean text passes untouched")
+    assert(out(3L) == "bare long number [PHONE] and short 12345",
+      s"8+ digit runs redact, 5-digit runs stay: ${out(3L)}")
+  }
+
   test("connected components: star algorithm matches pointer jumping on random graphs") {
     val rnd = new scala.util.Random(11)
     for (trial <- 1 to 3) {
@@ -234,6 +251,11 @@ class DedupSimilaritySpec extends SparkSpec {
       val st = Dedup.connectedComponents(nodes, "doc_id", pairs, "a", "b",
         algorithm = "star").as[(Long, Long)].collect().sorted.toSeq
       assert(pj == st, s"algorithms disagree on random graph trial $trial")
+      if (trial == 1) {
+        val auto = Dedup.connectedComponents(nodes, "doc_id", pairs, "a",
+          "b", algorithm = "auto").as[(Long, Long)].collect().sorted.toSeq
+        assert(pj == auto, "auto mode must agree (skew probe picks either)")
+      }
     }
   }
 
@@ -260,7 +282,7 @@ class DedupSimilaritySpec extends SparkSpec {
   test("connected components: empty node set and edgeless nodes, no NPE") {
     val noNodes = Seq.empty[Long].toDF("doc_id")
     val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
-    for (alg <- Seq("pointer-jumping", "star")) {
+    for (alg <- Seq("pointer-jumping", "star", "auto")) {
       assert(Dedup.connectedComponents(noNodes, "doc_id", noPairs, "a", "b",
         algorithm = alg).count() == 0)
       val lone = Dedup.connectedComponents(Seq(7L, 9L).toDF("doc_id"),
