@@ -210,6 +210,36 @@ object Dedup {
       size(array_union(sa, sb))
   }
 
+  /** C4-style PARAGRAPH-level dedup: every duplicate paragraph across the
+    * corpus is removed, keeping its first occurrence in (document id,
+    * position) order; documents are reassembled from their surviving
+    * paragraphs (a document whose every paragraph was seen before drops
+    * entirely — the C4 convention).
+    *
+    * Scale shape: the keeper choice is the same map-side `min_by` collapse
+    * as [[exact]] — one hash-keyed partial aggregate, so a boilerplate
+    * paragraph repeated a million times collapses inside scan tasks
+    * instead of sorting a million copies through a window; reassembly is
+    * one groupBy over the surviving (doc, pos) rows with an in-row
+    * array_sort (never a cross-row ordered agg).
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n\n"): DataFrame = {
+    val paras = df.select(col(idCol).cast("long").as("id"),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para")))
+    val keep = paras.groupBy(col("para"))
+      .agg(min_by(struct(col("id"), col("pos")),
+        struct(col("id"), col("pos"))).as("k"))
+      .select(col("k.id").as("id"), col("k.pos").as("pos"))
+    paras.join(keep, Seq("id", "pos"))
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")), sep).as("_text"))
+      .select(col("id").as(idCol), col("_text").as(textCol))
+  }
+
   /** Connected components over a near-duplicate pair set — the FINAL stage
     * of a dedup pipeline (pairs alone don't dedup anything): transitively
     * linked documents form one cluster, labeled by the minimum document id

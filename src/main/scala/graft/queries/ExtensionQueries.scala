@@ -345,6 +345,26 @@ object ExtensionQueries {
         .orderBy("qid", "rn")
     },
 
+    // C4-style paragraph dedup. The corpus texts are single-line, so the
+    // query synthesizes overlapping 3-doc "documents" (stride 1 — every
+    // text appears in up to three of them), giving real cross-document
+    // duplicate paragraphs; the operator must keep exactly the first
+    // occurrence of each and reassemble survivors in position order.
+    "q56_paragraph_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 120)
+        .select(col("doc_id"), col("text"))
+      val a = docs.select(col("doc_id").as("gid"), col("text").as("t0"))
+      val b = docs.select((col("doc_id") - 1).as("gid"), col("text").as("t1"))
+      val c = docs.select((col("doc_id") - 2).as("gid"), col("text").as("t2"))
+      val synth = a.join(b, "gid").join(c, "gid")
+        .select(col("gid").as("doc_id"),
+          concat_ws("\n\n", col("t0"), col("t1"), col("t2")).as("text"))
+      Dedup.paragraphDedup(synth, "doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          length(col("text")).cast("long").as("text_len"))
+        .orderBy("doc_id")
+    },
+
     // PII redaction (emails / IPv4s / phone-shaped runs -> typed
     // placeholders). The corpus plants no PII, so the query injects a
     // deterministic synthetic footer per document (built from doc_id —
@@ -536,6 +556,30 @@ object ExtensionQueries {
         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
         |      FROM s)
         |SELECT qid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // paragraph explode via lockstep unnest/generate_subscripts; keeper =
+    // first (doc_id, pos) per paragraph; reassembly ordered by position
+    "q56_paragraph_dedup" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id <= 120),
+        |synth AS (SELECT a.doc_id AS doc_id,
+        |    a.text || chr(10) || chr(10) || b.text || chr(10) || chr(10)
+        |      || c.text AS text
+        |  FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1
+        |              JOIN docs c ON c.doc_id = a.doc_id + 2),
+        |p AS (SELECT doc_id,
+        |    generate_subscripts(string_split(text, chr(10) || chr(10)), 1) - 1 AS pos,
+        |    unnest(string_split(text, chr(10) || chr(10))) AS para
+        |  FROM synth),
+        |k AS (SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |  FROM p),
+        |r AS (SELECT p.doc_id,
+        |    string_agg(p.para, chr(10) || chr(10) ORDER BY p.pos) AS text
+        |  FROM p JOIN k ON p.doc_id = k.doc_id AND p.pos = k.pos AND k.rn = 1
+        |  GROUP BY p.doc_id)
+        |SELECT doc_id, md5(text) AS text_md5,
+        |CAST(length(text) AS BIGINT) AS text_len
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // the same three RE2-compatible patterns, same order (emails, then
     // IPs so dotted quads never phone-match, then phones), 'g' for the

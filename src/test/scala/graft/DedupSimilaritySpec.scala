@@ -221,6 +221,18 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("paragraph dedup keeps first occurrence; empty documents drop") {
+    val df = Seq(
+      (1L, "alpha\n\nbeta"),
+      (2L, "beta\n\ngamma\n\nalpha"),
+      (3L, "beta")) // everything already seen -> document drops
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "alpha\n\nbeta"), (2L, "gamma")),
+      s"got $out")
+  }
+
   test("pii redaction: emails, IPs, phones become typed placeholders in order") {
     val df = Seq(
       (1L, "mail alice.smith+x@sub.example.org then 192.168.001.250 then " +

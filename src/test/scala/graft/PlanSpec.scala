@@ -108,6 +108,16 @@ class PlanSpec extends SparkSpec {
       s"dedup must not sort every row through a window:\n$p")
   }
 
+  test("paragraph dedup collapses duplicates map-side, no window over paragraphs") {
+    import spark.implicits._
+    val df = Seq((1L, "a\n\nb"), (2L, "b\n\nc")).toDF("doc_id", "text")
+    val p = plan(graft.operators.Dedup.paragraphDedup(df, "doc_id", "text"))
+    assert("Aggregate".r.findAllIn(p).length >= 2,
+      s"partial + final min_by phases expected:\n$p")
+    assert(!p.contains("Window"),
+      s"keeper choice must not sort every paragraph copy through a window:\n$p")
+  }
+
   test("q11: range self-join keys include the time bucket (skew-bounded)") {
     val p = plan(RelationalQueries.defs("q11_range_self_join")(spark, d))
     // the equi-join must run on (user_id, bucket), not user_id alone —
