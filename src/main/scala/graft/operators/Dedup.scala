@@ -240,6 +240,54 @@ object Dedup {
       .select(col("id").as(idCol), col("_text").as(textCol))
   }
 
+  /** Incremental cross-corpus dedup: rows of `batch` whose `textCol` does
+    * NOT already occur in the `seen` corpus — the every-crawl-refresh
+    * operation of a training-data pipeline (dedup the new crawl against
+    * everything already ingested, without re-shuffling the old corpus
+    * alongside the new one).
+    *
+    * Shape: the seen corpus is summarized once into a fixed-size Bloom
+    * sketch over `xxhash64(text)` (a distributed aggregate — rows never
+    * leave the executors, the driver receives only the merged bitmap).
+    * The batch is then split map-side by `bloom_might_contain`
+    * (`plans.BloomMightContainExpr`, codegen'd):
+    *
+    *  - sketch says NO  → definitively unseen (Bloom has no false
+    *    negatives): emitted with NO shuffle at all;
+    *  - sketch says YES → possible duplicate (true dup or fpp collision):
+    *    only this sliver pays the exact `left_anti` join on the text
+    *    itself (which also makes the result exact under 64-bit hash
+    *    collisions).
+    *
+    * At 100 TB the anti-join therefore shuffles ≈ (dup-rate + fpp) of the
+    * batch instead of all of it, and the seen side of the join can prune
+    * to the matched hash partitions. Size `expectedSeen` to the seen
+    * corpus's distinct-count: the sketch is ~1.2 GB per 1e9 items at 1%
+    * fpp — tune fpp up to trade join volume for sketch memory.
+    *
+    * @return `batch` rows not present in `seen`, original schema.
+    */
+  def notSeen(batch: DataFrame, seen: DataFrame, textCol: String,
+              expectedSeen: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val spark = batch.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val seenKeys = seen.select(col(textCol).as("_seen_text"))
+    val bloom = seenKeys
+      .select(xxhash64(col("_seen_text")).as("_h"))
+      .stat.bloomFilter("_h", expectedSeen, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val maybeSeen =
+      call_function("bloom_might_contain", lit(bytes), xxhash64(col(textCol)))
+    val definitelyNew = batch.filter(!maybeSeen)
+    val survivors = batch.filter(maybeSeen)
+      .join(seenKeys.distinct(), col(textCol) === col("_seen_text"), "left_anti")
+    definitelyNew.unionByName(survivors)
+  }
+
   /** Connected components over a near-duplicate pair set — the FINAL stage
     * of a dedup pipeline (pairs alone don't dedup anything): transitively
     * linked documents form one cluster, labeled by the minimum document id

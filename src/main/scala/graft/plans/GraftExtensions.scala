@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType, TimestampType}
 
 /** Engine extension point: registers graft's native expressions into the
   * session's function registry so they resolve from SQL and
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.tzLocalizeDescriptor)
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
     ext.injectFunction(GraftExtensions.nearestCentroidDescriptor)
+    ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
   }
 }
 
@@ -101,10 +102,33 @@ object GraftExtensions {
       NearestCentroid(Cast(children.head, ArrayType(DoubleType)), matrix)
     })
 
+  private[plans] val bloomMightContainDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_might_contain"),
+    new ExpressionInfo(classOf[BloomMightContainExpr].getName,
+      "bloom_might_contain"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "bloom_might_contain(serializedBloom, longKey) takes two arguments")
+      val bytesExpr = children.head
+      require(bytesExpr.foldable,
+        "bloom_might_contain sketch must be a foldable binary literal")
+      // deserialize the sketch ONCE at plan construction; the expression
+      // carries the live BloomFilter as a reference constant
+      val bytes = bytesExpr.eval() match {
+        case b: Array[Byte] => b
+        case other => throw new IllegalArgumentException(
+          s"bloom_might_contain sketch evaluated to $other")
+      }
+      BloomMightContainExpr(Cast(children(1), LongType),
+        BloomMightContainExpr.deserialize(bytes))
+    })
+
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit = {
     for ((id, info, builder) <- Seq(cosineSimDescriptor, tzLocalizeDescriptor,
-        minhashSigDescriptor, nearestCentroidDescriptor))
+        minhashSigDescriptor, nearestCentroidDescriptor,
+        bloomMightContainDescriptor))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }

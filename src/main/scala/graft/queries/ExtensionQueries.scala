@@ -393,6 +393,20 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("kept"),
           fr(avg(col("n_chars")), 4).as("avg_chars"))
         .orderBy("lang")
+    },
+
+    // Incremental cross-corpus dedup: new-crawl docs (doc_id % 3 != 0)
+    // whose text is not already in the seen corpus (doc_id % 3 == 0).
+    // Bloom pre-screen map-side, exact anti-join only for sketch hits;
+    // the oracle is the plain anti-join the two-phase split must equal.
+    "q57_incremental_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val seen = docs.filter(col("doc_id") % 3 === 0)
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+      Dedup.notSeen(batch, seen, "text",
+          expectedSeen = 100000L, fpp = 0.01)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
     }
   )
 
@@ -709,6 +723,15 @@ object ExtensionQueries {
         |  CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384 ELSE 8192 END)
         |SELECT lang, count(*) AS kept,
         |  floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars
-        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the bloom-screen + anti-join split must equal the plain anti-join
+    "q57_incremental_dedup" ->
+      """SELECT b.doc_id, b.lang, b.n_chars
+        |FROM documents b
+        |WHERE b.doc_id % 3 <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents s
+        |                  WHERE s.doc_id % 3 = 0 AND s.text = b.text)
+        |ORDER BY b.doc_id""".stripMargin
   )
 }

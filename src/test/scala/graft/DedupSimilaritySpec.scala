@@ -347,6 +347,41 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally Similarity.dropIvfIndex(spark, table)
   }
 
+  test("notSeen equals a plain anti-join and never drops an unseen row") {
+    // seen = even ids; batch re-plants some seen texts plus fresh ones
+    val seen = (0L until 200L by 2).map(i => (i, s"seen document body $i"))
+      .toDF("doc_id", "text")
+    val batch = ((1000L until 1050L).map(i => (i, s"fresh text $i")) ++
+      (0L until 60L by 2).map(i => (i + 2000L, s"seen document body $i")))
+      .toDF("doc_id", "text")
+    val got = Dedup.notSeen(batch, seen, "text",
+        expectedSeen = 100L, fpp = 0.01)
+      .select("doc_id").as[Long].collect().sorted
+    val want = batch.join(seen.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == want.toSeq)
+    assert(got.forall(_ < 2000L) && got.length == 50,
+      "all replanted texts dropped, all fresh texts kept")
+  }
+
+  test("bloom_might_contain has no false negatives; plan stays codegen'd") {
+    val seen = (0L until 1000L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val bloom = seen.select(xxhash64(col("text")).as("h"))
+      .stat.bloomFilter("h", 1000L, 0.03)
+    val hashes = seen.select(xxhash64(col("text")).as("h")).as[Long].collect()
+    assert(hashes.forall(bloom.mightContainLong),
+      "bloom never false-negatives a member")
+    // the map-side screen must survive as a native predicate in the plan
+    // (spark.range, not a LocalRelation — ConvertToLocalRelation would
+    // fold a local toy input straight through the filters)
+    val batch = spark.range(0L, 2000L)
+      .select(col("id"), concat(lit("doc "), col("id")).as("text"))
+    val split = Dedup.notSeen(batch, seen, "text",
+      expectedSeen = 1000L, fpp = 0.03)
+    val plan = split.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), "native predicate in plan")
+  }
+
   test("gate queries leave no session cache entries behind (q41, q45)") {
     val d = "/root/testdata/sf0.001"
     // r6 advice: q41 cached its candidate set and ivfTopK its corpus with
