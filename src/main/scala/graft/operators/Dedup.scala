@@ -288,6 +288,33 @@ object Dedup {
     definitelyNew.unionByName(survivors)
   }
 
+  /** Corpus snapshot diff: classify every key across two corpus versions
+    * as `added` / `removed` / `changed` / `unchanged` by comparing a
+    * caller-supplied content fingerprint (md5 of the text, an etag, …) —
+    * the delta feed of an incremental ingestion pipeline (only `added` +
+    * `changed` need re-processing downstream; `removed` drives retention).
+    *
+    * Shape: ONE full-outer equi-join on the key, comparing fixed-width
+    * fingerprints instead of document bodies — the shuffle moves two
+    * narrow columns per side regardless of document size. At recurring
+    * 100 TB scale, write both snapshots bucketed by the key
+    * (`Exporter.writeBucketed`) and the join is co-located —
+    * shuffle-free.
+    *
+    * @return one row per key in either version: (`keyCol`, `status`).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCol: String, fpCol: String): DataFrame = {
+    val o = oldDf.select(col(keyCol).as("_k"), col(fpCol).as("_fp_old"))
+    val n = newDf.select(col(keyCol).as("_k"), col(fpCol).as("_fp_new"))
+    o.join(n, Seq("_k"), "full_outer")
+      .select(col("_k").as(keyCol),
+        when(col("_fp_old").isNull, lit("added"))
+          .when(col("_fp_new").isNull, lit("removed"))
+          .when(col("_fp_old") === col("_fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Connected components over a near-duplicate pair set — the FINAL stage
     * of a dedup pipeline (pairs alone don't dedup anything): transitively
     * linked documents form one cluster, labeled by the minimum document id

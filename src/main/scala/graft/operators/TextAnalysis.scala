@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -154,6 +155,97 @@ object TextAnalysis {
       when(col(stratumCol) === k, lit((v * 65536).toInt)).otherwise(acc)
     }
     df.filter(hv < thr)
+  }
+
+  /** Sequence packing (concat-and-chunk): lay documents head-to-tail into
+    * fixed-`budget` token windows — the standard pretraining batch layout
+    * where sequence k of a shard is tokens [k·budget, (k+1)·budget) of the
+    * shard's concatenated stream. Emits each document's placement:
+    * (`shard`, `start_off`, `bin_first`, `bin_last`) — a doc spans bins
+    * when its tokens straddle a boundary, exactly like the training-time
+    * layout it mirrors.
+    *
+    * Determinism and scale come from the same choice: documents are
+    * assigned round-robin to `shards` streams by id and laid out in id
+    * order, so placement is a pure function of (ids, token counts) —
+    * independent of partitioning, reproducible across engines. Each
+    * shard's running offset is one window cumsum; shards are the
+    * parallelism unit (size `shards` ≥ cluster cores at scale — the
+    * per-shard scan is inherently sequential, as any packing is).
+    * Token counts use the q35 whitespace tokenizer.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    shards: Int, budget: Int): DataFrame = {
+    val ntok = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    df.select(col(idCol),
+        pmod(col(idCol), lit(shards.toLong)).cast("int").as("shard"),
+        ntok.as("n_tokens"))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        (col("end_off") - col("n_tokens")).as("start_off"),
+        floor((col("end_off") - col("n_tokens")) / lit(budget.toDouble))
+          .as("bin_first"),
+        floor((col("end_off") - 1) / lit(budget.toDouble)).as("bin_last"))
+  }
+
+  /** N-gram novelty: per document, the fraction of its DISTINCT word
+    * n-gram shingles that occur in at least one other document — the
+    * corpus-level duplication score used to find boilerplate-heavy and
+    * template-generated documents that per-document signals (repetition
+    * ratio) can't see. 0 = fully novel text, 1 = every shingle appears
+    * elsewhere.
+    *
+    * Shape: per-doc distinct shingles (map-side, `array_distinct` before
+    * the explode), ONE shuffle keyed on the shingle to count document
+    * frequency (partial-agg collapses hot boilerplate shingles map-side),
+    * then the frequency joins back to the same exploded frame — already
+    * hash-partitioned on the shingle from the aggregation, so the join
+    * reuses the exchange — and a per-doc mean. No all-pairs comparison
+    * anywhere: cost is O(total distinct shingles), the same budget the
+    * MinHash signature pass already pays.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val ex = df.select(col(idCol),
+      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("_g"))
+    val docFreq = ex.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+    ex.join(docFreq, Seq("_g"))
+      .groupBy(col(idCol))
+      .agg(avg((col("_df") > 1).cast("double")).as("dup_fraction"))
+  }
+
+  /** Temperature-style mixture rebalancing: downsample over-represented
+    * groups (language, source domain, …) toward a flatter mixture. Each
+    * group keeps rate min(1, sqrt(nRef / n_g)) — the α = 0.5 "temperature"
+    * damping of multilingual-sampling fame — so a group at the reference
+    * count passes untouched and a 100× over-represented one keeps 10%.
+    *
+    * The rate depends ONLY on the group's own count (no global
+    * normalizer), which keeps the math a pure per-group expression:
+    * correctly-rounded sqrt + one IEEE division, bit-identical across
+    * engines and runs — no cross-partition float summation whose order
+    * could flip a threshold. Row selection reuses the q53 content-hash
+    * scheme (first 16 bits of md5(text) vs the group threshold quantized
+    * to 1/65536), so the sample is shuffle-free given the rates, stable
+    * under re-sharding, and dedup-commuting.
+    *
+    * Shape: one count aggregation (partial-agg collapses map-side), rates
+    * broadcast back, codegen filter. With group cardinality beyond
+    * broadcast range (tens of millions of domains) drop the hint and the
+    * same plan runs as a shuffled equi-join — rates stay a tiny side.
+    */
+  def dampedMixtureSample(df: DataFrame, textCol: String, groupCol: String,
+                          nRef: Long): DataFrame = {
+    val rates = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"))
+      .select(col(groupCol),
+        floor(least(lit(1.0), sqrt(lit(nRef.toDouble) / col("_n"))) * 65536)
+          .cast("int").as("_thr"))
+    val hv = conv(substring(md5(col(textCol)), 1, 4), 16, 10).cast("int")
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(hv < col("_thr"))
+      .drop("_thr")
   }
 
   /** PII redaction for training corpora: emails, IPv4 addresses, and

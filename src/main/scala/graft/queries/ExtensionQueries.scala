@@ -395,6 +395,50 @@ object ExtensionQueries {
         .orderBy("lang")
     },
 
+    // N-gram novelty: fraction of each doc's distinct 3-gram shingles
+    // seen in other documents (duplicate texts score 1.0 against their
+    // copies; quantized to 4 decimals for the cross-engine compare).
+    "q61_ngram_novelty" -> { (s, d) =>
+      TextAnalysis.ngramNovelty(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), fr(col("dup_fraction"), 4).as("dup_fraction"))
+        .orderBy("doc_id")
+    },
+
+    // Snapshot diff: v2 derives deterministically from v1 (drop %11,
+    // revise %7, add %13 under shifted ids); every key's status checked.
+    "q60_snapshot_diff" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val v1 = docs.withColumn("fp", md5(col("text")))
+      val v2 = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text"))).as("fp"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            md5(concat(lit("new "), col("text"))).as("fp")))
+      Dedup.snapshotDiff(v1, v2, "doc_id", "fp").orderBy("doc_id")
+    },
+
+    // Sequence packing: 4 round-robin shards, 256-token bins; every
+    // document's placement (offset + spanned bins) is oracle-checked.
+    "q59_sequence_packing" -> { (s, d) =>
+      TextAnalysis.packSequences(Tables.documents(s, d), "doc_id", "text",
+          shards = 4, budget = 256)
+        .orderBy("doc_id")
+    },
+
+    // Temperature mixture rebalancing (α = 0.5): per-lang keep-rate
+    // min(1, sqrt(30 / n_lang)), content-hash row selection; verified
+    // through per-stratum counts like q53 but with data-driven rates.
+    "q58_mixture_sample" -> { (s, d) =>
+      TextAnalysis.dampedMixtureSample(Tables.documents(s, d), "text", "lang",
+          nRef = 30L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept"),
+          fr(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy("lang")
+    },
+
     // Incremental cross-corpus dedup: new-crawl docs (doc_id % 3 != 0)
     // whose text is not already in the seen corpus (doc_id % 3 == 0).
     // Bloom pre-screen map-side, exact anti-join only for sketch hits;
@@ -721,6 +765,73 @@ object ExtensionQueries {
         |  FROM documents),
         |s AS (SELECT * FROM h WHERE hv <
         |  CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384 ELSE 8192 END)
+        |SELECT lang, count(*) AS kept,
+        |  floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q52's shingle construction, document frequency over distinct
+    // per-doc shingles, mean of exact 0/1 indicators (float-order-free)
+    "q61_ngram_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN length(t) < 3 THEN [array_to_string(t, ' ')]
+        |  ELSE list_transform(range(1, length(t) - 1),
+        |                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS s
+        |  FROM tok),
+        |ex AS (SELECT doc_id, unnest(list_distinct(s)) AS g FROM sh),
+        |f AS (SELECT g, count(*) AS df FROM ex GROUP BY g)
+        |SELECT ex.doc_id,
+        |  floor(avg(CASE WHEN f.df > 1 THEN 1.0 ELSE 0.0 END) * 10000.0 + 0.5)
+        |    / 10000.0 AS dup_fraction
+        |FROM ex JOIN f ON ex.g = f.g
+        |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin,
+
+    "q60_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+        |                          ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, md5('new ' || text) AS fp
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN v1.fp = v2.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // same round-robin shard, same q35 tokenizer, same window cumsum
+    "q59_sequence_packing" ->
+      """WITH t AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
+        |  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS end_off
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(end_off - n_tokens AS BIGINT) AS start_off,
+        |  CAST(floor((end_off - n_tokens) / 256.0) AS BIGINT) AS bin_first,
+        |  CAST(floor((end_off - 1) / 256.0) AS BIGINT) AS bin_last
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // same sqrt/division/floor math — both engines' sqrt is IEEE
+    // correctly-rounded, and the rate needs no cross-group summation
+    "q58_mixture_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |  CAST(floor(LEAST(1.0, sqrt(30.0 / n)) * 65536) AS INT) AS thr
+        |  FROM c),
+        |h AS (SELECT lang, n_chars,
+        |  (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS hv
+        |  FROM documents),
+        |s AS (SELECT h.lang, h.n_chars FROM h JOIN r ON h.lang = r.lang
+        |      WHERE h.hv < r.thr)
         |SELECT lang, count(*) AS kept,
         |  floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,

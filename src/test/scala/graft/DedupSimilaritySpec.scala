@@ -347,6 +347,72 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally Similarity.dropIvfIndex(spark, table)
   }
 
+  test("damped mixture sampling flattens over-represented groups") {
+    // 400 'big' docs vs 25 'small' docs, nRef = 25: small keeps everything,
+    // big keeps ~sqrt(25/400) = 25%
+    val docs = ((0 until 400).map(i => (s"big doc number $i", "big")) ++
+      (0 until 25).map(i => (s"small doc number $i", "small")))
+      .toDF("text", "grp")
+    val out = TextAnalysis.dampedMixtureSample(docs, "text", "grp", nRef = 25L)
+    val kept = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 25L, "at/under-represented group untouched")
+    assert(kept("big") > 60 && kept("big") < 140,
+      s"big group damped to ~25% (got ${kept("big")})")
+    // determinism: same input, same sample
+    val again = TextAnalysis.dampedMixtureSample(docs, "text", "grp", 25L)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(again == kept)
+  }
+
+  test("sequence packing tiles each shard contiguously and spans bins") {
+    val docs = (0L until 100L)
+      .map(i => (i, ("tok " * (1 + (i % 37)).toInt).trim))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, "doc_id", "text",
+        shards = 3, budget = 16)
+      .collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("start_off"),
+        r.getAs[Long]("bin_first"), r.getAs[Long]("bin_last")))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // contiguous tiling: each doc starts where the previous ended
+      sorted.sliding(2).foreach {
+        case Array((_, _, n0, s0, _, _), (_, _, _, s1, _, _)) =>
+          assert(s1 == s0 + n0, "no holes, no overlap")
+        case _ =>
+      }
+      assert(sorted.head._4 == 0L, "shard stream starts at offset 0")
+    }
+    out.foreach { case (_, _, n, s, bf, bl) =>
+      assert(bf == s / 16 && bl == (s + n - 1) / 16,
+        "bin span matches offsets")
+    }
+    assert(out.exists { case (_, _, _, _, bf, bl) => bl > bf },
+      "some document straddles a bin boundary")
+  }
+
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+      .withColumn("fp", md5(col("text")))
+    val v2 = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
+      .withColumn("fp", md5(col("text")))
+    val got = Dedup.snapshotDiff(v1, v2, "id", "fp")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("ngram novelty: exact copies score 1.0, unique text scores 0.0") {
+    val unique = "totally original writing about catalyst expression codegen " +
+      "pipelines that appears exactly once in this corpus"
+    val df = Seq((1L, base), (2L, base), (3L, unique)).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(df, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.0 && got(2L) == 1.0, "duplicated text fully covered")
+    assert(got(3L) == 0.0, "unique text fully novel")
+  }
+
   test("notSeen equals a plain anti-join and never drops an unseen row") {
     // seen = even ids; batch re-plants some seen texts plus fresh ones
     val seen = (0L until 200L by 2).map(i => (i, s"seen document body $i"))
