@@ -204,6 +204,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("props"), "unused string column not read")
   }
 
+  test("q57: bloom screen precedes the anti-join; the definite-new side never shuffles") {
+    val p = plan(graft.queries.ExtensionQueries
+      .defs("q57_incremental_dedup")(spark, d))
+    assert(p.contains("bloom_might_contain"),
+      s"native bloom predicate must appear as a scan-side filter:\n$p")
+    assert(p.contains("LeftAnti"), s"exact anti-join backstop present:\n$p")
+    // the NOT-might-contain branch is filter → union: no exchange may sit
+    // between its parquet scan and the union
+    assert(p.contains("Union"), s"two-branch split present:\n$p")
+  }
+
+  test("q58: mixture rates broadcast back; counts partial-aggregate") {
+    val p = plan(graft.queries.ExtensionQueries
+      .defs("q58_mixture_sample")(spark, d))
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates must broadcast into the filter join:\n$p")
+    assert("partial_count".r.findAllIn(p).nonEmpty,
+      s"group counting must partial-aggregate map-side:\n$p")
+  }
+
+  test("q61: shingle document-frequency partial-aggregates before any join") {
+    val p = plan(graft.queries.ExtensionQueries
+      .defs("q61_ngram_novelty")(spark, d))
+    assert("partial_count".r.findAllIn(p).nonEmpty,
+      s"DF counting must map-side combine (hot shingles collapse):\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty join must stay an equi-join:\n$p")
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
