@@ -125,13 +125,17 @@ object TextAnalysis {
     */
   def contaminationScore(corpus: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, n: Int = 3): DataFrame = {
-    val benchSet = bench
-      .select(explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
-      .distinct()
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    // fused 64-bit shingle hashing (plans.ShingleHashes): overlap counts
+    // are identical to the string form — equal n-grams hash equal — while
+    // the 100 TB corpus side never materializes n-gram strings
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val sh = explode(call_function("shingle_hashes",
+      transform(toks, t => xxhash64(t)), lit(n)))
+    val benchSet = bench.select(sh.as("g")).distinct()
       .withColumn("hit", lit(1))
     corpus
-      .select(col(idCol),
-        explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
+      .select(col(idCol), sh.as("g"))
       .join(broadcast(benchSet), Seq("g"), "left")
       .groupBy(idCol)
       .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
@@ -189,6 +193,60 @@ object TextAnalysis {
         floor((col("end_off") - 1) / lit(budget.toDouble)).as("bin_last"))
   }
 
+  /** Deterministic global training-order shuffle: every row gets a stable
+    * position `shuffle_pos` = its rank under `md5(seed || id)` — the
+    * reproducible corpus permutation a training run reads in order. Same
+    * seed → same permutation, on any engine, any partitioning, any day.
+    *
+    * The naive form (`row_number` over a global ORDER BY) collapses into
+    * ONE task at scale — the keyless-window trap. This instead decomposes
+    * the global rank: the first 3 hex digits of the key split rows into
+    * 4096 buckets, and because the bucket IS the key's prefix,
+    * bucket-major + within-bucket key order equals the global key order.
+    * So: within-bucket ranks come from a properly PARTITIONED window
+    * (4096-way parallel), bucket offsets from a 4096-row aggregate (the
+    * only single-partition step — a few KB), broadcast back. Every stage
+    * is distributed; nothing row-shaped leaves the executors.
+    *
+    * @return input plus `shuffle_pos` (0-based long).
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+                           seed: String): DataFrame = {
+    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    val keyed = df.withColumn("_key", key)
+      .withColumn("_bkt", conv(substring(col("_key"), 1, 3), 16, 10).cast("int"))
+    val rw = Window.partitionBy(col("_bkt"))
+      .orderBy(col("_key"), col(idCol))
+    // bucket sizes -> exclusive prefix offsets (≤4096 rows: the window
+    // over the aggregated frame is deliberately tiny, not a scale trap)
+    val ow = Window.orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("_bkt")).agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(ow), lit(0L)))
+      .select(col("_bkt"), col("_off"))
+    keyed
+      .withColumn("_rn", row_number().over(rw).cast("long"))
+      .join(broadcast(offsets), Seq("_bkt"))
+      .withColumn("shuffle_pos", col("_off") + col("_rn") - 1)
+      .drop("_key", "_bkt", "_rn", "_off")
+  }
+
+  /** Train/validation/test split assignment by content hash: the same
+    * 16-bit md5 threshold scheme as [[stratifiedSample]], but labeling
+    * instead of filtering — every row lands in exactly one split, stably
+    * under re-sharding and re-runs, and duplicate texts land in the SAME
+    * split (no train/test leakage through exact dups). Fractions quantize
+    * to 1/65536.
+    */
+  def assignSplit(textCol: Column, trainFrac: Double, valFrac: Double): Column = {
+    val hv = conv(substring(md5(textCol), 1, 4), 16, 10).cast("int")
+    val tTrain = (trainFrac * 65536).toInt
+    val tVal = ((trainFrac + valFrac) * 65536).toInt
+    when(hv < tTrain, lit("train"))
+      .when(hv < tVal, lit("val"))
+      .otherwise(lit("test"))
+  }
+
   /** N-gram novelty: per document, the fraction of its DISTINCT word
     * n-gram shingles that occur in at least one other document — the
     * corpus-level duplication score used to find boilerplate-heavy and
@@ -196,19 +254,24 @@ object TextAnalysis {
     * ratio) can't see. 0 = fully novel text, 1 = every shingle appears
     * elsewhere.
     *
-    * Shape: per-doc distinct shingles (map-side, `array_distinct` before
-    * the explode), ONE shuffle keyed on the shingle to count document
-    * frequency (partial-agg collapses hot boilerplate shingles map-side),
-    * then the frequency joins back to the same exploded frame — already
-    * hash-partitioned on the shingle from the aggregation, so the join
-    * reuses the exchange — and a per-doc mean. No all-pairs comparison
-    * anywhere: cost is O(total distinct shingles), the same budget the
-    * MinHash signature pass already pays.
+    * Shape: shingles hash to 64-bit keys INSIDE the row (xxhash64 in the
+    * same projection that builds them — only transient strings, never a
+    * string exchange: 8-byte shuffle keys instead of ~40-byte n-grams,
+    * the q41 lesson), per-doc distinct before the explode, ONE shuffle
+    * keyed on the hash to count document frequency (partial-agg collapses
+    * hot boilerplate shingles map-side), frequency joined back, per-doc
+    * mean. No all-pairs comparison anywhere: cost is O(total distinct
+    * shingles), the same budget the MinHash signature pass already pays.
+    * Exact modulo 64-bit shingle-hash collisions (~1e-7 at 2.5M distinct
+    * shingles — the q31 content-hash caveat at n-gram granularity).
     */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val toks = split(trim(lower(col(textCol))), "\\s+")
     val ex = df.select(col(idCol),
-      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("_g"))
+      explode(call_function("shingle_hashes",
+        transform(toks, t => xxhash64(t)), lit(n))).as("_g"))
     val docFreq = ex.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
     ex.join(docFreq, Seq("_g"))
       .groupBy(col(idCol))

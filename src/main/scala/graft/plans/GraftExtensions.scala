@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
     ext.injectFunction(GraftExtensions.nearestCentroidDescriptor)
     ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
+    ext.injectFunction(GraftExtensions.shingleHashesDescriptor)
   }
 }
 
@@ -124,11 +125,27 @@ object GraftExtensions {
         BloomMightContainExpr.deserialize(bytes))
     })
 
+  private[plans] val shingleHashesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_hashes"),
+    new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "shingle_hashes(wordHashes, shingleSize) takes two arguments")
+      val n = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"shingle_hashes size must be an integer literal, got $other")
+      }
+      ShingleHashes(children.head, n)
+    })
+
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit = {
     for ((id, info, builder) <- Seq(cosineSimDescriptor, tzLocalizeDescriptor,
         minhashSigDescriptor, nearestCentroidDescriptor,
-        bloomMightContainDescriptor))
+        bloomMightContainDescriptor, shingleHashesDescriptor))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }

@@ -1,0 +1,89 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native expression producing a document's DISTINCT 64-bit word n-gram
+  * shingle hashes in one fused loop over its word-hash array.
+  *
+  * The composable form (`transform(shingles(text, n), s => xxhash64(s))`)
+  * is quadratic per document: `slice(toks, i, n)` inside the lambda
+  * re-evaluates the full `split(trim(lower(text)))` per shingle index —
+  * higher-order functions run interpreted, with no codegen subexpression
+  * elimination — and then builds a transient n-gram STRING per window
+  * just to hash it. Measured on q61 at sf0.1 this was 7.2 s for a 260k-
+  * shingle corpus. This expression takes the word hashes (one narrow
+  * lambda pass, same shape the MinHash signature stage uses) and combines
+  * each length-n window with an FNV-1a-style 64-bit fold — O(tokens × n)
+  * long multiplies, zero string allocation — then sorts + dedupes in
+  * place for per-document distinctness.
+  *
+  * Shorter-than-n documents fold ALL words into one hash, mirroring
+  * `Dedup.shingles`' whole-text shingle for short docs, so document-
+  * frequency semantics downstream are identical to the string form
+  * (equal n-grams ⇒ equal hashes; unequal collide with p ≈ 2^-64 — the
+  * q31 content-hash caveat at n-gram granularity).
+  */
+case class ShingleHashes(child: Expression, shingleSize: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleHashes.distinct(
+      input.asInstanceOf[ArrayData].toLongArray(), shingleSize))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.plans.ShingleHashes.distinct($c.toLongArray(), $shingleSize));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+
+  private val Seed = 0xcbf29ce484222325L // FNV-1a offset basis
+  private val Prime = 0x100000001b3L     // FNV-1a 64-bit prime
+
+  /** Distinct FNV-folded hashes of every length-n window of `wh` (or of
+    * the whole array when shorter than n), sorted ascending.
+    */
+  def distinct(wh: Array[Long], n: Int): Array[Long] = {
+    val count = if (wh.length < n) 1 else wh.length - n + 1
+    val out = new Array[Long](count)
+    if (wh.length < n) {
+      var h = Seed
+      var j = 0
+      while (j < wh.length) { h = (h ^ wh(j)) * Prime; j += 1 }
+      out(0) = h
+    } else {
+      var i = 0
+      while (i < count) {
+        var h = Seed
+        var j = i
+        while (j < i + n) { h = (h ^ wh(j)) * Prime; j += 1 }
+        out(i) = h
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(out)
+    var w = 1
+    var r = 1
+    while (r < out.length) {
+      if (out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    if (w == out.length) out else java.util.Arrays.copyOf(out, w)
+  }
+}

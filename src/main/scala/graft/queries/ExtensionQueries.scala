@@ -395,6 +395,28 @@ object ExtensionQueries {
         .orderBy("lang")
     },
 
+    // Deterministic training-order shuffle: shuffle_pos must equal the
+    // global rank under md5("42:" || doc_id) — the bucket-decomposed
+    // distributed form vs the oracle's single ORDER BY.
+    "q62_training_shuffle" -> { (s, d) =>
+      TextAnalysis.deterministicShuffle(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", seed = "42")
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy("doc_id")
+    },
+
+    // Hash-based train/val/test split (80/10/10): leakage-safe (duplicate
+    // texts share a split), verified through per-(split, lang) counts.
+    "q63_split_assign" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("split",
+          TextAnalysis.assignSplit(col("text"), 0.8, 0.1))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("docs"))
+        .orderBy("split", "lang")
+    },
+
     // N-gram novelty: fraction of each doc's distinct 3-gram shingles
     // seen in other documents (duplicate texts score 1.0 against their
     // copies; quantized to 4 decimals for the cross-engine compare).
@@ -768,6 +790,28 @@ object ExtensionQueries {
         |SELECT lang, count(*) AS kept,
         |  floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the oracle computes the SAME permutation the naive way: one global
+    // ORDER BY over the md5 key (fine at DuckDB's scale)
+    "q62_training_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |  md5('42:' || CAST(doc_id AS VARCHAR)) AS key FROM documents)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT)
+        |    AS shuffle_pos
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q63_split_assign" ->
+      """WITH h AS (SELECT lang,
+        |  (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS hv
+        |  FROM documents),
+        |s AS (SELECT lang, CASE WHEN hv < 52428 THEN 'train'
+        |  WHEN hv < 58982 THEN 'val' ELSE 'test' END AS split FROM h)
+        |SELECT split, lang, count(*) AS docs FROM s
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
     // q52's shingle construction, document frequency over distinct
     // per-doc shingles, mean of exact 0/1 indicators (float-order-free)

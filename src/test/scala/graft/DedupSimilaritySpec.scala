@@ -413,6 +413,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(3L) == 0.0, "unique text fully novel")
   }
 
+  test("deterministic shuffle is a permutation equal to the global key rank") {
+    val df = (0L until 500L).map(i => (i, s"v$i")).toDF("id", "v")
+    val got = TextAnalysis.deterministicShuffle(df, "id", "7")
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(got.values.toSeq.sorted == (0L until 500L), "exact permutation")
+    // brute-force oracle: rank under md5("7:" || id)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(i: Long) = md.digest(s"7:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = (0L until 500L).sortBy(i => (key(i), i)).zipWithIndex
+      .map { case (i, r) => i -> r.toLong }.toMap
+    assert(got == want)
+    // stable under re-partitioning of the input
+    val again = TextAnalysis.deterministicShuffle(df.repartition(13), "id", "7")
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
+
+  test("split assignment is leakage-safe: duplicate texts share a split") {
+    val df = (0 until 300).map(i => (i.toLong, s"text ${i % 100}"))
+      .toDF("id", "text")
+    val out = df.withColumn("split",
+        TextAnalysis.assignSplit(col("text"), 0.8, 0.1))
+      .select("text", "split").distinct().collect()
+    assert(out.length == 100, "each distinct text maps to exactly one split")
+    val bySplit = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySplit.getOrElse("train", 0) > bySplit.getOrElse("val", 0),
+      "train is the large split")
+  }
+
   test("notSeen equals a plain anti-join and never drops an unseen row") {
     // seen = even ids; batch re-plants some seen texts plus fresh ones
     val seen = (0L until 200L by 2).map(i => (i, s"seen document body $i"))
