@@ -451,6 +451,36 @@ object Reporting {
     }: _*)
   }
 
+  /** Fixed-width histogram of an integer-valued column: bucket width is
+    * the integer ceil of the value range over `buckets`, so bucket edges
+    * are exact integers — no float boundary can disagree between engines
+    * or runs (the ExactMedian lesson applied to profiling output). Two
+    * aggregations total: one min/max row broadcast back, one group-count
+    * keyed on the bucket (partial-agg collapses map-side — at most
+    * `buckets` rows reach the reduce side per task). Empty buckets are
+    * absent from the output.
+    *
+    * @return (`bucket`, `bucket_lo` inclusive lower edge, `cnt`)
+    */
+  def histogram(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    val mm = df.agg(min(col(valueCol)).cast("long").as("_lo"),
+      max(col(valueCol)).cast("long").as("_hi"))
+    df.select(col(valueCol).cast("long").as("_v"))
+      .crossJoin(broadcast(mm))
+      .select(col("_lo"),
+        floor((col("_hi") - col("_lo") + buckets) / lit(buckets.toDouble))
+          .as("_w"),
+        col("_v"))
+      .select(floor((col("_v") - col("_lo")) / col("_w").cast("double"))
+          .as("bucket"),
+        col("_lo"), col("_w"))
+      .groupBy(col("bucket"), col("_lo"), col("_w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bucket"),
+        (col("_lo") + col("bucket") * col("_w")).as("bucket_lo"),
+        col("cnt"))
+  }
+
   def saveReport(report: ListMap[String, Any], outPath: String): Unit = {
     val p = java.nio.file.Paths.get(outPath)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

@@ -44,7 +44,11 @@ object TextAnalysis {
     */
   def languageId(df: DataFrame, textCol: String,
                  outCol: String = "lang_pred"): DataFrame = {
-    val toks = tokens(col(textCol))
+    // materialize the token array ONCE as a bound attribute: the five
+    // per-language stopword filters reference it, and an inlined split
+    // would re-tokenize per reference (HOF lambdas run interpreted, no
+    // codegen CSE. CollapseProject keeps the alias: non-cheap, multi-use)
+    val toks = col("_lid_toks")
     val nToks = greatest(size(toks), lit(1)).cast("double")
     // (-score, lang) structs: array_min picks highest score, then
     // alphabetically-first language on ties.
@@ -56,11 +60,13 @@ object TextAnalysis {
     }: _*)
     val best = array_min(scored)
     val cjk = length(regexp_replace(col(textCol), "[^\\u4e00-\\u9fff]", ""))
-    df.withColumn(outCol,
+    df.withColumn("_lid_toks", tokens(col(textCol)))
+      .withColumn(outCol,
         when(cjk.cast("double") / greatest(length(col(textCol)), lit(1)) > 0.2,
           lit("zh"))
           .otherwise(best.getField("lang")))
       .withColumn("lang_score", -best.getField("neg"))
+      .drop("_lid_toks")
   }
 
   /** Quality-scoring columns: token count, alphabetic-character ratio,
@@ -69,10 +75,13 @@ object TextAnalysis {
     */
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
+    // token array bound once (non-cheap multi-use alias stays a separate
+    // projection) instead of re-splitting per derived column
+    val toks = col("_qs_toks")
     val en = stopwords.toMap.apply("en")
     val nToks = greatest(size(toks), lit(1))
-    df.withColumn("n_tokens", size(toks).cast("long"))
+    df.withColumn("_qs_toks", tokens(t))
+      .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("alpha_ratio",
         length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
           / greatest(length(t), lit(1)))
@@ -80,6 +89,7 @@ object TextAnalysis {
         size(filter(toks, x => x.isInCollection(en))).cast("double") / nToks)
       .withColumn("mean_tok_len",
         aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / nToks)
+      .drop("_qs_toks")
   }
 
   /** Normalized content fingerprint (md5 over whitespace-collapsed lowercase
@@ -191,6 +201,34 @@ object TextAnalysis {
         floor((col("end_off") - col("n_tokens")) / lit(budget.toDouble))
           .as("bin_first"),
         floor((col("end_off") - 1) / lit(budget.toDouble)).as("bin_last"))
+  }
+
+  /** TF-IDF top-k terms per document — the classic salient-term extractor
+    * (keyword tagging, near-dup explanation, topic drill-down). Score =
+    * tf × ln(N / df).
+    *
+    * Shape: explode → (doc, term) counts (partial-agg collapses repeats
+    * map-side), term document-frequency as a second aggregation over the
+    * FIRST one's output (never re-touches the corpus), the one-row corpus
+    * count broadcast in, and a per-doc top-k window partitioned by
+    * document. Shuffles are keyed on (doc, term) then term then doc —
+    * all equi-keys, no all-pairs, nothing driver-side.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("_df_docs"))
+    val total = df.agg(count(lit(1)).as("_n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        col("tf") * log(col("_n_docs").cast("double") / col("_df_docs")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("rn"), col("term"), col("tfidf"))
   }
 
   /** Deterministic global training-order shuffle: every row gets a stable
@@ -332,13 +370,19 @@ object TextAnalysis {
     * the standard repetition quality signal for pretraining corpora
     * (boilerplate and looping generations score high). Pure per-row
     * projection; null for documents with fewer than `n` tokens.
+    *
+    * Distinct-gram counting goes through the fused
+    * [[graft.plans.ShingleHashes]] loop (the gram-string form evaluated
+    * `element_at(split(...))` per gram inside an interpreted lambda —
+    * quadratic per document); values are identical modulo 64-bit gram-hash
+    * collisions. Requires `GraftExtensions.register` on the session.
     */
   def repetitionRatio(text: Column, n: Int = 2): Column = {
     val toks = tokens(text)
-    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
+    val nGrams = size(toks) - (n - 1)
+    val distinct = size(call_function("shingle_hashes",
+      transform(toks, t => xxhash64(t)), lit(n)))
     when(size(toks) < n, lit(null).cast("double"))
-      .otherwise(lit(1.0) -
-        size(array_distinct(grams)).cast("double") / size(grams))
+      .otherwise(lit(1.0) - distinct.cast("double") / nGrams)
   }
 }

@@ -310,6 +310,7 @@ object ExtensionQueries {
 
     // Repeated-bigram fraction (repetition quality signal).
     "q51_repetition_ratio" -> { (s, d) =>
+      graft.plans.GraftExtensions.register(s)
       Tables.documents(s, d).filter(col("doc_id") <= 50)
         .select(col("doc_id"),
           fr(TextAnalysis.repetitionRatio(col("text")), 4).as("rep_ratio"))
@@ -393,6 +394,24 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("kept"),
           fr(avg(col("n_chars")), 4).as("avg_chars"))
         .orderBy("lang")
+    },
+
+    // TF-IDF top-3 salient terms per document; score quantized to 4
+    // decimals (ln is within-1-ulp on both engines, ranks are safe:
+    // distinct (tf, df) pairs never land within an ulp of each other).
+    "q64_tfidf_topk" -> { (s, d) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text",
+          k = 3)
+        .select(col("doc_id"), col("rn"), col("term"),
+          fr(col("tfidf"), 4).as("tfidf"))
+        .orderBy("doc_id", "rn")
+    },
+
+    // Fixed-width histogram of document lengths (20 integer-edge buckets).
+    "q65_histogram" -> { (s, d) =>
+      graft.operators.Reporting.histogram(
+          Tables.documents(s, d), "n_chars", buckets = 20)
+        .orderBy("bucket")
     },
 
     // Deterministic training-order shuffle: shuffle_pos must equal the
@@ -790,6 +809,35 @@ object ExtensionQueries {
         |SELECT lang, count(*) AS kept,
         |  floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q64_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df_docs) AS tfidf
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rn
+        |  FROM sc)
+        |SELECT doc_id, rn, term,
+        |  floor(tfidf * 10000.0 + 0.5) / 10000.0 AS tfidf
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    "q65_histogram" ->
+      """WITH mm AS (SELECT CAST(min(n_chars) AS BIGINT) AS lo,
+        |    CAST(max(n_chars) AS BIGINT) AS hi FROM documents),
+        |wd AS (SELECT lo, CAST(floor((hi - lo + 20) / 20.0) AS BIGINT) AS w
+        |  FROM mm),
+        |b AS (SELECT CAST(floor((n_chars - lo) / CAST(w AS DOUBLE)) AS BIGINT)
+        |    AS bucket, lo, w FROM documents, wd)
+        |SELECT bucket, CAST(lo + bucket * w AS BIGINT) AS bucket_lo,
+        |  count(*) AS cnt
+        |FROM b GROUP BY bucket, lo, w ORDER BY bucket""".stripMargin,
 
     // the oracle computes the SAME permutation the naive way: one global
     // ORDER BY over the md5 key (fine at DuckDB's scale)

@@ -312,6 +312,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(vocab == Map("spark" -> 3L, "and" -> 2L, "fresh" -> 1L,
       "words" -> 1L, "only" -> 1L))
 
+    graft.plans.GraftExtensions.register(spark)
     val rep = df.select($"doc_id",
         TextAnalysis.repetitionRatio($"text").as("r"))
       .as[(Long, Double)].collect().toMap
@@ -411,6 +412,26 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(got(1L) == 1.0 && got(2L) == 1.0, "duplicated text fully covered")
     assert(got(3L) == 0.0, "unique text fully novel")
+  }
+
+  test("tfidf ranks corpus-rare terms above ubiquitous ones") {
+    val df = Seq(
+      (1L, "alpha common common"),
+      (2L, "beta common"),
+      (3L, "gamma common")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // 'common' appears in every doc -> idf 0; the unique term wins each doc
+    assert(top == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+  }
+
+  test("histogram has exact integer edges and total count") {
+    val df = (0L until 100L).map(i => Tuple1(i)).toDF("v")
+    val h = graft.operators.Reporting.histogram(df, "v", buckets = 20)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(h.map(_._3).sum == 100L, "every row lands in a bucket")
+    assert(h.forall { case (b, lo, _) => lo == b * 5 }, "width ceil(100/20)=5")
+    assert(h.length == 20 && h.forall(_._3 == 5L), "uniform data fills evenly")
   }
 
   test("deterministic shuffle is a permutation equal to the global key rank") {
