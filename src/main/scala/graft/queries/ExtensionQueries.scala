@@ -188,9 +188,13 @@ object ExtensionQueries {
       // candidate list 20× smaller was the query's dominant stage
       val candIds = cand.select(col("id_a").as("doc_id"))
         .union(cand.select(col("id_b").as("doc_id"))).distinct()
+      // fused 64-bit shingle hashing (plans.ShingleHashes): intersection /
+      // union sizes — and so the verify jaccard — match the string form
+      val vtoks = split(trim(lower(col("text"))), "\\s+")
       val sh = docs.join(broadcast(candIds), "doc_id")
         .select(col("doc_id"),
-          array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+          call_function("shingle_hashes",
+            transform(vtoks, t => xxhash64(t)), lit(3)).as("sh"))
       val jac = size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
         size(array_union(col("_sa"), col("_sb")))
       cand
