@@ -67,6 +67,37 @@ object StreamingOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(symbolCol, tsCol)
 
+  /** Streaming incremental cross-corpus dedup — the live-ingest twin of
+    * `Dedup.notSeen`: drop stream rows whose `textCol` already exists in a
+    * STATIC seen corpus. The seen side collapses to a fixed-size Bloom
+    * sketch applied row-by-row through the same native
+    * `bloom_might_contain` predicate — a STATELESS map-side filter, so it
+    * composes with any downstream stateful stage and adds zero streaming
+    * state of its own (a stream-static anti-JOIN would re-shuffle every
+    * micro-batch against the corpus instead).
+    *
+    * Trade-off vs the batch form: no exact anti-join backstop here —
+    * sketch hits are DROPPED, so ~fpp of genuinely-new rows are lost.
+    * Size `fpp` for the feed's tolerance (2^-20 ≈ one false drop per
+    * million docs at ~4 bytes/item), or route sketch hits to a side sink
+    * and reconcile exactly in batch.
+    */
+  def streamingNotSeen(stream: DataFrame, seen: DataFrame, textCol: String,
+                       expectedSeen: Long = 1000000L,
+                       fpp: Double = 0.000001): DataFrame = {
+    graft.plans.GraftExtensions.register(seen.sparkSession)
+    val bloom = seen
+      .select(xxhash64(col(textCol)).as("_h"))
+      .stat.bloomFilter("_h", expectedSeen, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    stream.filter(!call_function("bloom_might_contain",
+      lit(bytes), xxhash64(col(textCol))))
+  }
+
   final case class Tick(symbol: String, ts: Timestamp, close: Double)
   final case class GapEvent(symbol: String, start: Timestamp, end: Timestamp,
                             missingCount: Long)

@@ -119,6 +119,27 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(out(1).getAs[Double]("CLOSE") == 1.1)
   }
 
+  test("streaming notSeen drops seen texts stateless, passes fresh ones") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val seen = (0 until 100).map(i => (i.toLong, s"seen text $i"))
+      .toDF("id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("id", "text")
+    val out = StreamingOps.streamingNotSeen(stream, seen, "text",
+      expectedSeen = 100L)
+    val q = out.writeStream.format("memory")
+      .queryName("notseen_out").outputMode("append").start()
+    mem.addData((1000L, "seen text 5"), (1001L, "genuinely fresh one"),
+      (1002L, "seen text 99"), (1003L, "another fresh doc"))
+    q.processAllAvailable()
+    val got = spark.table("notseen_out").select("id")
+      .as[Long].collect().sorted
+    q.stop()
+    assert(got.toSeq == Seq(1001L, 1003L),
+      s"only fresh texts pass the bloom screen, got ${got.toSeq}")
+  }
+
   test("streaming gap detect: keyed state emits gap events") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[StreamingOps.Tick]
