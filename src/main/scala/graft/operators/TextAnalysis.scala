@@ -269,6 +269,27 @@ object TextAnalysis {
       .drop("_key", "_bkt", "_rn", "_off")
   }
 
+  /** Fixed-budget stratified sampling: EXACTLY min(K, n_g) rows per
+    * stratum — eval-set construction, label-balanced probes — chosen as
+    * the K smallest content hashes per stratum. Rate-based sampling
+    * ([[stratifiedSample]], [[dampedMixtureSample]]) can't hit an exact
+    * count; hash-order selection can, and stays deterministic across
+    * runs, engines, and re-sharding (and under corpus growth, the kept
+    * set changes minimally: only documents hashing below the K-th kept
+    * hash displace one).
+    *
+    * Shape: one per-stratum window top-K — partitioned by the stratum,
+    * so strata rank in parallel; no global sort, no driver-side state.
+    */
+  def stratifiedTopK(df: DataFrame, idCol: String, textCol: String,
+                     stratumCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(textCol)), col(idCol)) // unique id breaks dup-text ties
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Train/validation/test split assignment by content hash: the same
     * 16-bit md5 threshold scheme as [[stratifiedSample]], but labeling
     * instead of filtering — every row lands in exactly one split, stably

@@ -400,6 +400,15 @@ object ExtensionQueries {
         .orderBy("lang")
     },
 
+    // Fixed-budget stratified sample: exactly 20 docs per language,
+    // selected by content-hash order (deterministic, growth-stable).
+    "q66_stratified_topk" -> { (s, d) =>
+      TextAnalysis.stratifiedTopK(Tables.documents(s, d), "doc_id", "text",
+          "lang", k = 20)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "doc_id")
+    },
+
     // TF-IDF top-3 salient terms per document; score quantized to 4
     // decimals (ln is within-1-ulp on both engines, ranks are safe:
     // distinct (tf, df) pairs never land within an ulp of each other).
@@ -813,6 +822,14 @@ object ExtensionQueries {
         |SELECT lang, count(*) AS kept,
         |  floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q66_stratified_topk" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 20
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "q64_tfidf_topk" ->
       """WITH tok AS (SELECT doc_id,

@@ -414,6 +414,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(3L) == 0.0, "unique text fully novel")
   }
 
+  test("stratified top-k keeps exactly min(k, n) per stratum, deterministically") {
+    val df = ((0 until 50).map(i => (i.toLong, s"a doc $i", "big")) ++
+      (50 until 53).map(i => (i.toLong, s"b doc $i", "tiny")))
+      .toDF("id", "text", "grp")
+    val out = TextAnalysis.stratifiedTopK(df, "id", "text", "grp", k = 10)
+    val counts = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("big" -> 10L, "tiny" -> 3L))
+    val again = TextAnalysis.stratifiedTopK(df.repartition(7), "id", "text",
+        "grp", k = 10).select("id").as[Long].collect().sorted
+    assert(again.toSeq ==
+      out.select("id").as[Long].collect().sorted.toSeq,
+      "selection independent of partitioning")
+  }
+
   test("tfidf ranks corpus-rare terms above ubiquitous ones") {
     val df = Seq(
       (1L, "alpha common common"),
