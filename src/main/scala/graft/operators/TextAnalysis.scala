@@ -238,21 +238,28 @@ object TextAnalysis {
     *
     * The naive form (`row_number` over a global ORDER BY) collapses into
     * ONE task at scale — the keyless-window trap. This instead decomposes
-    * the global rank: the first 3 hex digits of the key split rows into
-    * 4096 buckets, and because the bucket IS the key's prefix,
+    * the global rank: the first `hexDigits` of the key split rows into
+    * 16^hexDigits buckets, and because the bucket IS the key's prefix,
     * bucket-major + within-bucket key order equals the global key order.
     * So: within-bucket ranks come from a properly PARTITIONED window
-    * (4096-way parallel), bucket offsets from a 4096-row aggregate (the
-    * only single-partition step — a few KB), broadcast back. Every stage
-    * is distributed; nothing row-shaped leaves the executors.
+    * (bucket-parallel), bucket offsets from a 16^hexDigits-row aggregate
+    * (the only single-partition step — a few KB), broadcast back. Every
+    * stage is distributed; nothing row-shaped leaves the executors.
+    *
+    * Size buckets to the corpus: each bucket sorts in one task, so pick
+    * `hexDigits` with corpus / 16^hexDigits well under task memory —
+    * 3 (4096 buckets) to ~100 GB, 4 (65536) for the 100 TB tier (~1.5 GB
+    * per bucket; md5 uniformity keeps them even).
     *
     * @return input plus `shuffle_pos` (0-based long).
     */
-  def deterministicShuffle(df: DataFrame, idCol: String,
-                           seed: String): DataFrame = {
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
+                           hexDigits: Int = 3): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 7, "1..7 hex digits")
     val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
     val keyed = df.withColumn("_key", key)
-      .withColumn("_bkt", conv(substring(col("_key"), 1, 3), 16, 10).cast("int"))
+      .withColumn("_bkt",
+        conv(substring(col("_key"), 1, hexDigits), 16, 10).cast("int"))
     val rw = Window.partitionBy(col("_bkt"))
       .orderBy(col("_key"), col(idCol))
     // bucket sizes -> exclusive prefix offsets (≤4096 rows: the window
