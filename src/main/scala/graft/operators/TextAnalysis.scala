@@ -262,13 +262,19 @@ object TextAnalysis {
         conv(substring(col("_key"), 1, hexDigits), 16, 10).cast("int"))
     val rw = Window.partitionBy(col("_bkt"))
       .orderBy(col("_key"), col(idCol))
-    // bucket sizes -> exclusive prefix offsets (≤4096 rows: the window
-    // over the aggregated frame is deliberately tiny, not a scale trap)
-    val ow = Window.orderBy(col("_bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = keyed.groupBy(col("_bkt")).agg(count(lit(1)).as("_n"))
-      .withColumn("_off", coalesce(sum(col("_n")).over(ow), lit(0L)))
-      .select(col("_bkt"), col("_off"))
+    // bucket sizes -> exclusive prefix offsets. The cumsum runs DRIVER-side
+    // over the fixed-size (≤16^hexDigits-row) count aggregate — same
+    // budget class as a k-means codebook — rather than through a keyless
+    // window (which would be the single-partition trap this operator
+    // exists to avoid, however small its input)
+    val spark = df.sparkSession
+    val counts = keyed.groupBy(col("_bkt")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offs = counts.scanLeft((0, 0L)) { case ((_, acc), (b, n)) =>
+      (b, acc + n)
+    }
+    val offsets = spark.createDataFrame(
+      counts.map(_._1).zip(offs.map(_._2)).toSeq).toDF("_bkt", "_off")
     keyed
       .withColumn("_rn", row_number().over(rw).cast("long"))
       .join(broadcast(offsets), Seq("_bkt"))
