@@ -334,6 +334,39 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Embedding outlier scoring: each vector's cosine to its OWN label's
+    * centroid — the label-purity / mislabeled-example probe of an
+    * embedding-quality pipeline (low `centroid_sim` = the vector sits far
+    * from its class; rank ascending to surface label noise).
+    *
+    * Shape: centroids via ONE position-exploded aggregation — (label,
+    * dim-index) keyed, partial-agg collapses map-side, so the shuffle
+    * carries ≤ labels × dim rows per task regardless of corpus size —
+    * reassembled into arrays with the sort-free collect_list + array_sort
+    * pattern, then broadcast back (labels × dim doubles: KBs) into the
+    * fused codegen cosine. No vector ever shuffles; the corpus is scanned
+    * twice (centroid pass + score pass), both scans narrow.
+    *
+    * @return one row per vector: (`idCol`, `labelCol`, `centroid_sim`).
+    */
+  def labelCentroidScores(df: DataFrame, idCol: String, vecCol: String,
+                          labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val cast = df.select(col(idCol), col(labelCol),
+      col(vecCol).cast("array<double>").as("_v"))
+    val cent = cast
+      .select(col(labelCol), posexplode(col("_v")).as(Seq("_p", "_x")))
+      .groupBy(col(labelCol), col("_p"))
+      .agg(avg(col("_x")).as("_m"))
+      .groupBy(col(labelCol))
+      .agg(transform(array_sort(collect_list(struct(col("_p"), col("_m")))),
+        e => e.getField("_m")).as("_centroid"))
+    cast.join(broadcast(cent), Seq(labelCol))
+      .select(col(idCol), col(labelCol),
+        fr4(cosineFast(spark, col("_v"), col("_centroid")))
+          .as("centroid_sim"))
+  }
+
   /** Drop a persisted IVF index (table + location + sidecar). */
   def dropIvfIndex(spark: org.apache.spark.sql.SparkSession,
                    table: String): Unit =

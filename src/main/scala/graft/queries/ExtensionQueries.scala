@@ -400,6 +400,15 @@ object ExtensionQueries {
         .orderBy("lang")
     },
 
+    // Embedding outlier scoring: cosine of each vector to its own label
+    // centroid (mislabeled-example probe). Centroids are avg-per-position;
+    // quantization absorbs cross-engine summation-order ulps.
+    "q67_label_outliers" -> { (s, d) =>
+      Similarity.labelCentroidScores(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label")
+        .orderBy("vec_id")
+    },
+
     // Fixed-budget stratified sample: exactly 20 docs per language,
     // selected by content-hash order (deterministic, growth-stable).
     "q66_stratified_topk" -> { (s, d) =>
@@ -822,6 +831,19 @@ object ExtensionQueries {
         |SELECT lang, count(*) AS kept,
         |  floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q67_label_outliers" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |p AS (SELECT label, generate_subscripts(e, 1) AS pos, unnest(e) AS x
+        |  FROM v),
+        |c AS (SELECT label, pos, avg(x) AS m FROM p GROUP BY label, pos),
+        |cent AS (SELECT label, list(m ORDER BY pos) AS ce FROM c
+        |  GROUP BY label)
+        |SELECT v.vec_id, v.label,
+        |  floor(list_cosine_similarity(v.e, cent.ce) * 10000.0 + 0.5)
+        |    / 10000.0 AS centroid_sim
+        |FROM v JOIN cent USING (label) ORDER BY v.vec_id""".stripMargin,
 
     "q66_stratified_topk" ->
       """WITH r AS (SELECT lang, doc_id, n_chars,

@@ -414,6 +414,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(3L) == 0.0, "unique text fully novel")
   }
 
+  test("label centroid scores flag the planted outlier lowest in its label") {
+    // label 0: tight cluster near e1 + one vector pointing at e2
+    val e1 = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.01f * i)
+    val e2 = Array.tabulate(8)(i => if (i == 1) 1.0f else 0.0f)
+    val rows = (0 until 9).map(i =>
+      (i.toLong, e1.map(x => x + 0.001f * i), 0)) :+ (9L, e2, 0)
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidScores(df, "vec_id", "embedding", "label")
+      .orderBy(col("centroid_sim"))
+      .select("vec_id").as[Long].collect()
+    assert(got.head == 9L, "the planted off-axis vector scores lowest")
+  }
+
   test("stratified top-k keeps exactly min(k, n) per stratum, deterministically") {
     val df = ((0 until 50).map(i => (i.toLong, s"a doc $i", "big")) ++
       (50 until 53).map(i => (i.toLong, s"b doc $i", "tiny")))
