@@ -477,6 +477,11 @@ class DedupSimilaritySpec extends SparkSpec {
     val again = TextAnalysis.deterministicShuffle(df.repartition(13), "id", "7")
       .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
     assert(again == got)
+    // and invariant to the bucket width (prefix length is an execution
+    // knob, not part of the permutation's definition)
+    val wide = TextAnalysis.deterministicShuffle(df, "id", "7", hexDigits = 2)
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(wide == got)
   }
 
   test("split assignment is leakage-safe: duplicate texts share a split") {

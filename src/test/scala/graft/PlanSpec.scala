@@ -234,6 +234,15 @@ class PlanSpec extends SparkSpec {
       s"novelty join must stay an equi-join:\n$p")
   }
 
+  test("q67: centroid aggregation partial-aggregates; centroids broadcast back") {
+    val p = plan(graft.queries.ExtensionQueries
+      .defs("q67_label_outliers")(spark, d))
+    assert("partial_avg".r.findAllIn(p).nonEmpty,
+      s"position-keyed centroid avg must map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"labels x dim centroid frame must broadcast, vectors never shuffle:\n$p")
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
