@@ -231,6 +231,28 @@ object TextAnalysis {
       .select(col(idCol), col("rn"), col("term"), col("tfidf"))
   }
 
+  /** Corpus-unigram log-probability per document — the cheap stand-in for
+    * the perplexity quality filter (CCNet-style): documents whose tokens
+    * are improbable under the corpus's own unigram distribution (garbled
+    * text, wrong-language fragments, encoding noise) score low; fluent
+    * in-distribution text scores high. score = mean over token
+    * OCCURRENCES of ln(count(term) / total_tokens).
+    *
+    * Shape: one explode + term-count aggregation (map-side combined), the
+    * one-row total broadcast in, counts joined back to the exploded frame,
+    * one per-doc mean. Same budget class as TF-IDF (q64) — the LM "table"
+    * is just the count aggregate, never materialized driver-side.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("_c"))
+    val total = tok.agg(count(lit(1)).as("_t"))
+    tok.join(counts, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(avg(log(col("_c").cast("double") / col("_t"))).as("logprob"))
+  }
+
   /** Deterministic global training-order shuffle: every row gets a stable
     * position `shuffle_pos` = its rank under `md5(seed || id)` — the
     * reproducible corpus permutation a training run reads in order. Same

@@ -400,6 +400,36 @@ object ExtensionQueries {
         .orderBy("lang")
     },
 
+    // NDJSON source round-trip: documents written as JSON-lines, read
+    // back through the quarantining reader; per-lang counts + a 16-bit
+    // md5 checksum prove texts survive the round trip byte-exactly.
+    // The oracle aggregates the original table — round trip ≡ identity.
+    "q69_ndjson_roundtrip" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val dir = System.getProperty("java.io.tmpdir") + "/graft_q69_ndjson"
+      docs.coalesce(4).write.mode("overwrite").json(dir)
+      val rr = graft.sources.Readers.readNdjson(s, dir, docs.schema)
+      val hv16 = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
+      val agg = rr.df.groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(hv16).as("md5sum16"))
+        .orderBy("lang")
+      val rows = agg.collect() // fixed-size (one row per lang); lets the
+      rr.release()             // reader's parse cache release eagerly
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows.toIndexedSeq, 1), agg.schema)
+    },
+
+    // Unigram-LM log-probability (perplexity-filter stand-in): mean
+    // ln(count/total) over each doc's token occurrences.
+    "q68_unigram_logprob" -> { (s, d) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), fr(col("logprob"), 4).as("logprob"))
+        .orderBy("doc_id")
+    },
+
     // Embedding outlier scoring: cosine of each vector to its own label
     // centroid (mislabeled-example probe). Centroids are avg-per-position;
     // quantization absorbs cross-engine summation-order ulps.
@@ -831,6 +861,29 @@ object ExtensionQueries {
         |SELECT lang, count(*) AS kept,
         |  floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q69_ndjson_roundtrip" ->
+      """WITH h AS (SELECT lang, n_chars,
+        |  (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS hv
+        |  FROM documents)
+        |SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(hv) AS BIGINT) AS md5sum16
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q68_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+        |t AS (SELECT count(*) AS tot FROM tok),
+        |s AS (SELECT tok.doc_id, ln(CAST(cnt AS DOUBLE) / tot) AS lp
+        |  FROM tok JOIN c USING (term) CROSS JOIN t)
+        |SELECT doc_id, floor(avg(lp) * 10000.0 + 0.5) / 10000.0 AS logprob
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q67_label_outliers" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e

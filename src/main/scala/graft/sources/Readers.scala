@@ -106,6 +106,36 @@ object Readers {
   /** Name of the transient PERMISSIVE corrupt-record column. */
   val CorruptCol = "_graft_corrupt_record"
 
+  /** NDJSON (JSON-lines) source with the same PERMISSIVE row-quarantine
+    * contract as [[readCsv]]: malformed lines land in the corrupt-record
+    * column and are counted, clean rows flow on with file order captured.
+    * The standard interchange format for document corpora (one JSON doc
+    * per line splits on newlines, so a 100 TB dump scan-parallelizes
+    * exactly like CSV — no whole-file JSON parse).
+    */
+  def readNdjson(spark: SparkSession, path: String,
+                 schema: org.apache.spark.sql.types.StructType): ReadResult = {
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val corruptScan = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(CorruptCol, StringType)))
+      .json(path)
+      .cache()
+    val totalRows = corruptScan.count() // fills the cache — the only parse
+    val corruptRows = corruptScan.filter(col(CorruptCol).isNotNull).count()
+    val clean = corruptScan.filter(col(CorruptCol).isNull).drop(CorruptCol)
+    val df = spark
+      .createDataFrame(clean.rdd, clean.schema) // projection-proof barrier
+      .withColumn(FileOrderCol, monotonically_increasing_id())
+    ReadResult(df,
+      meta(df, path, "ndjson", totalRows - corruptRows) +
+        ("corrupt_rows" -> corruptRows),
+      baseName(path),
+      release = () => corruptScan.unpersist())
+  }
+
   def readParquet(spark: SparkSession, path: String): ReadResult = {
     val base = spark.read.parquet(path)
     // zero-column count: answered from footer row counts, no data pages

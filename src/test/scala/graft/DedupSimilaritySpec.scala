@@ -414,6 +414,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(3L) == 0.0, "unique text fully novel")
   }
 
+  test("unigram logprob scores common text above rare-token noise") {
+    val df = Seq(
+      (1L, "the the the the"),            // all occurrences of the top term
+      (2L, "the zxqv")                    // one common + one hapax token
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    // p(the)=5/6, p(zxqv)=1/6
+    val pThe = math.log(5.0 / 6.0)
+    val pZx = math.log(1.0 / 6.0)
+    assert(math.abs(got(1L) - pThe) < 1e-12)
+    assert(math.abs(got(2L) - (pThe + pZx) / 2) < 1e-12)
+    assert(got(1L) > got(2L), "noisy doc scores lower")
+  }
+
   test("label centroid scores flag the planted outlier lowest in its label") {
     // label 0: tight cluster near e1 + one vector pointing at e2
     val e1 = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.01f * i)

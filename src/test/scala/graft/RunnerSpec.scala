@@ -102,6 +102,28 @@ class RunnerSpec extends SparkSpec {
     assert(math.abs(f(0).getAs[Double]("VOLUME") - 100.0) < 1e-9, "m=0 row only")
   }
 
+  test("ndjson reader: malformed lines quarantine, clean docs round-trip") {
+    import org.apache.spark.sql.types._
+    val work = Files.createTempDirectory("graft_ndjson")
+    val sb = new StringBuilder
+    for (i <- 0 until 5)
+      sb.append(s"""{"doc_id": $i, "text": "doc body $i"}\n""")
+    sb.append("{not json at all\n")
+    sb.append("""{"doc_id": "boom", "text": "type-corrupt id"}""" + "\n")
+    val p = work.resolve("docs.jsonl")
+    Files.writeString(p, sb.toString)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val r = graft.sources.Readers.readNdjson(spark, p.toString, schema)
+    assert(r.meta("corrupt_rows") == 2L, s"meta: ${r.meta}")
+    assert(r.meta("rows") == 5L && r.df.count() == 5)
+    val rows = r.df.orderBy(graft.sources.Readers.FileOrderCol).collect()
+    assert(rows(0).getAs[Long]("doc_id") == 0L &&
+      rows(4).getAs[String]("text") == "doc body 4")
+    r.release()
+    assert(r.df.count() == 5, "recompute after release identical")
+  }
+
   test("row quarantine: malformed CSV rows drop and are counted, good rows survive") {
     import org.apache.spark.sql.types._
     val work = Files.createTempDirectory("graft_rowquar")
