@@ -261,4 +261,62 @@ class PropertySpec extends AnyFunSuite {
       assert(got == byComp, s"case $i: n=$n edges=${edges.take(10)}")
     }
   }
+
+  test("sequence packing equals a driver-side reference on random corpora") {
+    import org.apache.spark.sql.functions.col
+    val caseGen = for {
+      n <- Gen.choose(1, 60)
+      lens <- Gen.listOfN(n, Gen.choose(1, 40))
+      shards <- Gen.choose(1, 5)
+      budget <- Gen.choose(4, 32)
+    } yield (lens, shards, budget)
+    for (((lens, shards, budget), i) <- samples(caseGen, 5).zipWithIndex) {
+      val docs = lens.zipWithIndex.map { case (len, id) =>
+        (id.toLong, ("w " * len).trim)
+      }
+      // reference: sequential cumsum per round-robin shard
+      val expected = docs.groupBy(_._1 % shards).flatMap { case (_, ds) =>
+        var off = 0L
+        ds.sortBy(_._1).map { case (id, text) =>
+          val ntok = text.split("\\s+").length.toLong
+          val start = off; off += ntok
+          (id, start, start / budget, (start + ntok - 1) / budget)
+        }
+      }
+      val got = graft.operators.TextAnalysis
+        .packSequences(docs.toDF("doc_id", "text"), "doc_id", "text",
+          shards, budget)
+        .select(col("doc_id"), col("start_off"), col("bin_first"),
+          col("bin_last"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2, r._3, r._4)).toSet
+      assert(got == expected.toSet, s"case $i: shards=$shards budget=$budget")
+    }
+  }
+
+  test("snapshot diff equals brute-force classification on random versions") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val caseGen = for {
+      n <- Gen.choose(1, 50)
+      removed <- Gen.listOf(Gen.choose(0, 49))
+      changed <- Gen.listOf(Gen.choose(0, 49))
+      added <- Gen.listOf(Gen.choose(100, 140))
+    } yield (n, removed.toSet, changed.toSet, added.toSet)
+    for (((n, removed, changed, added), i) <- samples(caseGen, 5).zipWithIndex) {
+      val v1 = (0 until n).map(k => (k.toLong, s"text $k"))
+      val v2 = (0 until n).filterNot(removed).map { k =>
+        (k.toLong, if (changed(k)) s"text $k v2" else s"text $k")
+      } ++ added.map(k => (k.toLong, s"new $k"))
+      val expected = ((0 until n).map { k =>
+        k.toLong -> (if (removed(k)) "removed"
+                     else if (changed(k)) "changed" else "unchanged")
+      } ++ added.map(_.toLong -> "added")).toMap
+      val got = Dedup.snapshotDiff(
+          v1.toDF("id", "text").withColumn("fp", md5(col("text"))),
+          v2.toDF("id", "text").withColumn("fp", md5(col("text"))),
+          "id", "fp")
+        .as[(Long, String)].collect().toMap
+      assert(got == expected, s"case $i: n=$n rm=$removed ch=$changed")
+    }
+  }
 }
