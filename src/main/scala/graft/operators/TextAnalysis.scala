@@ -231,6 +231,42 @@ object TextAnalysis {
       .select(col(idCol), col("rn"), col("term"), col("tfidf"))
   }
 
+  /** Gopher-style composite quality rules (Rae et al. 2021 §A1.1, the
+    * shapes every pretraining pipeline reuses): a document passes iff
+    *  - token count in [minTokens, maxTokens],
+    *  - mean token length in [3, 10] characters,
+    *  - alphabetic-character ratio ≥ 0.6 (symbol/markup junk), and
+    *  - stopword hits ≥ 2 (natural-language-ness probe; English list).
+    *
+    * Emits the boolean plus each rule's verdict so downstream can audit
+    * WHY a document dropped (rejection-reason histograms are the first
+    * thing a data-quality review asks for). Pure per-row projection over
+    * one bound token array — no shuffle, no UDF, stays in codegen except
+    * the two stopword/length lambdas.
+    */
+  def gopherRules(df: DataFrame, textCol: String,
+                  minTokens: Int = 5, maxTokens: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val toks = col("_gr_toks")
+    val en = stopwords.toMap.apply("en")
+    val nToks = size(toks).cast("long")
+    val meanLen = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+      .cast("double") / greatest(nToks, lit(1L))
+    df.withColumn("_gr_toks", tokens(t))
+      .withColumn("rule_tokens",
+        nToks >= minTokens && nToks <= maxTokens)
+      .withColumn("rule_mean_len", meanLen >= 3.0 && meanLen <= 10.0)
+      .withColumn("rule_alpha",
+        length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+          / greatest(length(t), lit(1)) >= 0.6)
+      .withColumn("rule_stopwords",
+        size(filter(toks, x => x.isInCollection(en))) >= 2)
+      .withColumn("quality_pass",
+        col("rule_tokens") && col("rule_mean_len") &&
+          col("rule_alpha") && col("rule_stopwords"))
+      .drop("_gr_toks")
+  }
+
   /** Corpus-unigram log-probability per document — the cheap stand-in for
     * the perplexity quality filter (CCNet-style): documents whose tokens
     * are improbable under the corpus's own unigram distribution (garbled

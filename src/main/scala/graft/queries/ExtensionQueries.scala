@@ -422,6 +422,35 @@ object ExtensionQueries {
         s.sparkContext.parallelize(rows.toIndexedSeq, 1), agg.schema)
     },
 
+    // Gopher composite quality rules: per-rule verdicts + the combined
+    // pass bit, audited per document.
+    "q71_gopher_rules" -> { (s, d) =>
+      TextAnalysis.gopherRules(Tables.documents(s, d), "text")
+        .filter(col("doc_id") <= 200)
+        .select(col("doc_id"), col("rule_tokens"), col("rule_mean_len"),
+          col("rule_alpha"), col("rule_stopwords"), col("quality_pass"))
+        .orderBy("doc_id")
+    },
+
+    // ORC source round-trip: same checksum contract as q69 over the
+    // other columnar interchange format.
+    "q70_orc_roundtrip" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val dir = System.getProperty("java.io.tmpdir") + "/graft_q70_orc"
+      docs.coalesce(4).write.mode("overwrite").orc(dir)
+      val rr = graft.sources.Readers.readOrc(s, dir)
+      val hv16 = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
+      val agg = rr.df.groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(hv16).as("md5sum16"))
+        .orderBy("lang")
+      val rows = agg.collect()
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows.toIndexedSeq, 1), agg.schema)
+    },
+
     // Unigram-LM log-probability (perplexity-filter stand-in): mean
     // ln(count/total) over each doc's token occurrences.
     "q68_unigram_logprob" -> { (s, d) =>
@@ -861,6 +890,42 @@ object ExtensionQueries {
         |SELECT lang, count(*) AS kept,
         |  floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // identical thresholds; integer-derived ratios divide exactly on
+    // both engines, so every comparison lands the same side
+    "q71_gopher_rules" ->
+      """WITH tok AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id <= 200),
+        |m AS (SELECT doc_id,
+        |    length(t) AS n,
+        |    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+        |      / GREATEST(length(t), 1) AS mean_len,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / GREATEST(length(text), 1) AS alpha,
+        |    length(list_filter(t, x -> x IN ('the','and','of','to','a','in',
+        |      'is','it','you','that','for','was'))) AS sw
+        |  FROM tok)
+        |SELECT doc_id,
+        |  n >= 5 AND n <= 100000 AS rule_tokens,
+        |  mean_len >= 3.0 AND mean_len <= 10.0 AS rule_mean_len,
+        |  alpha >= 0.6 AS rule_alpha,
+        |  sw >= 2 AS rule_stopwords,
+        |  (n >= 5 AND n <= 100000) AND mean_len >= 3.0 AND mean_len <= 10.0
+        |    AND alpha >= 0.6 AND sw >= 2 AS quality_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q70_orc_roundtrip" ->
+      """WITH h AS (SELECT lang, n_chars,
+        |  (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS hv
+        |  FROM documents)
+        |SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(hv) AS BIGINT) AS md5sum16
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q69_ndjson_roundtrip" ->
       """WITH h AS (SELECT lang, n_chars,

@@ -144,6 +144,18 @@ object Readers {
     ReadResult(df, meta(df, path, "parquet", rows), baseName(path))
   }
 
+  /** ORC source — the other columnar interchange format warehouses hand
+    * over. Same contract as [[readParquet]]: schema from the file footer,
+    * stripe-level row counts answer the count, vectorized scan with
+    * pushdown/pruning from the stock datasource.
+    */
+  def readOrc(spark: SparkSession, path: String): ReadResult = {
+    val base = spark.read.orc(path)
+    val rows = base.count()
+    val df = base.withColumn(FileOrderCol, monotonically_increasing_id())
+    ReadResult(df, meta(df, path, "orc", rows), baseName(path))
+  }
+
   def read(spark: SparkSession, path: String): ReadResult =
     detectFileType(path) match {
       case "csv"     => readCsv(spark, path)

@@ -98,6 +98,27 @@ object StreamingOps {
       lit(bytes), xxhash64(col(textCol))))
   }
 
+  /** Streaming sessionization — the live form of batch q47: events gap
+    * into sessions when a key goes quiet for `gap`, via Spark's native
+    * `session_window` aggregation (merging session state is managed by the
+    * engine, bounded by the watermark — sessions finalize and evict once
+    * the watermark passes their close, so state is O(open sessions), not
+    * O(history)). Emits one row per closed session: key, session start /
+    * end, event count.
+    */
+  def streamingSessionize(stream: DataFrame, gap: String,
+                          delay: String = "1 minute",
+                          tsCol: String = "ts",
+                          keyCol: String = "user_id"): DataFrame =
+    stream
+      .withWatermark(tsCol, delay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   final case class Tick(symbol: String, ts: Timestamp, close: Double)
   final case class GapEvent(symbol: String, start: Timestamp, end: Timestamp,
                             missingCount: Long)

@@ -140,6 +140,33 @@ class MultimodalStreamingSpec extends SparkSpec {
       s"only fresh texts pass the bloom screen, got ${got.toSeq}")
   }
 
+  test("streaming sessionize: quiet gap closes a session; state finalizes by watermark") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "user_id")
+    val out = StreamingOps.streamingSessionize(stream, gap = "5 minutes",
+      delay = "1 minute")
+    val q = out.writeStream.format("memory")
+      .queryName("sess_out").outputMode("append").start()
+    def ts(min: Int) = Timestamp.from(Instant.parse(f"2024-01-01T00:$min%02d:00Z"))
+    // burst of 3 events, a >5-min quiet gap, a second burst, then an
+    // advancing event that pushes the watermark past both sessions
+    mem.addData((ts(0), "u1"), (ts(2), "u1"), (ts(4), "u1"))
+    q.processAllAvailable()
+    mem.addData((ts(15), "u1"), (ts(16), "u1"))
+    q.processAllAvailable()
+    mem.addData((ts(45), "u1"))
+    q.processAllAvailable()
+    val rows = spark.table("sess_out").orderBy("session_start").collect()
+    q.stop()
+    assert(rows.length == 2, s"two closed sessions, got ${rows.length}")
+    assert(rows(0).getAs[Long]("n_events") == 3 &&
+      rows(0).getAs[Timestamp]("session_start") == ts(0))
+    assert(rows(1).getAs[Long]("n_events") == 2 &&
+      rows(1).getAs[Timestamp]("session_start") == ts(15))
+  }
+
   test("streaming gap detect: keyed state emits gap events") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[StreamingOps.Tick]
