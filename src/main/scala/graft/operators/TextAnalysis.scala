@@ -274,19 +274,27 @@ object TextAnalysis {
     * in-distribution text scores high. score = mean over token
     * OCCURRENCES of ln(count(term) / total_tokens).
     *
-    * Shape: one explode + term-count aggregation (map-side combined), the
-    * one-row total broadcast in, counts joined back to the exploded frame,
-    * one per-doc mean. Same budget class as TF-IDF (q64) — the LM "table"
-    * is just the count aggregate, never materialized driver-side.
+    * Shape (the q64/TF-IDF budget class): ONE explode collapsed map-side
+    * to `(doc, term, tf)` before anything joins — the join probe side is
+    * the distinct doc-term aggregate (~10× smaller than the occurrence
+    * stream at typical repetition, and far less skewed: "the" appears
+    * once per document, not once per occurrence). Term counts are a
+    * second aggregation over the FIRST one's output (`sum(tf)` — never
+    * re-touching the explode), the corpus total derives from the counts
+    * aggregate itself, and the occurrence-mean is recovered exactly as
+    * the tf-weighted mean: avg over occurrences of ln(c/t)
+    * = sum(tf·ln(c/t)) / sum(tf). Nothing row-shaped leaves executors.
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
-    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("_c"))
-    val total = tok.agg(count(lit(1)).as("_t"))
-    tok.join(counts, Seq("term"))
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("_tf"))
+    val counts = tf.groupBy(col("term")).agg(sum(col("_tf")).as("_c"))
+    val total = counts.agg(sum(col("_c")).as("_t"))
+    tf.join(counts, Seq("term"))
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
-      .agg(avg(log(col("_c").cast("double") / col("_t"))).as("logprob"))
+      .agg((sum(col("_tf") * log(col("_c").cast("double") / col("_t")))
+        / sum(col("_tf"))).as("logprob"))
   }
 
   /** Deterministic global training-order shuffle: every row gets a stable
@@ -349,16 +357,36 @@ object TextAnalysis {
     * set changes minimally: only documents hashing below the K-th kept
     * hash displace one).
     *
-    * Shape: one per-stratum window top-K — partitioned by the stratum,
-    * so strata rank in parallel; no global sort, no driver-side state.
+    * Shape: two-phase top-K. A single `row_number` window partitioned by
+    * the stratum alone would send an ENTIRE stratum through one task —
+    * with 5 language strata at 100 TB that is five tasks sorting ~20 TB
+    * each, the classic skewed-window scale-killer (invisible at gate
+    * scale). Instead the first window partitions by
+    * (stratum, hash-sub-bucket) — `subBuckets`-way parallel regardless of
+    * stratum skew — keeping k per sub-bucket; the global k smallest of a
+    * stratum are necessarily each among their own sub-bucket's k
+    * smallest, so the final per-stratum window ranks ≤ subBuckets·k
+    * survivors, a bounded input no matter how dominant a stratum is.
+    * The sub-bucket derives from the SAME md5 already computed for
+    * ordering (bits 17-32), so selection order is untouched.
     */
   def stratifiedTopK(df: DataFrame, idCol: String, textCol: String,
-                     stratumCol: String, k: Int): DataFrame = {
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(col(textCol)), col(idCol)) // unique id breaks dup-text ties
-    df.withColumn("_rn", row_number().over(w))
+                     stratumCol: String, k: Int,
+                     subBuckets: Int = 64): DataFrame = {
+    require(subBuckets >= 1, "subBuckets >= 1")
+    val pre = Window.partitionBy(col(stratumCol), col("_skb"))
+      .orderBy(col("_skh"), col(idCol)) // unique id breaks dup-text ties
+    val fin = Window.partitionBy(col(stratumCol))
+      .orderBy(col("_skh"), col(idCol))
+    df.withColumn("_skh", md5(col(textCol)))
+      .withColumn("_skb",
+        pmod(conv(substring(col("_skh"), 5, 4), 16, 10).cast("int"),
+          lit(subBuckets)))
+      .withColumn("_prn", row_number().over(pre))
+      .filter(col("_prn") <= k)
+      .withColumn("_rn", row_number().over(fin))
       .filter(col("_rn") <= k)
-      .drop("_rn")
+      .drop("_skh", "_skb", "_prn", "_rn")
   }
 
   /** Train/validation/test split assignment by content hash: the same

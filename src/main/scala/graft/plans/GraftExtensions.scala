@@ -138,7 +138,10 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"shingle_hashes size must be an integer literal, got $other")
       }
-      ShingleHashes(children.head, n)
+      // Cast to array<bigint> at the boundary (the cosine/minhash pattern):
+      // a non-array argument fails analysis instead of throwing a
+      // ClassCastException in the executor
+      ShingleHashes(Cast(children.head, ArrayType(LongType)), n)
     })
 
   /** Idempotent registration on a live session. */

@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object ExtensionQueries {
 
+  /** Scratch cleanup for the round-trip queries (q69/q70): their
+    * run-unique temp dirs must not accumulate across harness runs.
+    */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Native codegen cosine (plans.CosineSimilarity via the extension
     * registry) — bit-identical to VectorFunctions.cosine, one fused loop.
     */
@@ -407,9 +416,12 @@ object ExtensionQueries {
     "q69_ndjson_roundtrip" -> { (s, d) =>
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
-      val dir = System.getProperty("java.io.tmpdir") + "/graft_q69_ndjson"
+      // run-unique dir: two harness runs on one host must not clobber
+      // each other's round-trip data mid-read (overwrite-mode race)
+      val dir = System.getProperty("java.io.tmpdir") +
+        s"/graft_q69_ndjson_${s.sparkContext.applicationId}"
       docs.coalesce(4).write.mode("overwrite").json(dir)
-      val rr = graft.sources.Readers.readNdjson(s, dir, docs.schema)
+      val rr = graft.sources.Readers.readNdjson(s, dir, Some(docs.schema))
       val hv16 = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
       val agg = rr.df.groupBy(col("lang"))
         .agg(count(lit(1)).as("docs"),
@@ -418,6 +430,7 @@ object ExtensionQueries {
         .orderBy("lang")
       val rows = agg.collect() // fixed-size (one row per lang); lets the
       rr.release()             // reader's parse cache release eagerly
+      deleteRecursively(new java.io.File(dir))
       s.createDataFrame(
         s.sparkContext.parallelize(rows.toIndexedSeq, 1), agg.schema)
     },
@@ -437,7 +450,8 @@ object ExtensionQueries {
     "q70_orc_roundtrip" -> { (s, d) =>
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
-      val dir = System.getProperty("java.io.tmpdir") + "/graft_q70_orc"
+      val dir = System.getProperty("java.io.tmpdir") +
+        s"/graft_q70_orc_${s.sparkContext.applicationId}"
       docs.coalesce(4).write.mode("overwrite").orc(dir)
       val rr = graft.sources.Readers.readOrc(s, dir)
       val hv16 = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
@@ -447,6 +461,7 @@ object ExtensionQueries {
           sum(hv16).as("md5sum16"))
         .orderBy("lang")
       val rows = agg.collect()
+      deleteRecursively(new java.io.File(dir))
       s.createDataFrame(
         s.sparkContext.parallelize(rows.toIndexedSeq, 1), agg.schema)
     },

@@ -24,10 +24,17 @@ object Readers {
     */
   val FileOrderCol = "_in_file_order"
 
+  /** Extension → format dispatch (reference: file_detector.py:5-11).
+    * `.json` counts as NDJSON: document corpora ship JSON-lines under
+    * both suffixes, and Spark's json source is line-delimited by default.
+    */
   def detectFileType(path: String): String = {
     val lower = path.toLowerCase
     if (lower.endsWith(".csv")) "csv"
     else if (lower.endsWith(".parquet")) "parquet"
+    else if (lower.endsWith(".ndjson") || lower.endsWith(".jsonl") ||
+      lower.endsWith(".json")) "ndjson"
+    else if (lower.endsWith(".orc")) "orc"
     else throw new IllegalArgumentException(s"Unsupported file type: $path")
   }
 
@@ -112,14 +119,26 @@ object Readers {
     * The standard interchange format for document corpora (one JSON doc
     * per line splits on newlines, so a 100 TB dump scan-parallelizes
     * exactly like CSV — no whole-file JSON parse).
+    *
+    * Schema follows the CSV contract: DECLARED (production ingestion —
+    * pass it) or INFERRED when absent (first-contact reads; same
+    * two-scan pattern as [[readCsv]] — an inference pre-pass, then the
+    * quarantining PERMISSIVE scan). Inference on a dirty file surfaces
+    * Spark's default corrupt-record column; it is stripped from the
+    * inferred schema so quarantine stays on [[CorruptCol]].
     */
   def readNdjson(spark: SparkSession, path: String,
-                 schema: org.apache.spark.sql.types.StructType): ReadResult = {
+                 schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : ReadResult = {
     import org.apache.spark.sql.types.{StringType, StructType}
+    val inferredCorrupt =
+      spark.conf.get("spark.sql.columnNameOfCorruptRecord", "_corrupt_record")
+    val applied = schema.getOrElse(StructType(spark.read.json(path).schema
+      .fields.filterNot(_.name == inferredCorrupt)))
     val corruptScan = spark.read
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
-      .schema(StructType(schema.fields :+
+      .schema(StructType(applied.fields :+
         org.apache.spark.sql.types.StructField(CorruptCol, StringType)))
       .json(path)
       .cache()
@@ -160,6 +179,8 @@ object Readers {
     detectFileType(path) match {
       case "csv"     => readCsv(spark, path)
       case "parquet" => readParquet(spark, path)
+      case "ndjson"  => readNdjson(spark, path)
+      case "orc"     => readOrc(spark, path)
     }
 
   /** Reader metadata; field set mirrors the reference's sidecar
@@ -211,6 +232,13 @@ object Readers {
         val r = spark.read.option("header", "true").option("mode", "DROPMALFORMED")
         schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
       case "parquet" => spark.read.parquet(path)
+      case "ndjson" | "json" | "jsonl" =>
+        // JSON-lines glob — the most common large-corpus drop layout.
+        // Same malformed-row contract as CSV; schema inference is one
+        // extra scan, so production globs should declare the schema.
+        val r = spark.read.option("mode", "DROPMALFORMED")
+        schema.fold(r)(r.schema).json(path)
+      case "orc" => spark.read.orc(path)
       case other =>
         throw new IllegalArgumentException(s"Unsupported glob format: $other")
     }

@@ -179,4 +179,31 @@ class CrossPartitionSpec extends SparkSpec {
     assert(canon(range).sameElements(canon(hash)),
       "range-partitioned scan must equal the single-task-per-key scan")
   }
+
+  test("two-phase stratified top-k matches the single-window form under a dominant stratum") {
+    import graft.operators.TextAnalysis
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one stratum holds ~94% of the corpus (the 100 TB failure mode the
+    // two-phase shape exists for), plus duplicate texts to exercise the
+    // id tiebreak and a singleton stratum smaller than k
+    val docs = (
+      (0L until 5000L).map(i => (i, s"dominant text ${i % 1200}", "en")) ++
+      (5000L until 5300L).map(i => (i, s"minor text $i", "de")) ++
+      Seq((5300L, "lonely", "xx"))
+    ).toDF("doc_id", "text", "lang").repartition(16).cache()
+    docs.count()
+    val naive = docs.withColumn("_rn", row_number().over(
+        Window.partitionBy($"lang").orderBy(md5($"text"), $"doc_id")))
+      .filter($"_rn" <= 25).drop("_rn")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang").orderBy("lang", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    for (b <- Seq(1, 4, 64)) // 1 = degenerate single-bucket, still correct
+      assert(canon(TextAnalysis.stratifiedTopK(docs, "doc_id", "text",
+        "lang", k = 25, subBuckets = b)) == canon(naive),
+        s"subBuckets=$b diverges from the single-window reference")
+    docs.unpersist()
+  }
 }

@@ -243,6 +243,54 @@ class PlanSpec extends SparkSpec {
       s"labels x dim centroid frame must broadcast, vectors never shuffle:\n$p")
   }
 
+  test("q66: stratified top-k never windows a bare stratum over the raw scan") {
+    val p = plan(graft.queries.ExtensionQueries
+      .defs("q66_stratified_topk")(spark, d))
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(winLines.length == 2, s"two-phase top-k expects two windows:\n$p")
+    // parents print first: the bare-stratum window (no _skb in its
+    // partition spec) must sit ABOVE the (stratum, sub-bucket) window —
+    // i.e. it ranks only the ≤ B·k pre-filtered survivors, while the
+    // window that touches every scanned row is sub-bucket-parallel and
+    // immune to a dominant stratum
+    val bareIdx = winLines.indexWhere(l => !l.contains("_skb"))
+    val bktIdx = winLines.indexWhere(_.contains("_skb"))
+    assert(bktIdx >= 0, s"pre-phase window must partition on (stratum, _skb):\n$p")
+    assert(bareIdx >= 0 && bareIdx < bktIdx,
+      s"the raw-scan window must include the sub-bucket key:\n$p")
+    // and the pre-phase k-filter sits between them
+    assert(p.contains("_prn"), s"pre-phase rank filter expected:\n$p")
+  }
+
+  test("q68: unigram-LM join probes the (doc,term) aggregate, not the explode") {
+    val root = graft.queries.ExtensionQueries
+      .defs("q68_unigram_logprob")(spark, d)
+      .queryExecution.executedPlan
+    // AdaptiveSparkPlanExec is a leaf wrapper — traverse its inner plan
+    val exec = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    // every hash-join in the plan must see an aggregate between itself and
+    // any explode: the occurrence stream (one row per token, "the"-skewed)
+    // must never be a join input — only the distinct doc-term collapse
+    import org.apache.spark.sql.execution.SparkPlan
+    def aggBetween(n: SparkPlan, seenAgg: Boolean): Boolean = n match {
+      case _: org.apache.spark.sql.execution.GenerateExec => seenAgg
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        a.children.forall(aggBetween(_, seenAgg = true))
+      case other => other.children.forall(aggBetween(_, seenAgg))
+    }
+    val joins = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, s"expected join nodes:\n$exec")
+    for (j <- joins; side <- j.children)
+      assert(aggBetween(side, seenAgg = false),
+        s"join input reaches an explode without an aggregate:\n$exec")
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._

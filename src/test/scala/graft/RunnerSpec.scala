@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.core.GraftConfig
 import graft.operators.Runner
 
@@ -114,7 +116,7 @@ class RunnerSpec extends SparkSpec {
     Files.writeString(p, sb.toString)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    val r = graft.sources.Readers.readNdjson(spark, p.toString, schema)
+    val r = graft.sources.Readers.readNdjson(spark, p.toString, Some(schema))
     assert(r.meta("corrupt_rows") == 2L, s"meta: ${r.meta}")
     assert(r.meta("rows") == 5L && r.df.count() == 5)
     val rows = r.df.orderBy(graft.sources.Readers.FileOrderCol).collect()
@@ -122,6 +124,17 @@ class RunnerSpec extends SparkSpec {
       rows(4).getAs[String]("text") == "doc body 4")
     r.release()
     assert(r.df.count() == 5, "recompute after release identical")
+
+    // first-contact read: no declared schema → inference pre-pass (CSV
+    // parity). The inferred schema must not leak Spark's default corrupt
+    // column, and only the parser-breaking line quarantines (the
+    // "boom" id is VALID JSON — inference widens doc_id to string,
+    // value badness flows to Normalize's try_cast like dirty CSV)
+    val inf = graft.sources.Readers.readNdjson(spark, p.toString)
+    assert(!inf.df.columns.contains("_corrupt_record"), inf.df.columns.toSeq)
+    assert(inf.meta("corrupt_rows") == 1L, s"meta: ${inf.meta}")
+    assert(inf.meta("rows") == 6L && inf.df.count() == 6)
+    inf.release()
   }
 
   test("row quarantine: malformed CSV rows drop and are counted, good rows survive") {
@@ -212,5 +225,34 @@ class RunnerSpec extends SparkSpec {
     assert(scan.loaded.length == 1)
     assert(scan.quarantined.length == 1)
     assert(scan.quarantined.head._1.endsWith("bad.xyz"))
+  }
+
+  test("mixed drop dir: csv+parquet+ndjson+orc all dispatch, zero quarantined") {
+    import org.apache.spark.sql.functions.col
+    val work = Files.createTempDirectory("graft_mixed")
+    val raw = Files.createDirectories(work.resolve("raw"))
+    Files.writeString(raw.resolve("a.csv"), "doc_id,text\n1,csv doc\n2,csv two\n")
+    Files.writeString(raw.resolve("b.jsonl"),
+      """{"doc_id": 3, "text": "json doc"}""" + "\n")
+    import spark.implicits._
+    // single-file parquet/orc: write to a scratch dir, move the part file in
+    for ((fmt, name, id) <- Seq(("parquet", "c.parquet", 4L), ("orc", "d.orc", 5L))) {
+      val tmp = Files.createTempDirectory(s"graft_mixed_$fmt")
+      val w = Seq((id, s"$fmt doc")).toDF("doc_id", "text").coalesce(1).write
+        .mode("overwrite")
+      (if (fmt == "orc") w.orc(tmp.toString) else w.parquet(tmp.toString))
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      Files.move(part, raw.resolve(name))
+    }
+    val scan = graft.sources.Readers.loadAll(spark, raw.toString)
+    assert(scan.quarantined.isEmpty, s"quarantined: ${scan.quarantined}")
+    assert(scan.loaded.length == 4)
+    val formats = scan.loaded.map(_.meta("format")).toSet
+    assert(formats == Set("csv", "parquet", "ndjson", "orc"), formats)
+    val ids = scan.loaded.flatMap(
+      _.df.select(col("doc_id").cast("long")).collect().map(_.getLong(0))).sorted
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L), ids)
+    scan.loaded.foreach(_.release())
   }
 }
