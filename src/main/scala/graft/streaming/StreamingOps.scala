@@ -260,7 +260,38 @@ object StreamingOps {
     */
   def streamingGapRepair(ticks: Dataset[Tick], rule: String,
                          delay: String = "1 minute",
-                         retention: String = "1 hour"): Dataset[RepairedTick] = {
+                         retention: String = "1 hour"): Dataset[RepairedTick] =
+    gapRepairEngine(ticks, rule, delay, retention, blend = false)
+
+  /** Streaming linear INTERPOLATION — the other half of batch O13
+    * ([[graft.operators.Interpolate.linear]]) that the ffill-only repair
+    * deliberately deferred: synthesized grid rows blend linearly between
+    * the gap's two real edges instead of carrying the left edge.
+    *
+    * Interpolation needs the gap's FAR edge, so a fill can only be
+    * emitted once the closing tick is final — which costs nothing extra
+    * here: [[streamingGapRepair]]'s watermark-finalized buffering already
+    * emits a gap's fills together with its closing tick (emission is
+    * strictly by event time per symbol), so the closing value is always
+    * in hand when the fills materialize. The only price vs ffill is
+    * inherent to the semantics: a gap still OPEN at the lateness horizon
+    * has emitted nothing yet (ffill could have emitted its left-edge
+    * carries), i.e. one extra watermark delay for in-gap rows, never for
+    * real ticks. Blending is time-proportional —
+    * `v0 + (v1-v0)·(g-t0)/(t1-t0)` — which on grid stamps equals the
+    * batch operator's positional `(i-p)/(n-p)` exactly.
+    *
+    * Late data, dedup, retirement flush, and state bounds are identical
+    * to [[streamingGapRepair]] (shared engine).
+    */
+  def streamingGapInterpolate(ticks: Dataset[Tick], rule: String,
+                              delay: String = "1 minute",
+                              retention: String = "1 hour"): Dataset[RepairedTick] =
+    gapRepairEngine(ticks, rule, delay, retention, blend = true)
+
+  private def gapRepairEngine(ticks: Dataset[Tick], rule: String,
+                              delay: String, retention: String,
+                              blend: Boolean): Dataset[RepairedTick] = {
     import ticks.sparkSession.implicits._
     val stepUs = Rules.stepMicros(rule)
     def micros(t: Timestamp): Long =
@@ -295,8 +326,12 @@ object StreamingOps {
               if (hasLast && t.tsMicros - lastUs > stepUs) {
                 var g = lastUs + stepUs
                 while (g < t.tsMicros) {
+                  val v =
+                    if (blend) lastVal + (t.value - lastVal) *
+                      ((g - lastUs).toDouble / (t.tsMicros - lastUs))
+                    else lastVal
                   out += RepairedTick(symbol,
-                    new Timestamp(Math.floorDiv(g, 1000L)), lastVal,
+                    new Timestamp(Math.floorDiv(g, 1000L)), v,
                     generated = true)
                   g += stepUs
                 }

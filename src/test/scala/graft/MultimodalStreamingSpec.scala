@@ -315,6 +315,53 @@ class MultimodalStreamingSpec extends SparkSpec {
       s"got ${a.mkString(";")}")
   }
 
+  test("streaming interpolation matches the batch linear repair on a gappy late stream") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.Tick]
+    val rep = StreamingOps.streamingGapInterpolate(mem.toDS(), "1T",
+      delay = "10 minutes")
+    val q = rep.writeStream.format("memory")
+      .queryName("interp_out").outputMode("append").start()
+    def ts(min: Int) = Timestamp.from(Instant.parse(f"2024-01-01T00:$min%02d:00Z"))
+    // min 0 and min 6 arrive first; min 2 arrives a batch LATE (inside the
+    // lateness bound). A repair that blended 1-5 from (0,6) before min 2
+    // landed would be wrong twice over — the buffered engine blends
+    // (0,2) and (2,6) instead, and only once the closing edges are final.
+    mem.addData(StreamingOps.Tick("EURUSD", ts(0), 1.0),
+      StreamingOps.Tick("EURUSD", ts(6), 3.0))
+    q.processAllAvailable()
+    mem.addData(StreamingOps.Tick("EURUSD", ts(2), 5.0))
+    q.processAllAvailable()
+    // advance the watermark past min 6, then nudge the group once more so
+    // it finalizes under the advanced watermark
+    mem.addData(StreamingOps.Tick("EURUSD", ts(30), 9.0))
+    q.processAllAvailable()
+    mem.addData(StreamingOps.Tick("EURUSD", ts(31), 9.1))
+    q.processAllAvailable()
+    val got = spark.table("interp_out").collect()
+      .map(r => (r.getAs[Timestamp]("ts"), r.getAs[Double]("close"),
+        r.getAs[Boolean]("generated"))).sortBy(_._1.getTime)
+    q.stop()
+
+    // batch oracle: the same series on the reindexed grid through
+    // Interpolate.linear (O13's interpolation half)
+    import spark.implicits._
+    val grid = Seq(
+      (ts(0), Some(1.0)), (ts(1), None), (ts(2), Some(5.0)), (ts(3), None),
+      (ts(4), None), (ts(5), None), (ts(6), Some(3.0))
+    ).toDF("ts", "close")
+    val batch = graft.operators.Interpolate
+      .linear(grid, Seq("close"), "ts")
+      .orderBy("ts").collect()
+      .map(r => (r.getAs[Timestamp]("ts"), r.getAs[Double]("close")))
+    assert(got.length == batch.length &&
+      got.zip(batch).forall { case ((st, sv, _), (bt, bv)) =>
+        st == bt && math.abs(sv - bv) < 1e-12 },
+      s"stream ${got.mkString(";")} vs batch ${batch.mkString(";")}")
+    // and the generated flags mark exactly the synthesized stamps
+    assert(got.filter(_._3).map(_._1).toSeq == Seq(ts(1), ts(3), ts(4), ts(5)))
+  }
+
   test("streaming as-of: events attach the latest at-or-before quote") {
     implicit val sc = spark.sqlContext
     val evMem = MemoryStream[StreamingOps.AsofEvent]
