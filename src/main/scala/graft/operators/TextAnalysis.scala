@@ -486,6 +486,82 @@ object TextAnalysis {
     regexp_replace(ip, "\\+?[0-9][0-9() .-]{7,}[0-9]", "[PHONE]")
   }
 
+  /** Extended Gopher rules — the repetition block of Rae et al. 2021
+    * §A1.1 that [[gopherRules]]'s length/ratio checks don't cover:
+    *  - duplicate-line fraction ≤ 0.30 (templated/boilerplate pages),
+    *  - ellipsis-line fraction ≤ 0.30 (truncated "read more" scrapes),
+    *  - bullet-line fraction ≤ 0.90 (list-only pages),
+    *  - top-2-gram character coverage ≤ 0.20 (fraction of the document's
+    *    characters attributable to its single most frequent word bigram —
+    *    looping generations and repeated headers score high; ties break
+    *    to the lexicographically smallest gram so the verdict is
+    *    deterministic).
+    *
+    * Shape: the three line rules are pure codegen projections over ONE
+    * bound line array (the HOF-CSE lesson — an inlined split would
+    * re-split per rule). Top-2-gram coverage is the q64 budget class:
+    * explode bigrams → (doc, gram) counts (partial-agg collapses repeats
+    * map-side) → per-doc `min_by` top-1 (a second aggregation, never a
+    * window over the raw grams) → one doc-keyed join back. Nothing
+    * row-shaped reaches the driver; the gram shuffle carries distinct
+    * (doc, gram) pairs only.
+    */
+  def gopherExtendedRules(df: DataFrame, idCol: String, textCol: String,
+                          maxDupLineFrac: Double = 0.30,
+                          maxEllipsisLineFrac: Double = 0.30,
+                          maxBulletLineFrac: Double = 0.90,
+                          maxTop2GramFrac: Double = 0.20): DataFrame = {
+    val lines = col("_ge_lines")
+    val nL = greatest(size(lines), lit(1)).cast("double")
+    def isBullet(l: Column): Column = {
+      val t = trim(l)
+      t.startsWith("- ") || t.startsWith("* ") || t.startsWith("• ")
+    }
+    val base = df
+      .withColumn("_ge_lines",
+        filter(split(col(textCol), "\n"), l => trim(l) =!= ""))
+      .withColumn("dup_line_frac",
+        lit(1.0) - size(array_distinct(lines)).cast("double") / nL)
+      .withColumn("ellipsis_line_frac",
+        size(filter(lines, l => trim(l).endsWith("..."))).cast("double") / nL)
+      .withColumn("bullet_line_frac",
+        size(filter(lines, isBullet(_))).cast("double") / nL)
+      .drop("_ge_lines")
+
+    // top-2-gram coverage: bigram strings built by zipping the token
+    // array with its own tail (both are per-row ARGUMENTS, evaluated
+    // once — only the cheap concat lambda runs per element)
+    val t = col("_ge_toks")
+    val grams = df
+      .select(col(idCol), tokens(col(textCol)).as("_ge_toks"))
+      .select(col(idCol), explode(filter(
+        zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)),
+        g => g.isNotNull)).as("_g"))
+    val counts = grams.groupBy(col(idCol), col("_g"))
+      .agg(count(lit(1)).as("_c"))
+    val top = counts.groupBy(col(idCol))
+      .agg(min_by(struct(col("_c"), col("_g")),
+        struct((-col("_c")).as("nc"), col("_g"))).as("_t2"))
+      .select(col(idCol),
+        (col("_t2._c") * length(col("_t2._g"))).cast("double").as("_ge_cov"))
+
+    base.join(top, Seq(idCol), "left")
+      .withColumn("top2gram_frac",
+        coalesce(col("_ge_cov") / greatest(length(col(textCol)), lit(1)),
+          lit(0.0)))
+      .drop("_ge_cov")
+      .withColumn("rule_dup_lines", col("dup_line_frac") <= maxDupLineFrac)
+      .withColumn("rule_ellipsis_lines",
+        col("ellipsis_line_frac") <= maxEllipsisLineFrac)
+      .withColumn("rule_bullet_lines",
+        col("bullet_line_frac") <= maxBulletLineFrac)
+      .withColumn("rule_top2gram", col("top2gram_frac") <= maxTop2GramFrac)
+      .withColumn("ext_pass",
+        col("rule_dup_lines") && col("rule_ellipsis_lines") &&
+          col("rule_bullet_lines") && col("rule_top2gram"))
+  }
+
   /** Repeated-n-gram fraction (default bigrams): 1 − distinct/total grams —
     * the standard repetition quality signal for pretraining corpora
     * (boilerplate and looping generations score high). Pure per-row

@@ -445,6 +445,39 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Extended Gopher rules (the Rae et al. repetition block): corpus
+    // texts are single-line, so the query synthesizes 5-line documents
+    // whose duplicate/ellipsis/bullet line mix varies deterministically
+    // by doc_id — both engines concat identical bytes — and audits every
+    // fraction and per-rule verdict.
+    "q72_gopher_extended" -> { (s, d) =>
+      val did = col("doc_id")
+      val synth = Tables.documents(s, d).filter(did <= 150)
+        .select(did, concat(
+          col("text"), lit("\n"),
+          lit("- "), substring(col("text"), 1, 40), lit("\n"),
+          when(did % 3 === 0, col("text"))
+            .otherwise(concat(lit("unique line "), did.cast("string"))),
+          lit("\n"),
+          when(did % 4 < 2, lit("read more..."))
+            .otherwise(lit("regular footer")),
+          lit("\n"),
+          when(did % 12 === 0, col("text"))
+            .when(did % 5 === 0, concat(lit("- tail "), did.cast("string")))
+            .when(did % 4 === 0, lit("continued..."))
+            .otherwise(concat(lit("tail "), did.cast("string")))
+        ).as("text"))
+      TextAnalysis.gopherExtendedRules(synth, "doc_id", "text")
+        .select(did,
+          fr(col("dup_line_frac"), 4).as("dup_line_frac"),
+          fr(col("ellipsis_line_frac"), 4).as("ellipsis_line_frac"),
+          fr(col("bullet_line_frac"), 4).as("bullet_line_frac"),
+          fr(col("top2gram_frac"), 4).as("top2gram_frac"),
+          col("rule_dup_lines"), col("rule_ellipsis_lines"),
+          col("rule_bullet_lines"), col("rule_top2gram"), col("ext_pass"))
+        .orderBy("doc_id")
+    },
+
     // ORC source round-trip: same checksum contract as q69 over the
     // other columnar interchange format.
     "q70_orc_roundtrip" -> { (s, d) =>
@@ -929,6 +962,61 @@ object ExtensionQueries {
         |  (n >= 5 AND n <= 100000) AND mean_len >= 3.0 AND mean_len <= 10.0
         |    AND alpha >= 0.6 AND sw >= 2 AS quality_pass
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // same synthesized 5-line documents; line fractions via list
+    // functions, top-2-gram coverage via the same count → rank-1 →
+    // char-coverage construction. Formulas mirror the Spark side
+    // literally (1.0 - nd/n, integer-derived divisions) so every
+    // threshold comparison lands the same side.
+    "q72_gopher_extended" ->
+      """WITH s AS (SELECT doc_id,
+        |    text || chr(10) ||
+        |    '- ' || substr(text, 1, 40) || chr(10) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN text
+        |         ELSE 'unique line ' || doc_id END || chr(10) ||
+        |    CASE WHEN doc_id % 4 < 2 THEN 'read more...'
+        |         ELSE 'regular footer' END || chr(10) ||
+        |    CASE WHEN doc_id % 12 = 0 THEN text
+        |         WHEN doc_id % 5 = 0 THEN '- tail ' || doc_id
+        |         WHEN doc_id % 4 = 0 THEN 'continued...'
+        |         ELSE 'tail ' || doc_id END AS t
+        |  FROM documents WHERE doc_id <= 150),
+        |l AS (SELECT doc_id, t,
+        |    list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS ls
+        |  FROM s),
+        |m AS (SELECT doc_id, t,
+        |    CAST(length(ls) AS DOUBLE) AS n,
+        |    length(list_distinct(ls)) AS nd,
+        |    length(list_filter(ls, x -> trim(x) LIKE '%...')) AS ne,
+        |    length(list_filter(ls, x -> trim(x) LIKE '- %'
+        |      OR trim(x) LIKE '* %' OR trim(x) LIKE '• %')) AS nb
+        |  FROM l),
+        |tok AS (SELECT doc_id, t,
+        |    string_split_regex(trim(lower(t)), '\s+') AS w FROM s),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, length(w)),
+        |      i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM tok WHERE length(w) >= 2),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+        |r AS (SELECT doc_id, g, c, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM c),
+        |top AS (SELECT doc_id, c * length(g) AS cov FROM r WHERE rn = 1),
+        |f AS (SELECT m.doc_id,
+        |    1.0 - nd / n AS df_, ne / n AS ef_, nb / n AS bf_,
+        |    COALESCE(CAST(cov AS DOUBLE) / GREATEST(length(m.t), 1), 0.0) AS tf_
+        |  FROM m LEFT JOIN top ON m.doc_id = top.doc_id)
+        |SELECT doc_id,
+        |  floor(df_ * 10000.0 + 0.5) / 10000.0 AS dup_line_frac,
+        |  floor(ef_ * 10000.0 + 0.5) / 10000.0 AS ellipsis_line_frac,
+        |  floor(bf_ * 10000.0 + 0.5) / 10000.0 AS bullet_line_frac,
+        |  floor(tf_ * 10000.0 + 0.5) / 10000.0 AS top2gram_frac,
+        |  df_ <= 0.30 AS rule_dup_lines,
+        |  ef_ <= 0.30 AS rule_ellipsis_lines,
+        |  bf_ <= 0.90 AS rule_bullet_lines,
+        |  tf_ <= 0.20 AS rule_top2gram,
+        |  df_ <= 0.30 AND ef_ <= 0.30 AND bf_ <= 0.90 AND tf_ <= 0.20
+        |    AS ext_pass
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q70_orc_roundtrip" ->
       """WITH h AS (SELECT lang, n_chars,

@@ -250,6 +250,34 @@ class DedupSimilaritySpec extends SparkSpec {
       s"8+ digit runs redact, 5-digit runs stay: ${out(3L)}")
   }
 
+  test("extended gopher rules: line fractions and top-2-gram coverage") {
+    val looping = ("spam ham " * 30).trim // one bigram dominates
+    val df = Seq(
+      (1L, "a clean line\nanother fine line\nthird line of text here"),
+      (2L, "same line\nsame line\nsame line\nfresh line"), // 50% dup lines
+      (3L, "- item one\n* item two\n• item three"),        // all bullets
+      (4L, "truncated one...\nread more...\nplain"),       // 2/3 ellipsis
+      (5L, looping),
+      (6L, "single"))                                      // no bigram at all
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherExtendedRules(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def d(id: Long, c: String) = out(id).getAs[Double](c)
+    def b(id: Long, c: String) = out(id).getAs[Boolean](c)
+    assert(b(1L, "ext_pass"), "clean doc passes every rule")
+    assert(math.abs(d(2L, "dup_line_frac") - 0.5) < 1e-12 &&
+      !b(2L, "rule_dup_lines"), "2 of 4 lines duplicate -> 0.5, fails 0.30")
+    assert(math.abs(d(3L, "bullet_line_frac") - 1.0) < 1e-12 &&
+      !b(3L, "rule_bullet_lines"), "all-bullet page fails 0.90")
+    assert(math.abs(d(4L, "ellipsis_line_frac") - 2.0 / 3) < 1e-12 &&
+      !b(4L, "rule_ellipsis_lines"))
+    // "spam ham" (29x, 8 chars) + "ham spam" (29x): top covers 232/269
+    assert(d(5L, "top2gram_frac") > 0.2 && !b(5L, "rule_top2gram"),
+      s"looping doc must fail coverage, got ${d(5L, "top2gram_frac")}")
+    assert(d(6L, "top2gram_frac") == 0.0 && b(6L, "ext_pass"),
+      "a doc with no bigram scores 0 coverage and passes")
+  }
+
   test("connected components: star algorithm matches pointer jumping on random graphs") {
     val rnd = new scala.util.Random(11)
     for (trial <- 1 to 3) {
