@@ -74,7 +74,9 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"minhash_sig $what must be an integer literal, got $other")
       }
-      MinHashSignature(children.head,
+      // array<bigint> cast at the boundary: misuse fails analysis, not
+      // the executor (same contract as cosine/shingle_hashes)
+      MinHashSignature(Cast(children.head, ArrayType(LongType)),
         lit(children(1), "numHashes"), lit(children(2), "shingleSize"))
     })
 

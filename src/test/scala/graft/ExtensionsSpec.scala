@@ -89,4 +89,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(sims.length == 10)
     assert(sims.forall(r => math.abs(r.getDouble(1)) <= 1.0 + 1e-9))
   }
+
+  test("array expressions reject non-array arguments at analysis time") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, "some text")).toDF("id", "t").createOrReplaceTempView("misuse")
+    // a bare string is not castable to array<bigint>: the registration
+    // Cast must fail ANALYSIS, never reach an executor ClassCastException
+    for (call <- Seq("shingle_hashes(t, 2)", "minhash_sig(t, 4, 2)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $call FROM misuse").collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("cast") ||
+        e.getMessage.toLowerCase.contains("data type"), s"$call: ${e.getMessage}")
+    }
+  }
 }

@@ -215,6 +215,34 @@ class RunnerSpec extends SparkSpec {
     assert(orders.toSeq == orders.sorted.toSeq)
   }
 
+  test("glob ingestion: ndjson and orc globs read with provenance") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val work = Files.createTempDirectory("graft_glob_fmt")
+    val nd = Files.createDirectories(work.resolve("nd"))
+    for (f <- Seq("a", "b"))
+      Files.writeString(nd.resolve(s"$f.jsonl"),
+        (0 until 3).map(i => s"""{"doc_id": ${if (f == "a") i else i + 10}, "text": "$f $i"}""")
+          .mkString("", "\n", "\n"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val ndDf = graft.sources.Readers.loadGlob(spark, nd.toString,
+      format = "ndjson", schema = Some(schema))
+    assert(ndDf.count() == 6)
+    val perFile = ndDf.groupBy(graft.sources.Readers.SourceFileCol).count()
+      .collect().map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+    assert(perFile == Map("a.jsonl" -> 3L, "b.jsonl" -> 3L))
+
+    import spark.implicits._
+    val orcDir = work.resolve("orc").toString
+    (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .write.orc(orcDir)
+    val orcDf = graft.sources.Readers.loadGlob(spark, orcDir, format = "orc")
+    assert(orcDf.count() == 5)
+    assert(orcDf.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 3L, 4L, 5L)))
+  }
+
   test("quarantine: a corrupt file is skipped, not fatal") {
     val work = Files.createTempDirectory("graft_quar")
     val raw = Files.createDirectories(work.resolve("raw"))
