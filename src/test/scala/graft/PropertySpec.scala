@@ -319,4 +319,67 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expected, s"case $i: n=$n rm=$removed ch=$changed")
     }
   }
+
+  test("two-phase stratified top-k equals the single-window form on random corpora") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, md5, row_number}
+    // random skew (one stratum often dominant), duplicate texts, k beyond
+    // small strata, random sub-bucket counts — the pre-prune must be
+    // provably lossless in every mix
+    val caseGen = for {
+      n <- Gen.choose(10, 300)
+      nStrata <- Gen.choose(1, 5)
+      dupEvery <- Gen.choose(2, 10)
+      k <- Gen.choose(1, 12)
+      b <- Gen.oneOf(1, 2, 7, 32)
+    } yield (n, nStrata, dupEvery, k, b)
+    for (((n, nStrata, dupEvery, k, b), i) <- samples(caseGen, 5).zipWithIndex) {
+      val rnd = new scala.util.Random(31L + i)
+      val docs = (0 until n).map { j =>
+        val stratum = if (rnd.nextInt(4) > 0) "s0" else "s" + rnd.nextInt(nStrata)
+        (j.toLong, s"text ${j / dupEvery}", stratum)
+      }.toDF("id", "text", "stratum").repartition(7)
+      val naive = docs.withColumn("_rn", row_number().over(
+          Window.partitionBy(col("stratum")).orderBy(md5(col("text")), col("id"))))
+        .filter(col("_rn") <= k).drop("_rn")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("id", "stratum").as[(Long, String)].collect().sorted.toSeq
+      val got = canon(graft.operators.TextAnalysis.stratifiedTopK(
+        docs, "id", "text", "stratum", k, subBuckets = b))
+      assert(got == canon(naive), s"case $i: n=$n strata=$nStrata k=$k b=$b")
+    }
+  }
+
+  test("tf-weighted unigram log-prob equals the occurrence mean on random corpora") {
+    import org.apache.spark.sql.functions.{avg, col, count, explode, lit, log}
+    val wordGen = Gen.oneOf("the", "cat", "sat", "on", "mat", "dog", "ran", "far")
+    val caseGen = for {
+      nDocs <- Gen.choose(1, 30)
+      lens <- Gen.listOfN(nDocs, Gen.choose(1, 25))
+    } yield lens
+    for ((lens, i) <- samples(caseGen, 4).zipWithIndex) {
+      val rnd = new scala.util.Random(53L + i)
+      val words = samples(wordGen, 64)
+      val docs = lens.zipWithIndex.map { case (len, j) =>
+        (j.toLong, (0 until len).map(_ => words(rnd.nextInt(words.length)))
+          .mkString(" "))
+      }.toDF("id", "text")
+      // naive reference: the per-occurrence formula the operator replaced
+      val tok = docs.select(col("id"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+      val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val total = tok.count().toDouble
+      val naive = tok.join(counts, Seq("term"))
+        .groupBy(col("id"))
+        .agg(avg(log(col("c").cast("double") / total)).as("lp"))
+        .as[(Long, Double)].collect().toMap
+      val got = graft.operators.TextAnalysis
+        .unigramLogProb(docs, "id", "text")
+        .as[(Long, Double)].collect().toMap
+      assert(got.keySet == naive.keySet, s"case $i doc sets differ")
+      for ((id, lp) <- got)
+        assert(math.abs(lp - naive(id)) < 1e-9,
+          s"case $i doc $id: tf-weighted $lp vs occurrence-mean ${naive(id)}")
+    }
+  }
 }
