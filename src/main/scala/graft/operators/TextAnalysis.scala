@@ -29,44 +29,53 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** Per-language stopword lists for the n-gram/stopword language-ID
-    * heuristic. Small on purpose: broadcast as literals into codegen.
+    * heuristic (single source of truth lives beside the fused counting
+    * expression; re-exported here for the single-list consumers that
+    * still broadcast words as literals).
     */
-  private val stopwords: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("der", "die", "und", "das", "ist", "ich", "nicht", "mit", "ein", "zu", "den", "von"),
-    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that", "for", "was"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no", "los", "por"),
-    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "que", "dans", "pour"),
-    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人", "一", "这"))
+  private val stopwords: Seq[(String, Seq[String])] =
+    graft.plans.StopwordLangCounts.languages
 
   /** Heuristic language ID: CJK-character ratio decides `zh`; otherwise the
     * language whose stopword list matches the most tokens wins (ties broken
     * alphabetically). Adds `lang_pred` and `lang_score` columns.
+    *
+    * Counting goes through the fused `stopword_lang_counts` expression —
+    * ONE pass over the word-hash array against a static 60-entry hash
+    * table — instead of five interpreted `filter(isInCollection)` lambdas
+    * (each a languages × words × tokens string scan; q40 measured ~3-5×
+    * its sibling projections on that shape). Scores and tie-breaks are
+    * value-identical to the string form modulo 64-bit hash collisions.
     */
   def languageId(df: DataFrame, textCol: String,
                  outCol: String = "lang_pred"): DataFrame = {
-    // materialize the token array ONCE as a bound attribute: the five
-    // per-language stopword filters reference it, and an inlined split
-    // would re-tokenize per reference (HOF lambdas run interpreted, no
-    // codegen CSE. CollapseProject keeps the alias: non-cheap, multi-use)
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    // token array bound ONCE as a projection attribute (HOF lambdas run
+    // interpreted with no CSE; CollapseProject keeps non-cheap multi-use
+    // aliases apart), hashed once, counted once
     val toks = col("_lid_toks")
+    val cnts = col("_lid_cnts")
     val nToks = greatest(size(toks), lit(1)).cast("double")
     // (-score, lang) structs: array_min picks highest score, then
     // alphabetically-first language on ties.
-    val scored = array(stopwords.map { case (lang, words) =>
+    val scored = array(stopwords.zipWithIndex.map { case ((lang, _), i) =>
       struct(
-        (-size(filter(toks, t => t.isInCollection(words))).cast("double") / nToks)
-          .as("neg"),
+        (-element_at(cnts, i + 1).cast("double") / nToks).as("neg"),
         lit(lang).as("lang"))
     }: _*)
     val best = array_min(scored)
-    val cjk = length(regexp_replace(col(textCol), "[^\\u4e00-\\u9fff]", ""))
+    // fused byte-scan CJK count — the regex-replace form pushed every
+    // document through the regex engine and allocated the stripped copy
+    val cjk = call_function("cjk_count", col(textCol))
     df.withColumn("_lid_toks", tokens(col(textCol)))
+      .withColumn("_lid_cnts", call_function("stopword_lang_counts",
+        transform(toks, t => xxhash64(t))))
       .withColumn(outCol,
         when(cjk.cast("double") / greatest(length(col(textCol)), lit(1)) > 0.2,
           lit("zh"))
           .otherwise(best.getField("lang")))
       .withColumn("lang_score", -best.getField("neg"))
-      .drop("_lid_toks")
+      .drop("_lid_toks", "_lid_cnts")
   }
 
   /** Quality-scoring columns: token count, alphabetic-character ratio,

@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.nearestCentroidDescriptor)
     ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
     ext.injectFunction(GraftExtensions.shingleHashesDescriptor)
+    ext.injectFunction(GraftExtensions.stopwordLangCountsDescriptor)
+    ext.injectFunction(GraftExtensions.cjkCountDescriptor)
   }
 }
 
@@ -146,11 +148,32 @@ object GraftExtensions {
       ShingleHashes(Cast(children.head, ArrayType(LongType)), n)
     })
 
+  private[plans] val stopwordLangCountsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("stopword_lang_counts"),
+    new ExpressionInfo(classOf[StopwordLangCounts].getName,
+      "stopword_lang_counts"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "stopword_lang_counts(wordHashes) takes one array<bigint>")
+      StopwordLangCounts(Cast(children.head, ArrayType(LongType)))
+    })
+
+  private[plans] val cjkCountDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cjk_count"),
+    new ExpressionInfo(classOf[CjkCount].getName, "cjk_count"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "cjk_count(text) takes one string")
+      CjkCount(Cast(children.head, StringType))
+    })
+
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit = {
     for ((id, info, builder) <- Seq(cosineSimDescriptor, tzLocalizeDescriptor,
         minhashSigDescriptor, nearestCentroidDescriptor,
-        bloomMightContainDescriptor, shingleHashesDescriptor))
+        bloomMightContainDescriptor, shingleHashesDescriptor,
+        stopwordLangCountsDescriptor, cjkCountDescriptor))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }

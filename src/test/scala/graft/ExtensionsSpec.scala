@@ -90,6 +90,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(sims.forall(r => math.abs(r.getDouble(1)) <= 1.0 + 1e-9))
   }
 
+  test("stopword_lang_counts equals the five string filters; cjk_count equals the regex form") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val texts = Seq(
+      "the cat and the dog is in la casa de la madre", // en/es/fr overlap on la/de
+      "der hund und die katze ist nicht da",
+      "一 二 三 的 是 mixed 的 text with 汉字 inside",
+      "",
+      "no stopwords whatsoever here")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val langs = graft.plans.StopwordLangCounts.languages
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val fused = df.select(col("id"),
+      call_function("stopword_lang_counts",
+        transform(toks, t => xxhash64(t))).as("c"),
+      call_function("cjk_count", col("text")).as("k"))
+    val reference = df.select(col("id") +:
+      langs.map { case (l, ws) =>
+        size(filter(toks, t => t.isInCollection(ws))).cast("long").as(s"n_$l")
+      } :+ length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", ""))
+        .cast("long").as("k"): _*)
+    val f = fused.collect().map(r => r.getLong(0) ->
+      (r.getSeq[Long](1), r.getLong(2))).toMap
+    for (r <- reference.collect()) {
+      val id = r.getLong(0)
+      val expect = langs.indices.map(i => r.getLong(i + 1))
+      assert(f(id)._1 == expect, s"doc $id stopword counts: ${f(id)._1} vs $expect")
+      assert(f(id)._2 == r.getLong(langs.length + 1),
+        s"doc $id cjk count: ${f(id)._2}")
+    }
+  }
+
   test("array expressions reject non-array arguments at analysis time") {
     GraftExtensions.register(spark)
     import spark.implicits._
