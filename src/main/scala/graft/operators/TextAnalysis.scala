@@ -571,6 +571,34 @@ object TextAnalysis {
           col("rule_bullet_lines") && col("rule_top2gram"))
   }
 
+  /** Encoding-noise quality probe — the mojibake filter every scraped
+    * corpus needs: documents carrying U+FFFD replacement characters (a
+    * decoder already gave up on their bytes) or C0/DEL control characters
+    * (binary junk, terminal escapes) are flagged before they poison
+    * tokenization downstream.
+    *
+    * Counts go through `translate` + `length` — codegen'd single-pass
+    * string ops, no regex engine, no per-char lambda (the q40 lesson
+    * twice over). Tab/newline/carriage-return are NOT counted as control
+    * noise (they are legitimate document structure). `enc_pass` = zero
+    * replacement chars and control ratio ≤ `maxCtrlRatio`.
+    */
+  def encodingQuality(df: DataFrame, textCol: String,
+                      maxCtrlRatio: Double = 0.001): DataFrame = {
+    val t = col(textCol)
+    // C0 minus \t\n\r, plus DEL — as one translate alphabet
+    val ctrlChars = ((1 to 31).filterNot(Seq(9, 10, 13).contains) :+ 127)
+      .map(_.toChar).mkString
+    val fffd = (length(t) - length(translate(t, "\uFFFD", ""))).cast("long")
+    val ctrl = (length(t) - length(translate(t, ctrlChars, ""))).cast("long")
+    df.withColumn("fffd_count", fffd)
+      .withColumn("ctrl_count", ctrl)
+      .withColumn("ctrl_ratio",
+        ctrl.cast("double") / greatest(length(t), lit(1)))
+      .withColumn("enc_pass",
+        col("fffd_count") === 0 && col("ctrl_ratio") <= maxCtrlRatio)
+  }
+
   /** Repeated-n-gram fraction (default bigrams): 1 − distinct/total grams —
     * the standard repetition quality signal for pretraining corpora
     * (boilerplate and looping generations score high). Pure per-row

@@ -478,6 +478,24 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Encoding-noise probe: the corpus is clean, so the query injects a
+    // deterministic per-doc mojibake footer (doc_id%3 replacement chars,
+    // a 5-BEL run every 7th doc) — both engines concat identical
+    // codepoints — and audits counts, ratio, and the pass verdict.
+    "q73_encoding_noise" -> { (s, d) =>
+      val did = col("doc_id")
+      val noisy = Tables.documents(s, d).filter(did <= 200)
+        .select(did, concat(
+          col("text"),
+          repeat(lit("\uFFFD"), (did % 3).cast("int")),
+          when(did % 7 === 0, lit("\u0007" * 5)).otherwise(lit(""))
+        ).as("text"))
+      TextAnalysis.encodingQuality(noisy, "text")
+        .select(did, col("fffd_count"), col("ctrl_count"),
+          fr(col("ctrl_ratio"), 6).as("ctrl_ratio"), col("enc_pass"))
+        .orderBy("doc_id")
+    },
+
     // ORC source round-trip: same checksum contract as q69 over the
     // other columnar interchange format.
     "q70_orc_roundtrip" -> { (s, d) =>
@@ -1017,6 +1035,29 @@ object ExtensionQueries {
         |  df_ <= 0.30 AND ef_ <= 0.30 AND bf_ <= 0.90 AND tf_ <= 0.20
         |    AS ext_pass
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // replacement chars counted by single-char replace, control chars by
+    // an RE2 class mirroring the operator's translate alphabet (C0 minus
+    // tab/newline/CR, plus DEL); ratio division is integer-derived
+    "q73_encoding_noise" ->
+      """WITH s AS (SELECT doc_id,
+        |    text || repeat(chr(65533), CAST(doc_id % 3 AS INT)) ||
+        |    CASE WHEN doc_id % 7 = 0 THEN repeat(chr(7), 5) ELSE '' END AS t
+        |  FROM documents WHERE doc_id <= 200),
+        |m AS (SELECT doc_id,
+        |    CAST(length(t) - length(replace(t, chr(65533), '')) AS BIGINT)
+        |      AS fffd_count,
+        |    CAST(length(t) - length(regexp_replace(t,
+        |      '[\x{01}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]', '', 'g'))
+        |      AS BIGINT) AS ctrl_count,
+        |    length(t) AS n
+        |  FROM s)
+        |SELECT doc_id, fffd_count, ctrl_count,
+        |  floor(CAST(ctrl_count AS DOUBLE) / GREATEST(n, 1) * 1000000.0
+        |    + 0.5) / 1000000.0 AS ctrl_ratio,
+        |  fffd_count = 0 AND
+        |    CAST(ctrl_count AS DOUBLE) / GREATEST(n, 1) <= 0.001 AS enc_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q70_orc_roundtrip" ->
       """WITH h AS (SELECT lang, n_chars,

@@ -278,6 +278,27 @@ class DedupSimilaritySpec extends SparkSpec {
       "a doc with no bigram scores 0 coverage and passes")
   }
 
+  test("encoding quality: replacement and control chars flag, structure chars don't") {
+    val df = Seq(
+      (1L, "perfectly clean text"),
+      (2L, "decoder gave up \uFFFD\uFFFD here"),
+      (3L, "tab\tnewline\nand\rreturn are structure, not noise"),
+      (4L, "binary junk \u0001\u0002\u0003\u0007\u007f inside"),
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.encodingQuality(df, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("enc_pass"))
+    assert(out(2L).getAs[Long]("fffd_count") == 2 &&
+      !out(2L).getAs[Boolean]("enc_pass"))
+    assert(out(3L).getAs[Long]("ctrl_count") == 0 &&
+      out(3L).getAs[Boolean]("enc_pass"),
+      "tab/newline/CR are document structure, never noise")
+    assert(out(4L).getAs[Long]("ctrl_count") == 5 &&
+      !out(4L).getAs[Boolean]("enc_pass"))
+    assert(out(5L).getAs[Boolean]("enc_pass"), "empty text is clean")
+  }
+
   test("connected components: star algorithm matches pointer jumping on random graphs") {
     val rnd = new scala.util.Random(11)
     for (trial <- 1 to 3) {
