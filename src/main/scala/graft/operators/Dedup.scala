@@ -508,4 +508,34 @@ object Dedup {
     ids.join(lab, col("id") === col("lid"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
+
+  /** End-to-end embedding-cosine near-duplicate dedup: semantic duplicates
+    * (translations re-crawled, templated rewrites, boilerplate with token
+    * edits) that survive MinHash because their TOKEN overlap is low while
+    * their embedding cosine is high.
+    *
+    * Chain (each stage an existing scale-shaped operator):
+    *  1. candidate pairs at `cosine ≥ threshold` — hyperplane-LSH bucketed
+    *     (`Similarity.nearDuplicates`: equi-join on (band, bits), never
+    *     all-pairs) unless the caller passes a pre-built pair frame with
+    *     (`id_a`, `id_b`) columns (exact bounded pairs in the gate query;
+    *     an IVF-bucketed pair set at production scale);
+    *  2. transitive closure via [[connectedComponents]] (auto-picks the
+    *     large-star/small-star rewrite under hot-cluster skew);
+    *  3. keeper = the component minimum id (the CC label), every other
+    *     member flagged `is_dup` — the same canonical-keeper rule as
+    *     [[exact]], so downstream anti-joins compose across dedup stages.
+    *
+    * @return one row per input id: (`idCol`, `component`, `is_dup`).
+    */
+  def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, pairs: Option[DataFrame] = None,
+                     algorithm: String = "auto"): DataFrame = {
+    val p = pairs.getOrElse(
+      Similarity.nearDuplicates(df, idCol, vecCol, threshold))
+    connectedComponents(df.select(col(idCol)), idCol,
+        p.select(col("id_a"), col("id_b")), "id_a", "id_b",
+        algorithm = algorithm)
+      .withColumn("is_dup", col(idCol) =!= col("component"))
+  }
 }

@@ -618,4 +618,82 @@ object TextAnalysis {
     when(size(toks) < n, lit(null).cast("double"))
       .otherwise(lit(1.0) - distinct.cast("double") / nGrams)
   }
+
+  /** EXACT corpus heavy hitters — every token with frequency ≥ total/k —
+    * without ever shuffling the full token stream (vocabulary census for
+    * tokenizer training, stopword discovery, boilerplate-term detection).
+    *
+    * The naive `explode → groupBy(term)` shuffles one row per occurrence
+    * (~10¹³ at 100 TB) with hot-term key skew ("the" ≈ 5% of the corpus on
+    * one reducer). Two passes instead:
+    *
+    *  1. candidate pass: a `capacity`-counter [[graft.plans.MisraGriesKeys]]
+    *     sketch over per-row word-hash arrays — map-side partial sketches
+    *     merge to ONE ≤ `capacity`-entry summary (no occurrence shuffle;
+    *     the driver sees ≤ `capacity` longs, a fixed-size collect). The MG
+    *     bound guarantees the sketch keys are a superset of the true ≥ n/k
+    *     items whenever `capacity ≥ k`.
+    *  2. exact pass: re-scan with a broadcast `isin` on the candidate
+    *     hashes (Catalyst converts to an O(1) InSet inside codegen) and
+    *     exact-count only surviving occurrences — the groupBy shuffle
+    *     carries occurrences of ≤ `capacity` terms instead of all of them.
+    *
+    * The threshold compare is integer-exact (`cnt·k ≥ total`), so results
+    * are deterministic and engine-portable even though sketch contents
+    * depend on partition merge order. Total token count rides the sketch
+    * aggregation (same job, no extra scan).
+    *
+    * @return (`term`, `cnt`) for every term with cnt·k ≥ total tokens.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int,
+                   capacity: Int = 2048): DataFrame = {
+    require(capacity >= k,
+      s"capacity $capacity < k $k voids the MG superset guarantee")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val toks = tokens(col(textCol))
+    val sketchRow = df
+      .select(transform(toks, t => xxhash64(t)).as("_wh"))
+      .agg(call_function("misra_gries_keys", col("_wh"), lit(capacity))
+             .as("_cand"),
+           sum(size(col("_wh")).cast("long")).as("_total"))
+      .collect()(0)
+    val cand = sketchRow.getSeq[Long](0)
+    val total = if (sketchRow.isNullAt(1)) 0L else sketchRow.getLong(1)
+    df.select(explode(toks).as("term"))
+      .filter(xxhash64(col("term")).isin(cand: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(k.toLong) >= lit(total))
+  }
+
+  /** Per-document bigram language-model score: the tf-weighted mean
+    * conditional log-probability ln(c(w₁w₂)/c(w₁·)) over the document's
+    * bigram occurrences — a sharper fluency/perplexity signal than the
+    * unigram form (q68): word-salad text scores low even when its unigrams
+    * are common.
+    *
+    * Same scale shape as [[unigramLogProb]] after its round-7 restructure:
+    * collapse to (doc, bigram, tf) FIRST (map-side partial agg), compute
+    * corpus bigram counts over that aggregate, and left-context counts
+    * c(w₁·) by re-aggregating the BIGRAM count table on its first word —
+    * the corpus explode is scanned once; every downstream join probes
+    * aggregates. Documents with fewer than 2 tokens get no row (no bigrams
+    * exist — callers left-join if they need nulls).
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val tf = df.filter(size(toks) >= 2)
+      .select(col(idCol), explode(bigrams).as("_bg"))
+      .groupBy(col(idCol), col("_bg")).agg(count(lit(1)).as("_tf"))
+    val cb = tf.groupBy(col("_bg")).agg(sum(col("_tf")).as("_cb"))
+      .withColumn("_w1", substring_index(col("_bg"), " ", 1))
+    val cw = cb.groupBy(col("_w1")).agg(sum(col("_cb")).as("_cw"))
+    tf.join(cb, Seq("_bg")).join(cw, Seq("_w1"))
+      .groupBy(col(idCol))
+      .agg((sum(col("_tf") * log(col("_cb").cast("double") / col("_cw")))
+        / sum(col("_tf"))).as("logprob"))
+  }
 }

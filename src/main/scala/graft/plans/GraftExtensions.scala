@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shingleHashesDescriptor)
     ext.injectFunction(GraftExtensions.stopwordLangCountsDescriptor)
     ext.injectFunction(GraftExtensions.cjkCountDescriptor)
+    ext.injectFunction(GraftExtensions.misraGriesKeysDescriptor)
   }
 }
 
@@ -168,12 +169,31 @@ object GraftExtensions {
       CjkCount(Cast(children.head, StringType))
     })
 
+  private[plans] val misraGriesKeysDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("misra_gries_keys"),
+    new ExpressionInfo(classOf[MisraGriesKeys].getName, "misra_gries_keys"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "misra_gries_keys(keyArray, capacity) takes two arguments")
+      val cap = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"misra_gries_keys capacity must be an integer literal, got $other")
+      }
+      // array<bigint> cast at the boundary: misuse fails analysis (the
+      // cosine/minhash/shingle_hashes contract)
+      MisraGriesKeys(Cast(children.head, ArrayType(LongType)), cap)
+    })
+
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit = {
     for ((id, info, builder) <- Seq(cosineSimDescriptor, tzLocalizeDescriptor,
         minhashSigDescriptor, nearestCentroidDescriptor,
         bloomMightContainDescriptor, shingleHashesDescriptor,
-        stopwordLangCountsDescriptor, cjkCountDescriptor))
+        stopwordLangCountsDescriptor, cjkCountDescriptor,
+        misraGriesKeysDescriptor))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }

@@ -496,6 +496,45 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // EXACT corpus heavy hitters (every token with freq ≥ total/500):
+    // Misra-Gries candidate sketch (one fixed-size aggregate, no
+    // occurrence shuffle) + exact count of candidates only. The integer
+    // threshold compare makes the result deterministic even though sketch
+    // contents depend on partition merge order.
+    "q74_heavy_hitters" -> { (s, d) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, d), "text", k = 500)
+        .orderBy(col("cnt").desc, col("term"))
+    },
+
+    // Embedding-cosine near-dup dedup end-to-end: pairs → transitive
+    // clusters → canonical keeper. The pair frame here is the EXACT
+    // bounded all-pairs build (the q43/q49 replayable-oracle convention —
+    // DuckDB replays it with a recursive-CTE closure); the production
+    // LSH-bucketed pair path through the same operator is pinned in
+    // DedupSimilaritySpec (subset-of-brute-force + planted-dup recall).
+    "q75_embedding_dedup" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") <= 800)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val a = emb.select(col("vec_id").as("id_a"), col("emb").as("ea"))
+      val b = emb.select(col("vec_id").as("id_b"), col("emb").as("eb"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          fr(cosineFast(s, col("ea"), col("eb")), 4).as("sim"))
+        .filter(col("sim") >= 0.38)
+      Dedup.embeddingDedup(emb, "vec_id", "emb", 0.38, pairs = Some(pairs))
+        .select(col("vec_id"), col("component"), col("is_dup"))
+        .orderBy("vec_id")
+    },
+
+    // Bigram-LM fluency score: tf-weighted mean conditional log-prob
+    // ln(c(w1 w2)/c(w1 ·)) — the q68 shape one order up; joins probe
+    // (doc, bigram, tf) aggregates, never the occurrence explode.
+    "q76_bigram_logprob" -> { (s, d) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), fr(col("logprob"), 4).as("logprob"))
+        .orderBy("doc_id")
+    },
+
     // ORC source round-trip: same checksum contract as q69 over the
     // other columnar interchange format.
     "q70_orc_roundtrip" -> { (s, d) =>
@@ -1058,6 +1097,55 @@ object ExtensionQueries {
         |  fffd_count = 0 AND
         |    CAST(ctrl_count AS DOUBLE) / GREATEST(n, 1) <= 0.001 AS enc_pass
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the oracle is the naive full groupBy the operator avoids — exact
+    // heavy hitters are engine-independent, only the plan shape differs
+    "q74_heavy_hitters" ->
+      """WITH tok AS (SELECT
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |n AS (SELECT count(*) AS total FROM tok),
+        |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
+        |SELECT term, cnt FROM c, n WHERE cnt * 500 >= total
+        |ORDER BY cnt DESC, term""".stripMargin,
+
+    // transitive closure replayed as a recursive min-label propagation;
+    // min(root) over all reached roots = the component minimum, matching
+    // the CC operator's canonical label
+    "q75_embedding_dedup" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id <= 800),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+        |  WHERE floor(list_cosine_similarity(a.emb, b.emb) * 10000.0 + 0.5)
+        |    / 10000.0 >= 0.38),
+        |e AS (SELECT id_a AS s, id_b AS t FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |r(id, root) AS (SELECT vec_id, vec_id FROM e0
+        |  UNION SELECT e.t, r.root FROM r JOIN e ON e.s = r.id)
+        |SELECT id AS vec_id, min(root) AS component,
+        |  id <> min(root) AS is_dup
+        |FROM r GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    "q76_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |tf AS (SELECT doc_id, bg, count(*) AS tf FROM b GROUP BY doc_id, bg),
+        |cb AS (SELECT bg, sum(tf) AS cb FROM tf GROUP BY bg),
+        |cw AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cb) AS cw
+        |  FROM cb GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.tf,
+        |    ln(CAST(cb.cb AS DOUBLE) / cw.cw) AS lp
+        |  FROM tf JOIN cb USING (bg)
+        |  JOIN cw ON split_part(tf.bg, ' ', 1) = cw.w1)
+        |SELECT doc_id,
+        |  floor(sum(tf * lp) / sum(tf) * 10000.0 + 0.5) / 10000.0 AS logprob
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q70_orc_roundtrip" ->
       """WITH h AS (SELECT lang, n_chars,

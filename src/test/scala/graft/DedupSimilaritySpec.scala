@@ -608,4 +608,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "no cache entries may survive a gate-query run")
   }
+
+  test("embeddingDedup merges transitive chains from an explicit pair frame") {
+    val emb = (1L to 6L).map(i => (i, Seq.fill(4)(i.toDouble)))
+      .toDF("vec_id", "embedding")
+    // 1-2 and 2-3 are pairs, 1-3 is not: the closure must still cluster
+    // all three; 5-6 a separate cluster; 4 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.embeddingDedup(emb, "vec_id", "embedding",
+        threshold = 0.9, pairs = Some(pairs))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("component"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(out == Map(
+      1L -> (1L, false), 2L -> (1L, true), 3L -> (1L, true),
+      4L -> (4L, false), 5L -> (5L, false), 6L -> (5L, true)))
+  }
+
+  test("embeddingDedup end-to-end via LSH recovers planted clusters") {
+    val rnd = new scala.util.Random(3)
+    def vec(): Seq[Float] = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val c0 = vec(); val c1 = vec()
+    val rows =
+      Seq((0L, c0), (1L, c0.map(_ + 0.01f)), (2L, c0.map(_ - 0.01f)),
+          (10L, c1), (11L, c1.map(_ + 0.01f))) ++
+        (20L until 50L).map(i => (i, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Dedup.embeddingDedup(df, "vec_id", "embedding",
+        threshold = 0.98)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("component")).toMap
+    assert(out(0L) == 0L && out(1L) == 0L && out(2L) == 0L,
+      "planted cluster around c0 collapses to keeper 0")
+    assert(out(10L) == 10L && out(11L) == 10L,
+      "planted cluster around c1 collapses to keeper 10")
+    val dupCount = out.count { case (id, comp) => id != comp }
+    assert(dupCount == 3, s"only planted members are dups, got $out")
+  }
+
+  test("bigramLogProb matches the hand-computed conditional model") {
+    val df = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("logprob")).toMap
+    // bigrams: doc1 {a b:2, b a:1}, doc2 {a c:1}; c(a·)=3, c(b·)=1
+    // doc1 = (2·ln(2/3) + 1·ln(1/1)) / 3, doc2 = ln(1/3); doc3: no bigrams
+    assert(math.abs(out(1L) - 2.0 * math.log(2.0 / 3.0) / 3.0) < 1e-12)
+    assert(math.abs(out(2L) - math.log(1.0 / 3.0)) < 1e-12)
+    assert(!out.contains(3L), "single-token docs emit no row")
+  }
 }

@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.TextAnalysis
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+
+/** Contracts of the Misra-Gries candidate sketch and the exact two-pass
+  * heavy-hitter operator built on it: the superset guarantee that makes
+  * pass 2 exact, determinism across partition layouts (sketch contents may
+  * differ, final output must not), and analysis-time misuse failure.
+  */
+class MisraGriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Skewed corpus: "hot" ≈ 23%, "warm" ≈ 8%, a mid tier ≈ 1.5% each, and
+    * a long unique tail — thresholds at k=10 (10%) and k=50 (2%) split the
+    * tiers differently, so both guarantee directions get exercised.
+    */
+  private def skewedDocs = {
+    val words =
+      Seq.fill(300)("hot") ++ Seq.fill(100)("warm") ++
+        (0 until 10).flatMap(i => Seq.fill(20)(s"mid$i")) ++
+        (0 until 700).map(i => s"tail$i")
+    val rnd = new scala.util.Random(11)
+    val shuffled = rnd.shuffle(words)
+    shuffled.grouped(13).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+  }
+
+  private def naiveHitters(df: org.apache.spark.sql.DataFrame,
+                           k: Int): Map[String, Long] = {
+    val tok = df.select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val total = tok.count()
+    tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k >= total)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("heavyHitters equals the naive full groupBy, at two thresholds") {
+    val df = skewedDocs
+    for (k <- Seq(10, 50)) {
+      val expected = naiveHitters(df, k)
+      val got = TextAnalysis.heavyHitters(df, "text", k, capacity = 256)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"k=$k: exact result matches naive plan")
+      assert(expected.nonEmpty, s"k=$k exercises a non-empty result")
+    }
+  }
+
+  test("result is invariant to partition layout (sketch contents are not)") {
+    val df = skewedDocs
+    val reference = TextAnalysis
+      .heavyHitters(df.repartition(1), "text", k = 25, capacity = 128)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    for (parts <- Seq(3, 7, 17)) {
+      val got = TextAnalysis
+        .heavyHitters(df.repartition(parts), "text", k = 25, capacity = 128)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == reference, s"$parts partitions: identical exact output")
+    }
+  }
+
+  test("superset guarantee holds at the minimum legal capacity (= k)") {
+    val df = skewedDocs
+    val expected = naiveHitters(df, 10)
+    val got = TextAnalysis.heavyHitters(df, "text", k = 10, capacity = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      "capacity = k is exactly the MG bound n/(capacity+1) < n/k")
+  }
+
+  test("sketch keeps a dominant key through overflow in SQL form") {
+    GraftExtensions.register(spark)
+    // 40 occurrences of key 1 among 60 distinct fillers, capacity 4: every
+    // decrement removes ≤ 1 from key 1 per filler, 40 > 60/(4+1) so it must
+    // survive any merge order
+    val rows = (Seq.fill(40)(1L) ++ (100L until 160L)).map(Tuple1(_))
+    val df = rows.toDF("k").repartition(5)
+    val keys = df.agg(expr("misra_gries_keys(array(k), 4)")).head()
+      .getSeq[Long](0)
+    assert(keys.contains(1L), s"dominant key survives, got $keys")
+    assert(keys.size <= 4, "buffer never exceeds capacity")
+  }
+
+  test("misuse fails at analysis, not in the executor") {
+    GraftExtensions.register(spark)
+    val df = Seq(Tuple1("notanarray")).toDF("s")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("misra_gries_keys(s, 8)")).collect()
+    }
+    intercept[IllegalArgumentException] {
+      df.select(expr("misra_gries_keys(array(1), s)")).collect()
+    }
+  }
+
+  test("heavyHitters rejects a capacity below k") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.heavyHitters(skewedDocs, "text", k = 100, capacity = 50)
+    }
+  }
+}
