@@ -528,6 +528,68 @@ object Dedup {
     *
     * @return one row per input id: (`idCol`, `component`, `is_dup`).
     */
+  /** Span-level exact substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): remove every token
+    * covered by a length-`n` token window whose text occurs ≥ 2 times in
+    * the corpus — boilerplate headers, license blocks, and quoted reposts
+    * vanish from otherwise-unique documents, which document-level dedup
+    * (exact/MinHash) cannot do.
+    *
+    * The paper builds a corpus suffix array; the Spark-native equivalent
+    * is relational, all equi-keyed shuffles, nothing driver-side:
+    *
+    *  1. positional gram hashes per doc — [[graft.plans.ShingleHashesPos]],
+    *     one fused codegen loop, 8-byte keys (hash collisions merge grams
+    *     with p ≈ 2⁻⁶⁴ — the q31/q61 content-hash caveat);
+    *  2. corpus gram counts with map-side partial agg; only grams with
+    *     count ≥ 2 survive (the duplicated-span set, ~0.1-5% of grams);
+    *  3. join back on the gram hash to recover (doc, start) of every
+    *     duplicated occurrence, explode each to its n covered positions
+    *     (O(n · duplicated occurrences) rows, not O(corpus));
+    *  4. anti-join the positioned token stream against covered positions
+    *     and reassemble the survivors in position order (the q56
+    *     paragraph-dedup reassembly shape).
+    *
+    * Documents shorter than `n` tokens carry no spans and pass through
+    * unchanged (their duplication is exact dedup's job).
+    *
+    * @return one row per doc: (`idCol`, `clean_text`, `n_tokens`,
+    *         `n_removed`), where `clean_text` is the kept tokens joined by
+    *         single spaces (lowercased — span identity is case-folded).
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                n: Int = 15): DataFrame = {
+    require(n >= 2, s"span length n=$n must be at least 2")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val base = df.select(col(idCol),
+      split(trim(lower(col(textCol))), "\\s+").as("_toks"))
+    val grams = base.select(col(idCol),
+      posexplode(call_function("shingle_hashes_pos",
+        transform(col("_toks"), t => xxhash64(t)), lit(n)))
+        .as(Seq("_j", "_g")))
+    val dup = grams.groupBy(col("_g")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2).select(col("_g"))
+    val covered = grams.join(dup, Seq("_g"))
+      .select(col(idCol),
+        explode(sequence(col("_j"), col("_j") + lit(n - 1))).as("_pos"))
+      .distinct()
+    val kept = base
+      .select(col(idCol), posexplode(col("_toks")).as(Seq("_pos", "_tok")))
+      .join(covered, Seq(idCol, "_pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+          s => s.getField("_tok")), " ").as("clean_text"),
+        count(lit(1)).as("_n_kept"))
+    base.select(col(idCol), size(col("_toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
+  }
+
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, pairs: Option[DataFrame] = None,
                      algorithm: String = "auto"): DataFrame = {

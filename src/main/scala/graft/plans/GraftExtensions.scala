@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.stopwordLangCountsDescriptor)
     ext.injectFunction(GraftExtensions.cjkCountDescriptor)
     ext.injectFunction(GraftExtensions.misraGriesKeysDescriptor)
+    ext.injectFunction(GraftExtensions.shingleHashesPosDescriptor)
   }
 }
 
@@ -169,6 +170,22 @@ object GraftExtensions {
       CjkCount(Cast(children.head, StringType))
     })
 
+  private[plans] val shingleHashesPosDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_hashes_pos"),
+    new ExpressionInfo(classOf[ShingleHashesPos].getName, "shingle_hashes_pos"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "shingle_hashes_pos(wordHashes, shingleSize) takes two arguments")
+      val n = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"shingle_hashes_pos size must be an integer literal, got $other")
+      }
+      ShingleHashesPos(Cast(children.head, ArrayType(LongType)), n)
+    })
+
   private[plans] val misraGriesKeysDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("misra_gries_keys"),
@@ -193,7 +210,7 @@ object GraftExtensions {
         minhashSigDescriptor, nearestCentroidDescriptor,
         bloomMightContainDescriptor, shingleHashesDescriptor,
         stopwordLangCountsDescriptor, cjkCountDescriptor,
-        misraGriesKeysDescriptor))
+        misraGriesKeysDescriptor, shingleHashesPosDescriptor))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }

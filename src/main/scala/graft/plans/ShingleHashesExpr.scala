@@ -51,6 +51,42 @@ case class ShingleHashes(child: Expression, shingleSize: Int)
     copy(child = newChild)
 }
 
+/** Positional sibling of [[ShingleHashes]]: every length-n window's hash in
+  * START-POSITION ORDER, duplicates kept — the form span-level dedup needs
+  * (`posexplode` recovers the start offset of each gram, so a corpus-
+  * duplicated gram can be mapped back to the token range it covers).
+  *
+  * Short-document convention differs deliberately: a document with fewer
+  * than n tokens yields an EMPTY array (no length-n span exists to be
+  * duplicated — whole-short-doc duplication is exact dedup's job), where
+  * the distinct form folds the whole array for document-frequency parity.
+  */
+case class ShingleHashesPos(child: Expression, shingleSize: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_hashes_pos"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleHashes.positional(
+      input.asInstanceOf[ArrayData].toLongArray(), shingleSize))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.plans.ShingleHashes.positional($c.toLongArray(), $shingleSize));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesPos =
+    copy(child = newChild)
+}
+
 object ShingleHashes {
 
   private val Seed = 0xcbf29ce484222325L // FNV-1a offset basis
@@ -85,5 +121,23 @@ object ShingleHashes {
       r += 1
     }
     if (w == out.length) out else java.util.Arrays.copyOf(out, w)
+  }
+
+  /** FNV-folded hash of every length-n window of `wh`, in start-position
+    * order, duplicates kept; empty when fewer than n words exist.
+    */
+  def positional(wh: Array[Long], n: Int): Array[Long] = {
+    if (wh.length < n) return Array.emptyLongArray
+    val count = wh.length - n + 1
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      var h = Seed
+      var j = i
+      while (j < i + n) { h = (h ^ wh(j)) * Prime; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
   }
 }

@@ -535,6 +535,16 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Span-level exact substring dedup (Lee et al. 2022): tokens covered
+    // by any corpus-duplicated 8-gram are removed from every document —
+    // the suffix-array method's relational equivalent. The oracle replays
+    // it at gram-STRING identity; the operator works on 64-bit gram
+    // hashes (identical counts modulo 2^-64 collisions, the q61 caveat).
+    "q77_span_dedup" -> { (s, d) =>
+      Dedup.spanDedup(Tables.documents(s, d), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    },
+
     // ORC source round-trip: same checksum contract as q69 over the
     // other columnar interchange format.
     "q70_orc_roundtrip" -> { (s, d) =>
@@ -1146,6 +1156,32 @@ object ExtensionQueries {
         |SELECT doc_id,
         |  floor(sum(tf * lp) / sum(tf) * 10000.0 + 0.5) / 10000.0 AS logprob
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // positions are 0-based on both sides (posexplode / range(0, len));
+    // toks[j+1:j+8] is DuckDB's 1-based inclusive slice of the same window
+    "q77_span_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(range(0, len(toks) - 7)) AS j, toks
+        |  FROM t WHERE len(toks) >= 8),
+        |g2 AS (SELECT doc_id, j,
+        |    array_to_string(toks[j + 1:j + 8], ' ') AS gram FROM g),
+        |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+        |ds AS (SELECT g2.doc_id, g2.j FROM g2 JOIN dup USING (gram)),
+        |cov AS (SELECT DISTINCT doc_id, j + u AS pos
+        |  FROM ds, unnest(range(0, 8)) AS t2(u)),
+        |tokpos AS (SELECT doc_id, unnest(toks) AS tok,
+        |    unnest(range(0, len(toks))) AS pos FROM t),
+        |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+        |  LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+        |  WHERE cov.pos IS NULL),
+        |re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(re.clean_text, '') AS clean_text,
+        |  len(t.toks) AS n_tokens,
+        |  len(t.toks) - coalesce(re.n_kept, 0) AS n_removed
+        |FROM t LEFT JOIN re USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     "q70_orc_roundtrip" ->
       """WITH h AS (SELECT lang, n_chars,

@@ -645,6 +645,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(dupCount == 3, s"only planted members are dups, got $out")
   }
 
+  test("spanDedup removes exactly the corpus-duplicated span, everywhere") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docA = (1L, "totally unique words nobody else repeats anywhere at all today")
+    val docB = (2L, s"prefix one two $span suffix three four")
+    val docC = (3L, s"other opening $span and a different closing run here")
+    val df = Seq(docA, docB, docC).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))).toMap
+    // the 10-token span's three duplicated 8-gram windows cover all 10
+    // span tokens in B and C; A is untouched
+    assert(out(1L) == (docA._2, 0L), "unique doc passes through")
+    assert(out(2L) == ("prefix one two suffix three four", 10L))
+    assert(out(3L) == ("other opening and a different closing run here", 10L))
+  }
+
+  test("spanDedup removes within-document repeats and skips short docs") {
+    val phrase = "one two three four five six seven eight"
+    val looper = (1L, s"$phrase filler middle words go here $phrase")
+    val shortDup = (2L, "tiny text")
+    val shortDup2 = (3L, "tiny text")
+    val df = Seq(looper, shortDup, shortDup2).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))).toMap
+    assert(out(1L) == ("filler middle words go here", 16L),
+      "both occurrences of a within-doc repeated span are removed")
+    assert(out(2L) == ("tiny text", 0L) && out(3L) == ("tiny text", 0L),
+      "docs shorter than n carry no spans — document-level dedup's job")
+  }
+
+  test("shingle_hashes_pos: position order, duplicates kept, empty when short") {
+    graft.plans.GraftExtensions.register(spark)
+    val df = Seq(Tuple1(Seq("a", "b", "a", "b", "a"))).toDF("toks")
+    val pos = df.select(expr(
+      "shingle_hashes_pos(transform(toks, t -> xxhash64(t)), 2)").as("h"))
+      .head().getSeq[Long](0)
+    assert(pos.length == 4, "one hash per start position")
+    assert(pos(0) == pos(2) && pos(1) == pos(3),
+      "equal windows (a b / b a) repeat — no dedup")
+    assert(pos(0) != pos(1), "different windows differ")
+    val short = df.select(expr(
+      "shingle_hashes_pos(transform(toks, t -> xxhash64(t)), 9)").as("h"))
+      .head().getSeq[Long](0)
+    assert(short.isEmpty, "shorter than n yields no spans")
+  }
+
   test("bigramLogProb matches the hand-computed conditional model") {
     val df = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo"))
       .toDF("doc_id", "text")

@@ -291,6 +291,45 @@ class PlanSpec extends SparkSpec {
         s"join input reaches an explode without an aggregate:\n$exec")
   }
 
+  test("q74: heavy-hitter verify pass is a scan-side InSet filter, never a join") {
+    val root = graft.queries.ExtensionQueries
+      .defs("q74_heavy_hitters")(spark, d)
+      .queryExecution.executedPlan
+    val exec = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    // the candidate membership test must be a broadcast-free predicate on
+    // the scan side (isin over the collected sketch → Catalyst InSet);
+    // joining a candidate table instead would re-shuffle the occurrence
+    // stream the sketch exists to avoid
+    val joins = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"verify pass must not join:\n$exec")
+    assert(exec.toString.contains("INSET") || exec.toString.contains(" IN "),
+      s"candidate filter compiles to a set-membership predicate:\n$exec")
+    // and the count still partial-aggregates map-side before its shuffle
+    assert(exec.toString.contains("partial_count"),
+      s"exact count partial-aggregates:\n$exec")
+  }
+
+  test("misra_gries_keys aggregates via ObjectHashAggregate, map-side partials") {
+    graft.plans.GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, d)
+    val agg = docs
+      .select(transform(graft.operators.TextAnalysis.tokens(col("text")),
+        t => xxhash64(t)).as("_wh"))
+      .agg(expr("misra_gries_keys(_wh, 64)"))
+    val p = plan(agg)
+    assert(p.contains("ObjectHashAggregate"),
+      s"typed-imperative sketch must use the object hash aggregate:\n$p")
+    assert(p.contains("partial_misra_gries_keys") ||
+      p.toLowerCase.contains("partial"),
+      s"sketch merges map-side partials, not raw rows:\n$p")
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
