@@ -354,27 +354,38 @@ object Dedup {
     // null, which the convergence probes must never see
     if (ids.isEmpty)
       return ids.select(col("id").as(idCol), col("id").as("component"))
-    val out = algorithm match {
-      case "pointer-jumping" => ccPointerJumping(ids, pairs, aCol, bCol, maxIter)
-      case "star"            => ccStar(ids, pairs, aCol, bCol, maxIter)
-      case "auto" =>
-        // one fixed-size skew probe: pointer jumping replays EVERY edge
-        // through the propagation join each round, so a hot node (star-
-        // shaped near-dup cluster: boilerplate, headers, license text)
-        // makes each round pay the hot degree again; the star rewrite
-        // contracts it instead. Low-skew graphs keep pointer jumping
-        // (fewer, cheaper jobs per round).
-        val maxDeg = pairs
-          .select(col(aCol).cast("long").as("n"))
-          .unionByName(pairs.select(col(bCol).cast("long").as("n")))
-          .groupBy(col("n")).agg(count(lit(1)).as("d"))
-          .agg(coalesce(max(col("d")), lit(0L))).collect()(0).getLong(0)
-        if (maxDeg >= 16384) ccStar(ids, pairs, aCol, bCol, maxIter)
-        else ccPointerJumping(ids, pairs, aCol, bCol, maxIter)
-      case other => throw new IllegalArgumentException(
-        s"unknown connectedComponents algorithm '$other' " +
-          "(expected pointer-jumping, star, or auto)")
-    }
+    // materialize the caller's pair frame ONCE: it may be expensive to
+    // produce (q75's cosine pair build), and both the auto skew probe and
+    // the algorithms' initial edge materialization would otherwise each
+    // replay it. Safe to release afterwards — both algorithms return
+    // frames rooted in their own localCheckpoint snapshots.
+    import org.apache.spark.storage.StorageLevel
+    val pn = pairs
+      .select(col(aCol).cast("long").as(aCol), col(bCol).cast("long").as(bCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = try {
+      algorithm match {
+        case "pointer-jumping" => ccPointerJumping(ids, pn, aCol, bCol, maxIter)
+        case "star"            => ccStar(ids, pn, aCol, bCol, maxIter)
+        case "auto" =>
+          // one fixed-size skew probe: pointer jumping replays EVERY edge
+          // through the propagation join each round, so a hot node (star-
+          // shaped near-dup cluster: boilerplate, headers, license text)
+          // makes each round pay the hot degree again; the star rewrite
+          // contracts it instead. Low-skew graphs keep pointer jumping
+          // (fewer, cheaper jobs per round).
+          val maxDeg = pn
+            .select(col(aCol).as("n"))
+            .unionByName(pn.select(col(bCol).as("n")))
+            .groupBy(col("n")).agg(count(lit(1)).as("d"))
+            .agg(coalesce(max(col("d")), lit(0L))).collect()(0).getLong(0)
+          if (maxDeg >= 16384) ccStar(ids, pn, aCol, bCol, maxIter)
+          else ccPointerJumping(ids, pn, aCol, bCol, maxIter)
+        case other => throw new IllegalArgumentException(
+          s"unknown connectedComponents algorithm '$other' " +
+            "(expected pointer-jumping, star, or auto)")
+      }
+    } finally pn.unpersist(false)
     out.select(col("id").as(idCol), col("comp").as("component"))
   }
 
