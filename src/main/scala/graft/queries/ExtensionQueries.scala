@@ -540,6 +540,25 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // End-to-end curation funnel — the composition every pretraining
+    // pipeline runs, as ONE lazy plan (no materialization between
+    // stages): exact-dedup keeper → token-count quality gate →
+    // per-source cap (boilerplate-farm throttle, RefinedWeb-style) →
+    // leakage-safe split assignment → per-(lang, split) yield report.
+    "q78_curation_funnel" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val deduped = Dedup.exact(docs, "doc_id", "text")
+      val ntok = size(split(trim(lower(col("text"))), "\\s+"))
+      val quality = deduped.filter(ntok.between(20, 90))
+      val capped = TextAnalysis.stratifiedTopK(quality, "doc_id", "text",
+        "source", k = 15)
+      capped
+        .withColumn("split", TextAnalysis.assignSplit(col("text"), 0.8, 0.1))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("docs"))
+        .orderBy("lang", "split")
+    },
+
     // Span-level exact substring dedup (Lee et al. 2022): tokens covered
     // by any corpus-duplicated 8-gram are removed from every document —
     // the suffix-array method's relational equivalent. The oracle replays
@@ -1161,6 +1180,33 @@ object ExtensionQueries {
         |SELECT doc_id,
         |  floor(sum(tf * lp) / sum(tf) * 10000.0 + 0.5) / 10000.0 AS logprob
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // each funnel stage replayed relationally: keeper = row_number 1 per
+    // md5(text) ordered by doc_id (= min_by), cap = the q66 window, split
+    // thresholds = the q63 16-bit md5-prefix buckets
+    "q78_curation_funnel" ->
+      """WITH k AS (SELECT doc_id, text, lang, source FROM (
+        |    SELECT doc_id, text, lang, source,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+        |        AS drn
+        |    FROM documents) WHERE drn = 1),
+        |q AS (SELECT * FROM k
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+'))
+        |    BETWEEN 20 AND 90),
+        |c AS (SELECT lang, text FROM (
+        |    SELECT lang, text, row_number() OVER (
+        |      PARTITION BY source ORDER BY md5(text), doc_id) AS srn
+        |    FROM q) WHERE srn <= 15),
+        |h AS (SELECT lang,
+        |  (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS hv
+        |  FROM c),
+        |s AS (SELECT lang, CASE WHEN hv < 52428 THEN 'train'
+        |  WHEN hv < 58982 THEN 'val' ELSE 'test' END AS split FROM h)
+        |SELECT lang, split, count(*) AS docs FROM s
+        |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
     // positions are 0-based on both sides (posexplode / range(0, len));
     // toks[j+1:j+8] is DuckDB's 1-based inclusive slice of the same window

@@ -99,4 +99,29 @@ class MisraGriesSpec extends SparkSpec {
       TextAnalysis.heavyHitters(skewedDocs, "text", k = 100, capacity = 50)
     }
   }
+
+  test("sketch aggregates incrementally over a stream (candidate pass)") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    // the candidate pass ports to streaming unchanged: the typed buffer
+    // merges per micro-batch in complete mode, so a live corpus feed can
+    // maintain heavy-hitter candidates without a full recount
+    val mem = MemoryStream[String]
+    val agged = mem.toDF().toDF("text")
+      .select(transform(TextAnalysis.tokens(col("text")),
+        t => xxhash64(t)).as("h"))
+      .agg(expr("misra_gries_keys(h, 16)").as("cand"))
+    val q = agged.writeStream.format("memory")
+      .queryName("mg_stream_out").outputMode("complete").start()
+    mem.addData("hot hot hot filler1 filler2", "hot hot filler3 filler4")
+    q.processAllAvailable()
+    mem.addData("hot hot hot hot filler5 filler6 filler7")
+    q.processAllAvailable()
+    q.stop()
+    val cand = spark.table("mg_stream_out").head().getSeq[Long](0)
+    val hotHash = spark.sql("SELECT xxhash64('hot')").head().getLong(0)
+    assert(cand.contains(hotHash),
+      "dominant token survives cross-batch sketch merges")
+  }
 }
