@@ -665,6 +665,58 @@ object TextAnalysis {
       .filter(col("cnt") * lit(k.toLong) >= lit(total))
   }
 
+  /** Per-group vocabulary drift: KL divergence of each group's unigram
+    * distribution from the corpus distribution, restricted to the EXACT
+    * heavy-hitter vocabulary (frequency ≥ total/k) — the standard corpus
+    * health monitor (a crawl source gone boilerplate, a mixture slice
+    * drifting from the blend) with a sketch-bounded term set, so nothing
+    * about the computation grows with the long-tail vocabulary.
+    *
+    * Shape: one [[graft.plans.MisraGriesKeys]] candidate pass (the
+    * [[heavyHitters]] contract), then ONE re-scan whose explode is
+    * filtered to candidates before its (group, term) aggregation — term
+    * totals, the exact vocabulary cut, per-group totals, and the KL sum
+    * are all computed over that aggregate, never re-touching the corpus.
+    * KL terms where a group lacks a vocab term contribute 0 (the p·ln p
+    * limit), so the join stays inner.
+    *
+    * @return one row per group: (`groupCol`, `kl`, `n_terms` — vocab terms
+    *         the group actually uses).
+    */
+  def vocabularyDrift(df: DataFrame, groupCol: String, textCol: String,
+                      k: Int = 500, capacity: Int = 2048): DataFrame = {
+    require(capacity >= k,
+      s"capacity $capacity < k $k voids the MG superset guarantee")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val toks = tokens(col(textCol))
+    val sketchRow = df
+      .select(transform(toks, t => xxhash64(t)).as("_wh"))
+      .agg(call_function("misra_gries_keys", col("_wh"), lit(capacity))
+             .as("_cand"),
+           sum(size(col("_wh")).cast("long")).as("_total"))
+      .collect()(0)
+    val cand = sketchRow.getSeq[Long](0)
+    val total = if (sketchRow.isNullAt(1)) 0L else sketchRow.getLong(1)
+    val srcCounts = df
+      .select(col(groupCol), explode(toks).as("_term"))
+      .filter(xxhash64(col("_term")).isin(cand: _*))
+      .groupBy(col(groupCol), col("_term")).agg(count(lit(1)).as("_scnt"))
+    val vocab = srcCounts.groupBy(col("_term"))
+      .agg(sum(col("_scnt")).as("_cnt"))
+      .filter(col("_cnt") * lit(k.toLong) >= lit(total))
+    val vtot = vocab.agg(sum(col("_cnt")).as("_vtot"))
+    val stot = srcCounts.join(vocab, Seq("_term"))
+      .groupBy(col(groupCol)).agg(sum(col("_scnt")).as("_stot"))
+    val pSrc = col("_scnt").cast("double") / col("_stot")
+    val pCorpus = col("_cnt").cast("double") / col("_vtot")
+    srcCounts.join(vocab, Seq("_term"))
+      .join(stot, Seq(groupCol))
+      .crossJoin(broadcast(vtot))
+      .groupBy(col(groupCol))
+      .agg(sum(pSrc * log(pSrc / pCorpus)).as("kl"),
+           count(lit(1)).as("n_terms"))
+  }
+
   /** Per-document bigram language-model score: the tf-weighted mean
     * conditional log-probability ln(c(w₁w₂)/c(w₁·)) over the document's
     * bigram occurrences — a sharper fluency/perplexity signal than the

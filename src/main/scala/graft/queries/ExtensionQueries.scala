@@ -540,6 +540,17 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Per-source vocabulary drift: KL divergence from the corpus unigram
+    // distribution over the EXACT heavy-hitter vocabulary (freq ≥
+    // total/500) — sketch-bounded corpus health monitoring; all math over
+    // (source, term) aggregates, integer counts until the final ratios.
+    "q79_vocab_drift" -> { (s, d) =>
+      TextAnalysis.vocabularyDrift(Tables.documents(s, d), "source", "text",
+          k = 500)
+        .select(col("source"), fr(col("kl"), 4).as("kl"), col("n_terms"))
+        .orderBy("source")
+    },
+
     // End-to-end curation funnel — the composition every pretraining
     // pipeline runs, as ONE lazy plan (no materialization between
     // stages): exact-dedup keeper → token-count quality gate →
@@ -1180,6 +1191,30 @@ object ExtensionQueries {
         |SELECT doc_id,
         |  floor(sum(tf * lp) / sum(tf) * 10000.0 + 0.5) / 10000.0 AS logprob
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the KL ratios divide doubles derived from exact integer counts, so
+    // each per-term contribution is bit-identical across engines; only
+    // the final sum's order differs (absorbed by the floor rounding)
+    "q79_vocab_drift" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |n AS (SELECT count(*) AS total FROM tok),
+        |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+        |v AS (SELECT term, cnt FROM c, n WHERE cnt * 500 >= total),
+        |vt AS (SELECT sum(cnt) AS vtot FROM v),
+        |s AS (SELECT source, term, count(*) AS scnt FROM tok
+        |  JOIN v USING (term) GROUP BY source, term),
+        |st AS (SELECT source, sum(scnt) AS stot FROM s GROUP BY source),
+        |kl AS (SELECT s.source,
+        |    sum((CAST(scnt AS DOUBLE) / stot) *
+        |        ln((CAST(scnt AS DOUBLE) / stot) /
+        |           (CAST(cnt AS DOUBLE) / vtot))) AS kl,
+        |    count(*) AS n_terms
+        |  FROM s JOIN v USING (term) JOIN st USING (source) CROSS JOIN vt
+        |  GROUP BY s.source)
+        |SELECT source, floor(kl * 10000.0 + 0.5) / 10000.0 AS kl, n_terms
+        |FROM kl ORDER BY source""".stripMargin,
 
     // each funnel stage replayed relationally: keeper = row_number 1 per
     // md5(text) ordered by doc_id (= min_by), cap = the q66 window, split

@@ -100,6 +100,30 @@ class MisraGriesSpec extends SparkSpec {
     }
   }
 
+  test("vocabularyDrift matches the hand-computed KL; zero for a mirror source") {
+    val df = Seq(
+      ("srcA", "x x x y"), ("srcB", "x y y y"),
+      ("srcC", "x x y y")) // mirrors the corpus blend exactly
+      .toDF("source", "text")
+    // totals: x=6, y=6 of 12 → with k=2 (freq ≥ 1/2) both make the vocab?
+    // no: threshold is cnt*2 >= 12 → cnt >= 6 → both exactly at the cut
+    val out = TextAnalysis.vocabularyDrift(df, "source", "text", k = 2,
+        capacity = 8)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("kl"), r.getAs[Long]("n_terms"))).toMap
+    val expA = 0.75 * math.log(0.75 / 0.5) + 0.25 * math.log(0.25 / 0.5)
+    assert(math.abs(out("srcA")._1 - expA) < 1e-12 && out("srcA")._2 == 2L)
+    assert(math.abs(out("srcB")._1 - expA) < 1e-12,
+      "mirror-skewed source drifts by the same amount")
+    assert(out("srcC")._1 == 0.0,
+      "a source matching the corpus blend has exactly zero KL")
+  }
+
+  test("heavyHitters on an empty corpus returns an empty result") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.heavyHitters(empty, "text", k = 10).count() == 0L)
+  }
+
   test("sketch aggregates incrementally over a stream (candidate pass)") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
