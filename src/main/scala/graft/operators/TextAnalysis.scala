@@ -101,6 +101,50 @@ object TextAnalysis {
       .drop("_qs_toks")
   }
 
+  /** Fixed-weight logistic quality classifier — the model-based filter
+    * stage of a pretraining curation pipeline (the FineWeb-Edu / DCLM
+    * pattern: a cheap linear scorer, trained offline, applied to every
+    * document at ingest). [[qualityScore]] exposes the raw features; this
+    * operator collapses them through a frozen linear model into one
+    * probability and a keep/drop verdict, so downstream stages filter on a
+    * single calibrated column instead of hand-tuned per-feature cutoffs.
+    *
+    * score = σ(bias + w·[alpha_ratio, stopword_ratio, mean_tok_len,
+    * ln(1+n_tokens)]); keep = score ≥ threshold. The default weights are
+    * illustrative frozen coefficients, not a shipped model — real
+    * deployments pass their own.
+    *
+    * Scale shape: ONE codegen projection over the text column — no
+    * shuffle, no UDF, no state; the token array is bound once and every
+    * feature derives from it inside the same whole-stage-codegen pass.
+    * Tokenization is case-sensitive raw-whitespace (the q37 feature
+    * convention), so stopword hits count lowercase forms only.
+    *
+    * @return input plus (`quality_score` double in (0,1), `keep` boolean).
+    */
+  def qualityClassifier(df: DataFrame, textCol: String,
+                        bias: Double = -6.0, wAlpha: Double = 5.0,
+                        wStopword: Double = 4.0, wMeanTokLen: Double = 0.25,
+                        wLogTokens: Double = 0.6,
+                        threshold: Double = 0.5): DataFrame = {
+    val t = col(textCol)
+    val toks = col("_qc_toks")
+    val en = stopwords.toMap.apply("en")
+    val nToks = greatest(size(toks), lit(1))
+    val z = lit(bias) +
+      lit(wAlpha) * (length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+        / greatest(length(t), lit(1))) +
+      lit(wStopword) * (size(filter(toks, x => x.isInCollection(en)))
+        .cast("double") / nToks) +
+      lit(wMeanTokLen) * ((length(t) - size(toks) + lit(1)).cast("double")
+        / nToks) +
+      lit(wLogTokens) * log(lit(1.0) + size(toks).cast("double"))
+    df.withColumn("_qc_toks", split(trim(t), "\\s+"))
+      .withColumn("quality_score", lit(1.0) / (lit(1.0) + exp(-z)))
+      .withColumn("keep", col("quality_score") >= lit(threshold))
+      .drop("_qc_toks")
+  }
+
   /** Normalized content fingerprint (md5 over whitespace-collapsed lowercase
     * text) — exact-dedup key robust to whitespace variation.
     */

@@ -551,6 +551,17 @@ object ExtensionQueries {
         .orderBy("source")
     },
 
+    // Model-based quality filter: frozen-weight logistic scorer over the
+    // q37 feature set (the FineWeb-Edu/DCLM curation stage) — one codegen
+    // projection, no shuffle; downstream filters on one calibrated score
+    // instead of per-feature cutoffs.
+    "q80_quality_classifier" -> { (s, d) =>
+      TextAnalysis.qualityClassifier(Tables.documents(s, d), "text")
+        .select(col("doc_id"), fr(col("quality_score"), 4).as("quality_score"),
+          col("keep"))
+        .orderBy("doc_id")
+    },
+
     // End-to-end curation funnel — the composition every pretraining
     // pipeline runs, as ONE lazy plan (no materialization between
     // stages): exact-dedup keeper → token-count quality gate →
@@ -1215,6 +1226,30 @@ object ExtensionQueries {
         |  GROUP BY s.source)
         |SELECT source, floor(kl * 10000.0 + 0.5) / 10000.0 AS kl, n_terms
         |FROM kl ORDER BY source""".stripMargin,
+
+    // the logistic replayed feature-by-feature; exp/ln agree across
+    // engines on identical double inputs, and the floor rounding absorbs
+    // any final-sum ulp (the q68/q76 convention). keep compares the
+    // UNROUNDED score, matching the Spark side.
+    "q80_quality_classifier" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |z AS (SELECT doc_id,
+        |  -6.0
+        |  + 5.0 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |           AS DOUBLE) / greatest(length(text), 1))
+        |  + 4.0 * (CAST(length(list_filter(toks,
+        |           t -> t IN ('the','a','of','and','in','to','is')))
+        |           AS DOUBLE) / greatest(length(toks), 1))
+        |  + 0.25 * (CAST(length(text) - length(toks) + 1 AS DOUBLE)
+        |           / greatest(length(toks), 1))
+        |  + 0.6 * ln(1.0 + CAST(length(toks) AS DOUBLE)) AS z
+        |  FROM t),
+        |sc AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) AS s FROM z)
+        |SELECT doc_id,
+        |  floor(s * 10000.0 + 0.5) / 10000.0 AS quality_score,
+        |  s >= 0.5 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     // each funnel stage replayed relationally: keeper = row_number 1 per
     // md5(text) ordered by doc_id (= min_by), cap = the q66 window, split

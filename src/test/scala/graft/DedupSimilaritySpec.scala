@@ -161,6 +161,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(stop > 0.2 && stop < 0.6)
   }
 
+  test("quality classifier matches the hand-computed logistic; ranks junk below prose") {
+    val prose = "the quick brown fox is near the lazy dog and the day is warm"
+    val junk = "@@@@ #### 1234 %%%% !!!! 0000 ^^^^ &&&& **** ((((("
+    val df = Seq((1L, prose), (2L, junk)).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityClassifier(df, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("quality_score"), r.getAs[Boolean]("keep"))).toMap
+    // replicate the frozen model by hand for the prose row
+    val toks = prose.split("\\s+"); val n = toks.length
+    val alpha = prose.count(_.isLetter).toDouble / prose.length
+    val stop = toks.count(Set("the", "a", "of", "and", "in", "to", "is")).toDouble / n
+    val mtl = (prose.length - n + 1).toDouble / n
+    val z = -6.0 + 5.0 * alpha + 4.0 * stop + 0.25 * mtl + 0.6 * math.log(1.0 + n)
+    val exp = 1.0 / (1.0 + math.exp(-z))
+    assert(math.abs(out(1L)._1 - exp) < 1e-12)
+    assert(out(1L)._1 > out(2L)._1, "symbol soup must score below prose")
+    assert(out(1L)._2 && !out(2L)._2,
+      s"default threshold keeps prose, drops junk: ${out(1L)._1} vs ${out(2L)._1}")
+  }
+
+  test("quality classifier survives empty text without dividing by zero") {
+    val df = Seq((1L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityClassifier(df, "text").collect()(0)
+    val s = r.getAs[Double]("quality_score")
+    assert(!s.isNaN && s > 0.0 && s < 1.0)
+  }
+
   test("contamination: identical doc scores 1.0, disjoint doc 0.0") {
     val bench = Seq((100L, base)).toDF("doc_id", "text")
     val corpus = Seq(
