@@ -367,6 +367,66 @@ object Similarity {
           .as("centroid_sim"))
   }
 
+  /** Deterministic k-means corpus clustering — the semantic-bucketing
+    * stage of a curation pipeline (cluster-then-sample mixing, per-topic
+    * yield reports, SemDedup-style within-cluster pruning all start from
+    * exactly this assignment).
+    *
+    * Fully replayable across engines, unlike a seeded-random fit:
+    *  - init is Forgy-by-id (the `k` vectors with smallest id);
+    *  - each Lloyd round assigns via the codegen `nearest_centroid`
+    *    (squared-L2 argmin, ties to the lowest index) and recomputes
+    *    per-cluster per-dimension means;
+    *  - updated centroid components are snapped to a 1e-6 grid
+    *    (`floor(x·1e6 + 0.5)/1e6`) so the unordered floating-point sum
+    *    behind `avg` can never leak engine- or run-specific ulps into the
+    *    next round's argmin — the [[graft.queries.QueryUtils.fr]]
+    *    convention applied mid-algorithm instead of at the output edge;
+    *  - a cluster that loses all members keeps its previous centroid.
+    *
+    * Scale shape: per round, ONE narrow scan (fused argmin, no vector
+    * shuffle — the per-cluster mean aggregates partial map-side, so the
+    * shuffle carries ≤ k·dim rows per task like [[labelCentroidScores]]),
+    * then a k×dim driver collect (KBs — the [[trainCentroids]] codebook
+    * pattern). Iterations are serial latency, not scale cost.
+    *
+    * @return one row per vector: (`idCol`, `cluster` int).
+    */
+  def kmeansCluster(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iterations: Int = 2): DataFrame = {
+    require(k >= 1, s"k=$k must be at least 1")
+    require(iterations >= 0, s"iterations=$iterations must be non-negative")
+    val spark = df.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val vecs = df.select(col(idCol).cast("long").as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def snap(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    var centroids: Seq[Seq[Double]] = vecs.orderBy(col("_id")).limit(k)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    require(centroids.nonEmpty, "kmeansCluster needs at least one vector")
+    for (_ <- 0 until iterations) {
+      val updated = vecs
+        .withColumn("_c", nearestCentroid(spark, col("_v"), centroids))
+        .select(col("_c"), posexplode(col("_v")).as(Seq("_p", "_x")))
+        .groupBy(col("_c"), col("_p"))
+        .agg(avg(col("_x")).as("_m"))
+        .groupBy(col("_c"))
+        .agg(transform(array_sort(collect_list(struct(col("_p"), col("_m")))),
+          e => e.getField("_m")).as("_centroid"))
+        .collect()
+        .map(r => r.getAs[Int]("_c") -> r.getSeq[Double](1).toSeq).toMap
+      centroids = centroids.zipWithIndex.map { case (prev, i) =>
+        updated.get(i).map(_.map(snap)).getOrElse(prev)
+      }
+    }
+    val out = vecs
+      .withColumn("cluster", nearestCentroid(spark, col("_v"), centroids))
+      .select(col("_id").as(idCol), col("cluster"))
+    vecs.unpersist(false) // out recomputes from source if materialized later
+    out
+  }
+
   /** Drop a persisted IVF index (table + location + sidecar). */
   def dropIvfIndex(spark: org.apache.spark.sql.SparkSession,
                    table: String): Unit =

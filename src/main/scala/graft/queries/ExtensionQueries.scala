@@ -551,6 +551,18 @@ object ExtensionQueries {
         .orderBy("source")
     },
 
+    // Deterministic k-means corpus clustering (Forgy-by-id init, 2 Lloyd
+    // rounds, 1e-6 centroid snap): the semantic-bucketing stage behind
+    // cluster-based mixing and SemDedup-style pruning. Integer-only
+    // output (assignment + cluster size) — the float math stays internal.
+    "q81_kmeans_cluster" -> { (s, d) =>
+      Similarity.kmeansCluster(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 8, iterations = 2)
+        .withColumn("cluster_n",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .orderBy("vec_id")
+    },
+
     // Model-based quality filter: frozen-weight logistic scorer over the
     // q37 feature set (the FineWeb-Edu/DCLM curation stage) — one codegen
     // projection, no shuffle; downstream filters on one calibrated score
@@ -1226,6 +1238,45 @@ object ExtensionQueries {
         |  GROUP BY s.source)
         |SELECT source, floor(kl * 10000.0 + 0.5) / 10000.0 AS kl, n_terms
         |FROM kl ORDER BY source""".stripMargin,
+
+    // the two Lloyd rounds unrolled as CTE pairs (assign = row_number over
+    // (distance, cid) — argmin of sqrt-L2 equals argmin of the squared form
+    // Spark's nearest_centroid uses; update = per-(cid, dim) avg snapped to
+    // the same 1e-6 grid, empty clusters coalesce to the previous round).
+    // Output is integer-only, so no float ever reaches the hash.
+    "q81_kmeans_cluster" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)),
+        |a0 AS (SELECT vec_id, e, cid, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY list_distance(e, ce), cid) AS rn
+        |  FROM v CROSS JOIN c0),
+        |s0 AS (SELECT vec_id, e, cid FROM a0 WHERE rn = 1),
+        |u0 AS (SELECT cid, pos, floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS m
+        |  FROM (SELECT cid, generate_subscripts(e, 1) AS pos, unnest(e) AS x
+        |        FROM s0) t
+        |  GROUP BY cid, pos),
+        |n0 AS (SELECT cid, list(m ORDER BY pos) AS ce FROM u0 GROUP BY cid),
+        |c1 AS (SELECT c0.cid, coalesce(n0.ce, c0.ce) AS ce
+        |  FROM c0 LEFT JOIN n0 USING (cid)),
+        |a1 AS (SELECT vec_id, e, cid, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY list_distance(e, ce), cid) AS rn
+        |  FROM v CROSS JOIN c1),
+        |s1 AS (SELECT vec_id, e, cid FROM a1 WHERE rn = 1),
+        |u1 AS (SELECT cid, pos, floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS m
+        |  FROM (SELECT cid, generate_subscripts(e, 1) AS pos, unnest(e) AS x
+        |        FROM s1) t
+        |  GROUP BY cid, pos),
+        |n1 AS (SELECT cid, list(m ORDER BY pos) AS ce FROM u1 GROUP BY cid),
+        |c2 AS (SELECT c1.cid, coalesce(n1.ce, c1.ce) AS ce
+        |  FROM c1 LEFT JOIN n1 USING (cid)),
+        |af AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY list_distance(e, ce), cid) AS rn
+        |  FROM v CROSS JOIN c2)
+        |SELECT vec_id, cid AS cluster,
+        |  count(*) OVER (PARTITION BY cid) AS cluster_n
+        |FROM af WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     // the logistic replayed feature-by-feature; exp/ln agree across
     // engines on identical double inputs, and the floor rounding absorbs

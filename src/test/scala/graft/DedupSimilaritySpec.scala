@@ -188,6 +188,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!s.isNaN && s > 0.0 && s < 1.0)
   }
 
+  test("kmeans clusters a separable 2-d set the way Lloyd's does by hand") {
+    val df = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.1, 0.0)),
+      (3L, Seq(10.0, 10.0)), (4L, Seq(10.1, 10.0)),
+      (5L, Seq(20.0, 20.0)), (6L, Seq(20.1, 20.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansCluster(df, "vec_id", "embedding",
+        k = 3, iterations = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster"))
+      .toMap
+    // Forgy-by-id init = vectors 1, 2, 3; the two far blobs both fall to
+    // centroid 2 in round 1 and stay there after its mean drifts to the
+    // midpoint — the hand-traced Lloyd fixture, not a vibe check
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 2, 6L -> 2))
+  }
+
+  test("kmeans keeps the previous centroid for a cluster that empties") {
+    val df = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 0.0)),
+      (3L, Seq(10.0, 10.0))).toDF("vec_id", "embedding")
+    // init duplicates: c0 = c1 = [0,0]; every tie resolves to index 0, so
+    // c1 goes memberless and must survive on its previous coordinates
+    val runs = (1 to 2).map { _ =>
+      Similarity.kmeansCluster(df, "vec_id", "embedding", k = 2,
+          iterations = 2)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"))).toSeq
+    }
+    assert(runs(0) == runs(1), "assignment must be run-stable")
+    assert(runs(0).map(_._2).forall(c => c == 0 || c == 1))
+    // after round 1, c0 drifts to the global mean while c1 holds [0,0]:
+    // the origin pair re-homes to the kept empty centroid
+    assert(runs(0) == Seq((1L, 1), (2L, 1), (3L, 0)))
+  }
+
   test("contamination: identical doc scores 1.0, disjoint doc 0.0") {
     val bench = Seq((100L, base)).toDF("doc_id", "text")
     val corpus = Seq(
