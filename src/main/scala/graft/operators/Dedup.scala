@@ -601,6 +601,53 @@ object Dedup {
         (col("n_tokens") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** SemDedup-style semantic pruning (Abbas et al. 2023, "SemDedup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * cluster the corpus with deterministic k-means, then mark a vector a
+    * duplicate iff a SMALLER-id vector in the SAME cluster sits at cosine
+    * ≥ `threshold`. Greedy id-ordered pruning, deliberately not transitive
+    * closure — the chain a~b~c with a≁c keeps a and c here, which is the
+    * SemDedup semantics (CC-based clustering is [[embeddingDedup]]'s job).
+    *
+    * This is the production-scale path for embedding dedup: candidate
+    * pairs are generated per k-means cell via an equi-join on the cluster
+    * id — never all-pairs — so pair volume is Σ|cell|², bounded by the
+    * clustering instead of the corpus square. Cosines are rounded to the
+    * 1e-4 grid BEFORE the threshold compare (the q75 convention), so an
+    * engine's last-ulp cosine can't flip a keep/drop verdict.
+    *
+    * Scale notes: the dup check is one aggregate over within-cell pairs
+    * (`min(id) over cell-mates at sim ≥ τ`), re-joined to the assignment —
+    * both shuffles keyed on (cluster) then (id). A pathological cell (k
+    * too small for the corpus) shows up as a hot cluster key; the fix is
+    * more clusters, which is also what recall wants.
+    *
+    * @return one row per vector: (`idCol`, `cluster`, `is_dup`).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, threshold: Double, iterations: Int = 2): DataFrame = {
+    val s = df.sparkSession
+    graft.plans.GraftExtensions.register(s)
+    val sim4 = (a: Column, b: Column) =>
+      floor(call_function("cosine_sim", a, b) * 10000.0 + 0.5) / 10000.0
+    val assigned = Similarity.kmeansCluster(df, idCol, vecCol, k, iterations)
+    val withVec = df
+      .select(col(idCol).cast("long").as(idCol),
+        col(vecCol).cast("array<double>").as("_v"))
+      .join(assigned, Seq(idCol))
+    val a = withVec.select(col("cluster"), col(idCol).as("_ida"),
+      col("_v").as("_va"))
+    val b = withVec.select(col("cluster"), col(idCol).as("_idb"),
+      col("_v").as("_vb"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("_ida") < col("_idb") &&
+        sim4(col("_va"), col("_vb")) >= lit(threshold))
+      .select(col("_idb").as(idCol)).distinct()
+    withVec.join(dups.withColumn("_dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("_dup"), lit(false)).as("is_dup"))
+  }
+
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, pairs: Option[DataFrame] = None,
                      algorithm: String = "auto"): DataFrame = {

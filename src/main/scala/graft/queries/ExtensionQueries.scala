@@ -563,6 +563,17 @@ object ExtensionQueries {
         .orderBy("vec_id")
     },
 
+    // SemDedup-style semantic pruning: k-means cells (q81's deterministic
+    // clustering) bound candidate generation — pairs come from an
+    // equi-join on the cluster id, never all-pairs — and a vector is a dup
+    // iff a smaller-id cell-mate sits at rounded cosine ≥ 0.38 (greedy
+    // id-ordered, not transitive; CC-based closure is q75).
+    "q82_semantic_dedup" -> { (s, d) =>
+      Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 8, threshold = 0.38)
+        .orderBy("vec_id")
+    },
+
     // Model-based quality filter: frozen-weight logistic scorer over the
     // q37 feature set (the FineWeb-Edu/DCLM curation stage) — one codegen
     // projection, no shuffle; downstream filters on one calibrated score
@@ -1277,6 +1288,52 @@ object ExtensionQueries {
         |SELECT vec_id, cid AS cluster,
         |  count(*) OVER (PARTITION BY cid) AS cluster_n
         |FROM af WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // the q81 Lloyd chain verbatim, then the SemDedup verdict: dup iff a
+    // smaller-id cell-mate has floor-rounded cosine ≥ the threshold (the
+    // rounding happens BEFORE the compare on both engines, so a last-ulp
+    // cosine can't flip a verdict)
+    "q82_semantic_dedup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)),
+        |a0 AS (SELECT vec_id, e, cid, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY list_distance(e, ce), cid) AS rn
+        |  FROM v CROSS JOIN c0),
+        |s0 AS (SELECT vec_id, e, cid FROM a0 WHERE rn = 1),
+        |u0 AS (SELECT cid, pos, floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS m
+        |  FROM (SELECT cid, generate_subscripts(e, 1) AS pos, unnest(e) AS x
+        |        FROM s0) t
+        |  GROUP BY cid, pos),
+        |n0 AS (SELECT cid, list(m ORDER BY pos) AS ce FROM u0 GROUP BY cid),
+        |c1 AS (SELECT c0.cid, coalesce(n0.ce, c0.ce) AS ce
+        |  FROM c0 LEFT JOIN n0 USING (cid)),
+        |a1 AS (SELECT vec_id, e, cid, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY list_distance(e, ce), cid) AS rn
+        |  FROM v CROSS JOIN c1),
+        |s1 AS (SELECT vec_id, e, cid FROM a1 WHERE rn = 1),
+        |u1 AS (SELECT cid, pos, floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS m
+        |  FROM (SELECT cid, generate_subscripts(e, 1) AS pos, unnest(e) AS x
+        |        FROM s1) t
+        |  GROUP BY cid, pos),
+        |n1 AS (SELECT cid, list(m ORDER BY pos) AS ce FROM u1 GROUP BY cid),
+        |c2 AS (SELECT c1.cid, coalesce(n1.ce, c1.ce) AS ce
+        |  FROM c1 LEFT JOIN n1 USING (cid)),
+        |af AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY list_distance(e, ce), cid) AS rn
+        |  FROM v CROSS JOIN c2),
+        |asg AS (SELECT vec_id, cid AS cluster FROM af WHERE rn = 1),
+        |d AS (SELECT DISTINCT b.vec_id
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster
+        |    AND a.vec_id < b.vec_id
+        |  JOIN v va ON va.vec_id = a.vec_id
+        |  JOIN v vb ON vb.vec_id = b.vec_id
+        |  WHERE floor(list_cosine_similarity(va.e, vb.e) * 10000.0 + 0.5)
+        |        / 10000.0 >= 0.38)
+        |SELECT asg.vec_id, asg.cluster, d.vec_id IS NOT NULL AS is_dup
+        |FROM asg LEFT JOIN d ON asg.vec_id = d.vec_id
+        |ORDER BY asg.vec_id""".stripMargin,
 
     // the logistic replayed feature-by-feature; exp/ln agree across
     // engines on identical double inputs, and the floor rounding absorbs

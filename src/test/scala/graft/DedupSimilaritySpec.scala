@@ -222,6 +222,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(runs(0) == Seq((1L, 1), (2L, 1), (3L, 0)))
   }
 
+  test("semanticDedup with k=1 equals brute-force greedy pruning; cells bound candidates") {
+    // two tight blobs plus one isolated point; ids interleaved so greedy
+    // id-ordering matters
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (4L, Seq(0.999, 0.01, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0)), (5L, Seq(0.01, 0.999, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val k1 = Dedup.semanticDedup(df, "vec_id", "embedding", k = 1,
+        threshold = 0.98, iterations = 0)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_dup"))
+      .toMap
+    // brute force at cos ≥ 0.98: 4 dups to 1, 5 dups to 2, 3 unique
+    assert(k1 == Map(1L -> false, 2L -> false, 3L -> false,
+      4L -> true, 5L -> true))
+    // with enough clusters the blobs land in separate cells and the
+    // verdicts must not change (near-dups are near in embedding space, so
+    // they share a cell); the isolated point stays unique in its own cell
+    val k3 = Dedup.semanticDedup(df, "vec_id", "embedding", k = 3,
+        threshold = 0.98, iterations = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_dup"))
+      .toMap
+    assert(k3 == k1, "cell-bounded pruning must keep blob-local verdicts")
+  }
+
   test("contamination: identical doc scores 1.0, disjoint doc 0.0") {
     val bench = Seq((100L, base)).toDF("doc_id", "text")
     val corpus = Seq(
