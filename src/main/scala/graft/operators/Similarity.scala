@@ -394,6 +394,22 @@ object Similarity {
     */
   def kmeansCluster(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, iterations: Int = 2): DataFrame = {
+    val centroids = kmeansCentroids(df, idCol, vecCol, k, iterations)
+    df.select(col(idCol).cast("long").as(idCol),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("cluster", nearestCentroid(df.sparkSession, col("_v"), centroids))
+      .select(col(idCol), col("cluster"))
+  }
+
+  /** The snapped-Lloyd centroids behind [[kmeansCluster]], exposed for
+    * operators that need the codebook itself (deterministic IVF layouts,
+    * recall evaluation): Forgy-by-id init, `iterations` rounds of
+    * assign + per-dimension mean, every updated component snapped to the
+    * 1e-6 grid, empty clusters keeping their previous coordinates.
+    * Driver-side k×dim doubles — the [[trainCentroids]] codebook pattern.
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iterations: Int): Seq[Seq[Double]] = {
     require(k >= 1, s"k=$k must be at least 1")
     require(iterations >= 0, s"iterations=$iterations must be non-negative")
     val spark = df.sparkSession
@@ -401,30 +417,71 @@ object Similarity {
     val vecs = df.select(col(idCol).cast("long").as("_id"),
         col(vecCol).cast("array<double>").as("_v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def snap(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
-    var centroids: Seq[Seq[Double]] = vecs.orderBy(col("_id")).limit(k)
-      .collect().map(_.getSeq[Double](1).toSeq).toSeq
-    require(centroids.nonEmpty, "kmeansCluster needs at least one vector")
-    for (_ <- 0 until iterations) {
-      val updated = vecs
-        .withColumn("_c", nearestCentroid(spark, col("_v"), centroids))
-        .select(col("_c"), posexplode(col("_v")).as(Seq("_p", "_x")))
-        .groupBy(col("_c"), col("_p"))
-        .agg(avg(col("_x")).as("_m"))
-        .groupBy(col("_c"))
-        .agg(transform(array_sort(collect_list(struct(col("_p"), col("_m")))),
-          e => e.getField("_m")).as("_centroid"))
-        .collect()
-        .map(r => r.getAs[Int]("_c") -> r.getSeq[Double](1).toSeq).toMap
-      centroids = centroids.zipWithIndex.map { case (prev, i) =>
-        updated.get(i).map(_.map(snap)).getOrElse(prev)
+    try {
+      def snap(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+      var centroids: Seq[Seq[Double]] = vecs.orderBy(col("_id")).limit(k)
+        .collect().map(_.getSeq[Double](1).toSeq).toSeq
+      require(centroids.nonEmpty, "kmeansCentroids needs at least one vector")
+      for (_ <- 0 until iterations) {
+        val updated = vecs
+          .withColumn("_c", nearestCentroid(spark, col("_v"), centroids))
+          .select(col("_c"), posexplode(col("_v")).as(Seq("_p", "_x")))
+          .groupBy(col("_c"), col("_p"))
+          .agg(avg(col("_x")).as("_m"))
+          .groupBy(col("_c"))
+          .agg(transform(array_sort(collect_list(struct(col("_p"), col("_m")))),
+            e => e.getField("_m")).as("_centroid"))
+          .collect()
+          .map(r => r.getAs[Int]("_c") -> r.getSeq[Double](1).toSeq).toMap
+        centroids = centroids.zipWithIndex.map { case (prev, i) =>
+          updated.get(i).map(_.map(snap)).getOrElse(prev)
+        }
       }
-    }
-    val out = vecs
-      .withColumn("cluster", nearestCentroid(spark, col("_v"), centroids))
-      .select(col("_id").as(idCol), col("cluster"))
-    vecs.unpersist(false) // out recomputes from source if materialized later
-    out
+      centroids
+    } finally vecs.unpersist(false)
+  }
+
+  /** Recall@k of the IVF probe against the exact brute-force top-k — the
+    * measurement loop an ANN deployment runs before trusting nProbe:
+    * "measure, don't guess" as an operator instead of a notebook.
+    *
+    * Both sides use the SAME deterministic ranking ((1e-4-rounded cosine
+    * desc, id asc), self-matches excluded) so the intersection is a set
+    * compare, not a float compare; the quantizer is [[kmeansCentroids]]
+    * (snapped Lloyd), so the bucketing replays bit-identically across
+    * engines and runs. IVF probe volume is nProbe/nLists of the corpus per
+    * query; the exact side is the brute-force baseline and prices the
+    * evaluation, not production — run it on a query SAMPLE at scale.
+    *
+    * @return one row per query: (`qid`, `hits` ∈ [0,k], `recall` = hits/k).
+    */
+  def ivfRecall(queries: DataFrame, corpus: DataFrame, qIdCol: String,
+                cIdCol: String, vecCol: String, k: Int,
+                nLists: Int, nProbe: Int, iterations: Int = 2): DataFrame = {
+    val s = queries.sparkSession
+    val centroids = kmeansCentroids(corpus, cIdCol, vecCol, nLists, iterations)
+    val c = corpus.select(col(cIdCol).cast("long").as("cid"),
+        col(vecCol).cast("array<double>").as("ce"))
+      .withColumn("bucket", nearestCentroid(s, col("ce"), centroids))
+    val q = queries.select(col(qIdCol).cast("long").as("qid"),
+      col(vecCol).cast("array<double>").as("qe"))
+    val probes = q.withColumn("bucket",
+      explode(probeListsCol(col("qe"), centroids, nProbe)))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    val ivf = broadcast(probes).join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        fr4(cosineFast(s, col("qe"), col("ce"))).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("cid"))
+    val exact = topK(queries, corpus, qIdCol, cIdCol, vecCol, k)
+      .select(col("qid"), col("cid"))
+    exact.join(ivf.withColumn("_hit", lit(true)), Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(when(col("_hit"), lit(1L)).otherwise(lit(0L))).as("hits"))
+      .withColumn("recall",
+        floor(col("hits").cast("double") / lit(k.toDouble) * 10000.0 + 0.5)
+          / 10000.0)
   }
 
   /** Drop a persisted IVF index (table + location + sidecar). */

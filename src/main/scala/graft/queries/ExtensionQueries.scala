@@ -563,6 +563,19 @@ object ExtensionQueries {
         .orderBy("vec_id")
     },
 
+    // IVF recall@k vs the exact brute-force top-k — the ANN evaluation
+    // loop as a first-class operator ("measure, don't guess"): both sides
+    // share one deterministic ranking (rounded cosine desc, id asc), so
+    // recall is a set intersection; the quantizer is the snapped-Lloyd
+    // codebook, bit-replayable by the oracle.
+    "q83_ivf_recall" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfRecall(emb.filter(col("vec_id") <= 10), emb,
+          "vec_id", "vec_id", "embedding",
+          k = 10, nLists = 8, nProbe = 2, iterations = 2)
+        .orderBy("qid")
+    },
+
     // SemDedup-style semantic pruning: k-means cells (q81's deterministic
     // clustering) bound candidate generation — pairs come from an
     // equi-join on the cluster id, never all-pairs — and a vector is a dup
@@ -1288,6 +1301,66 @@ object ExtensionQueries {
         |SELECT vec_id, cid AS cluster,
         |  count(*) OVER (PARTITION BY cid) AS cluster_n
         |FROM af WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // the q81 Lloyd chain gives the codebook (c2) and corpus buckets
+    // (asg); each query probes its 2 nearest centroids, ranks candidates
+    // by the same (rounded cosine desc, id) order as the exact side, and
+    // recall counts the overlap of the two id sets
+    "q83_ivf_recall" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)),
+        |a0 AS (SELECT vec_id, e, cid, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY list_distance(e, ce), cid) AS rn
+        |  FROM v CROSS JOIN c0),
+        |s0 AS (SELECT vec_id, e, cid FROM a0 WHERE rn = 1),
+        |u0 AS (SELECT cid, pos, floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS m
+        |  FROM (SELECT cid, generate_subscripts(e, 1) AS pos, unnest(e) AS x
+        |        FROM s0) t
+        |  GROUP BY cid, pos),
+        |n0 AS (SELECT cid, list(m ORDER BY pos) AS ce FROM u0 GROUP BY cid),
+        |c1 AS (SELECT c0.cid, coalesce(n0.ce, c0.ce) AS ce
+        |  FROM c0 LEFT JOIN n0 USING (cid)),
+        |a1 AS (SELECT vec_id, e, cid, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY list_distance(e, ce), cid) AS rn
+        |  FROM v CROSS JOIN c1),
+        |s1 AS (SELECT vec_id, e, cid FROM a1 WHERE rn = 1),
+        |u1 AS (SELECT cid, pos, floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS m
+        |  FROM (SELECT cid, generate_subscripts(e, 1) AS pos, unnest(e) AS x
+        |        FROM s1) t
+        |  GROUP BY cid, pos),
+        |n1 AS (SELECT cid, list(m ORDER BY pos) AS ce FROM u1 GROUP BY cid),
+        |c2 AS (SELECT c1.cid, coalesce(n1.ce, c1.ce) AS ce
+        |  FROM c1 LEFT JOIN n1 USING (cid)),
+        |af AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY list_distance(e, ce), cid) AS rn
+        |  FROM v CROSS JOIN c2),
+        |asg AS (SELECT vec_id, cid AS bucket FROM af WHERE rn = 1),
+        |qs AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id <= 10),
+        |pr AS (SELECT qid, cid AS bucket, row_number() OVER (PARTITION BY qid
+        |    ORDER BY list_distance(qe, ce), cid) AS prn
+        |  FROM qs CROSS JOIN c2),
+        |probes AS (SELECT qid, bucket FROM pr WHERE prn <= 2),
+        |iv AS (SELECT p.qid, a.vec_id AS cid, row_number() OVER (
+        |    PARTITION BY p.qid ORDER BY
+        |    floor(list_cosine_similarity(q.qe, cv.e) * 10000.0 + 0.5)
+        |      / 10000.0 DESC, a.vec_id) AS rn
+        |  FROM probes p
+        |  JOIN asg a ON a.bucket = p.bucket AND a.vec_id <> p.qid
+        |  JOIN v cv ON cv.vec_id = a.vec_id
+        |  JOIN qs q ON q.qid = p.qid),
+        |ivfk AS (SELECT qid, cid FROM iv WHERE rn <= 10),
+        |ex AS (SELECT q.qid, cv.vec_id AS cid, row_number() OVER (
+        |    PARTITION BY q.qid ORDER BY
+        |    floor(list_cosine_similarity(q.qe, cv.e) * 10000.0 + 0.5)
+        |      / 10000.0 DESC, cv.vec_id) AS rn
+        |  FROM qs q JOIN v cv ON cv.vec_id <> q.qid),
+        |exk AS (SELECT qid, cid FROM ex WHERE rn <= 10)
+        |SELECT exk.qid, count(ivfk.cid) AS hits,
+        |  floor(count(ivfk.cid) / 10.0 * 10000.0 + 0.5) / 10000.0 AS recall
+        |FROM exk LEFT JOIN ivfk ON exk.qid = ivfk.qid AND exk.cid = ivfk.cid
+        |GROUP BY exk.qid ORDER BY exk.qid""".stripMargin,
 
     // the q81 Lloyd chain verbatim, then the SemDedup verdict: dup iff a
     // smaller-id cell-mate has floor-rounded cosine ≥ the threshold (the

@@ -247,6 +247,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(k3 == k1, "cell-bounded pruning must keep blob-local verdicts")
   }
 
+  test("ivfRecall: exhaustive probe is exactly 1.0; recall grows with nProbe") {
+    // deterministic pseudo-random 8-d vectors (no Math.random — replayable)
+    val vecs = (1L to 60L).map { i =>
+      (i, (0 until 8).map(d => math.sin(i * 31 + d * 7).abs))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") <= 5)
+    def meanRecall(nProbe: Int): Double = {
+      val rows = Similarity.ivfRecall(queries, df, "vec_id", "vec_id",
+          "embedding", k = 5, nLists = 4, nProbe = nProbe, iterations = 2)
+        .collect()
+      rows.map(_.getAs[Double]("recall")).sum / rows.length
+    }
+    val exhaustive = meanRecall(4)
+    assert(exhaustive == 1.0,
+      s"nProbe = nLists probes every list — brute force by construction, got $exhaustive")
+    val r1 = meanRecall(1)
+    val r2 = meanRecall(2)
+    assert(r1 <= r2 && r2 <= 1.0,
+      s"candidate sets only grow with nProbe: r1=$r1 r2=$r2")
+  }
+
   test("contamination: identical doc scores 1.0, disjoint doc 0.0") {
     val bench = Seq((100L, base)).toDF("doc_id", "text")
     val corpus = Seq(
