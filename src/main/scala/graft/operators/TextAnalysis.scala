@@ -145,6 +145,45 @@ object TextAnalysis {
       .drop("_qc_toks")
   }
 
+  /** CCNet-style per-group score terciles (Wenzek et al. 2020: bucket each
+    * source's documents into head/middle/tail by LM perplexity; train on
+    * head+middle, drop or downweight tail). Generic over any score column;
+    * `head` is the HIGHEST-score third (pass a log-probability, where
+    * higher = more fluent).
+    *
+    * Scale shape — the q66 lesson applied to quantiles: the ranking window
+    * never sees document rows. Docs collapse to a (group, score) census
+    * first (map-side partial agg; the caller's score must already be
+    * grid-rounded, e.g. the 1e-4 `fr` convention, which BOUNDS the
+    * distinct-value count per group), the cumulative rank runs over that
+    * bounded census, and buckets join back on (group, score) — one
+    * equi-join, no per-doc window, no single-task-per-group sort.
+    *
+    * Ties share a score row in the census, so every doc at the same
+    * (group, score) lands in the same bucket — the bucket of the tied
+    * run's first rank: `least(floor(3·prev/n), 2)`, integer-exact in IEEE
+    * doubles on both engines.
+    *
+    * @return the input plus `ppl_bucket` ∈ {head, middle, tail}.
+    */
+  def scoreTerciles(df: DataFrame, groupCol: String, scoreCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_prev", col("_cum") - col("_c"))
+    val tot = counts.groupBy(col(groupCol)).agg(sum(col("_c")).as("_n"))
+    val buckets = cum.join(tot, Seq(groupCol))
+      .withColumn("_b",
+        least(floor(lit(3.0) * col("_prev") / col("_n")).cast("int"), lit(2)))
+      .withColumn("ppl_bucket",
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          col("_b") + 1))
+      .select(col(groupCol), col(scoreCol), col("ppl_bucket"))
+    df.join(buckets, Seq(groupCol, scoreCol))
+  }
+
   /** Normalized content fingerprint (md5 over whitespace-collapsed lowercase
     * text) — exact-dedup key robust to whitespace variation.
     */

@@ -563,6 +563,22 @@ object ExtensionQueries {
         .orderBy("vec_id")
     },
 
+    // CCNet-style perplexity bucketing: q68's unigram-LM scores, rounded
+    // to the 1e-4 grid, terciled per source into head/middle/tail. The
+    // ranking window runs over the bounded (source, score) census, never
+    // the documents — the q66 lesson applied to quantiles.
+    "q84_ppl_buckets" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+        .select(col("doc_id"), fr(col("logprob"), 4).as("logprob"))
+      val withSrc = docs.select(col("doc_id"), col("source"))
+        .join(scored, Seq("doc_id"))
+      TextAnalysis.scoreTerciles(withSrc, "source", "logprob")
+        .select(col("doc_id"), col("source"), col("logprob"),
+          col("ppl_bucket"))
+        .orderBy("doc_id")
+    },
+
     // IVF recall@k vs the exact brute-force top-k — the ANN evaluation
     // loop as a first-class operator ("measure, don't guess"): both sides
     // share one deterministic ranking (rounded cosine desc, id asc), so
@@ -1301,6 +1317,38 @@ object ExtensionQueries {
         |SELECT vec_id, cid AS cluster,
         |  count(*) OVER (PARTITION BY cid) AS cluster_n
         |FROM af WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // the q68 scoring chain, then the census tercile: cumulative counts
+    // over distinct (source, rounded-score) values ordered desc, bucket =
+    // least(floor(3·prev/n), 2) — integer-exact double math, ties take the
+    // run's first-rank bucket on both engines
+    "q84_ppl_buckets" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+        |t AS (SELECT count(*) AS tot FROM tok),
+        |sc0 AS (SELECT doc_id,
+        |    floor(avg(lp) * 10000.0 + 0.5) / 10000.0 AS logprob
+        |  FROM (SELECT tok.doc_id, ln(CAST(cnt AS DOUBLE) / tot) AS lp
+        |        FROM tok JOIN c USING (term) CROSS JOIN t) s
+        |  GROUP BY doc_id),
+        |ds AS (SELECT d.doc_id, d.source, sc0.logprob
+        |  FROM documents d JOIN sc0 USING (doc_id)),
+        |cen AS (SELECT source, logprob, count(*) AS cc
+        |  FROM ds GROUP BY source, logprob),
+        |cum AS (SELECT source, logprob, cc, sum(cc) OVER (PARTITION BY source
+        |    ORDER BY logprob DESC ROWS UNBOUNDED PRECEDING) AS cm
+        |  FROM cen),
+        |tt AS (SELECT source, sum(cc) AS n FROM cen GROUP BY source),
+        |bk AS (SELECT cum.source, cum.logprob,
+        |    CASE least(CAST(floor(3.0 * (cm - cc) / n) AS INTEGER), 2)
+        |      WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+        |    END AS ppl_bucket
+        |  FROM cum JOIN tt USING (source))
+        |SELECT ds.doc_id, ds.source, ds.logprob, bk.ppl_bucket
+        |FROM ds JOIN bk ON ds.source = bk.source AND ds.logprob = bk.logprob
+        |ORDER BY ds.doc_id""".stripMargin,
 
     // the q81 Lloyd chain gives the codebook (c2) and corpus buckets
     // (asg); each query probes its 2 nearest centroids, ranks candidates
