@@ -21,6 +21,14 @@ object Dedup {
 
   private val P: Long = 2147483647L // 2^31 - 1, Mersenne prime
 
+  private def ccTimed[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (sys.env.get("GRAFT_TIMING").contains("1"))
+      System.err.println(f"[graft-timing]   $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
 
   /** Exact dedup: keep the smallest `idCol` row per distinct content hash.
     *
@@ -350,10 +358,6 @@ object Dedup {
                           maxIter: Int = 25,
                           algorithm: String = "pointer-jumping"): DataFrame = {
     val ids = nodes.select(col(idCol).cast("long").as("id")).distinct()
-    // an empty node set has nothing to label — and sum() over zero rows is
-    // null, which the convergence probes must never see
-    if (ids.isEmpty)
-      return ids.select(col("id").as(idCol), col("id").as("component"))
     // materialize the caller's pair frame ONCE: it may be expensive to
     // produce (q75's cosine pair build), and both the auto skew probe and
     // the algorithms' initial edge materialization would otherwise each
@@ -414,9 +418,13 @@ object Dedup {
     // localCheckpoint materializes the round AND truncates lineage to a
     // LogicalRDD (a fault-tolerant deployment swaps in reliable
     // checkpointing via sparkContext.setCheckpointDir; same shape)
-    var labels = ids.withColumn("comp", col("id")).localCheckpoint()
+    // lazy checkpoint: the null-safe convergence probe is the materializing
+    // action (coalesce also covers the empty-node-set case — sum() over
+    // zero rows is null, and the loop then converges on 0 == 0)
+    var labels = ids.withColumn("comp", col("id")).localCheckpoint(false)
     var prevCkpt = checkpointRdd(labels)
-    var prevSum = labels.agg(sum("comp")).collect()(0).getLong(0)
+    var prevSum = labels.agg(coalesce(sum("comp"), lit(0L)))
+      .collect()(0).getLong(0)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -434,7 +442,9 @@ object Dedup {
       val next = merged.join(jump, col("comp") === col("jid"))
         .select(col("id"), col("jcomp").as("comp"))
         .localCheckpoint(false)
-      val newSum = next.agg(sum("comp")).collect()(0).getLong(0)
+      val newSum = ccTimed(s"cc-pj round $iter") {
+        next.agg(coalesce(sum("comp"), lit(0L))).collect()(0).getLong(0)
+      }
       // `next` is materialized and lineage-truncated now — the previous
       // round's snapshot can go (the FINAL round's snapshot backs the
       // returned frame and stays)
@@ -470,7 +480,7 @@ object Dedup {
         least(col(aCol), col(bCol)).cast("long").as("d"))
       .filter(col("s") =!= col("d"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false) // the initial probe below materializes it
     var prevCkpt = checkpointRdd(edges)
     // xxhash64 spans the full long range, so its sum accumulates in
     // decimal — a long sum would hit ANSI ARITHMETIC_OVERFLOW
@@ -500,7 +510,7 @@ object Dedup {
         .unionByName(sm.select(col("s"), col("m").as("d")))
         .distinct()
         .localCheckpoint(false) // the probe below materializes it
-      val cur = probe(next)
+      val cur = ccTimed(s"cc-star round $iter")(probe(next))
       prevCkpt.foreach(_.unpersist(false))
       prevCkpt = checkpointRdd(next)
       edges = next
