@@ -184,6 +184,64 @@ object TextAnalysis {
     df.join(buckets, Seq(groupCol, scoreCol))
   }
 
+  /** Character-level Shannon entropy (nats) of each document's codepoint
+    * distribution — low entropy flags repetitive/degenerate text, high
+    * entropy flags random noise; a standard cheap quality signal alongside
+    * the ratio features of [[qualityScore]].
+    *
+    * One fused codegen pass per row ([[graft.plans.CharEntropy]]): the
+    * per-document character census never leaves the row, so this is a pure
+    * projection — no explode, no shuffle, scan-parallel at any corpus size.
+    */
+  def charEntropy(df: DataFrame, textCol: String): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    df.withColumn("char_entropy",
+      call_function("char_entropy", col(textCol)))
+  }
+
+  /** Exact per-group percentiles of an integer-valued metric via a census
+    * rank — the [[scoreTerciles]] shape pointed at quantiles. Docs collapse
+    * to a (group, value) census first (map-side partial agg; the census is
+    * bounded by the DISTINCT value count per group, not the row count), the
+    * cumulative rank runs over that census, and each requested percentile
+    * is the smallest value whose cumulative count reaches ceil(p·n) — the
+    * classic type-1 quantile, computed in INTEGER arithmetic only
+    * (`cum·den ≥ num·n`), so engines can't disagree on a boundary.
+    *
+    * No per-group sort task ever sees document rows (the q66 lesson): a
+    * group with billions of docs but thousands of distinct values ranks
+    * thousands of census rows.
+    *
+    * @param percentiles (outputName, numerator, denominator) fractions,
+    *                    e.g. ("p50", 1, 2).
+    * @return one row per group: (groupCol, n_rows, <one column per
+    *         percentile>).
+    */
+  def percentileCensus(df: DataFrame, groupCol: String, valueCol: String,
+                       percentiles: Seq[(String, Int, Int)] =
+                         Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+      : DataFrame = {
+    require(percentiles.nonEmpty, "need at least one percentile")
+    percentiles.foreach { case (nm, num, den) =>
+      require(num > 0 && den > 0 && num <= den,
+        s"percentile $nm=$num/$den must satisfy 0 < num <= den")
+    }
+    val census = df.groupBy(col(groupCol), col(valueCol).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = census.withColumn("_cum", sum(col("_c")).over(w))
+    val tot = census.groupBy(col(groupCol)).agg(sum(col("_c")).as("_n"))
+    val aggs = percentiles.map { case (nm, num, den) =>
+      // _cum >= ceil(num*n/den)  <=>  _cum*den >= num*n  (integers)
+      min(when(col("_cum") * lit(den.toLong) >= lit(num.toLong) * col("_n"),
+        col("_v"))).as(nm)
+    }
+    cum.join(tot, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max(col("_n")).as("n_rows"), aggs: _*)
+  }
+
   /** Normalized content fingerprint (md5 over whitespace-collapsed lowercase
     * text) — exact-dedup key robust to whitespace variation.
     */

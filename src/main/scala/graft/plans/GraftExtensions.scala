@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cjkCountDescriptor)
     ext.injectFunction(GraftExtensions.misraGriesKeysDescriptor)
     ext.injectFunction(GraftExtensions.shingleHashesPosDescriptor)
+    ext.injectFunction(GraftExtensions.charEntropyDescriptor)
   }
 }
 
@@ -204,13 +205,23 @@ object GraftExtensions {
       MisraGriesKeys(Cast(children.head, ArrayType(LongType)), cap)
     })
 
+  private[plans] val charEntropyDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_entropy"),
+    new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "char_entropy(text) takes one string")
+      CharEntropy(Cast(children.head, StringType))
+    })
+
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit = {
     for ((id, info, builder) <- Seq(cosineSimDescriptor, tzLocalizeDescriptor,
         minhashSigDescriptor, nearestCentroidDescriptor,
         bloomMightContainDescriptor, shingleHashesDescriptor,
         stopwordLangCountsDescriptor, cjkCountDescriptor,
-        misraGriesKeysDescriptor, shingleHashesPosDescriptor))
+        misraGriesKeysDescriptor, shingleHashesPosDescriptor,
+        charEntropyDescriptor))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }

@@ -579,6 +579,29 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Character-entropy quality probe: one fused codegen pass per doc
+    // (graft.plans.CharEntropy) — the census never leaves the row. The
+    // low-entropy flag compares the ROUNDED score, so a last-ulp sum
+    // difference can't flip a verdict the hash compare accepts.
+    "q85_char_entropy" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.charEntropy(docs, "text")
+        .select(col("doc_id"), fr(col("char_entropy"), 4).as("entropy"))
+        .withColumn("low_entropy", col("entropy") < lit(2.5))
+        .orderBy("doc_id")
+    },
+
+    // Exact per-source token-count percentiles via the census rank —
+    // integer-only threshold math (cum·den >= num·n), no per-group sort
+    // of document rows (the q66/q84 scale shape applied to quantiles).
+    "q86_tok_percentiles" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val withTok = docs.select(col("source"),
+        TextAnalysis.tokenCount(col("text")).as("toks"))
+      TextAnalysis.percentileCensus(withTok, "source", "toks")
+        .orderBy("source")
+    },
+
     // IVF recall@k vs the exact brute-force top-k — the ANN evaluation
     // loop as a first-class operator ("measure, don't guess"): both sides
     // share one deterministic ranking (rounded cosine desc, id asc), so
@@ -1349,6 +1372,41 @@ object ExtensionQueries {
         |SELECT ds.doc_id, ds.source, ds.logprob, bk.ppl_bucket
         |FROM ds JOIN bk ON ds.source = bk.source AND ds.logprob = bk.logprob
         |ORDER BY ds.doc_id""".stripMargin,
+
+    // relational replay of the fused expression: per-doc char census,
+    // H = ln(n) - sum(c·ln c)/n — every ln() argument an exact integer,
+    // both engines round the same 1e-4 grid value
+    "q85_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents),
+        |cen AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+        |n AS (SELECT doc_id, sum(cnt) AS n FROM cen GROUP BY doc_id),
+        |e AS (SELECT cen.doc_id,
+        |    floor((ln(n) - sum(cnt * ln(cnt)) / n) * 10000.0 + 0.5)
+        |      / 10000.0 AS entropy
+        |  FROM cen JOIN n USING (doc_id) GROUP BY cen.doc_id, n)
+        |SELECT doc_id, entropy, entropy < 2.5 AS low_entropy
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    // census cumulative rank, type-1 quantile: smallest value whose
+    // cumulative count reaches ceil(p·n), checked as cum·den >= num·n in
+    // integers — no float thresholds, no engine quantile() builtins
+    "q86_tok_percentiles" ->
+      """WITH v AS (SELECT source,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+        |      AS tk
+        |  FROM documents),
+        |cen AS (SELECT source, tk, count(*) AS c FROM v GROUP BY source, tk),
+        |cum AS (SELECT source, tk, c, sum(c) OVER (PARTITION BY source
+        |    ORDER BY tk ROWS UNBOUNDED PRECEDING) AS cm FROM cen),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |  FROM cen GROUP BY source)
+        |SELECT cum.source, max(n) AS n_rows,
+        |  CAST(min(CASE WHEN cm * 2 >= 1 * n THEN tk END) AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN cm * 10 >= 9 * n THEN tk END) AS BIGINT) AS p90,
+        |  CAST(min(CASE WHEN cm * 100 >= 99 * n THEN tk END) AS BIGINT) AS p99
+        |FROM cum JOIN t USING (source) GROUP BY cum.source
+        |ORDER BY cum.source""".stripMargin,
 
     // the q81 Lloyd chain gives the codebook (c2) and corpus buckets
     // (asg); each query probes its 2 nearest centroids, ranks candidates

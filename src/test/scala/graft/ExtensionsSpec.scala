@@ -124,6 +124,40 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("char_entropy equals the census formula; deterministic; codegen-resident") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      "aaaaaaaa",                       // zero entropy
+      "abcdefgh",                       // maximal for 8 distinct
+      "the quick brown fox jumps",
+      "一二三 mixed 汉字 text",          // multi-byte codepoints
+      "",                               // empty -> 0.0
+      "aabbbbcc")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = graft.operators.TextAnalysis.charEntropy(df, "text")
+      .select("id", "char_entropy").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((t, i) <- texts.zipWithIndex) {
+      val counts = t.codePoints().toArray.groupBy(identity).values.map(_.length)
+      val n = counts.sum
+      val expect =
+        if (n == 0) 0.0
+        else math.log(n.toDouble) -
+          counts.map(c => c * math.log(c.toDouble)).sum / n
+      assert(math.abs(got(i.toLong) - expect) < 1e-12,
+        s"doc $i: ${got(i.toLong)} vs $expect")
+    }
+    assert(got(0L) == 0.0 && got(4L) == 0.0)
+    // stays inside whole-stage codegen against a parquet scan
+    graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("docs_ce")
+    val plan = spark.sql("SELECT char_entropy(text) FROM docs_ce")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expression stays inside codegen:\n$plan")
+  }
+
   test("array expressions reject non-array arguments at analysis time") {
     GraftExtensions.register(spark)
     import spark.implicits._

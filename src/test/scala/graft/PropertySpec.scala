@@ -350,6 +350,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("percentile census equals the sorted-list quantile on random groups") {
+    import org.apache.spark.sql.functions.col
+    // heavy ties (small value range), group-size skew, singleton groups —
+    // the census rank must reproduce the type-1 quantile exactly in all of
+    // them, and the result must not depend on the input partitioning
+    val caseGen = for {
+      n <- Gen.choose(1, 400)
+      nGroups <- Gen.choose(1, 6)
+      valRange <- Gen.oneOf(1, 3, 40, 1000)
+    } yield (n, nGroups, valRange)
+    val ps = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+    for (((n, nGroups, valRange), i) <- samples(caseGen, 5).zipWithIndex) {
+      val rnd = new scala.util.Random(57L + i)
+      val rows = (0 until n).map { j =>
+        ("g" + rnd.nextInt(nGroups), rnd.nextInt(valRange).toLong)
+      }
+      val df = rows.toDF("grp", "v").repartition(7)
+      val got = graft.operators.TextAnalysis
+        .percentileCensus(df, "grp", "v", ps)
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val byGroup = rows.groupBy(_._1)
+      assert(got.keySet == byGroup.keySet, s"case $i groups")
+      for ((g, members) <- byGroup) {
+        val sorted = members.map(_._2).sorted
+        val m = sorted.length
+        def q(num: Int, den: Int): Long = {
+          val rank = (num.toLong * m + den - 1) / den // ceil(p*m), >= 1
+          sorted((rank - 1).toInt.max(0))
+        }
+        assert(got(g) == ((m.toLong, q(1, 2), q(9, 10), q(99, 100))),
+          s"case $i group $g: ${got(g)} vs sorted=$sorted")
+      }
+    }
+  }
+
   test("tf-weighted unigram log-prob equals the occurrence mean on random corpora") {
     import org.apache.spark.sql.functions.{avg, col, count, explode, lit, log}
     val wordGen = Gen.oneOf("the", "cat", "sat", "on", "mat", "dog", "ran", "far")
