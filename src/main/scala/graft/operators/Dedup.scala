@@ -79,7 +79,8 @@ object Dedup {
     * Returns (`id`, `minhash` array).
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int, shingleSize: Int): DataFrame = {
+                        numHashes: Int, shingleSize: Int,
+                        carry: Seq[String] = Nil): DataFrame = {
     // One fused codegen loop per document (plans.MinHashSignature): word
     // hashes → rolling-polynomial shingle hashes → all `numHashes` mins,
     // NARROW (no shingle explosion, no groupBy shuffle). Signatures are
@@ -90,22 +91,27 @@ object Dedup {
     // shuffled ~tokens×docs rows where this streams one row per doc.
     graft.plans.GraftExtensions.register(df.sparkSession)
     val toks = split(trim(lower(col(textCol))), "\\s+")
-    df.select(col(idCol).as("id"),
+    df.select((col(idCol).as("id") +:
       call_function("minhash_sig",
         transform(toks, t => pmod(xxhash64(t), lit(P))),
-        lit(numHashes), lit(shingleSize)).as("minhash"))
+        lit(numHashes), lit(shingleSize)).as("minhash") +:
+      carry.map(col)): _*)
   }
 
-  /** Signatures plus banded bucket hashes: (`id`, `minhash`, `bands`). */
+  /** Signatures plus banded bucket hashes: (`id`, `minhash`, `bands`)
+    * plus any `carry` columns passed through untouched (e.g. an event-time
+    * column for the streaming form).
+    */
   def withMinHash(df: DataFrame, idCol: String, textCol: String, numHashes: Int,
-                  bands: Int, shingleSize: Int): DataFrame = {
+                  bands: Int, shingleSize: Int,
+                  carry: Seq[String] = Nil): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rows = numHashes / bands
     val bandHashes = array((0 until bands).map { b =>
       xxhash64(concat_ws(",",
         slice(col("minhash"), b * rows + 1, rows)), lit(b))
     }: _*)
-    minHashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    minHashSignatures(df, idCol, textCol, numHashes, shingleSize, carry)
       .withColumn("bands", bandHashes)
   }
 

@@ -98,6 +98,75 @@ object StreamingOps {
       lit(bytes), xxhash64(col(textCol))))
   }
 
+  final case class BandRow(docId: Long, ts: Timestamp, band: Int, bh: Long)
+  final case class NearDupHit(docId: Long, dupOf: Long, band: Int)
+  /** Keyed state: the first doc id that claimed an LSH band bucket. */
+  final case class BucketOwner(docId: Long, lastMs: Long)
+
+  /** Streaming MinHash near-dup detection — the live twin of the batch
+    * LSH pair generator (`Dedup.minHashLshPairs`): each arriving document
+    * projects to the SAME seed-fixed banded signature (one fused codegen
+    * pass, stateless), and a keyed state per (band, band-hash) bucket
+    * remembers the first document that claimed the bucket. A later
+    * document landing in an owned bucket emits a [[NearDupHit]]
+    * (`docId`, `dupOf` = owner, `band`).
+    *
+    * Output is an EVIDENCE stream, at-least-once per matching band: a doc
+    * colliding with its near-twin on three bands emits three hits. The
+    * per-doc reduce (distinct / min-dupOf, and est-Jaccard verification
+    * against the kept doc) is the consumer's job — a second stateful
+    * per-doc stage here would chain flatMapGroupsWithState into another
+    * stateful operator, which Structured Streaming's correctness rules
+    * don't admit in append mode; in practice the evidence stream lands in
+    * the sink and the exact batch verify (q41's shape) runs there.
+    *
+    * State is one (owner id, stamp) pair per OCCUPIED bucket inside the
+    * retention horizon, retired by `EventTimeTimeout` — the same bounded-
+    * state trade as [[streamingNotSeen]]: a duplicate arriving after its
+    * bucket retired re-registers as fresh, and the quiet-period miss is
+    * reconciled by the batch dedup that owns beyond-horizon history.
+    */
+  def streamingNearDup(docs: DataFrame, idCol: String, textCol: String,
+                       tsCol: String, numHashes: Int = 64, bands: Int = 16,
+                       shingleSize: Int = 5, delay: String = "1 minute",
+                       retention: String = "1 hour"): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    val banded = graft.operators.Dedup.withMinHash(
+        docs.withWatermark(tsCol, delay)
+          .select(col(idCol), col(textCol), col(tsCol)),
+        idCol, textCol, numHashes, bands, shingleSize, carry = Seq(tsCol))
+      .select(col("id").cast("long").as("docId"),
+        col(tsCol).as("ts"), // keeps the event-time tag for EventTimeTimeout
+        posexplode(col("bands")).as(Seq("band", "bh")))
+      .as[BandRow]
+    banded
+      .groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), rows: Iterator[BandRow],
+         state: GroupState[BucketOwner]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // arrival order within a micro-batch is nondeterministic;
+            // (event time, id) makes the ownership race reproducible
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.docId))
+            var owner = state.getOption.map(_.docId).getOrElse(-1L)
+            var lastMs = state.getOption.map(_.lastMs).getOrElse(0L)
+            val out = Seq.newBuilder[NearDupHit]
+            for (r <- sorted) {
+              if (owner < 0) owner = r.docId
+              else if (owner != r.docId) out += NearDupHit(r.docId, owner, key._1)
+              lastMs = math.max(lastMs, r.ts.getTime)
+            }
+            state.update(BucketOwner(owner, lastMs))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, lastMs), retention)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming sessionization — the live form of batch q47: events gap
     * into sessions when a key goes quiet for `gap`, via Spark's native
     * `session_window` aggregation (merging session state is managed by the

@@ -140,6 +140,43 @@ class MultimodalStreamingSpec extends SparkSpec {
       s"only fresh texts pass the bloom screen, got ${got.toSeq}")
   }
 
+  test("streaming near-dup: band-bucket state flags the later twin, matches batch LSH") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val base = (0 until 30).map(i => s"token$i").mkString(" ")
+    val twin = (0 until 30).map(i => if (i == 29) "changed" else s"token$i")
+      .mkString(" ")
+    val other = (0 until 30).map(i => s"else$i").mkString(" ")
+    // batch truth first: the LSH pair generator finds (1,2) and nothing else
+    val statics = Seq((1L, base), (2L, twin), (3L, other)).toDF("id", "text")
+    val batchPairs = graft.operators.Dedup
+      .minHashLshPairs(statics, "id", "text", threshold = 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(batchPairs == Set((1L, 2L)), s"batch LSH pairs: $batchPairs")
+
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts")
+    def ts(min: Int) = Timestamp.from(Instant.parse(f"2024-01-01T00:$min%02d:00Z"))
+    val hits = StreamingOps.streamingNearDup(stream, "doc_id", "text", "ts")
+    val q = hits.writeStream.format("memory")
+      .queryName("neardup_out").outputMode("append").start()
+    mem.addData((1L, base, ts(0)))
+    q.processAllAvailable()
+    mem.addData((2L, twin, ts(1)), (3L, other, ts(1)))
+    q.processAllAvailable()
+    // a re-crawl of the original far later still resolves to owner 1
+    mem.addData((4L, base, ts(5)))
+    q.processAllAvailable()
+    val out = spark.table("neardup_out")
+      .select("docId", "dupOf").as[(Long, Long)].collect().toSeq
+    q.stop()
+    assert(out.nonEmpty && out.forall(_._2 == 1L),
+      s"every hit names the first claimant as keeper: $out")
+    val flagged = out.map(_._1).toSet
+    assert(flagged == Set(2L, 4L),
+      s"twin and re-crawl flagged, the distinct doc is not: $flagged")
+  }
+
   test("streaming sessionize: quiet gap closes a session; state finalizes by watermark") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
