@@ -254,6 +254,55 @@ object Dedup {
       .select(col("id").as(idCol), col("_text").as(textCol))
   }
 
+  /** Corpus-frequency boilerplate line removal (the C4/CCNet "remove
+    * lines repeated across many pages" pass): a LINE is boilerplate iff
+    * it occurs in more than `maxDocFreq` distinct documents — cookie
+    * banners, nav menus, copyright footers — and every occurrence of a
+    * boilerplate line is stripped from every document. Differs from
+    * [[paragraphDedup]] on both axes: the unit is the line, and the
+    * verdict is frequency-based removal everywhere, not keep-first.
+    *
+    * Scale shape: lines hash to 64-bit keys in the same projection that
+    * splits them (8-byte shuffle keys, never a line-string exchange —
+    * the q41/q61 lesson). Document frequency needs per-doc distinct
+    * first (a line repeated inside ONE page is not corpus boilerplate),
+    * which is a (doc, hash) aggregate whose partial phase collapses
+    * in-doc repeats map-side. The boilerplate set itself is tiny by
+    * construction (lines with DF > threshold are precisely the ones a
+    * few templates stamp everywhere), so the strip is an anti-join
+    * against a small frame; reassembly is the [[paragraphDedup]]
+    * groupBy + in-row array_sort, never a cross-row ordered agg.
+    * Exact modulo 64-bit line-hash collisions (the q31 caveat).
+    *
+    * @return one row per input document: (`idCol`, `clean_text`,
+    *         `n_lines`, `n_removed`); a fully-boilerplate document
+    *         keeps an empty `clean_text`.
+    */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                       maxDocFreq: Long, sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      .withColumn("_h", xxhash64(col("line")))
+    val docFreq = lines.select(col("id"), col("_h")).distinct()
+      .groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+    val hot = docFreq.filter(col("_df") > maxDocFreq).select(col("_h"))
+    val kept = lines.join(hot, Seq("_h"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), sep).as("clean_text"),
+        count(lit(1)).as("_n_kept"))
+    df.select(col(idCol).cast("long").as("id"),
+        size(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).cast("long").as("n_lines"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Incremental cross-corpus dedup: rows of `batch` whose `textCol` does
     * NOT already occur in the `seen` corpus — the every-crawl-refresh
     * operation of a training-data pipeline (dedup the new crawl against

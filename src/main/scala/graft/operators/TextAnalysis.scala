@@ -555,6 +555,101 @@ object TextAnalysis {
       .otherwise(lit("test"))
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006): each row draws an exponential key `-ln(u) / w` from
+    * a content-seeded uniform `u` and its weight `w`; the global k
+    * SMALLEST keys are the sample, which selects each row with
+    * probability proportional to its weight — quality-weighted corpus
+    * downsampling, where a high-quality document is k× more likely in
+    * the training mix than a k×-lighter one.
+    *
+    * Determinism: `u` is the first 16 bits of `md5(seed : id)` (the q53
+    * threshold scheme), so the draw is a pure function of (seed, id) —
+    * reproducible across runs, engines, and re-sharding, and a new seed
+    * is a fresh independent sample. Keys are snapped to the 1e-12 grid
+    * before ranking (`floor(key·1e12 + 0.5)/1e12`, exact in doubles up
+    * to ~9e3) with id as tiebreak, so an engine's last-ulp `ln` cannot
+    * reorder the selection boundary.
+    *
+    * Scale shape: the key is a shuffle-free projection and the global
+    * top-k is `ORDER BY … LIMIT k` — Spark plans TakeOrderedAndProject
+    * (per-partition top-k, driver merges k·partitions rows), never a
+    * global sort. Nothing else moves.
+    *
+    * @return the k sampled input rows plus their `es_key`.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit(seed + ":"),
+      col(idCol).cast("string"))), 1, 4), 16, 10).cast("double") + 0.5) / 65536.0
+    val key = -log(u) / greatest(col(weightCol).cast("double"), lit(1.0))
+    df.withColumn("es_key",
+        floor(key * 1e12 + lit(0.5)) / 1e12)
+      .orderBy(col("es_key"), col(idCol))
+      .limit(k)
+  }
+
+  /** Token-budget curriculum selection: per `groupCol` (source, domain,
+    * language…), take documents in deterministic content-hash order
+    * until the group's cumulative token count reaches `budget` — "give
+    * me ~N tokens per source" — including the document that crosses the
+    * boundary (every group lands in [budget, budget + max_doc_tokens)).
+    * Hash order makes the selection a stable pseudo-random subset:
+    * re-runs, engine swaps, and corpus re-sharding pick the same
+    * documents, and corpus growth only displaces documents hashing
+    * after the old boundary.
+    *
+    * Scale shape: the running total is a PREFIX SUM in hash order, and
+    * the naive window (partition by group alone) serializes each group
+    * through one task — the q62 keyless-window trap, group-shaped. Same
+    * cure: the first hex digit of the ordering hash splits each group
+    * into 16 sub-buckets; bucket-major + within-bucket hash order IS
+    * the global hash order (the bucket is the key's prefix), so
+    * within-bucket cumsums come from a properly partitioned window
+    * (16-way parallel per group, more digits if groups outgrow task
+    * memory) and cross-bucket offsets from a ≤16·|groups|-row aggregate
+    * — the only driver-side step, the q62 budget class.
+    *
+    * @return selected rows: (`groupCol`, `idCol`, `n_tokens`,
+    *         `tok_before` — the group's token total before this doc).
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    val keyed = df.select(col(groupCol), col(idCol),
+        tokenCount(col(textCol)).as("n_tokens"),
+        md5(col(textCol)).as("_key"))
+      .withColumn("_bkt",
+        conv(substring(col("_key"), 1, 1), 16, 10).cast("int"))
+    val w = Window.partitionBy(col(groupCol), col("_bkt"))
+      .orderBy(col("_key"), col(idCol))
+    // per-(group, bucket) token sums -> exclusive prefix offsets in
+    // bucket order, computed driver-side over the fixed-size aggregate
+    // (16 rows per group) rather than through a group-keyed window
+    val sums = keyed.groupBy(col(groupCol), col("_bkt"))
+      .agg(sum(col("n_tokens")).as("_n"))
+      .collect()
+      .map(r => (r.get(0).toString, r.getInt(1), r.getLong(2)))
+      .toSeq
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (g, rows) =>
+        val sorted = rows.sortBy(_._2)
+        sorted.map(_._2).zip(
+          sorted.map(_._3).scanLeft(0L)(_ + _)).map {
+          case (b, off) => (g, b, off)
+        }
+      }
+    val offsets = spark.createDataFrame(sums)
+      .toDF(groupCol, "_bkt", "_off")
+    keyed
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .join(broadcast(offsets), Seq(groupCol, "_bkt"))
+      .withColumn("tok_before", col("_off") + col("_cum") - col("n_tokens"))
+      .filter(col("tok_before") < budget)
+      .select(col(groupCol), col(idCol), col("n_tokens"), col("tok_before"))
+  }
+
   /** N-gram novelty: per document, the fraction of its DISTINCT word
     * n-gram shingles that occur in at least one other document — the
     * corpus-level duplication score used to find boilerplate-heavy and

@@ -602,6 +602,62 @@ object ExtensionQueries {
         .orderBy("source")
     },
 
+    // C4-style boilerplate line removal: lines stamped across > 20
+    // documents (synthesized header/footer boilerplate) are stripped
+    // from every document; per-source footers (15 docs each) survive.
+    // The operator strips by 64-bit line hash; the oracle replays at
+    // line-string identity (identical modulo the q31/q61 collision
+    // caveat).
+    "q87_boilerplate_lines" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 300)
+      val synth = docs.select(col("doc_id"),
+        concat(lit("FOLLOW US ON SOCIAL MEDIA\n"), col("text"),
+          lit("\n(c) "), col("source"),
+          lit(" newsletter\nAll rights reserved")).as("text"))
+      Dedup.boilerplateLines(synth, "doc_id", "text", maxDocFreq = 20)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_lines"), col("n_removed"))
+        .orderBy("doc_id")
+    },
+
+    // Efraimidis-Spirakis weighted sample: 200 docs drawn with
+    // probability ∝ n_chars from content-seeded exponential keys —
+    // verified row-for-row including the snapped keys.
+    "q88_weighted_sample" -> { (s, d) =>
+      TextAnalysis.weightedSample(Tables.documents(s, d), "doc_id",
+          "n_chars", k = 200, seed = "graft-es")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("es_key"))
+        .orderBy("doc_id")
+    },
+
+    // Pivot/unpivot round trip: per-day event_type value totals pivoted
+    // wide, melted back to tall with DataFrame.unpivot, and re-pivoted —
+    // the wide result gates both directions (a wrong melt cannot
+    // re-pivot to the oracle's conditional-aggregation answer).
+    "q89_pivot_unpivot" -> { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          col("value"))
+      val wide = ev.groupBy(col("day")).pivot("event_type", types)
+        .agg(sum(col("value")))
+      val tall = wide.unpivot(Array(col("day")), types.map(col).toArray,
+        "event_type", "total")
+      tall.groupBy(col("day")).pivot("event_type", types)
+        .agg(sum(col("total")))
+        .select(col("day") +: types.map(t => fr(col(t), 4).as(t)): _*)
+        .orderBy("day")
+    },
+
+    // Token-budget curriculum: ~600 tokens per source in content-hash
+    // order (boundary doc included), via the hierarchical prefix-sum —
+    // the q62 bucket decomposition applied to running token totals.
+    "q90_token_budget" -> { (s, d) =>
+      TextAnalysis.tokenBudgetSelect(Tables.documents(s, d), "doc_id",
+          "text", "source", budget = 600L)
+        .orderBy("source", "doc_id")
+    },
+
     // IVF recall@k vs the exact brute-force top-k — the ANN evaluation
     // loop as a first-class operator ("measure, don't guess"): both sides
     // share one deterministic ranking (rounded cosine desc, id asc), so
@@ -1407,6 +1463,87 @@ object ExtensionQueries {
         |  CAST(min(CASE WHEN cm * 100 >= 99 * n THEN tk END) AS BIGINT) AS p99
         |FROM cum JOIN t USING (source) GROUP BY cum.source
         |ORDER BY cum.source""".stripMargin,
+
+    // line explode via lockstep unnest/generate_subscripts (the q56
+    // shape at line granularity); DF at line-string identity; lines in
+    // > 20 docs stripped everywhere; reassembly ordered by position
+    "q87_boilerplate_lines" ->
+      """WITH synth AS (SELECT doc_id,
+        |    'FOLLOW US ON SOCIAL MEDIA' || chr(10) || text || chr(10)
+        |    || '(c) ' || source || ' newsletter' || chr(10)
+        |    || 'All rights reserved' AS text
+        |  FROM documents WHERE doc_id <= 300),
+        |l AS (SELECT doc_id,
+        |    generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+        |    unnest(string_split(text, chr(10))) AS line
+        |  FROM synth),
+        |f AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line),
+        |k AS (SELECT l.doc_id, l.pos, l.line
+        |  FROM l JOIN f USING (line) WHERE f.df <= 20),
+        |r AS (SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM k GROUP BY doc_id)
+        |SELECT s.doc_id, md5(coalesce(r.clean_text, '')) AS clean_md5,
+        |  CAST(len(string_split(s.text, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(string_split(s.text, chr(10)))
+        |    - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM synth s LEFT JOIN r USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+
+    // the same 16-bit md5 uniform (q53 hex parse) seeded 'graft-es:id',
+    // exponential key -ln(u)/w snapped to the 1e-12 grid before the
+    // top-200 cut, id tiebreak — selection AND keys replay exactly
+    "q88_weighted_sample" ->
+      """WITH h AS (SELECT doc_id, lang, n_chars,
+        |  ((strpos('0123456789abcdef', substr(md5('graft-es:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |   + (strpos('0123456789abcdef', substr(md5('graft-es:' ||
+        |      CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |   + (strpos('0123456789abcdef', substr(md5('graft-es:' ||
+        |      CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substr(md5('graft-es:' ||
+        |      CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+        |   + 0.5) / 65536.0 AS u
+        |  FROM documents),
+        |k AS (SELECT doc_id, lang, n_chars,
+        |    floor((-ln(u) / greatest(CAST(n_chars AS DOUBLE), 1.0)) * 1e12
+        |      + 0.5) / 1e12 AS es_key
+        |  FROM h)
+        |SELECT doc_id, lang, n_chars, es_key FROM
+        |  (SELECT * FROM k ORDER BY es_key, doc_id LIMIT 200)
+        |ORDER BY doc_id""".stripMargin,
+
+    // conditional aggregation IS the pivot the round trip must land on
+    "q89_pivot_unpivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  floor(sum(CASE WHEN event_type = 'click' THEN value END)
+        |    * 10000.0 + 0.5) / 10000.0 AS click,
+        |  floor(sum(CASE WHEN event_type = 'error' THEN value END)
+        |    * 10000.0 + 0.5) / 10000.0 AS error,
+        |  floor(sum(CASE WHEN event_type = 'purchase' THEN value END)
+        |    * 10000.0 + 0.5) / 10000.0 AS purchase,
+        |  floor(sum(CASE WHEN event_type = 'signup' THEN value END)
+        |    * 10000.0 + 0.5) / 10000.0 AS signup,
+        |  floor(sum(CASE WHEN event_type = 'view' THEN value END)
+        |    * 10000.0 + 0.5) / 10000.0 AS view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    // one running sum per source in (md5, id) order, exclusive frame =
+    // tokens before the doc; keep while the prefix is under budget
+    "q90_token_budget" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS n_tokens,
+        |    md5(text) AS key
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tok_before
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens, tok_before FROM c
+        |WHERE tok_before < 600 ORDER BY source, doc_id""".stripMargin,
 
     // the q81 Lloyd chain gives the codebook (c2) and corpus buckets
     // (asg); each query probes its 2 nearest centroids, ranks candidates

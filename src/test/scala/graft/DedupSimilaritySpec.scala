@@ -812,4 +812,77 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(out(2L) - math.log(1.0 / 3.0)) < 1e-12)
     assert(!out.contains(3L), "single-token docs emit no row")
   }
+
+  test("boilerplate lines above the doc-frequency cap are stripped everywhere") {
+    val df = (0 until 30).map(i =>
+      (i.toLong, s"HEADER\nbody line $i\nfooter ${i % 10}"))
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateLines(df, "doc_id", "text", maxDocFreq = 5)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    // HEADER (df 30) dies; "footer k" (df 3 each) and unique bodies survive
+    assert(out.forall(_._3 == 3L), "every doc had 3 lines")
+    assert(out.forall(_._4 == 1L), "exactly the header removed")
+    assert(out.head._2 == "body line 0\nfooter 0")
+    // a fully-boilerplate document keeps an empty clean_text
+    val allBp = (0 until 10).map(i => (i.toLong, "SAME\nSAME"))
+      .toDF("doc_id", "text")
+    val gone = Dedup.boilerplateLines(allBp, "doc_id", "text", maxDocFreq = 5)
+      .as[(Long, String, Long, Long)].collect()
+    assert(gone.forall(r => r._2 == "" && r._4 == 2L))
+    // partitioning-invariant (the DF count is per-doc distinct)
+    val again = Dedup.boilerplateLines(df.repartition(7), "doc_id", "text",
+        maxDocFreq = 5).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(again.toSeq == out.toSeq)
+  }
+
+  test("weighted sample is deterministic and weight-proportional") {
+    // two weight classes, 10:1 — the heavy class should dominate the sample
+    val df = (0 until 2000).map(i =>
+      (i.toLong, if (i < 1000) 1000L else 100L)).toDF("id", "w")
+    val out = TextAnalysis.weightedSample(df, "id", "w", k = 200, "s1")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out.length == 200)
+    val heavy = out.count(_ < 1000)
+    assert(heavy > 140, s"heavy class dominates ∝ weight (got $heavy/200)")
+    // same seed + any partitioning -> identical sample; new seed -> different
+    val again = TextAnalysis.weightedSample(df.repartition(13), "id", "w",
+      k = 200, "s1").select("id").as[Long].collect().sorted.toSeq
+    assert(again == out)
+    val other = TextAnalysis.weightedSample(df, "id", "w", k = 200, "s2")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(other != out, "a fresh seed draws a fresh sample")
+  }
+
+  test("token budget select matches the single-window reference order") {
+    val df = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(i % 7 + 1)("tok").mkString(" "),
+        s"src${i % 3}")).toDF("id", "text", "source")
+    val got = TextAnalysis.tokenBudgetSelect(df, "id", "text", "source", 40L)
+      .orderBy("source", "id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // reference: one cumsum per source in (md5(text), id) order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(t: String) = md.digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = (0 until 200).map(i =>
+        (s"src${i % 3}", i.toLong, (i % 7 + 1).toLong,
+          key(Seq.fill(i % 7 + 1)("tok").mkString(" "))))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(r => (r._4, r._2))
+        sorted.zip(sorted.scanLeft(0L)(_ + _._3))
+          .filter(_._2 < 40L)
+          .map { case (r, before) => (r._1, r._2, r._3, before) }
+      }.sortBy(r => (r._1, r._2))
+    assert(got == want)
+    // every source lands in [budget, budget + max_doc_tokens)
+    val totals = got.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    assert(totals.values.forall(t => t >= 40L && t < 47L))
+    // partitioning-invariant
+    val again = TextAnalysis.tokenBudgetSelect(df.repartition(11), "id",
+        "text", "source", 40L).orderBy("source", "id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(again == got)
+  }
 }
