@@ -18,13 +18,14 @@ object TextAnalysis {
 
   /** BPE-ish subword-boundary tokenizer: letters runs, digit runs, and single
     * punctuation marks each count as a token (the usual pre-tokenization
-    * regex shape).
+    * regex shape). The keep-filter strips ALL whitespace, not just spaces
+    * (`trim` only removes 0x20, so a lone tab token would survive it).
     */
   def bpeTokens(text: Column): Column =
     filter(split(text,
       "(?<=\\s)|(?=\\s)|(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])" +
         "|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"),
-      t => trim(t) =!= "")
+      t => regexp_replace(t, "\\s", "") =!= "")
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 

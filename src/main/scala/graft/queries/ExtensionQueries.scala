@@ -658,6 +658,23 @@ object ExtensionQueries {
         .orderBy("source", "doc_id")
     },
 
+    // BPE-ish pre-tokenization count beside the whitespace count, over
+    // text salted with digit runs, punctuation, and CJK: the lookaround
+    // split isn't RE2-expressible, but its count decomposes exactly into
+    // letter-runs + digit-runs + non-space-punct chars — which is how
+    // the oracle replays it.
+    "q91_bpe_tokens" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 250)
+      val synth = docs.select(col("doc_id"),
+        concat(col("text"), lit(" v2.0, price: $"), col("n_chars"),
+          lit("! ok 你好")).as("text"))
+      synth.select(col("doc_id"),
+          size(TextAnalysis.bpeTokens(col("text"))).cast("long")
+            .as("bpe_count"),
+          TextAnalysis.tokenCount(col("text")).as("ws_count"))
+        .orderBy("doc_id")
+    },
+
     // IVF recall@k vs the exact brute-force top-k — the ANN evaluation
     // loop as a first-class operator ("measure, don't guess"): both sides
     // share one deterministic ranking (rounded cosine desc, id asc), so
@@ -1544,6 +1561,22 @@ object ExtensionQueries {
         |  FROM t)
         |SELECT source, doc_id, n_tokens, tok_before FROM c
         |WHERE tok_before < 600 ORDER BY source, doc_id""".stripMargin,
+
+    // the token identity: maximal \p{L}+ runs + \p{N}+ runs + individual
+    // [^\s\p{L}\p{N}] chars — RE2 classes match Java's for these
+    "q91_bpe_tokens" ->
+      """WITH synth AS (SELECT doc_id,
+        |    text || ' v2.0, price: $' || CAST(n_chars AS VARCHAR)
+        |    || '! ok 你好' AS text
+        |  FROM documents WHERE doc_id <= 250)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\p{L}+'))
+        |     + len(regexp_extract_all(text, '\p{N}+'))
+        |     + len(regexp_extract_all(text, '[^\s\p{L}\p{N}]'))
+        |    AS BIGINT) AS bpe_count,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |    AS BIGINT) AS ws_count
+        |FROM synth ORDER BY doc_id""".stripMargin,
 
     // the q81 Lloyd chain gives the codebook (c2) and corpus buckets
     // (asg); each query probes its 2 nearest centroids, ranks candidates

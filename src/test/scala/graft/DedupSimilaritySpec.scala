@@ -148,6 +148,11 @@ class DedupSimilaritySpec extends SparkSpec {
     val toks = df.select(TextAnalysis.bpeTokens(col("text")).as("t"))
       .collect()(0).getSeq[String](0)
     assert(toks == Seq("hello", ",", "world", "42", "!", "x", "-", "ray"))
+    // non-space whitespace never survives as a token (trim strips 0x20 only)
+    val tabbed = Seq((1L, "a\tb\nc")).toDF("doc_id", "text")
+      .select(TextAnalysis.bpeTokens(col("text")).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(tabbed == Seq("a", "b", "c"))
   }
 
   test("quality score computes sane ranges") {
