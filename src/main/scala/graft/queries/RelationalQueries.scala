@@ -209,6 +209,39 @@ object RelationalQueries {
         .orderBy(col("g"), col("n_name").asc_nulls_first)
     },
 
+    // Explicit GROUPING SETS through the spark.sql entry point — the one
+    // API surface the DataFrame-declared queries don't touch (rollup/cube
+    // are q15/q16; arbitrary set lists only exist in SQL). The temp views
+    // feed the same Catalyst plan as the DataFrame API would.
+    "q92_grouping_sets" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT c_mktsegment, n_name,
+          CAST(grouping(c_mktsegment) AS BIGINT) AS g1,
+          CAST(grouping(n_name) AS BIGINT) AS g2,
+          count(*) AS n
+        FROM customer_v c JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((c_mktsegment, n_name), (c_mktsegment),
+          (n_name), ())
+        ORDER BY g1, g2, c_mktsegment NULLS FIRST, n_name NULLS FIRST""")
+    },
+
+    // HLL++ approximate distinct beside the exact count, gated q83-style
+    // ("measure, don't guess"): the output asserts the estimate's relative
+    // error, so a broken sketch fails the hash compare even though the
+    // oracle can't replay the estimate itself.
+    "q93_approx_distinct" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("_est"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("_est") - col("n_exact")).cast("double")
+            / col("n_exact") <= 0.05).as("within_5pct"))
+        .orderBy("event_type")
+    },
+
     "q16_cube" -> { (s, d) =>
       Tables.orders(s, d)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -384,6 +417,24 @@ object RelationalQueries {
       """SELECT n.n_name, CAST(grouping(n.n_name) AS BIGINT) AS g, count(*) AS n
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY ROLLUP(n.n_name) ORDER BY g, n_name NULLS FIRST""".stripMargin,
+
+    "q92_grouping_sets" ->
+      """SELECT c_mktsegment, n_name,
+        |  CAST(grouping(c_mktsegment) AS BIGINT) AS g1,
+        |  CAST(grouping(n_name) AS BIGINT) AS g2,
+        |  count(*) AS n
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY GROUPING SETS ((c_mktsegment, n_name), (c_mktsegment),
+        |  (n_name), ())
+        |ORDER BY g1, g2, c_mktsegment NULLS FIRST, n_name NULLS FIRST"""
+        .stripMargin,
+
+    // TRUE is the contract: a sketch estimate drifting past 5% relative
+    // error flips the boolean and fails the hash compare
+    "q93_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q16_cube" ->
       """SELECT c_mktsegment, o_orderpriority,
