@@ -158,6 +158,38 @@ object WindowQueries {
         .orderBy("user_id", "session_no")
     },
 
+    // Sliding event-time windows in BATCH via the native window() slide
+    // form — the Structured-Streaming-compatible hopping aggregation
+    // (every event lands in width/slide = 2 windows). The oracle replays
+    // the phase decomposition: starts floor(t/300)·300 and that − 300.
+    "q94_sliding_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("ts") < lit("2024-01-04").cast("timestamp"))
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), fr(sum(col("value")), 4).as("total"))
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("w_start", "event_type")
+    },
+
+    // Native session_window in BATCH beside q47's manual gaps-and-islands
+    // form: same >30-minute-silence semantics, the session boundary at
+    // EXACT gap == 30 min differs in principle (native closes at
+    // prev + gap; q47's lag form keeps strictly-greater) but cannot
+    // occur at sub-microsecond timestamp resolution.
+    "q95_session_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          fr(sum(col("value")), 4).as("total"))
+        .select(col("user_id"),
+          col("session_window.start").cast("timestamp_ntz")
+            .as("session_start"),
+          col("n_events"), col("total"))
+        .orderBy("user_id", "session_start")
+    },
+
     // Linear positional interpolation with limit_direction='both'
     // (O13; gaps.py:167-169) — the same window algebra is packaged as the
     // reusable operators.Interpolate transformer.
@@ -269,6 +301,45 @@ object WindowQueries {
         |SELECT user_id, event_id,
         |floor(max(v) OVER (PARTITION BY user_id, grp) * 1000000.0 + 0.5) / 1000000.0 AS v_ffill
         |FROM g ORDER BY user_id, event_id LIMIT 1000""".stripMargin,
+
+    // phase decomposition of the 10-min/5-min slide: every event belongs
+    // to exactly the windows starting floor(t/300)·300 and that − 300
+    // (both are always within (t−600, t]); epoch math on the µs-cast ts
+    "q94_sliding_window" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-04'),
+        |w AS (SELECT event_type, value,
+        |    make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) * 300
+        |      - k.k * 300) * 1000000) AS w_start
+        |  FROM e CROSS JOIN (VALUES (0), (1)) k(k))
+        |SELECT w_start, event_type, count(*) AS n,
+        |  floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS total
+        |FROM w GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
+
+    // the q47 lag decomposition with the native operator's boundary
+    // convention (>= closes the session); µs-cast BEFORE the gap compare
+    // so both engines measure the same truncated timestamps
+    "q95_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    value FROM events),
+        |x AS (SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM e),
+        |f AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR ts >= prev_ts + INTERVAL 30 MINUTE THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM x),
+        |g AS (SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM f)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS total
+        |FROM g GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q47_sessionize" ->
       """WITH x AS (
