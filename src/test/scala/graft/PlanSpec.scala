@@ -262,6 +262,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("_prn"), s"pre-phase rank filter expected:\n$p")
   }
 
+  test("q88: weighted sample plans TakeOrderedAndProject, never a global sort") {
+    val p = plan(graft.queries.ExtensionQueries
+      .defs("q88_weighted_sample")(spark, d))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must be per-partition + driver merge:\n$p")
+    // the only full Sort allowed is the final presentation ORDER BY over
+    // the 200 selected rows — the selection itself must not sort the corpus
+    val sortsBelowTake = p.linesIterator
+      .dropWhile(!_.contains("TakeOrderedAndProject"))
+      .count(_.trim.startsWith("+- Sort"))
+    assert(sortsBelowTake == 0,
+      s"no sort may feed the top-k selection:\n$p")
+  }
+
+  test("q90: token-budget prefix sum windows on (group, bucket), never the bare group") {
+    val p = plan(graft.queries.ExtensionQueries
+      .defs("q90_token_budget")(spark, d))
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toVector
+    assert(winLines.nonEmpty, s"expected the cumsum window:\n$p")
+    assert(winLines.forall(_.contains("_bkt")),
+      s"every window must include the hash sub-bucket in its partition spec:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast back, not shuffle the corpus:\n$p")
+  }
+
+  test("q87: boilerplate strip is a broadcast anti-join on the small hot set") {
+    val p = plan(graft.queries.ExtensionQueries
+      .defs("q87_boilerplate_lines")(spark, d))
+    assert(p.contains("LeftAnti"), s"hot lines removed via anti-join:\n$p")
+    // DF counting must partial-aggregate (map-side collapse of repeated
+    // lines) before any exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"line document-frequency needs partial + final phases:\n$p")
+  }
+
   test("q68: unigram-LM join probes the (doc,term) aggregate, not the explode") {
     val root = graft.queries.ExtensionQueries
       .defs("q68_unigram_logprob")(spark, d)
