@@ -651,6 +651,44 @@ object TextAnalysis {
       .select(col(groupCol), col(idCol), col("n_tokens"), col("tok_before"))
   }
 
+  /** Overlapping token-window chunking — the RAG / context-window layout
+    * op: document k's chunk c covers tokens [c·stride, c·stride + size),
+    * chunks emitted until the last window reaches the document's tail
+    * (count = 1 + ceil(max(n − size, 0) / stride)), so every token is
+    * covered, short docs yield exactly one chunk, and no fully-contained
+    * trailing fragment is emitted. Whitespace inside a chunk is
+    * re-normalized to single spaces by the join (both engines replay it
+    * identically).
+    *
+    * Scale shape: a pure projection + explode — tokens never leave the
+    * row, the chunk count derives from all-positive integer math (no
+    * floor-vs-trunc division ambiguity across engines), and there is no
+    * shuffle anywhere: chunking 100 TB is exactly one scan.
+    *
+    * @return one row per chunk: (`idCol`, `chunk_id`, `chunk_text`,
+    *         `n_chunk_tokens`).
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      "need 1 <= stride <= size")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = org.apache.spark.sql.functions.size(toks)
+    // floor of a double ratio of small nonnegative ints — exact, and the
+    // all-positive operands sidestep floor-vs-trunc divergence
+    val nChunks = lit(1) +
+      floor((greatest(n - size, lit(0)) + lit(stride - 1))
+        / lit(stride.toDouble))
+    df.select(col(idCol), toks.as("_toks"),
+        explode(sequence(lit(0), nChunks.cast("int") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(slice(col("_toks"),
+          col("chunk_id") * stride + 1, lit(size)), " ").as("chunk_text"),
+        org.apache.spark.sql.functions.size(slice(col("_toks"),
+          col("chunk_id") * stride + 1, lit(size))).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
   /** N-gram novelty: per document, the fraction of its DISTINCT word
     * n-gram shingles that occur in at least one other document — the
     * corpus-level duplication score used to find boilerplate-heavy and

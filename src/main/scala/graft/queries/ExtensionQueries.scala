@@ -675,6 +675,17 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Overlapping token-window chunking (40-token chunks, stride 20):
+    // every token covered, short docs one chunk, no contained tail
+    // fragment; verified chunk-for-chunk including the reassembled text.
+    "q96_doc_chunking" -> { (s, d) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+          size = 40, stride = 20)
+        .select(col("doc_id"), col("chunk_id"),
+          md5(col("chunk_text")).as("chunk_md5"), col("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // IVF recall@k vs the exact brute-force top-k — the ANN evaluation
     // loop as a first-class operator ("measure, don't guess"): both sides
     // share one deterministic ranking (rounded cosine desc, id asc), so
@@ -1577,6 +1588,25 @@ object ExtensionQueries {
         |  CAST(len(string_split_regex(trim(lower(text)), '\s+'))
         |    AS BIGINT) AS ws_count
         |FROM synth ORDER BY doc_id""".stripMargin,
+
+    // chunk count 1 + ceil(max(n-40,0)/20) in all-positive integer math;
+    // list_slice is 1-based inclusive = Spark's slice(start, length)
+    "q96_doc_chunking" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |c AS (SELECT doc_id, toks,
+        |    unnest(generate_series(0,
+        |      CAST(1 + (greatest(n - 40, 0) + 19) // 20 AS BIGINT) - 1))
+        |      AS chunk_id
+        |  FROM n)
+        |SELECT doc_id, chunk_id,
+        |  md5(array_to_string(
+        |    list_slice(toks, chunk_id * 20 + 1, chunk_id * 20 + 40), ' '))
+        |    AS chunk_md5,
+        |  CAST(len(list_slice(toks, chunk_id * 20 + 1, chunk_id * 20 + 40))
+        |    AS BIGINT) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // the q81 Lloyd chain gives the codebook (c2) and corpus buckets
     // (asg); each query probes its 2 nearest centroids, ranks candidates

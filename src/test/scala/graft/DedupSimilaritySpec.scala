@@ -860,6 +860,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(other != out, "a fresh seed draws a fresh sample")
   }
 
+  test("overlapping chunking covers every token without contained tails") {
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, mk(10)), (2L, mk(8)), (3L, mk(2)), (4L, mk(13)))
+      .toDF("id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "id", "text", size = 8,
+        stride = 4)
+      .orderBy("id", "chunk_id")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    // n=10 -> 2 chunks [1..8],[5..10]; n=8 -> 1; n=2 -> 1 (short doc);
+    // n=13 -> 3 chunks [1..8],[5..12],[9..13]
+    assert(out.map(r => (r._1, r._2, r._4)) == Seq(
+      (1L, 0L, 8L), (1L, 1L, 6L),
+      (2L, 0L, 8L),
+      (3L, 0L, 2L),
+      (4L, 0L, 8L), (4L, 1L, 8L), (4L, 2L, 5L)))
+    assert(out(1)._3 == (5 to 10).map(i => s"t$i").mkString(" "),
+      "stride-offset chunk reassembles the right tokens")
+    assert(out(3)._3 == "t1 t2", "short doc yields its whole text")
+  }
+
   test("token budget select matches the single-window reference order") {
     val df = (0 until 200).map(i =>
       (i.toLong, Seq.fill(i % 7 + 1)("tok").mkString(" "),
