@@ -242,6 +242,24 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    // Statistical-moment aggregates (the surface q13's sums don't touch):
+    // sample stddev/variance and Pearson correlation of value against
+    // event time. Only standardized-definition aggregates — skewness/
+    // kurtosis differ between engines (population vs bias-corrected
+    // sample) and are deliberately excluded. The time axis is centered
+    // (epoch of 2024-01-01) so the correlation's co-moment never
+    // cancels catastrophically against a ~1.7e9 offset.
+    "q97_stat_moments" -> { (s, d) =>
+      val t0 = lit("2024-01-01").cast("timestamp").cast("double")
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          fr(stddev_samp(col("value")), 4).as("sd"),
+          fr(var_samp(col("value")), 4).as("vr"),
+          fr(corr(col("value"), col("ts").cast("double") - t0), 6).as("cr"))
+        .orderBy("event_type")
+    },
+
     "q16_cube" -> { (s, d) =>
       Tables.orders(s, d)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -434,6 +452,16 @@ object RelationalQueries {
     "q93_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // µs-cast before epoch so both engines measure the same timestamps
+    "q97_stat_moments" ->
+      """SELECT event_type, count(*) AS n,
+        |  floor(stddev_samp(value) * 10000.0 + 0.5) / 10000.0 AS sd,
+        |  floor(var_samp(value) * 10000.0 + 0.5) / 10000.0 AS vr,
+        |  floor(corr(value, epoch(CAST(ts AS TIMESTAMP))
+        |      - epoch(TIMESTAMP '2024-01-01')) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS cr
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q16_cube" ->
