@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.queries.QueryUtils.fr
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType, TimestampType}
+
+/** Warehouse-analytics operators the reference's users reach for next once
+  * the ETL output lands (profiling, cohorts, funnels, time-weighted prices):
+  * each is a single declarative DataFrame shape — one or two keyed shuffles,
+  * no windows without partition keys, nothing row-shaped on the driver.
+  */
+object Analytics {
+
+  /** Column-profile census: for each requested column, null count, exact
+    * distinct count, and min/max rendered to a portable string (doubles via
+    * DECIMAL(18,2) so neither engine's float formatter is trusted;
+    * timestamps via a fixed `yyyy-MM-dd HH:mm:ss` pattern).
+    *
+    * One aggregate pass over the relation (Catalyst expands the N distinct
+    * aggregates internally); the profile itself is N fixed-size rows. At
+    * 100 TB swap `countDistinct` for `approx_count_distinct` — exact
+    * distinct is the gate contract here because the oracle replays it.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"_pf_nn_$c"),
+        countDistinct(col(c)).as(s"_pf_nd_$c"),
+        min(col(c)).as(s"_pf_mn_$c"),
+        max(col(c)).as(s"_pf_mx_$c"))
+    }
+    def asStr(c: String, side: String): Column = {
+      val v = col(s"_pf_$side$c")
+      df.schema(c).dataType match {
+        case DoubleType | FloatType => v.cast("decimal(18,2)").cast("string")
+        case TimestampType          => date_format(v, "yyyy-MM-dd HH:mm:ss")
+        case _                      => v.cast("string")
+      }
+    }
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+      .withColumns(cols.flatMap(c => Seq(
+        s"_pf_smn_$c" -> asStr(c, "mn_"),
+        s"_pf_smx_$c" -> asStr(c, "mx_"))).toMap)
+    val stackArgs = cols.map(c =>
+      s"'$c', `_pf_nn_$c`, `_pf_nd_$c`, `_pf_smn_$c`, `_pf_smx_$c`")
+      .mkString(", ")
+    agged.selectExpr(
+      s"stack(${cols.length}, $stackArgs) AS " +
+        "(col_name, n_null, n_distinct, min_v, max_v)",
+      "n_rows")
+  }
+
+  /** Cohort-retention matrix: cohort = a user's first active day (index from
+    * `anchor`), day_offset = days since that cohort day, n_users = distinct
+    * users from that cohort active at that offset.
+    *
+    * Shape: events collapse to distinct (user, day) first — a map-side
+    * partial agg shrinks the shuffle to active user-days, not raw events —
+    * then one user-keyed agg for the cohort and one user-keyed join back.
+    * The final count is `count(*)`, exact because (user, day) is unique and
+    * each pair lands in exactly one (cohort_day, day_offset) cell.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
+                      anchor: String): DataFrame = {
+    val day = datediff(col(tsCol).cast("date"), to_date(lit(anchor)))
+      .cast("long")
+    val acts = df.select(col(userCol).as("_cr_user"), day.as("_cr_day"))
+      .distinct()
+    val cohorts = acts.groupBy("_cr_user")
+      .agg(min(col("_cr_day")).as("cohort_day"))
+    acts.join(cohorts, "_cr_user")
+      .groupBy(col("cohort_day"),
+        (col("_cr_day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Ordered-step funnel: n_users reaching step i = users with an event of
+    * type steps(i) strictly after their step-(i-1) reach time (min-ts
+    * chain). Returns one row per step: (step_idx, step, n_users).
+    *
+    * Each step is a filter → user-keyed join to the previous reach frame →
+    * min agg: k-1 shuffles on the user key for k steps, every task bounded
+    * by that user's events. The per-step frames re-derive the chain prefix
+    * lazily (bounded: k is small); persist `reached` externally if a
+    * many-step funnel warrants it.
+    */
+  def funnel(df: DataFrame, typeCol: String, userCol: String, tsCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var reached: DataFrame = null
+    val perStep = steps.zipWithIndex.map { case (st, i) =>
+      val ev = df.filter(col(typeCol) === st)
+        .select(col(userCol).as("_fn_user"), col(tsCol).as("_fn_ts"))
+      reached =
+        if (i == 0) ev.groupBy("_fn_user").agg(min(col("_fn_ts")).as("_fn_ts"))
+        else ev
+          .join(reached.withColumnRenamed("_fn_ts", "_fn_prev"), "_fn_user")
+          .filter(col("_fn_ts") > col("_fn_prev"))
+          .groupBy("_fn_user").agg(min(col("_fn_ts")).as("_fn_ts"))
+      reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step_idx"), lit(st).as("step"),
+          col("n_users"))
+    }
+    perStep.reduce(_.unionByName(_))
+  }
+
+  /** Time-weighted average price per key: each observation is weighted by
+    * the microseconds until the next observation (last one drops out — its
+    * holding interval is unknown). A plain mean rides along for contrast.
+    *
+    * Determinism: the weighted sum is DECIMAL(18,6-value) × BIGINT(µs) —
+    * exact and summation-order-independent — so the result is stable across
+    * partitionings; only the final division runs in double, under the
+    * portable `fr` grid. One keyed window pass + one keyed agg.
+    * Precondition: non-null values (else numerator/denominator would skip
+    * different rows).
+    */
+  def twap(df: DataFrame, valueCol: String, tsCol: String,
+           partitionCols: Seq[String], tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy((col(tsCol) +: tieCols.map(col)): _*)
+    df.withColumn("_tw_tu", unix_micros(col(tsCol)))
+      .withColumn("_tw_dt", lead(col("_tw_tu"), 1).over(w) - col("_tw_tu"))
+      .groupBy(partitionCols.map(col): _*)
+      .agg(
+        sum(col(valueCol).cast("decimal(18,6)") * col("_tw_dt")).as("_tw_num"),
+        sum(col("_tw_dt")).as("_tw_den"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("_tw_sv"),
+        count(lit(1)).as("n_obs"))
+      .select(partitionCols.map(col) ++ Seq(
+        fr(col("_tw_num").cast("double") / col("_tw_den").cast("double"), 6)
+          .as("twap"),
+        fr(col("_tw_sv").cast("double") / col("n_obs"), 6).as("mean_v"),
+        col("n_obs")): _*)
+  }
+}

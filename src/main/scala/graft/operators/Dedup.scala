@@ -224,6 +224,24 @@ object Dedup {
       size(array_union(sa, sb))
   }
 
+  /** Edit-distance verify stage for near-dup candidate pairs: annotates a
+    * pair frame with the exact Levenshtein distance and a normalized
+    * similarity `1 - dist / max(len)`. The DP is O(|a|·|b|) per pair, so
+    * this belongs strictly AFTER a blocking stage ([[minHashLshPairs]],
+    * [[simHashNearPairs]], or a cheap prefix block) has bounded the pair
+    * set — never on a raw cross join. Pure codegen'd expressions
+    * (`levenshtein` is a built-in), no shuffle of its own.
+    */
+  def editDistanceVerify(pairs: DataFrame, leftText: Column,
+                         rightText: Column): DataFrame = {
+    val dist = levenshtein(leftText, rightText).cast("long")
+    pairs
+      .withColumn("edit_dist", dist)
+      .withColumn("edit_sim",
+        lit(1.0) - col("edit_dist").cast("double") /
+          greatest(length(leftText), length(rightText)).cast("double"))
+  }
+
   /** C4-style PARAGRAPH-level dedup: every duplicate paragraph across the
     * corpus is removed, keeping its first occurrence in (document id,
     * position) order; documents are reassembled from their surviving

@@ -893,6 +893,42 @@ object ExtensionQueries {
           expectedSeen = 100000L, fpp = 0.01)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
+    },
+
+    // Edit-distance verify stage (Dedup.editDistanceVerify): exact
+    // Levenshtein similarity over candidate pairs from a cheap 30-char
+    // prefix block (the replayable stand-in for an LSH candidate set —
+    // same pairs q41's banding surfaces). The O(|a|·|b|) DP only ever
+    // runs on the blocked pairs, never a cross join.
+    "q102_edit_distance" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          substring(col("text"), 1, 30).as("pfx"))
+      val pairs = docs.as("a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"),
+          col("pfx").as("pfx_b")),
+          col("pfx") === col("pfx_b") && col("doc_id") < col("doc_b"))
+      Dedup.editDistanceVerify(pairs, col("text"), col("text_b"))
+        .filter(col("edit_sim") >= 0.8)
+        .select(col("doc_id").as("doc_a"), col("doc_b"), col("edit_dist"),
+          fr(col("edit_sim"), 4).as("sim"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Fixed-point integer PageRank (Graph.pageRankFixedPoint) over the
+    // user<->event_type bipartite graph: 3 damped rounds, all math in
+    // BIGINT micro-units so the oracle replays it bit-for-bit and no
+    // summation order can drift the ranks.
+    "q104_pagerank" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(concat(lit("u:"), col("user_id").cast("string")).as("u"),
+          concat(lit("t:"), col("event_type")).as("t"))
+        .distinct()
+      val edges = ev.select(col("u").as("src"), col("t").as("dst"))
+        .unionByName(ev.select(col("t").as("src"), col("u").as("dst")))
+      graft.operators.Graph.pageRankFixedPoint(edges, iterations = 3)
+        .withColumnRenamed("r", "rank_fp")
+        .orderBy(col("rank_fp").desc, col("node"))
     }
   )
 
@@ -1972,6 +2008,52 @@ object ExtensionQueries {
         |WHERE b.doc_id % 3 <> 0
         |  AND NOT EXISTS (SELECT 1 FROM documents s
         |                  WHERE s.doc_id % 3 = 0 AND s.text = b.text)
-        |ORDER BY b.doc_id""".stripMargin
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // DuckDB's levenshtein is the same unit-cost DP as Spark's built-in
+    "q102_edit_distance" ->
+      """WITH d AS (SELECT doc_id, text, substr(text, 1, 30) AS pfx
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  levenshtein(a.text, b.text) AS edit_dist,
+        |  floor((1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+        |         / greatest(length(a.text), length(b.text)))
+        |        * 10000.0 + 0.5) / 10000.0 AS sim
+        |FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        |WHERE 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+        |      / greatest(length(a.text), length(b.text)) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // 3 unrolled damped rounds; // is BIGINT floor division on positives,
+    // matching Spark's `div` — no doubles anywhere in the rank math
+    "q104_pagerank" ->
+      """WITH ev AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+        |    't:' || event_type AS t FROM events),
+        |edges AS (SELECT u AS src, t AS dst FROM ev
+        |          UNION ALL SELECT t, u FROM ev),
+        |deg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        |n0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS node, CAST(sum(n.r // d.od) AS BIGINT) AS c
+        |  FROM edges e JOIN n0 n ON e.src = n.node JOIN deg d ON d.src = e.src
+        |  GROUP BY e.dst),
+        |n1 AS (SELECT nodes.node,
+        |    150000000 + (85 * COALESCE(c1.c, 0)) // 100 AS r
+        |  FROM nodes LEFT JOIN c1 ON nodes.node = c1.node),
+        |c2 AS (SELECT e.dst AS node, CAST(sum(n.r // d.od) AS BIGINT) AS c
+        |  FROM edges e JOIN n1 n ON e.src = n.node JOIN deg d ON d.src = e.src
+        |  GROUP BY e.dst),
+        |n2 AS (SELECT nodes.node,
+        |    150000000 + (85 * COALESCE(c2.c, 0)) // 100 AS r
+        |  FROM nodes LEFT JOIN c2 ON nodes.node = c2.node),
+        |c3 AS (SELECT e.dst AS node, CAST(sum(n.r // d.od) AS BIGINT) AS c
+        |  FROM edges e JOIN n2 n ON e.src = n.node JOIN deg d ON d.src = e.src
+        |  GROUP BY e.dst),
+        |n3 AS (SELECT nodes.node,
+        |    CAST(150000000 + (85 * COALESCE(c3.c, 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes LEFT JOIN c3 ON nodes.node = c3.node)
+        |SELECT node, r AS rank_fp FROM n3
+        |ORDER BY rank_fp DESC, node""".stripMargin
   )
 }

@@ -337,6 +337,54 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(floor(col("o_totalprice")).cast("long")).as("sum_price_int"))
         .orderBy("c_mktsegment")
+    },
+
+    // Column-profile census (Analytics.profile): one agg pass, N fixed-size
+    // rows out. Doubles/timestamps render through portable formatters so
+    // neither engine's native float/ts printer is trusted.
+    "q98_column_profile" -> { (s, d) =>
+      graft.operators.Analytics.profile(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+        .orderBy("col_name")
+    },
+
+    // Cohort retention (Analytics.cohortRetention): distinct user-days ->
+    // user-keyed cohort agg -> offset matrix. Day indices are integers from
+    // a fixed anchor so no week-start convention can diverge.
+    "q99_cohort_retention" -> { (s, d) =>
+      graft.operators.Analytics.cohortRetention(
+        Tables.events(s, d), "user_id", "ts", "2024-01-01")
+        .orderBy("cohort_day", "day_offset")
+    },
+
+    // Ordered-step funnel (Analytics.funnel): signup -> click -> purchase
+    // min-ts chains, one row per step. The oracle compares timestamps at
+    // the same µs truncation Spark reads.
+    "q100_event_funnel" -> { (s, d) =>
+      graft.operators.Analytics.funnel(Tables.events(s, d),
+        "event_type", "user_id", "ts", Seq("signup", "click", "purchase"))
+        .orderBy("step_idx")
+    },
+
+    // Linear-regression aggregate family (regr_slope/intercept/r2/count)
+    // of value against event time in DAYS from a fixed anchor — the
+    // centering keeps the co-moments away from catastrophic cancellation
+    // (q97's corr lesson) and day units keep the slope magnitude sane for
+    // the 1e-6 rounding grid.
+    "q103_regr_family" -> { (s, d) =>
+      val t0 = lit("2024-01-01").cast("timestamp")
+      Tables.events(s, d)
+        .withColumn("_x",
+          (unix_micros(col("ts")) - unix_micros(t0)).cast("double")
+            / lit(86400.0e6))
+        .groupBy(col("event_type"))
+        .agg(
+          expr("regr_count(value, _x)").cast("long").as("n"),
+          fr(expr("regr_slope(value, _x)"), 6).as("slope"),
+          fr(expr("regr_intercept(value, _x)"), 6).as("icept"),
+          fr(expr("regr_r2(value, _x)"), 6).as("r2"))
+        .orderBy("event_type")
     }
   )
 
@@ -501,6 +549,82 @@ object RelationalQueries {
         |       count(*) AS n_orders,
         |       CAST(sum(CAST(floor(o.o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price_int
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+
+    // min/max render through CAST/strftime so both engines print the same
+    // strings; doubles go via DECIMAL(18,2), timestamps via a fixed pattern
+    "q98_column_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name, count(*) - count(o_orderkey) AS n_null,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS max_v, count(*) AS n_rows
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*) - count(o_custkey),
+        |    count(DISTINCT o_custkey), CAST(min(o_custkey) AS VARCHAR),
+        |    CAST(max(o_custkey) AS VARCHAR), count(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus), min(o_orderstatus),
+        |    max(o_orderstatus), count(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*) - count(o_totalprice),
+        |    count(DISTINCT o_totalprice),
+        |    CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+        |    CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+        |    count(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*) - count(o_orderdate),
+        |    count(DISTINCT o_orderdate),
+        |    strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        |    strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        |    count(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+        |    count(DISTINCT o_orderpriority), min(o_orderpriority),
+        |    max(o_orderpriority), count(*) FROM orders
+        |) ORDER BY col_name""".stripMargin,
+
+    "q99_cohort_retention" ->
+      """WITH acts AS (SELECT DISTINCT user_id AS u,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |coh AS (SELECT u, min(d) AS cohort_day FROM acts GROUP BY u)
+        |SELECT cohort_day, d - cohort_day AS day_offset, count(*) AS n_users
+        |FROM acts JOIN coh USING (u)
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // timestamps compared at the same µs truncation Spark reads (ns parquet)
+    "q100_event_funnel" ->
+      """WITH ev AS (SELECT user_id AS u, event_type,
+        |    CAST(ts AS TIMESTAMP) AS t FROM events),
+        |s1 AS (SELECT u, min(t) AS t FROM ev
+        |  WHERE event_type = 'signup' GROUP BY u),
+        |s2 AS (SELECT e.u, min(e.t) AS t FROM ev e
+        |  JOIN s1 ON e.u = s1.u AND e.t > s1.t
+        |  WHERE e.event_type = 'click' GROUP BY e.u),
+        |s3 AS (SELECT e.u, min(e.t) AS t FROM ev e
+        |  JOIN s2 ON e.u = s2.u AND e.t > s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY e.u)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+        |    count(*) AS n_users FROM s1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3)
+        |ORDER BY step_idx""".stripMargin,
+
+    "q103_regr_family" ->
+      """SELECT event_type,
+        |  CAST(regr_count(value, x) AS BIGINT) AS n,
+        |  floor(regr_slope(value, x) * 1000000.0 + 0.5) / 1000000.0 AS slope,
+        |  floor(regr_intercept(value, x) * 1000000.0 + 0.5) / 1000000.0 AS icept,
+        |  floor(regr_r2(value, x) * 1000000.0 + 0.5) / 1000000.0 AS r2
+        |FROM (SELECT event_type, value,
+        |    (epoch_us(CAST(ts AS TIMESTAMP))
+        |     - epoch_us(TIMESTAMP '2024-01-01')) / 86400000000.0 AS x
+        |  FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -219,6 +219,15 @@ object WindowQueries {
             6).as("v_interp"))
         .orderBy("user_id", "event_id")
         .limit(1000)
+    },
+
+    // Time-weighted average (Analytics.twap): lead-window holding intervals
+    // in integer µs, DECIMAL×BIGINT weighted sum (summation-order-free),
+    // double math only in the final fr-gridded division.
+    "q101_twap" -> { (s, d) =>
+      graft.operators.Analytics.twap(Tables.events(s, d), "value", "ts",
+        Seq("user_id"), tieCols = Seq("event_id"))
+        .orderBy("user_id")
     }
   )
 
@@ -395,6 +404,25 @@ object WindowQueries {
         |                  WHEN nv IS NULL THEN pv
         |                  ELSE pv + (nv - pv) * (rn - prn) / (nrn - prn) END)
         |             * 1000000.0 + 0.5) / 1000000.0 AS v_interp
-        |FROM j ORDER BY user_id, event_id LIMIT 1000""".stripMargin
+        |FROM j ORDER BY user_id, event_id LIMIT 1000""".stripMargin,
+
+    "q101_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, value,
+        |         lead(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id)
+        |           - tu AS dt
+        |  FROM e)
+        |SELECT user_id,
+        |  floor(CAST(sum(CAST(value AS DECIMAL(18,6)) * dt) AS DOUBLE)
+        |        / CAST(sum(dt) AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS twap,
+        |  floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |        / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_v,
+        |  count(*) AS n_obs
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.{Analytics, Dedup, Graph}
+import org.apache.spark.sql.functions._
+
+/** Pins the warehouse-analytics operators (Analytics.scala), fixed-point
+  * PageRank (Graph.scala), and the edit-distance verify stage on small
+  * hand-computable inputs.
+  */
+class AnalyticsGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: null/distinct counts and portable min/max strings") {
+    val df = Seq(
+      (1L, Some(2.5), "b"),
+      (2L, None, "a"),
+      (2L, Some(10.0), "c")).toDF("id", "v", "s")
+    val rows = Analytics.profile(df, Seq("id", "v", "s"))
+      .orderBy("col_name")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getLong(5)))
+    assert(rows.toSeq == Seq(
+      ("id", 0L, 2L, "1", "2", 3L),
+      ("s", 0L, 3L, "a", "c", 3L),
+      ("v", 1L, 2L, "2.50", "10.00", 3L)))
+  }
+
+  test("cohortRetention: first-day cohorts with integer day offsets") {
+    val df = Seq(
+      // user 1 first active day 0, returns day 2
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 12:00:00"),
+      (1L, "2024-01-03 09:00:00"),
+      // user 2 first active day 2 only
+      (2L, "2024-01-03 23:00:00"))
+      .toDF("u", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val rows = Analytics.cohortRetention(df, "u", "ts", "2024-01-01")
+      .orderBy("cohort_day", "day_offset")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.toSeq == Seq((0L, 0L, 1L), (0L, 2L, 1L), (2L, 0L, 1L)))
+  }
+
+  test("funnel: strictly-ordered min-ts chain, out-of-order steps drop") {
+    val events = Seq(
+      // user 1 completes signup -> click -> purchase in order
+      (1L, "signup", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
+      // user 2 clicked BEFORE signup: the click never counts, so the
+      // purchase is unreachable too
+      (2L, "click", 1L), (2L, "signup", 2L), (2L, "purchase", 3L),
+      // user 3 signup only
+      (3L, "signup", 5L))
+      .toDF("u", "et", "tsec")
+      .withColumn("ts", timestamp_seconds(col("tsec")))
+    val rows = Analytics
+      .funnel(events, "et", "u", "ts", Seq("signup", "click", "purchase"))
+      .orderBy("step_idx")
+      .as[(Long, String, Long)].collect()
+    assert(rows.toSeq == Seq(
+      (1L, "signup", 3L), (2L, "click", 1L), (3L, "purchase", 1L)))
+  }
+
+  test("twap: interval-weighted mean, last observation drops out") {
+    // value 10 held 3s, value 20 held 1s, value 99 has no interval
+    val df = Seq((1L, 10.0, 0L), (1L, 20.0, 3L), (1L, 99.0, 4L))
+      .toDF("k", "v", "tsec")
+      .withColumn("ts", timestamp_seconds(col("tsec")))
+    val r = Analytics.twap(df, "v", "ts", Seq("k")).collect().head
+    assert(r.getAs[Double]("twap") == 12.5) // (10*3 + 20*1) / 4
+    assert(r.getAs[Double]("mean_v") == 43.0) // (10+20+99)/3
+    assert(r.getAs[Long]("n_obs") == 3L)
+  }
+
+  test("pageRankFixedPoint: 2-cycle is a fixed point at unit mass") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val rows = Graph.pageRankFixedPoint(edges).orderBy("node")
+      .as[(String, Long)].collect()
+    assert(rows.toSeq == Seq(("a", 1000000000L), ("b", 1000000000L)))
+  }
+
+  test("pageRankFixedPoint: star sinks converge by hand-computed floors") {
+    val edges = Seq(("b", "a"), ("c", "a")).toDF("src", "dst")
+    val rows = Graph.pageRankFixedPoint(edges).orderBy("node")
+      .as[(String, Long)].collect().toMap
+    // b,c get base mass only; a = base + 0.85 * (2 * base) after round 2+
+    assert(rows("b") == 150000000L && rows("c") == 150000000L)
+    assert(rows("a") == 405000000L)
+  }
+
+  test("editDistanceVerify: exact Levenshtein + normalized similarity") {
+    val pairs = Seq(("kitten", "sitting")).toDF("ta", "tb")
+    val r = Dedup.editDistanceVerify(pairs, col("ta"), col("tb"))
+      .collect().head
+    assert(r.getAs[Long]("edit_dist") == 3L)
+    assert(math.abs(r.getAs[Double]("edit_sim") - (1.0 - 3.0 / 7)) < 1e-12)
+  }
+}
