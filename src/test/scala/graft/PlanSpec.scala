@@ -298,6 +298,43 @@ class PlanSpec extends SparkSpec {
       s"line document-frequency needs partial + final phases:\n$p")
   }
 
+  test("q98: profile reads the relation through ONE scan (Expand, not re-scans)") {
+    val p = plan(RelationalQueries.defs("q98_column_profile")(spark, d))
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"6 distinct-counts must share a single scan via Expand:\n$p")
+    assert(p.contains("Expand"),
+      s"multi-distinct should plan Spark's Expand rewrite:\n$p")
+  }
+
+  test("q99: cohort matrix is pure keyed aggregation — no window anywhere") {
+    val p = plan(RelationalQueries.defs("q99_cohort_retention")(spark, d))
+    assert(!p.contains("windowspecdefinition"),
+      s"cohorting must not sort user histories through a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cohort join must stay a keyed equi-join:\n$p")
+  }
+
+  test("q101: TWAP windows on the user key, never a global order") {
+    val winLines = plan(graft.queries.WindowQueries
+      .defs("q101_twap")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(winLines.nonEmpty)
+    assert(winLines.forall(_.contains("user_id")),
+      s"lead() must partition by user_id:\n${winLines.mkString("\n")}")
+  }
+
+  test("q104: PageRank rounds are keyed equi-joins, no cartesian, no global agg") {
+    val p = plan(graft.queries.ExtensionQueries
+      .defs("q104_pagerank")(spark, d))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"rank propagation must join on node keys only:\n$p")
+    assert(!p.contains("Exchange SinglePartition") ||
+      p.indexOf("Exchange SinglePartition") > p.indexOf("Sort"),
+      s"no single-partition exchange may feed the rank math:\n$p")
+  }
+
   test("q68: unigram-LM join probes the (doc,term) aggregate, not the explode") {
     val root = graft.queries.ExtensionQueries
       .defs("q68_unigram_logprob")(spark, d)
