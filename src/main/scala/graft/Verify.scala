@@ -28,9 +28,18 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // Loud failure: a broken query must surface as an `err` row in the
+        // driver's correctness report, not a silently missing key (round-8
+        // regression read as "99/99 green" because failures left no trace).
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Files.writeString(Paths.get(s"$outDir/${name}_ERROR.txt"),
+          s"$name\n${e.getClass.getName}: ${e.getMessage}\n")
       }
     }
+    val errs = new java.io.File(outDir).listFiles()
+      .filter(_.getName.endsWith("_ERROR.txt")).map(_.getName).sorted
+    if (errs.nonEmpty)
+      System.err.println(s"[verify] ${errs.length} FAILED: ${errs.mkString(", ")}")
     // leave the warehouse empty for the next harness JVM (q48's bucketed
     // tables are session-scoped scratch, not a deliverable)
     for (t <- spark.catalog.listTables().collect().map(_.name)

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-provided test tables (TESTDATA.md).
   *
@@ -26,18 +26,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is nanosecond parquet, which Spark 4 refuses to read as a
-    * timestamp. Read it as a raw long (legacy conf) and truncate to
-    * microsecond TimestampType — the same truncation DuckDB applies when
-    * casting TIMESTAMP_NS to TIMESTAMP. Integer `div` (not `/`): epoch-ns
-    * values exceed 2^53, double math would corrupt them.
+  /** `events.ts` arrives in whatever physical shape the driver last wrote:
+    * nanosecond parquet (Spark 4 refuses to read as timestamp — read as raw
+    * long via legacy conf and truncate to micros, matching DuckDB's
+    * TIMESTAMP_NS→TIMESTAMP cast; integer `div`, not `/`: epoch-ns exceeds
+    * 2^53 and double math would corrupt it) or microsecond TIMESTAMP_NTZ
+    * (cast to TimestampType — the session tz is pinned UTC, so the cast is
+    * value-preserving and matches DuckDB's naive-timestamp semantics).
+    * Downstream operators always see `ts: TimestampType`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
