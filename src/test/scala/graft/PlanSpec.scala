@@ -324,6 +324,22 @@ class PlanSpec extends SparkSpec {
       s"lead() must partition by user_id:\n${winLines.mkString("\n")}")
   }
 
+  test("q102: levenshtein is the LAST conjunct in the pair-join condition") {
+    // The O(|a|·|b|) DP must run only on pairs surviving the cheap prunes
+    // (doc_id order, lossless length-ratio). Catalyst pushes the filter
+    // into the BHJ condition preserving written order and the condition
+    // short-circuits — r8 shipped the DP first and paid 11 s for a 0.4 s
+    // query. Pin: in the join line, levenshtein appears after both prunes.
+    val joinLine = plan(graft.queries.ExtensionQueries
+      .defs("q102_edit_distance")(spark, d))
+      .linesIterator.find(_.contains("BroadcastHashJoin")).getOrElse(
+        fail("q102 must plan a broadcast hash join on the prefix block"))
+    val lev = joinLine.indexOf("levenshtein")
+    assert(lev >= 0, s"levenshtein must evaluate inside the join:\n$joinLine")
+    assert(joinLine.indexOf("<") < lev && joinLine.indexOf("least") < lev,
+      s"cheap prunes must short-circuit before the DP:\n$joinLine")
+  }
+
   test("q104: PageRank rounds are keyed equi-joins, no cartesian, no global agg") {
     val p = plan(graft.queries.ExtensionQueries
       .defs("q104_pagerank")(spark, d))
