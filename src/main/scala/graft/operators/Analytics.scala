@@ -13,21 +13,27 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, TimestampType}
   */
 object Analytics {
 
-  /** Column-profile census: for each requested column, null count, exact
-    * distinct count, and min/max rendered to a portable string (doubles via
+  /** Column-profile census: for each requested column, null count, distinct
+    * count, and min/max rendered to a portable string (doubles via
     * DECIMAL(18,2) so neither engine's float formatter is trusted;
     * timestamps via a fixed `yyyy-MM-dd HH:mm:ss` pattern).
     *
-    * One aggregate pass over the relation (Catalyst expands the N distinct
-    * aggregates internally); the profile itself is N fixed-size rows. At
-    * 100 TB swap `countDistinct` for `approx_count_distinct` — exact
-    * distinct is the gate contract here because the oracle replays it.
+    * One aggregate pass over the relation; the profile itself is N
+    * fixed-size rows. `exactDistinct` is the scale switch: exact
+    * `countDistinct` is the gate contract (the oracle replays it) but
+    * Catalyst's multi-distinct rewrite Expands the scan to ~(N+1)× rows —
+    * the plan that dies first at 100 TB. `exactDistinct = false` swaps in
+    * `approx_count_distinct` (HLL++, default 5% rsd): one ordinary partial
+    * aggregate, no Expand, identical schema.
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String],
+              exactDistinct: Boolean = true): DataFrame = {
+    val nd: Column => Column =
+      if (exactDistinct) countDistinct(_) else approx_count_distinct(_)
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(
         (count(lit(1)) - count(col(c))).as(s"_pf_nn_$c"),
-        countDistinct(col(c)).as(s"_pf_nd_$c"),
+        nd(col(c)).as(s"_pf_nd_$c"),
         min(col(c)).as(s"_pf_mn_$c"),
         max(col(c)).as(s"_pf_mx_$c"))
     }

@@ -471,7 +471,7 @@ object Dedup {
     * the PREVIOUS round's handle after the next round materializes keeps
     * exactly one round snapshot alive instead of `maxIter` of them.
     */
-  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+  private[operators] def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }

@@ -26,6 +26,25 @@ class AnalyticsGraphSpec extends SparkSpec {
       ("v", 1L, 2L, "2.50", "10.00", 3L)))
   }
 
+  test("profile: approx-distinct path keeps the schema and drops Expand") {
+    val df = Seq(
+      (1L, Some(2.5), "b"),
+      (2L, None, "a"),
+      (2L, Some(10.0), "c")).toDF("id", "v", "s")
+    val exact = Analytics.profile(df, Seq("id", "v", "s"))
+    val approx = Analytics.profile(df, Seq("id", "v", "s"),
+      exactDistinct = false)
+    assert(approx.schema == exact.schema,
+      "both distinct strategies must return the same profile schema")
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"),
+      "exact multi-distinct plans Catalyst's Expand rewrite")
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx path must aggregate without multiplying scan rows")
+    // HLL++ is exact at these cardinalities; values equal on tiny input
+    assert(approx.orderBy("col_name").collect().map(_.getLong(2)).toSeq ==
+      Seq(2L, 3L, 2L))
+  }
+
   test("cohortRetention: first-day cohorts with integer day offsets") {
     val df = Seq(
       // user 1 first active day 0, returns day 2
@@ -84,6 +103,29 @@ class AnalyticsGraphSpec extends SparkSpec {
     // b,c get base mass only; a = base + 0.85 * (2 * base) after round 2+
     assert(rows("b") == 150000000L && rows("c") == 150000000L)
     assert(rows("a") == 405000000L)
+  }
+
+  test("pageRankFixedPoint: 20 iterations stay plan-bounded via checkpoints") {
+    // 2-cycle at unit mass is invariant under any iteration count, so the
+    // values pin correctness while the iteration count exercises the
+    // lineage truncation: with interval 4, the 20-round frame must be
+    // rooted in a checkpoint snapshot (LogicalRDD), not 20 rounds of
+    // joins, and only the rounds after the last checkpoint remain as plan.
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val ranks = Graph.pageRankFixedPoint(edges, iterations = 20,
+      checkpointInterval = 4)
+    val joins = ranks.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    // 3 joins per round; last checkpoint fires at round 16, so at most the
+    // final 4 rounds (12 joins) may remain — untruncated would be 60
+    assert(joins <= 12,
+      s"lineage must truncate at checkpoints, saw $joins joins")
+    assert(ranks.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }.nonEmpty, "frame must be rooted in a localCheckpoint snapshot")
+    val rows = ranks.orderBy("node").as[(String, Long)].collect()
+    assert(rows.toSeq == Seq(("a", 1000000000L), ("b", 1000000000L)))
   }
 
   test("editDistanceVerify: exact Levenshtein + normalized similarity") {
