@@ -1023,4 +1023,87 @@ object TextAnalysis {
       .agg((sum(col("_tf") * log(col("_cb").cast("double") / col("_cw")))
         / sum(col("_tf"))).as("logprob"))
   }
+
+  /** PMI collocation mining: the corpus's top-k adjacent word pairs by
+    * pointwise mutual information ln(p(w₁w₂) / (p(w₁)·p(w₂))) — the
+    * classic "New York"/"machine learning" detector, and the standard
+    * phrase-vocabulary builder for tokenizer/embedding pipelines.
+    * `minCount` floors the bigram count first: PMI's known pathology is
+    * that hapax pairs of hapax words score ln(N) — rarity, not
+    * association.
+    *
+    * Shape: unigram and bigram corpus counts are two partial-aggregated
+    * explodes (hot tokens collapse map-side, as [[vocabulary]]); the
+    * count-floor prunes the bigram table BEFORE both term-keyed count
+    * joins (at minCount ≥ 2 that drops the hapax long tail — typically
+    * most of the table); corpus totals derive from the two count
+    * aggregates themselves (no re-scan of either explode) and ride in as
+    * one broadcast scalar row. PMI itself is ln() over a single double
+    * division of exact integer products — same-operand-order replayable —
+    * snapped to the 1e-6 grid BEFORE ranking (the suite's k-means/q84
+    * convention: engine ln() ulps must not reorder the top-k), and the
+    * top-k is `TakeOrderedAndProject` — no global sort materializes.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val cw = df.select(explode(toks).as("_w"))
+      .filter(col("_w") =!= "")
+      .groupBy(col("_w")).agg(count(lit(1)).as("_cw"))
+    val cbAll = df.filter(size(toks) >= 2)
+      .select(explode(bigrams).as("_bg"))
+      .groupBy(col("_bg")).agg(count(lit(1)).as("_cb"))
+    val cb = cbAll.filter(col("_cb") >= minCount)
+      .withColumn("w1", substring_index(col("_bg"), " ", 1))
+      .withColumn("w2", substring_index(col("_bg"), " ", -1))
+    val totals = broadcast(cw.agg(sum(col("_cw")).as("_n"))
+      .crossJoin(cbAll.agg(sum(col("_cb")).as("_nb"))))
+    val pmi = log((col("_cb").cast("double") * col("_n") * col("_n")) /
+      (col("_nb").cast("double") * col("_c1") * col("_c2")))
+    cb.join(cw.withColumnRenamed("_w", "w1")
+        .withColumnRenamed("_cw", "_c1"), Seq("w1"))
+      .join(cw.withColumnRenamed("_w", "w2")
+        .withColumnRenamed("_cw", "_c2"), Seq("w2"))
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("_cb").as("pair_count"),
+        graft.queries.QueryUtils.fr(pmi, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Capped inverted index: (term, document frequency, postings) rows for
+    * every term appearing in at most `maxDf` documents — the retrieval /
+    * contamination-lookup side table. Postings are the ascending doc-id
+    * list rendered as a comma-joined string: portable across engines (no
+    * array-hash ambiguity) and bounded by `maxDf` by construction.
+    *
+    * The df cap is the scale design, not a convenience: high-df terms
+    * (stopwords) are exactly the postings a relational index stores worst
+    * (one giant hot row) and query planners use least (no selectivity) —
+    * production systems move them to bitmap/skip-list encodings. Capping
+    * makes the collect_list provably bounded: the (term, doc) DISTINCT
+    * aggregate collapses repeats map-side, df comes from one more partial
+    * agg over it, and only cap-survivors reach the list aggregation.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    maxDf: Long = 100L): DataFrame = {
+    val termDoc = df
+      .select(col(idCol).cast("long").as("_doc"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("_doc")).agg(count(lit(1)).as("_tf"))
+    val dfCounts = termDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") <= maxDf)
+    termDoc.join(dfCounts, Seq("term"))
+      .groupBy(col("term"), col("doc_freq"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(col("_doc"))),
+          _.cast("string"))).as("postings"))
+      .select(col("term"), col("doc_freq"), col("postings"))
+  }
 }

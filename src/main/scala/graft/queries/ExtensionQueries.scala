@@ -944,6 +944,28 @@ object ExtensionQueries {
       graft.operators.Graph.pageRankFixedPoint(edges, iterations = 3)
         .withColumnRenamed("r", "rank_fp")
         .orderBy(col("rank_fp").desc, col("node"))
+    },
+
+    // PMI collocation mining (TextAnalysis.pmiCollocations): top-40
+    // adjacent pairs by pointwise mutual information with a count-floor
+    // of 5. Ranking runs over the 1e-6-snapped PMI (plus the (w1, w2)
+    // tiebreak), so engine ln() ulps can't reorder the kept set.
+    "q105_pmi_collocations" -> { (s, d) =>
+      TextAnalysis.pmiCollocations(Tables.documents(s, d), "text",
+          minCount = 5L, k = 40)
+        .select(col("w1"), col("w2"), col("pair_count"), col("pmi"))
+    },
+
+    // Capped inverted index (TextAnalysis.invertedIndex): postings for
+    // every term in at most 10% of documents — integer cap math
+    // (df * 10 <= n_docs) so neither engine touches a float boundary.
+    // The synthetic corpus has a deliberately tiny vocabulary, so the
+    // cap keeps only its rare tail; postings strings stay bounded.
+    "q106_inverted_index" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cap = docs.count() / 10L
+      TextAnalysis.invertedIndex(docs, "doc_id", "text", maxDf = cap)
+        .orderBy("term")
     }
   )
 
@@ -2069,6 +2091,44 @@ object ExtensionQueries {
         |    CAST(150000000 + (85 * COALESCE(c3.c, 0)) // 100 AS BIGINT) AS r
         |  FROM nodes LEFT JOIN c3 ON nodes.node = c3.node)
         |SELECT node, r AS rank_fp FROM n3
-        |ORDER BY rank_fp DESC, node""".stripMargin
+        |ORDER BY rank_fp DESC, node""".stripMargin,
+
+    "q105_pmi_collocations" ->
+      """WITH tok AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |w AS (SELECT unnest(toks) AS w FROM tok),
+        |cw AS (SELECT w, count(*) AS cw FROM w WHERE w <> '' GROUP BY w),
+        |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM tok WHERE len(toks) >= 2),
+        |cball AS (SELECT bg, count(*) AS cb FROM b GROUP BY bg),
+        |tot AS (SELECT (SELECT sum(cw) FROM cw) AS n,
+        |               (SELECT sum(cb) FROM cball) AS nb),
+        |cb AS (SELECT split_part(bg, ' ', 1) AS w1,
+        |    split_part(bg, ' ', 2) AS w2, cb
+        |  FROM cball WHERE cb >= 5)
+        |SELECT cb.w1, cb.w2, cb.cb AS pair_count,
+        |  floor(ln((CAST(cb.cb AS DOUBLE) * tot.n * tot.n)
+        |    / (CAST(tot.nb AS DOUBLE) * c1.cw * c2.cw)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS pmi
+        |FROM cb
+        |JOIN cw c1 ON c1.w = cb.w1
+        |JOIN cw c2 ON c2.w = cb.w2
+        |CROSS JOIN tot
+        |ORDER BY pmi DESC, w1, w2 LIMIT 40""".stripMargin,
+
+    "q106_inverted_index" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |td AS (SELECT DISTINCT term, doc_id FROM tok WHERE term <> ''),
+        |dfc AS (SELECT term, count(*) AS doc_freq FROM td GROUP BY term
+        |  HAVING count(*) * 10 <= (SELECT count(*) FROM documents))
+        |SELECT td.term AS term, dfc.doc_freq,
+        |  string_agg(CAST(td.doc_id AS VARCHAR), ',' ORDER BY td.doc_id)
+        |    AS postings
+        |FROM td JOIN dfc ON td.term = dfc.term
+        |GROUP BY td.term, dfc.doc_freq
+        |ORDER BY td.term""".stripMargin
   )
 }

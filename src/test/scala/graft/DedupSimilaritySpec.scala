@@ -910,4 +910,42 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(again == got)
   }
+
+  test("pmiCollocations: hand-computed PMI, count floor, rank order") {
+    // corpus: "new york" x3, "red car" x1 (+ filler to vary unigram counts)
+    val df = Seq(
+      "new york wins", "new york snows", "in new york",
+      "red car", "red paint", "car pool").toDF("text")
+    // tokens: n=15 total; c(new)=3 c(york)=3 c(new york)=3; bigrams nb=9
+    val rows = TextAnalysis.pmiCollocations(df, "text",
+      minCount = 2L, k = 10).collect()
+    assert(rows.length == 1, "only 'new york' clears the count floor")
+    val r = rows.head
+    assert(r.getString(0) == "new" && r.getString(1) == "york" &&
+      r.getLong(2) == 3L)
+    val want = math.log((3.0 * 15 * 15) / (9.0 * 3 * 3))
+    assert(math.abs(r.getDouble(3) -
+      math.floor(want * 1e6 + 0.5) / 1e6) < 1e-12)
+    // partitioning-invariant
+    val again = TextAnalysis.pmiCollocations(df.repartition(7), "text",
+      minCount = 2L, k = 10).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
+
+  test("invertedIndex: df cap drops hot terms; postings sort numerically") {
+    val df = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha beta"),
+      (10L, "alpha gamma"), (11L, "gamma")).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(df, "doc_id", "text", maxDf = 3L)
+      .orderBy("term")
+      .as[(String, Long, String)].collect().toSeq
+    // alpha df=4 > cap; beta df=3 kept; gamma df=2 kept — and gamma's
+    // postings must order 10 < 11 numerically (string sort would too,
+    // but beta's 1,2,3 vs a 10 in the mix is pinned by gamma+10/11)
+    assert(out == Seq(("beta", 3L, "1,2,3"), ("gamma", 2L, "10,11")))
+    val again = TextAnalysis.invertedIndex(df.repartition(5), "doc_id",
+        "text", maxDf = 3L).orderBy("term")
+      .as[(String, Long, String)].collect().toSeq
+    assert(again == out)
+  }
 }
