@@ -141,4 +141,58 @@ object Analytics {
         fr(col("_tw_sv").cast("double") / col("n_obs"), 6).as("mean_v"),
         col("n_obs")): _*)
   }
+
+  /** Slowly-changing-dimension type-2 history build: collapse an entity's
+    * event stream into state runs — one row per maximal run of an
+    * unchanged state, with `valid_from` (run start), `valid_to` (next
+    * run's start; null while current) and an `is_current` flag. The
+    * standard warehouse history table, derived here from a raw change
+    * feed by run-length encoding rather than a merge against an existing
+    * dimension (snapshotDiff covers the merge direction).
+    *
+    * Shape: two windows, both partitioned by the entity key — key-parallel
+    * with one exchange (the change-marker sort and the post-filter
+    * `lead` reuse the same hash partitioning; only the ~runs-sized second
+    * sort re-runs). Ordering is (ts, state) so same-timestamp feeds
+    * resolve identically on any engine.
+    */
+  def scd2(df: DataFrame, keyCol: String, stateCol: String,
+           tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(stateCol))
+    val changes = df
+      .select(col(keyCol), col(stateCol), col(tsCol))
+      .withColumn("_sc_prev", lag(col(stateCol), 1).over(w))
+      // null-safe: the first row's lag is null and must open a run
+      .filter(!(col("_sc_prev") <=> col(stateCol)))
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(stateCol),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Trailing event-time rolling aggregate: for every row, the count and
+    * exact decimal sum of `valueCol` over the key's rows in
+    * `[ts - windowSec, ts]` — both ends inclusive, as SQL RANGE frames
+    * are. The per-event trailing-window feature (rate limiting, velocity
+    * checks, rolling exposure) that tumbling/hopping aggregations (q94)
+    * can't express.
+    *
+    * Shape: ONE keyed window with a RANGE frame over integer microseconds
+    * — Spark evaluates it with a sliding frame cursor per partition, no
+    * self-join, no explode; microsecond bounds, not seconds, so sub-second
+    * timestamps bucket identically to an engine comparing full-precision
+    * intervals. The sum accumulates in DECIMAL so partitioning and frame
+    * advance order can't drift a float result.
+    */
+  def rollingRange(df: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, windowSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSec * 1000000L, 0L)
+    df.withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_win",
+        fr(sum(col(valueCol).cast("decimal(18,6)")).over(w)
+          .cast("double"), 4))
+  }
 }

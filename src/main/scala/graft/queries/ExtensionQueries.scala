@@ -966,6 +966,33 @@ object ExtensionQueries {
       val cap = docs.count() / 10L
       TextAnalysis.invertedIndex(docs, "doc_id", "text", maxDf = cap)
         .orderBy("term")
+    },
+
+    // SCD2 history build (Analytics.scd2): each user's event-type stream
+    // run-length encoded into validity intervals. Timestamps out as NTZ
+    // (the DuckDB-written convention used across the suite).
+    "q107_scd2" -> { (s, d) =>
+      graft.operators.Analytics.scd2(
+          Tables.events(s, d), "user_id", "event_type", "ts")
+        .select(col("user_id"), col("event_type"),
+          col("valid_from").cast("timestamp_ntz").as("valid_from"),
+          col("valid_to").cast("timestamp_ntz").as("valid_to"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from", "event_type")
+    },
+
+    // Trailing 1-hour rolling aggregate (Analytics.rollingRange): RANGE
+    // frame over integer microseconds, decimal window sum. Sampled to
+    // ~1% of users so the verify dump stays bounded; event_id makes the
+    // output order total.
+    "q108_rolling_range" -> { (s, d) =>
+      graft.operators.Analytics.rollingRange(
+          Tables.events(s, d).filter(col("user_id") % 97 === 0),
+          "user_id", "ts", "value", windowSec = 3600L)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("n_win"), col("sum_win"))
+        .orderBy("user_id", "ts", "event_id")
     }
   )
 
@@ -2129,6 +2156,33 @@ object ExtensionQueries {
         |    AS postings
         |FROM td JOIN dfc ON td.term = dfc.term
         |GROUP BY td.term, dfc.doc_freq
-        |ORDER BY td.term""".stripMargin
+        |ORDER BY td.term""".stripMargin,
+
+    "q107_scd2" ->
+      """WITH m AS (SELECT user_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_type) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, event_type, ts FROM m
+        |  WHERE prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type,
+        |  CAST(ts AS TIMESTAMP) AS valid_from,
+        |  CAST(lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_type) AS TIMESTAMP) AS valid_to,
+        |  (lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_type)) IS NULL AS is_current
+        |FROM c
+        |ORDER BY user_id, valid_from, event_type""".stripMargin,
+
+    "q108_rolling_range" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  count(*) OVER w AS n_win,
+        |  floor(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS sum_win
+        |FROM events
+        |WHERE user_id % 97 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin
   )
 }

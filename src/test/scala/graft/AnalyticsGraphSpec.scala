@@ -89,6 +89,37 @@ class AnalyticsGraphSpec extends SparkSpec {
     assert(r.getAs[Long]("n_obs") == 3L)
   }
 
+  test("scd2: run-length history with open current row and ts tiebreak") {
+    val df = Seq(
+      (1L, "A", 10L), (1L, "A", 20L), (1L, "B", 30L), (1L, "A", 40L),
+      (2L, "X", 5L)).toDF("k", "st", "tsec")
+      .withColumn("ts", timestamp_seconds(col("tsec")))
+    val got = Analytics.scd2(df, "k", "st", "ts")
+      .select(col("k"), col("st"), col("valid_from").cast("long"),
+        col("valid_to").cast("long"), col("is_current"))
+      .orderBy("k", "valid_from")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "A", 10L, Some(30L), false),
+      (1L, "B", 30L, Some(40L), false),
+      (1L, "A", 40L, None, true),
+      (2L, "X", 5L, None, true)))
+  }
+
+  test("rollingRange: trailing frame is microsecond-inclusive both ends") {
+    val df = Seq(
+      (1L, 0L, 1.0), (1L, 1800L, 2.0), (1L, 3600L, 4.0), (1L, 7201L, 8.0))
+      .toDF("k", "tsec", "v")
+      .withColumn("ts", timestamp_seconds(col("tsec")))
+    val got = Analytics.rollingRange(df, "k", "ts", "v", windowSec = 3600L)
+      .orderBy("tsec")
+      .select(col("n_win"), col("sum_win"))
+      .as[(Long, Double)].collect().toSeq
+    // the t=3600 row still sees t=0 (both frame ends inclusive);
+    // t=7201 sees only itself (7201 - 3600 = 3601 > 3600)
+    assert(got == Seq((1L, 1.0), (2L, 3.0), (3L, 7.0), (1L, 8.0)))
+  }
+
   test("pageRankFixedPoint: 2-cycle is a fixed point at unit mass") {
     val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
     val rows = Graph.pageRankFixedPoint(edges).orderBy("node")

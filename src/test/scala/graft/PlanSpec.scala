@@ -340,6 +340,17 @@ class PlanSpec extends SparkSpec {
       s"cheap prunes must short-circuit before the DP:\n$joinLine")
   }
 
+  test("q107/q108: history + rolling windows partition on the entity key") {
+    for (q <- Seq("q107_scd2", "q108_rolling_range")) {
+      val winLines = plan(graft.queries.ExtensionQueries.defs(q)(spark, d))
+        .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+      assert(winLines.nonEmpty, s"$q must plan window functions")
+      assert(winLines.forall(_.contains("user_id")),
+        s"$q windows must partition by user_id (key-parallel):\n" +
+          winLines.mkString("\n"))
+    }
+  }
+
   test("q104: PageRank rounds are keyed equi-joins, no cartesian, no global agg") {
     val p = plan(graft.queries.ExtensionQueries
       .defs("q104_pagerank")(spark, d))
