@@ -30,6 +30,19 @@ object Analytics {
               exactDistinct: Boolean = true): DataFrame = {
     val nd: Column => Column =
       if (exactDistinct) countDistinct(_) else approx_count_distinct(_)
+    // The Expand rewrite multiplies every input row ~(N+1)× BEFORE the
+    // first exchange, so a narrow scan (single-file / single-row-group
+    // parquet — parquet can't split below a row group) serializes the
+    // whole multiplied pass through one task. When the scan is that much
+    // narrower than the session, a round-robin fan-out of the RAW rows
+    // restores parallelism for ~a small shuffle (measured 2.5× on the
+    // gate). Wide scans — any real warehouse layout — skip it: the
+    // exchange would be pure waste there.
+    val sc = df.sparkSession.sparkContext
+    val in =
+      if (exactDistinct && df.rdd.getNumPartitions * 2 < sc.defaultParallelism)
+        df.repartition(sc.defaultParallelism)
+      else df
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(
         (count(lit(1)) - count(col(c))).as(s"_pf_nn_$c"),
@@ -45,7 +58,7 @@ object Analytics {
         case _                      => v.cast("string")
       }
     }
-    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val agged = in.agg(aggs.head, aggs.tail: _*)
       .withColumns(cols.flatMap(c => Seq(
         s"_pf_smn_$c" -> asStr(c, "mn_"),
         s"_pf_smx_$c" -> asStr(c, "mx_"))).toMap)
