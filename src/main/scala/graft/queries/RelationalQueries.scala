@@ -385,6 +385,66 @@ object RelationalQueries {
           fr(expr("regr_intercept(value, _x)"), 6).as("icept"),
           fr(expr("regr_r2(value, _x)"), 6).as("r2"))
         .orderBy("event_type")
+    },
+
+    // Correlated scalar subqueries ("orders above 1.5× their customer's
+    // average") through the spark.sql entry, exercising Catalyst's
+    // de-correlation rewrite twice. The comparison is pure DECIMAL/BIGINT
+    // cross-multiplication — price·2·count > 3·sum — so no engine ever
+    // divides: an avg in double would put boundary rows at the mercy of
+    // summation order.
+    "q109_correlated_subquery" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderkey, o_custkey,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM orders_v o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 *
+            (SELECT count(*) FROM orders_v o2
+             WHERE o2.o_custkey = o.o_custkey)
+          > 3 * (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+                 FROM orders_v o3 WHERE o3.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    },
+
+    // Approx-percentile accuracy eval, gated q93-style: the exact
+    // interpolated median rides beside the sketch estimate and the 5%
+    // tolerance boolean is computed Spark-side — the oracle replays the
+    // exact value and pins TRUE, so sketch drift fails the hash compare
+    // even though no engine replays the sketch itself.
+    "q110_approx_percentile" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(value, 0.5)").as("_p50"),
+          expr("approx_percentile(value, 0.5, 10000)").as("_ap"))
+        .select(col("event_type"), col("n"), fr(col("_p50"), 4).as("p50"),
+          (abs(col("_ap") - col("_p50")) / col("_p50") <= 0.05)
+            .as("within_5pct"))
+        .orderBy("event_type")
+    },
+
+    // IGNORE NULLS window family (lag / first_value / running
+    // last_value) over a deterministic null mask — the gap-bridging
+    // forms q20's plain lag/lead don't touch. Running last_value with
+    // ignoreNulls IS forward-fill; the (ts, event_id) ordering makes
+    // same-timestamp rows resolve identically on any engine.
+    "q111_ignore_nulls_window" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("user_id") % 199 === 0)
+        .withColumn("v_masked",
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("v_masked"),
+          lag(col("v_masked"), 1, null, ignoreNulls = true).over(w)
+            .as("prev_v"),
+          first(col("v_masked"), ignoreNulls = true).over(wRun).as("first_v"),
+          last(col("v_masked"), ignoreNulls = true).over(wRun).as("ffill_v"))
+        .orderBy("user_id", "ts", "event_id")
     }
   )
 
@@ -625,6 +685,40 @@ object RelationalQueries {
         |    (epoch_us(CAST(ts AS TIMESTAMP))
         |     - epoch_us(TIMESTAMP '2024-01-01')) / 86400000000.0 AS x
         |  FROM events)
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q109_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 *
+        |    (SELECT count(*) FROM orders o2
+        |     WHERE o2.o_custkey = o.o_custkey)
+        |  > 3 * (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+        |         FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // TRUE is the contract (q93 pattern): sketch drift past 5% relative
+    // error flips the boolean and fails the hash compare
+    "q110_approx_percentile" ->
+      """SELECT event_type, count(*) AS n,
+        |  floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q111_ignore_nulls_window" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, v_masked,
+        |  lag(v_masked IGNORE NULLS) OVER w AS prev_v,
+        |  first_value(v_masked IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
+        |  last_value(v_masked IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_v
+        |FROM (SELECT user_id, event_id, ts,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v_masked
+        |  FROM events WHERE user_id % 199 = 0)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin
   )
 }
