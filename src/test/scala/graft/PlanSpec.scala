@@ -340,6 +340,30 @@ class PlanSpec extends SparkSpec {
       s"cheap prunes must short-circuit before the DP:\n$joinLine")
   }
 
+  test("q105: PMI top-k plans TakeOrderedAndProject, never a global sort") {
+    val p = plan(graft.queries.ExtensionQueries
+      .defs("q105_pmi_collocations")(spark, d))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not materialize a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"count joins must stay keyed:\n$p")
+  }
+
+  test("q106: inverted index is pure keyed aggregation — no window") {
+    val p = plan(graft.queries.ExtensionQueries
+      .defs("q106_inverted_index")(spark, d))
+    assert(!p.contains("windowspecdefinition"),
+      s"postings must come from aggregation, not a per-term sort window:\n$p")
+  }
+
+  test("q109: de-correlated subqueries stay keyed equi-joins") {
+    val p = plan(graft.queries.RelationalQueries
+      .defs("q109_correlated_subquery")(spark, d))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"Catalyst must rewrite the correlated scalars to keyed joins:\n$p")
+  }
+
   test("q107/q108: history + rolling windows partition on the entity key") {
     for (q <- Seq("q107_scd2", "q108_rolling_range")) {
       val winLines = plan(graft.queries.ExtensionQueries.defs(q)(spark, d))
