@@ -488,4 +488,170 @@ object Similarity {
   def dropIvfIndex(spark: org.apache.spark.sql.SparkSession,
                    table: String): Unit =
     Exporter.dropBucketed(spark, table)
+
+  // --------------------------------------------------------------------
+  // Product quantization (PQ) — the MEMORY-side ANN scale path. IVF
+  // bounds how much of the corpus a query touches; PQ bounds how many
+  // bytes per vector the touched part costs: m sub-space codes (m bytes
+  // at k ≤ 256) instead of dim floats — 64-dim float32 → 8 bytes is 32×.
+  // At 100 TB the compressed codes fit executor memory where raw vectors
+  // never would; distances come from per-query lookup tables (ADC).
+  // Determinism mirrors the kmeans/IVF family: Forgy-by-id init, snapped
+  // Lloyd rounds, ties to the smallest code, all cross-engine-ordered
+  // float folds — so a SQL oracle replays training, encoding and ADC
+  // ranking bit-for-bit.
+  // --------------------------------------------------------------------
+
+  /** Exploded (id, sub, subvec) view of a vector column: sub j carries
+    * dims [j·dsub, (j+1)·dsub). `dim` must divide evenly by `m`. */
+  private def subVectors(df: DataFrame, idCol: String, vecCol: String,
+                         m: Int, dsub: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .select(col("_id"), inline(transform(sequence(lit(0), lit(m - 1)),
+        j => struct(j.cast("int").as("sub"),
+          slice(col("_v"), j * dsub + 1, lit(dsub)).as("sv")))))
+
+  /** Ordered left fold of Σ (a_i − b_i)² — identical IEEE sequence on any
+    * engine that folds a list front-to-back (DuckDB `list_sum` over
+    * `list_transform` mirrors it). */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Train per-subspace PQ codebooks: for each of `m` sub-spaces, `k`
+    * centroids from Forgy-by-id init (the k smallest ids' sub-vectors)
+    * refined by `iterations` snapped Lloyd rounds. ALL sub-spaces train
+    * in the same jobs — `sub` is just another grouping key, so a round is
+    * ONE assign (broadcast codebook join + (id, sub)-keyed argmin window
+    * over k candidate rows) and ONE (sub, code, pos) mean aggregate,
+    * regardless of m. Codebook size m·k·dsub doubles — driver-side like
+    * every codebook in this file.
+    *
+    * @return codebooks(sub)(code) = centroid (dsub doubles, 1e-6-snapped).
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                  m: Int, k: Int,
+                  iterations: Int = 2): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && k >= 1 && iterations >= 0, "m, k >= 1; iterations >= 0")
+    val spark = df.sparkSession
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim=$dim must divide evenly into m=$m sub-spaces")
+    val dsub = dim / m
+    import org.apache.spark.storage.StorageLevel
+    val sv = subVectors(df, idCol, vecCol, m, dsub)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      def snap(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+      val seed = sv.filter(col("sub") === 0).orderBy(col("_id")).limit(k)
+        .select(col("_id")).collect().map(_.getLong(0))
+      val seedSet = seed.toSet
+      val init = sv.filter(col("_id").isInCollection(seedSet))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Double](2))
+        .toMap
+      val rank = seed.sorted.zipWithIndex.toMap
+      var books: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
+        seed.sorted.map(id => init((id, j)).toSeq).toSeq)
+      for (_ <- 0 until iterations) {
+        val assigned = pqAssign(sv, books)
+        val updated = assigned
+          .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("_p", "_x")))
+          .groupBy(col("sub"), col("code"), col("_p"))
+          .agg(avg(col("_x")).as("_mn"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case (key, rows) =>
+            key -> rows.sortBy(_.getInt(2)).map(r => snap(r.getDouble(3))).toSeq
+          }
+        books = books.zipWithIndex.map { case (book, j) =>
+          book.zipWithIndex.map { case (prev, c) =>
+            updated.getOrElse((j, c), prev)
+          }
+        }
+      }
+      books
+    } finally sv.unpersist(false)
+  }
+
+  /** Assign every (id, sub) row its nearest code: broadcast-join the m·k
+    * codebook rows and keep the (sqdist, code)-min per (id, sub). */
+  private def pqAssign(sv: DataFrame,
+                       books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val spark = sv.sparkSession
+    import spark.implicits._
+    val cb = books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (ce, c) => (j, c, ce) }
+    }.toDF("sub", "code", "ce")
+    val w = Window.partitionBy(col("_id"), col("sub"))
+      .orderBy(col("_d"), col("code"))
+    sv.join(broadcast(cb), Seq("sub"))
+      .withColumn("_d", sqDist(col("sv"), col("ce")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** PQ-encode a vector column: one row per vector with its m codes (sub
+    * order) and the exact reconstruction error Σ_sub sqdist(subvec,
+    * centroid) folded in sub order — the quantization-quality number a
+    * deployment watches when choosing m and k.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = books.length
+    val dsub = books.head.head.length
+    val assigned = pqAssign(subVectors(df, idCol, vecCol, m, dsub), books)
+    assigned
+      .groupBy(col("_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+          e => e.getField("code")).as("codes"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("sub"), col("_d")))),
+            e => e.getField("_d")),
+          lit(0.0), (acc, x) => acc + x).as("recon_err"))
+      .select(col("_id").as(idCol), col("codes"), col("recon_err"))
+  }
+
+  /** PQ-ADC top-k: rank the encoded corpus for each query by asymmetric
+    * distance — Σ_sub table(sub, code_sub) where `table` is the query's
+    * sub-distance lookup (m·k entries, computed once per query). The scan
+    * side touches CODES ONLY (m small ints per vector); raw corpus
+    * vectors never load — the whole point of PQ at 100 TB. Ranking runs
+    * on the 1e-6-snapped ADC (ties by corpus id) so engine ulps can't
+    * reorder the kept set; per-query top-k is a (qid)-keyed window over
+    * code-joined rows.
+    */
+  def pqAdcTopK(queries: DataFrame, encoded: DataFrame, qIdCol: String,
+                vecCol: String, books: Seq[Seq[Seq[Double]]],
+                k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val dsub = books.head.head.length
+    val cb = books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (ce, c) => (j, c, ce) }
+    }.toDF("sub", "code", "ce")
+    // per-query lookup table: m·k rows per query, the ADC precompute
+    val qsv = subVectors(queries, qIdCol, vecCol, m, dsub)
+      .withColumnRenamed("_id", "qid")
+    val table = qsv.join(broadcast(cb), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"),
+        sqDist(col("sv"), col("ce")).as("_d"))
+    // corpus codes explode to (cid, sub, code), join the table on
+    // (qid × (sub, code)); the ADC sum folds in sub order
+    val codes = encoded.select(col(encoded.columns.head).as("cid"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
+    codes.join(broadcast(table), Seq("sub", "code"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("sub"), col("_d")))),
+          e => e.getField("_d")),
+        lit(0.0), (acc, x) => acc + x).as("_adc"))
+      .withColumn("adc", floor(col("_adc") * 1e6 + 0.5) / 1e6)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("qid"), col("cid"), col("adc"),
+        col("_rn").cast("long").as("rank"))
+  }
 }

@@ -993,6 +993,39 @@ object ExtensionQueries {
           col("ts").cast("timestamp_ntz").as("ts"),
           col("n_win"), col("sum_win"))
         .orderBy("user_id", "ts", "event_id")
+    },
+
+    // Product-quantization encode (Similarity.pqCodebooks/pqEncode):
+    // 64-dim embeddings → 8 sub-space codes from k=16 snapped-Lloyd
+    // codebooks (2 rounds, Forgy-by-id init) + exact reconstruction
+    // error folded in sub order. The oracle replays the entire training
+    // in SQL — the q81 kmeans replay with `sub` as one more grouping key.
+    "q112_pq_encode" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 8, k = 16, iterations = 2)
+      Similarity.pqEncode(emb, "vec_id", "embedding", books)
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("codes"), _.cast("string")))
+            .as("codes"),
+          fr(col("recon_err"), 4).as("recon_err"))
+        .orderBy("vec_id")
+    },
+
+    // PQ asymmetric-distance top-10 (Similarity.pqAdcTopK): each query
+    // builds its m·k lookup table once; the corpus side is CODES ONLY —
+    // the 32× memory compression that makes 100 TB ANN fit executors.
+    // Ranking on the 1e-6-snapped ADC, ties by corpus id.
+    "q113_pq_adc_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 8, k = 16, iterations = 2)
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      Similarity.pqAdcTopK(emb.filter(col("vec_id") <= 5), enc,
+          "vec_id", "embedding", books, k = 10)
+        .select(col("qid"), col("cid"), fr(col("adc"), 4).as("adc"),
+          col("rank"))
+        .orderBy("qid", "rank")
     }
   )
 
@@ -2158,6 +2191,33 @@ object ExtensionQueries {
         |GROUP BY td.term, dfc.doc_freq
         |ORDER BY td.term""".stripMargin,
 
+    "q112_pq_encode" -> (pqTrainSql +
+      """SELECT vec_id,
+        |  string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS codes,
+        |  floor(list_sum(list(dd ORDER BY sub)) * 10000.0 + 0.5) / 10000.0
+        |    AS recon_err
+        |FROM sf GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+
+    "q113_pq_adc_topk" -> (pqTrainSql.stripSuffix("\n") +
+      """,
+        |qsv AS (SELECT vec_id AS qid, sub, s AS qs FROM sv
+        |  WHERE vec_id <= 5),
+        |tbl AS (SELECT q.qid, c.sub, c.code,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (q.qs[i] - c.ce[i])^2)) AS qd
+        |  FROM qsv q JOIN c2 c ON q.sub = c.sub),
+        |adc AS (SELECT t.qid, sf.vec_id AS cid,
+        |    floor(list_sum(list(t.qd ORDER BY t.sub)) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS a
+        |  FROM sf JOIN tbl t ON sf.sub = t.sub AND sf.code = t.code
+        |  GROUP BY t.qid, sf.vec_id),
+        |rk AS (SELECT qid, cid, a,
+        |    row_number() OVER (PARTITION BY qid ORDER BY a, cid) AS rank
+        |  FROM adc)
+        |SELECT qid, cid, floor(a * 10000.0 + 0.5) / 10000.0 AS adc,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
+
     "q107_scd2" ->
       """WITH m AS (SELECT user_id, event_type, ts,
         |    lag(event_type) OVER (PARTITION BY user_id
@@ -2185,4 +2245,63 @@ object ExtensionQueries {
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin
   )
+
+  /** Shared oracle prefix for q112/q113: the full PQ training replay —
+    * the q81 snapped-Lloyd kmeans replay with `sub` as one more grouping
+    * key (8 sub-spaces × 16 codes × 2 rounds), ending in `sf` =
+    * (vec_id, sub, code, dd) final assignments. Every float fold is an
+    * in-list-order sum, mirroring the Spark side's ordered
+    * `aggregate(zip_with(...))`.
+    */
+  // lazy: declared below the `sql` map that references it, so a strict val
+  // would still be null during the map's initialization
+  private lazy val pqTrainSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |subs AS (SELECT unnest(range(0, 8)) AS sub),
+      |sv AS (SELECT vec_id, sub, e[sub*8+1 : sub*8+8] AS s
+      |  FROM v CROSS JOIN subs),
+      |seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+      |  FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+      |c0 AS (SELECT sv.sub, seed.code, sv.s AS ce
+      |  FROM sv JOIN seed ON sv.vec_id = seed.vec_id),
+      |a0 AS (SELECT sv.vec_id, sv.sub, sv.s, c.code,
+      |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+      |      ORDER BY list_sum(list_transform(range(1, 9),
+      |        i -> (sv.s[i] - c.ce[i])^2)), c.code) AS rn
+      |  FROM sv JOIN c0 c ON sv.sub = c.sub),
+      |s0 AS (SELECT vec_id, sub, s, code FROM a0 WHERE rn = 1),
+      |u0 AS (SELECT sub, code, pos,
+      |    floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS mn
+      |  FROM (SELECT sub, code, generate_subscripts(s, 1) AS pos,
+      |        unnest(s) AS x FROM s0) t
+      |  GROUP BY sub, code, pos),
+      |n0 AS (SELECT sub, code, list(mn ORDER BY pos) AS ce FROM u0
+      |  GROUP BY sub, code),
+      |c1 AS (SELECT c0.sub, c0.code, coalesce(n0.ce, c0.ce) AS ce
+      |  FROM c0 LEFT JOIN n0 ON c0.sub = n0.sub AND c0.code = n0.code),
+      |a1 AS (SELECT sv.vec_id, sv.sub, sv.s, c.code,
+      |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+      |      ORDER BY list_sum(list_transform(range(1, 9),
+      |        i -> (sv.s[i] - c.ce[i])^2)), c.code) AS rn
+      |  FROM sv JOIN c1 c ON sv.sub = c.sub),
+      |s1 AS (SELECT vec_id, sub, s, code FROM a1 WHERE rn = 1),
+      |u1 AS (SELECT sub, code, pos,
+      |    floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS mn
+      |  FROM (SELECT sub, code, generate_subscripts(s, 1) AS pos,
+      |        unnest(s) AS x FROM s1) t
+      |  GROUP BY sub, code, pos),
+      |n1 AS (SELECT sub, code, list(mn ORDER BY pos) AS ce FROM u1
+      |  GROUP BY sub, code),
+      |c2 AS (SELECT c1.sub, c1.code, coalesce(n1.ce, c1.ce) AS ce
+      |  FROM c1 LEFT JOIN n1 ON c1.sub = n1.sub AND c1.code = n1.code),
+      |af AS (SELECT sv.vec_id, sv.sub, c.code,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> (sv.s[i] - c.ce[i])^2)) AS dd,
+      |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+      |      ORDER BY list_sum(list_transform(range(1, 9),
+      |        i -> (sv.s[i] - c.ce[i])^2)), c.code) AS rn
+      |  FROM sv JOIN c2 c ON sv.sub = c.sub),
+      |sf AS (SELECT vec_id, sub, code, dd FROM af WHERE rn = 1)
+      |""".stripMargin
 }

@@ -911,6 +911,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("pq: codebooks cluster sub-spaces, codes + ADC rank hand-checked") {
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (1L, Seq(0.2, 0.0, 10.0, 10.2)),
+      (2L, Seq(5.0, 5.0, 0.0, 0.0)),
+      (3L, Seq(5.2, 5.0, 0.0, 0.2))).toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
+      m = 2, k = 2, iterations = 1)
+    assert(books.length == 2 && books.forall(_.length == 2))
+    // after one Lloyd round: sub0 c1 = mean of ids 1,2,3 first-half
+    assert(books(0)(0) == Seq(0.0, 0.0))
+    assert(books(0)(1) == Seq(3.466667, 3.333333))
+    val enc = Similarity.pqEncode(vecs, "vec_id", "embedding", books)
+      .orderBy("vec_id")
+      .as[(Long, Seq[Int], Double)].collect().toSeq
+    assert(enc.map(e => (e._1, e._2)) == Seq(
+      (0L, Seq(0, 1)), (1L, Seq(0, 1)), (2L, Seq(1, 0)), (3L, Seq(1, 0))),
+      s"codes must group the two vector families: $enc")
+    assert(math.abs(enc(1)._3 - 0.04) < 1e-6, "id1 recon = 0.04 (sub0 only)")
+    // ADC from query id0: ids 0,1 share codes -> tied ADC, id asc breaks
+    val encDf = Similarity.pqEncode(vecs, "vec_id", "embedding", books)
+    val top = Similarity.pqAdcTopK(vecs.filter(col("vec_id") === 0),
+        encDf, "vec_id", "embedding", books, k = 4)
+      .orderBy("rank").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(top.map(_._2) == Seq(0L, 1L, 2L, 3L),
+      s"ADC ranking must put the query's own family first: $top")
+    assert(top(0)._3 == top(1)._3, "identical codes share one ADC distance")
+  }
+
   test("pmiCollocations: hand-computed PMI, count floor, rank order") {
     // corpus: "new york" x3, "red car" x1 (+ filler to vary unigram counts)
     val df = Seq(

@@ -364,6 +364,20 @@ class PlanSpec extends SparkSpec {
       s"Catalyst must rewrite the correlated scalars to keyed joins:\n$p")
   }
 
+  test("q113: ADC ranking is a query-keyed window, no cartesian anywhere") {
+    val p = plan(graft.queries.ExtensionQueries
+      .defs("q113_pq_adc_topk")(spark, d))
+    assert(!p.contains("CartesianProduct"),
+      s"codes join the per-query table on (sub, code) — keyed:\n$p")
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toVector
+    assert(winLines.exists(_.contains("qid")),
+      s"top-k must rank within each query's partition:\n${winLines.mkString("\n")}")
+    // every window in the plan is keyed (qid ranking or (_id, sub) assign)
+    assert(winLines.forall(l => l.contains("qid") || l.contains("_id")),
+      s"no keyless window may appear:\n${winLines.mkString("\n")}")
+  }
+
   test("q107/q108: history + rolling windows partition on the entity key") {
     for (q <- Seq("q107_scd2", "q108_rolling_range")) {
       val winLines = plan(graft.queries.ExtensionQueries.defs(q)(spark, d))
