@@ -14,6 +14,10 @@ object Verify {
         "usage: Verify <sfDir> <outDir> [queryFilter]")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // only stop a session this main created — under getOrCreate an
+    // embedding JVM (tests) may already own one, and stopping it would
+    // kill every subsequent user of the shared context
+    val preExisting = SparkSession.getDefaultSession.isDefined
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -60,6 +64,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    if (!preExisting) spark.stop()
   }
 }

@@ -493,4 +493,44 @@ object Reporting {
       .ofPattern("yyyy-MM-dd HH:mm:ss")
       .withZone(java.time.ZoneOffset.UTC)
       .format(t.toInstant) + "+00:00"
+
+  /** Key-skew profile: the numbers that decide salting, bucketing and
+    * AQE skew-join thresholds BEFORE a job dies at 100 TB — per-key row
+    * counts summarized as exact type-1 p50/p90/p99 quantiles, the max,
+    * and the top-k heaviest keys (`key:count`, count desc / key asc).
+    *
+    * Shape: one keyed partial aggregate (per-key counts) → a
+    * count-of-counts census bounded by DISTINCT count values, not keys —
+    * the only keyless window runs over that census (a q86-style bounded
+    * frame, thousands of rows for billions of keys). Quantiles are
+    * integer threshold math (`cum·den ≥ num·n_keys` — no float
+    * boundary); the top-k list is a struct-sorted fold, order-stable on
+    * any engine. Output: ONE row.
+    */
+  def skewProfile(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("_k"))
+      .agg(count(lit(1)).as("_c"))
+    val census = counts.groupBy(col("_c")).agg(count(lit(1)).as("_nk"))
+    val tot = census.agg(
+      sum(col("_c") * col("_nk")).cast("long").as("n_rows"),
+      sum(col("_nk")).cast("long").as("n_keys"),
+      max(col("_c")).as("max_key_rows"))
+    val cum = census.withColumn("_cum",
+      sum(col("_nk")).over(Window.orderBy(col("_c"))))
+    val qs = cum.crossJoin(broadcast(tot.select(col("n_keys").as("_n"))))
+      .agg(
+        min(when(col("_cum") * 2 >= col("_n"), col("_c")))
+          .as("p50_key_rows"),
+        min(when(col("_cum") * 10 >= col("_n") * 9, col("_c")))
+          .as("p90_key_rows"),
+        min(when(col("_cum") * 100 >= col("_n") * 99, col("_c")))
+          .as("p99_key_rows"))
+    val top = counts.orderBy(col("_c").desc, col("_k")).limit(topK)
+      .agg(concat_ws(",", transform(
+        array_sort(collect_list(struct((col("_c") * -1).as("_nc"),
+          col("_k"), col("_c")))),
+        e => concat(e.getField("_k"), lit(":"), e.getField("_c"))))
+        .as("top_keys"))
+    tot.crossJoin(qs).crossJoin(top)
+  }
 }

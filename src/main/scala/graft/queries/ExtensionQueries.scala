@@ -1026,6 +1026,14 @@ object ExtensionQueries {
         .select(col("qid"), col("cid"), fr(col("adc"), 4).as("adc"),
           col("rank"))
         .orderBy("qid", "rank")
+    },
+
+    // Key-skew profile (Reporting.skewProfile): exact per-key-count
+    // quantiles + heaviest keys for events.user_id — the pre-flight
+    // diagnostic behind every salting/bucketing decision in this repo.
+    "q114_skew_profile" -> { (s, d) =>
+      graft.operators.Reporting.skewProfile(
+        Tables.events(s, d), "user_id", topK = 5)
     }
   )
 
@@ -2217,6 +2225,29 @@ object ExtensionQueries {
         |SELECT qid, cid, floor(a * 10000.0 + 0.5) / 10000.0 AS adc,
         |  CAST(rank AS BIGINT) AS rank
         |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
+
+    "q114_skew_profile" ->
+      """WITH counts AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |census AS (SELECT c, count(*) AS nk FROM counts GROUP BY c),
+        |tot AS (SELECT CAST(sum(c * nk) AS BIGINT) AS n_rows,
+        |    CAST(sum(nk) AS BIGINT) AS n_keys, max(c) AS max_key_rows
+        |  FROM census),
+        |cum AS (SELECT c, sum(nk) OVER (ORDER BY c) AS cumk FROM census),
+        |qs AS (SELECT
+        |    min(CASE WHEN cum.cumk * 2 >= tot.n_keys THEN c END)
+        |      AS p50_key_rows,
+        |    min(CASE WHEN cum.cumk * 10 >= tot.n_keys * 9 THEN c END)
+        |      AS p90_key_rows,
+        |    min(CASE WHEN cum.cumk * 100 >= tot.n_keys * 99 THEN c END)
+        |      AS p99_key_rows
+        |  FROM cum CROSS JOIN tot),
+        |top AS (SELECT string_agg(k || ':' || c, ',' ORDER BY c DESC, k)
+        |    AS top_keys
+        |  FROM (SELECT k, c FROM counts ORDER BY c DESC, k LIMIT 5))
+        |SELECT tot.n_rows, tot.n_keys, tot.max_key_rows, qs.p50_key_rows,
+        |  qs.p90_key_rows, qs.p99_key_rows, top.top_keys
+        |FROM tot CROSS JOIN qs CROSS JOIN top""".stripMargin,
 
     "q107_scd2" ->
       """WITH m AS (SELECT user_id, event_type, ts,

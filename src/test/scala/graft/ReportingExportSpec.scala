@@ -131,4 +131,21 @@ class ReportingExportSpec extends SparkSpec {
     assert(rep("invalid_low") == true)
     assert(rep("negative_prices") == false)
   }
+
+  test("skewProfile: hand-computed census quantiles and heavy keys") {
+    // a×5, b×3, c×1, d×1: census {1:2, 3:1, 5:1}, cum (1,2)(3,3)(5,4)
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val r = Reporting.skewProfile(df, "k").collect().head
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("n_keys") == 4L)
+    assert(r.getAs[Long]("max_key_rows") == 5L)
+    assert(r.getAs[Long]("p50_key_rows") == 1L) // cum 2·2 ≥ 4 at c=1
+    assert(r.getAs[Long]("p90_key_rows") == 5L) // first cum·10 ≥ 36
+    assert(r.getAs[Long]("p99_key_rows") == 5L)
+    assert(r.getAs[String]("top_keys") == "a:5,b:3,c:1,d:1")
+    // partitioning-invariant
+    val again = Reporting.skewProfile(df.repartition(7), "k").collect().head
+    assert(again.toSeq == r.toSeq)
+  }
 }
