@@ -208,4 +208,60 @@ object Analytics {
         fr(sum(col(valueCol).cast("decimal(18,6)")).over(w)
           .cast("double"), 4))
   }
+
+  /** Mergeable per-key aggregate state — the incremental-ETL pattern:
+    * aggregate each arriving batch once, persist the small state table,
+    * and fold new batches in WITHOUT rescanning history. Every component
+    * is an algebraic merge (count/sum/min/max; the sum in DECIMAL so
+    * merge order can't drift a float), so state merged across any batch
+    * split is bit-identical to aggregating all rows at once — the
+    * property the q115 oracle checks by doing exactly that.
+    */
+  def aggState(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(keyCol).cast("long").as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("s"),
+        min(col(valueCol)).as("mn"),
+        max(col(valueCol)).as("mx"))
+
+  /** Fold one state table into another (full-outer on the key). */
+  def mergeAggStates(a: DataFrame, b: DataFrame): DataFrame = {
+    val bb = b.select(col("k").as("k2"), col("n").as("n2"),
+      col("s").as("s2"), col("mn").as("mn2"), col("mx").as("mx2"))
+    a.join(bb, col("k") === col("k2"), "full_outer")
+      .select(
+        coalesce(col("k"), col("k2")).as("k"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n"),
+        (coalesce(col("s"), lit(0).cast("decimal(18,6)")) +
+          coalesce(col("s2"), lit(0).cast("decimal(18,6)"))).as("s"),
+        least(coalesce(col("mn"), col("mn2")),
+          coalesce(col("mn2"), col("mn"))).as("mn"),
+        greatest(coalesce(col("mx"), col("mx2")),
+          coalesce(col("mx2"), col("mx"))).as("mx"))
+  }
+
+  /** Apply a CDC changelog to a keyed snapshot: per key, the LATEST
+    * change (by `(ts, op, value)` — a total order, so same-timestamp
+    * feeds resolve identically on any engine) wins; a final 'D' deletes
+    * the key, anything else upserts its value; untouched snapshot keys
+    * pass through. One changes-side keyed window + one full-outer join —
+    * the merge-on-read shape of every open-table format's MERGE.
+    */
+  def applyChangelog(snapshot: DataFrame, changes: DataFrame,
+                     keyCol: String, valueCol: String, tsCol: String,
+                     opCol: String): DataFrame = {
+    val latest = changes
+      .select(col(keyCol).cast("long").as("_ck"), col(valueCol).as("_cv"),
+        col(tsCol).as("_cts"), col(opCol).as("_cop"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_ck"))
+          .orderBy(col("_cts").desc, col("_cop").desc, col("_cv").desc)))
+      .filter(col("_rn") === 1)
+    snapshot
+      .select(col(keyCol).cast("long").as("_sk"), col(valueCol).as("_sv"))
+      .join(latest, col("_sk") === col("_ck"), "full_outer")
+      .filter(col("_cop").isNull || col("_cop") =!= "D")
+      .select(coalesce(col("_sk"), col("_ck")).as(keyCol),
+        coalesce(col("_cv"), col("_sv")).as(valueCol))
+  }
 }

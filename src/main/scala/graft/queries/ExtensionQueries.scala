@@ -1034,6 +1034,48 @@ object ExtensionQueries {
     "q114_skew_profile" -> { (s, d) =>
       graft.operators.Reporting.skewProfile(
         Tables.events(s, d), "user_id", topK = 5)
+    },
+
+    // Incremental aggregate-state merge (Analytics.aggState/merge):
+    // events split into three batches by event_id mod 3, each aggregated
+    // independently, states folded pairwise. Every component is an
+    // algebraic merge (DECIMAL sum), so the oracle aggregates ALL rows
+    // in one pass and the hash compare proves split-invariance.
+    "q115_incremental_agg" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val a = graft.operators.Analytics.aggState(
+        ev.filter(col("event_id") % 3 === 0), "user_id", "value")
+      val b = graft.operators.Analytics.aggState(
+        ev.filter(col("event_id") % 3 === 1), "user_id", "value")
+      val c = graft.operators.Analytics.aggState(
+        ev.filter(col("event_id") % 3 === 2), "user_id", "value")
+      graft.operators.Analytics.mergeAggStates(
+          graft.operators.Analytics.mergeAggStates(a, b), c)
+        .select(col("k").as("user_id"), col("n"),
+          fr(col("s").cast("double"), 4).as("sum_v"),
+          col("mn").as("min_v"), col("mx").as("max_v"))
+        .orderBy("user_id")
+    },
+
+    // CDC changelog apply (Analytics.applyChangelog): snapshot = each
+    // user's earliest-event value; changelog = their later events with
+    // op = D for 'error' events, U otherwise. Latest change per key wins
+    // under the (ts, op, value) total order; a final D deletes.
+    "q116_cdc_apply" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val wFirst = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ranked = ev.withColumn("_rn", row_number().over(wFirst))
+      val snapshot = ranked.filter(col("_rn") === 1)
+        .select(col("user_id"), col("value"))
+      val changes = ranked.filter(col("_rn") > 1)
+        .select(col("user_id"), col("value"), col("ts"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+            .as("op"))
+      graft.operators.Analytics.applyChangelog(snapshot, changes,
+          "user_id", "value", "ts", "op")
+        .orderBy("user_id")
     }
   )
 
@@ -2248,6 +2290,35 @@ object ExtensionQueries {
         |SELECT tot.n_rows, tot.n_keys, tot.max_key_rows, qs.p50_key_rows,
         |  qs.p90_key_rows, qs.p99_key_rows, top.top_keys
         |FROM tot CROSS JOIN qs CROSS JOIN top""".stripMargin,
+
+    // ONE pass over all rows: equality with the three-way split-and-merge
+    // is the algebraic-state contract under test
+    "q115_incremental_agg" ->
+      """SELECT user_id, count(*) AS n,
+        |  floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS sum_v,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q116_cdc_apply" ->
+      """WITH ranked AS (SELECT user_id, event_id, ts, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |snap AS (SELECT user_id, value FROM ranked WHERE rn = 1),
+        |chg AS (SELECT user_id, value, ts,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |  FROM ranked WHERE rn > 1),
+        |latest AS (SELECT user_id, value, op FROM (
+        |    SELECT user_id, value, op,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, op DESC, value DESC) AS rn2
+        |    FROM chg) t WHERE rn2 = 1)
+        |SELECT COALESCE(s.user_id, l.user_id) AS user_id,
+        |  COALESCE(l.value, s.value) AS value
+        |FROM snap s FULL OUTER JOIN latest l ON s.user_id = l.user_id
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY user_id""".stripMargin,
 
     "q107_scd2" ->
       """WITH m AS (SELECT user_id, event_type, ts,

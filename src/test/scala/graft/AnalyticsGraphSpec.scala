@@ -120,6 +120,35 @@ class AnalyticsGraphSpec extends SparkSpec {
     assert(got == Seq((1L, 1.0), (2L, 3.0), (3L, 7.0), (1L, 8.0)))
   }
 
+  test("aggState merge across any split equals the one-pass aggregate") {
+    val df = Seq((1L, 2.5), (1L, -1.0), (1L, 4.0), (2L, 7.0), (3L, 0.5))
+      .toDF("k", "v")
+    def render(s: org.apache.spark.sql.DataFrame) =
+      s.orderBy("k").select(col("k"), col("n"),
+        col("s").cast("double"), col("mn"), col("mx"))
+        .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    val whole = render(Analytics.aggState(df, "k", "v"))
+    val merged = render(Analytics.mergeAggStates(
+      Analytics.aggState(df.filter(col("v") > 0), "k", "v"),
+      Analytics.aggState(df.filter(col("v") <= 0), "k", "v")))
+    assert(merged == whole)
+    assert(whole == Seq((1L, 3L, 5.5, -1.0, 4.0), (2L, 1L, 7.0, 7.0, 7.0),
+      (3L, 1L, 0.5, 0.5, 0.5)))
+  }
+
+  test("applyChangelog: latest wins, D deletes, untouched keys pass through") {
+    val snap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val chg = Seq(
+      (1L, 11.0, 100L, "U"), (1L, 12.0, 200L, "U"), // latest U wins
+      (2L, 0.0, 150L, "D"),                          // delete
+      (4L, 40.0, 50L, "U"))                          // insert (no snapshot)
+      .toDF("k", "v", "tsec", "op")
+      .withColumn("ts", timestamp_seconds(col("tsec")))
+    val got = Analytics.applyChangelog(snap, chg, "k", "v", "ts", "op")
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 12.0), (3L, 30.0), (4L, 40.0)))
+  }
+
   test("pageRankFixedPoint: 2-cycle is a fixed point at unit mass") {
     val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
     val rows = Graph.pageRankFixedPoint(edges).orderBy("node")
