@@ -51,6 +51,24 @@ object StreamingOps {
         aggs.map { case (n, _) => col(n) }: _*)
   }
 
+  /** Streaming form of `Analytics.aggState` — the incremental-ETL state
+    * table maintained live: per-key count / DECIMAL sum / min / max as a
+    * streaming aggregation in Update mode. Because every component is
+    * algebraic, the state after any prefix of the stream is bit-identical
+    * to `Analytics.aggState` over the same rows batch-side (and to any
+    * `mergeAggStates` fold of them — the q115 invariant); the spec pins
+    * that equivalence. State is O(keys), exactly the batch state table's
+    * size; for unbounded key spaces window the key by event time and
+    * watermark it, as the other entry points here do.
+    */
+  def streamingAggState(stream: DataFrame, keyCol: String,
+                        valueCol: String): DataFrame =
+    stream.groupBy(col(keyCol).cast("long").as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("s"),
+        min(col(valueCol)).as("mn"),
+        max(col(valueCol)).as("mx"))
+
   /** Streaming dedup — the O8 keep-first analog for live feeds: duplicate
     * (SYMBOL, TIMESTAMP) ticks within the watermark horizon are dropped
     * (the first arrival wins, which is exactly batch keep-first-in-file-

@@ -66,6 +66,26 @@ class EventsSchemaDriftSpec extends SparkSpec {
     }
   }
 
+  test("embeddings drift: float32 or float64 elements both analyze clean") {
+    // the driver has shipped FLOAT[] embeddings so far; a regeneration to
+    // DOUBLE[] must not break the vector queries (they all cast to
+    // array<double> internally — this pins that)
+    val dir = fixtureDir("embdouble") { out =>
+      Files.copy(Paths.get(s"$src/events.parquet"), Paths.get(out),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // overwrite the copied float32 file with a float64 directory
+    Tables.embeddings(spark, src)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    for (q <- Seq("q34_cosine_pairs", "q39_ann_topk", "q112_pq_encode")) {
+      val base = SparkEntry.queries(q)(spark, src).count()
+      val drifted = SparkEntry.queries(q)(spark, dir).count()
+      assert(drifted == base, s"$q on double embeddings: $drifted vs $base")
+    }
+  }
+
   test("every registered query survives analysis on the NTZ-events fixture") {
     // Analysis (not execution): catches DATATYPE_MISMATCH on ts without the
     // cost of running all 104 queries. Queries that execute eagerly inside

@@ -98,6 +98,36 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(b0.getAs[Double]("VOLUME") == 500.0)
   }
 
+  test("streaming aggState equals the batch state table after every batch") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("k", "v")
+    val q = StreamingOps.streamingAggState(stream, "k", "v")
+      .writeStream.format("memory").queryName("aggstate_out")
+      .outputMode("complete").start()
+    val batch1 = Seq((1L, 2.5), (1L, -1.0), (2L, 7.0))
+    val batch2 = Seq((1L, 4.0), (3L, 0.5))
+    def snapshot(): Seq[(Long, Long, Double, Double, Double)] =
+      spark.table("aggstate_out").orderBy("k")
+        .select(col("k"), col("n"), col("s").cast("double"),
+          col("mn"), col("mx"))
+        .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    def batchState(rows: Seq[(Long, Double)]) =
+      graft.operators.Analytics.aggState(rows.toDF("k", "v"), "k", "v")
+        .orderBy("k")
+        .select(col("k"), col("n"), col("s").cast("double"),
+          col("mn"), col("mx"))
+        .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    assert(snapshot() == batchState(batch1))
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    assert(snapshot() == batchState(batch1 ++ batch2),
+      "streaming state must equal one-pass batch aggregation (q115 invariant)")
+    q.stop()
+  }
+
   test("streaming dedup: duplicate ticks within the watermark drop, first wins") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Double, String)]
