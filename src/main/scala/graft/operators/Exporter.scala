@@ -319,4 +319,49 @@ object Exporter {
       Json.write(entry, indent = 0).replace("\n", " ") + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
+
+  /** The Morton (Z-order) key for two long columns already quantized to
+    * 16 bits: bit i of `a` lands at bit 2i, bit i of `b` at 2i+1. Pure
+    * bitwise column arithmetic — codegen'd, no UDF. */
+  private def morton16(a: org.apache.spark.sql.Column,
+                       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      (shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  /** Z-order clustering write: lay `df` out as `files` parquet files
+    * sorted by the Morton interleave of two numeric columns, so a scan
+    * with a BOX predicate (ranges on both columns) skips most files /
+    * row groups on footer min-max stats. Linear sort clusters one
+    * dimension perfectly and scatters the other across every file —
+    * interleaving bounds locality in BOTH, which is the multi-dimensional
+    * data-skipping lever at 100 TB (Delta/Iceberg OPTIMIZE ZORDER BY).
+    *
+    * Columns are min-max quantized to 16 bits first (two fixed-size
+    * aggregate jobs); the write is `repartitionByRange` on the z-key +
+    * in-partition sort, so file boundaries follow z-ranges. Value-neutral:
+    * read-back rows are the input rows, only layout changes — the spec
+    * asserts box-matching rows concentrate in strictly fewer files than a
+    * linear layout of the same data.
+    */
+  def writeZOrdered(df: DataFrame, outPath: String, colA: String,
+                    colB: String, files: Int): Unit = {
+    val stats = df.agg(
+      min(col(colA).cast("double")).as("na"), max(col(colA).cast("double")).as("xa"),
+      min(col(colB).cast("double")).as("nb"), max(col(colB).cast("double")).as("xb"))
+      .head()
+    val (na, xa, nb, xb) = (stats.getDouble(0), stats.getDouble(1),
+      stats.getDouble(2), stats.getDouble(3))
+    def quant(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0L)
+      else least(lit(65535L), floor((c.cast("double") - lo) / (hi - lo)
+        * 65536.0).cast("long"))
+    df.withColumn("_z", morton16(quant(col(colA), na, xa),
+        quant(col(colB), nb, xb)))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(outPath)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.queries.QueryUtils.fr
+import graft.queries.QueryUtils.{decSum, fr}
 import graft.functions.VectorFunctions
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1055,6 +1055,29 @@ object ExtensionQueries {
           fr(col("s").cast("double"), 4).as("sum_v"),
           col("mn").as("min_v"), col("mx").as("max_v"))
         .orderBy("user_id")
+    },
+
+    // Z-order clustering sink (Exporter.writeZOrdered): lineitem laid out
+    // by the Morton interleave of (l_partkey, l_suppkey), read back
+    // through a box predicate. Values are layout-neutral — the oracle
+    // filters the original table — while the spec proves the skipping:
+    // box-matching rows concentrate in strictly fewer files than a
+    // linear sort of the same data.
+    "q117_zorder_scan" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_zorder").toString
+      graft.operators.Exporter.writeZOrdered(li, out,
+        "l_partkey", "l_suppkey", files = 16)
+      s.read.parquet(out)
+        .filter(col("l_partkey").between(100, 400) &&
+          col("l_suppkey").between(5, 15))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          fr(decSum(col("l_quantity")).cast("double"), 4).as("sum_qty"))
+        .orderBy("l_suppkey")
     },
 
     // CDC changelog apply (Analytics.applyChangelog): snapshot = each
@@ -2290,6 +2313,17 @@ object ExtensionQueries {
         |SELECT tot.n_rows, tot.n_keys, tot.max_key_rows, qs.p50_key_rows,
         |  qs.p90_key_rows, qs.p99_key_rows, top.top_keys
         |FROM tot CROSS JOIN qs CROSS JOIN top""".stripMargin,
+
+    // layout-neutral: the oracle filters the ORIGINAL table — equal
+    // values prove the z-ordered round trip loses and reorders nothing
+    "q117_zorder_scan" ->
+      """SELECT l_suppkey, count(*) AS n,
+        |  floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 400
+        |  AND l_suppkey BETWEEN 5 AND 15
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     // ONE pass over all rows: equality with the three-way split-and-merge
     // is the algebraic-state contract under test

@@ -8,6 +8,7 @@ import scala.collection.immutable.ListMap
 
 import graft.core.Json
 import graft.operators.{Exporter, Reporting}
+import org.apache.spark.sql.functions.{col, input_file_name}
 
 /** Ports of test_phase7_export.py + reporting assertions (test.py,
   * reporting.py fields).
@@ -130,6 +131,28 @@ class ReportingExportSpec extends SparkSpec {
     val rep = Exporter.validateFinalDf(bad)
     assert(rep("invalid_low") == true)
     assert(rep("negative_prices") == false)
+  }
+
+  test("writeZOrdered: box rows hit fewer files than a linear layout") {
+    val grid = for { a <- 0 until 64; b <- 0 until 64 }
+      yield (a.toLong, b.toLong)
+    val df = grid.toDF("a", "b")
+    val zdir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    Exporter.writeZOrdered(df, zdir, "a", "b", files = 16)
+    val ldir = java.nio.file.Files.createTempDirectory("graft-l").toString
+    df.repartitionByRange(16, col("a")).sortWithinPartitions("a", "b")
+      .write.mode("overwrite").parquet(ldir)
+    // predicate narrow in b, unconstrained in a — the case a single-column
+    // sort cannot skip for
+    def filesWithMatches(dir: String): Long =
+      spark.read.parquet(dir).filter(col("b") <= 7)
+        .select(input_file_name()).distinct().count()
+    val linear = filesWithMatches(ldir)
+    val z = filesWithMatches(zdir)
+    assert(linear == 16L, s"a-sorted layout scatters b into every file: $linear")
+    assert(z < linear, s"z-order must bound b-locality: $z vs $linear")
+    // layout is value-neutral: every row survives the round trip
+    assert(spark.read.parquet(zdir).count() == 4096L)
   }
 
   test("skewProfile: hand-computed census quantiles and heavy keys") {
