@@ -67,4 +67,56 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts over an undirected edge list (self-loops and
+    * duplicate/reversed edges collapse first).
+    *
+    * Scale shape: edges orient from the LOWER (degree, node) endpoint to
+    * the higher before wedge building, so every wedge apex enumerates
+    * only its higher-degree-or-later neighbors — the classic bound that
+    * caps per-apex wedge count at O(sqrt(|E|)) arboricity-style instead
+    * of a hub's full degree squared (a 10M-degree hub contributes zero
+    * apex wedges; its triangles close at its neighbors). Wedge closure is
+    * one more keyed equi-join against the oriented edges; per-node counts
+    * explode each triangle to its three corners and aggregate. No
+    * cartesian, no windows; every join keys on node ids.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String = "src",
+                    dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orientation key (degree, node): total order, so each undirected edge
+    // gets exactly one direction lo -> hi
+    val keyed = und
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("lo"), col("b").as("hi")))
+          .otherwise(struct(col("b").as("lo"), col("a").as("hi")))
+          .as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+    // each triangle's minimum-(degree, id) node is the ONLY corner with
+    // out-edges to both others, so building wedges at apexes (hi < hi2 to
+    // pick one of the two symmetric forms) finds every triangle exactly
+    // once when the closing edge exists
+    val wedges = keyed.as("e1")
+      .join(keyed.select(col("lo"), col("hi").as("hi2")).as("e2"), Seq("lo"))
+      .filter(col("hi") < col("hi2"))
+      .select(col("lo").as("apex"), col("hi").as("x"), col("hi2").as("y"))
+    // wedge pairs are id-ordered (x < y), so the closing edge probes the
+    // id-ordered undirected set — a plain two-key equi-join (an OR over
+    // the two orientations would plan as a nested loop)
+    val closed = wedges.join(und,
+      col("x") === col("a") && col("y") === col("b"))
+    val corners = closed.select(explode(array(col("apex"), col("x"),
+      col("y"))).as("node"))
+    corners.groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

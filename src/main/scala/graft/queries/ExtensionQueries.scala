@@ -1080,6 +1080,27 @@ object ExtensionQueries {
         .orderBy("l_suppkey")
     },
 
+    // Degree-oriented triangle counting (Graph.triangleCount) over the
+    // user co-activity graph: users linked when active in the same
+    // (event_type, minute) bucket — minute granularity keeps the graph
+    // sparse (hour buckets make it 70% dense and wedge counts quadratic). Top-20 nodes by triangle membership —
+    // the local-density signal community detection starts from.
+    "q118_triangle_count" -> { (s, d) =>
+      val act = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("h"))
+        .distinct()
+      val pairs = act
+        .join(act.select(col("user_id").as("v"), col("event_type"),
+          col("h")), Seq("event_type", "h"))
+        .filter(col("user_id") < col("v"))
+        .select(col("user_id").as("src"), col("v").as("dst"))
+        .distinct()
+      graft.operators.Graph.triangleCount(pairs)
+        .orderBy(col("n_triangles").desc, col("node"))
+        .limit(20)
+    },
+
     // CDC changelog apply (Analytics.applyChangelog): snapshot = each
     // user's earliest-event value; changelog = their later events with
     // op = D for 'error' events, U otherwise. Latest change per key wins
@@ -2313,6 +2334,22 @@ object ExtensionQueries {
         |SELECT tot.n_rows, tot.n_keys, tot.max_key_rows, qs.p50_key_rows,
         |  qs.p90_key_rows, qs.p99_key_rows, top.top_keys
         |FROM tot CROSS JOIN qs CROSS JOIN top""".stripMargin,
+
+    // p<q<r enumeration over id-ordered edges finds each triangle once;
+    // corner explode matches the operator's per-node membership counts
+    "q118_triangle_count" ->
+      """WITH act AS (SELECT DISTINCT user_id, event_type,
+        |    date_trunc('minute', CAST(ts AS TIMESTAMP)) AS h FROM events),
+        |e AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        |  FROM act a JOIN act b ON a.event_type = b.event_type
+        |    AND a.h = b.h AND a.user_id < b.user_id),
+        |tri AS (SELECT e1.u AS p, e1.v AS q, e2.v AS r
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (SELECT unnest([p, q, r]) AS node FROM tri)
+        |SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
+        |ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin,
 
     // layout-neutral: the oracle filters the ORIGINAL table — equal
     // values prove the z-ordered round trip loses and reorders nothing

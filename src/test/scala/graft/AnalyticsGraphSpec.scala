@@ -188,6 +188,19 @@ class AnalyticsGraphSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("a", 1000000000L), ("b", 1000000000L)))
   }
 
+  test("triangleCount: K4 plus a pendant, duplicates and reversals collapse") {
+    // K4 on {1,2,3,4} has 4 triangles, every corner in 3; node 5 dangles
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L),           // reversed duplicate
+      (3L, 3L),           // self loop
+      (5L, 1L)).toDF("src", "dst")
+    val got = Graph.triangleCount(edges).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)),
+      s"K4 corners sit in 3 triangles each, pendant in none: $got")
+  }
+
   test("editDistanceVerify: exact Levenshtein + normalized similarity") {
     val pairs = Seq(("kitten", "sitting")).toDF("ta", "tb")
     val r = Dedup.editDistanceVerify(pairs, col("ta"), col("tb"))
