@@ -69,6 +69,24 @@ object StreamingOps {
         min(col(valueCol)).as("mn"),
         max(col(valueCol)).as("mx"))
 
+  /** Streaming form of `Analytics.applyChangelog`'s latest-change
+    * resolution: per key, the current winner under the same
+    * `(ts, op, value)` total order, maintained live as an update-mode
+    * `max_by` aggregation. Rows whose winning op is 'D' are retraction
+    * markers — a downstream sink applies them as deletes, exactly the
+    * rows `applyChangelog` filters out batch-side; the spec pins the
+    * filtered stream state equal to the batch operator over the same
+    * rows. State is O(keys), the size of the table being maintained.
+    */
+  def streamingLatestChange(stream: DataFrame, keyCol: String,
+                            valueCol: String, tsCol: String,
+                            opCol: String): DataFrame =
+    stream
+      .groupBy(col(keyCol).cast("long").as("k"))
+      .agg(max_by(struct(col(opCol).as("op"), col(valueCol).as("v")),
+        struct(col(tsCol), col(opCol), col(valueCol))).as("_w"))
+      .select(col("k"), col("_w.op").as("op"), col("_w.v").as("v"))
+
   /** Streaming dedup — the O8 keep-first analog for live feeds: duplicate
     * (SYMBOL, TIMESTAMP) ticks within the watermark horizon are dropped
     * (the first arrival wins, which is exactly batch keep-first-in-file-

@@ -128,6 +128,35 @@ class MultimodalStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming latest-change state mirrors batch applyChangelog") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, Timestamp, String)]
+    val stream = mem.toDF().toDF("k", "v", "ts", "op")
+    val q = StreamingOps.streamingLatestChange(stream, "k", "v", "ts", "op")
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("complete").start()
+    def ts(min: Int) = Timestamp.from(Instant.parse(f"2024-01-01T00:$min%02d:00Z"))
+    val rows = Seq(
+      (1L, 11.0, ts(1), "U"), (1L, 12.0, ts(2), "U"), // latest U wins
+      (2L, 20.0, ts(1), "U"), (2L, 0.0, ts(3), "D"),  // delete wins
+      (3L, 30.0, ts(5), "U"))
+    mem.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    val live = spark.table("cdc_out").filter(col("op") =!= "D")
+      .select(col("k"), col("v")).orderBy("k")
+      .as[(Long, Double)].collect().toSeq
+    q.stop()
+    // batch equivalent: empty snapshot, the whole stream as changelog
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    val chg = rows.toDF("k", "v", "ts", "op")
+    val batch = graft.operators.Analytics
+      .applyChangelog(empty, chg, "k", "v", "ts", "op")
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(live == batch && live == Seq((1L, 12.0), (3L, 30.0)))
+  }
+
   test("streaming dedup: duplicate ticks within the watermark drop, first wins") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Double, String)]
