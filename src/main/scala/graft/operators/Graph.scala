@@ -119,4 +119,41 @@ object Graph {
       col("y"))).as("node"))
     corners.groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Common-neighbors link prediction: for node pairs NOT already joined
+    * by an edge, the number of shared neighbors — the classic
+    * link-prediction baseline. Returns the top `k` candidate pairs by
+    * (common-neighbor count desc, a, b), id-ordered a < b.
+    *
+    * Scale shape: wedge volume is Σ deg(m)² over MIDDLE nodes, so one hub
+    * makes it quadratic. `maxDegree` drops hub middles before wedge
+    * building — principled, not just defensive: a shared neighbor with
+    * millions of edges carries no affinity signal (the stopword argument,
+    * q106's df cap in graph form). Everything is keyed equi-joins + one
+    * aggregate; the top-k is `TakeOrderedAndProject` via orderBy+limit.
+    */
+  def commonNeighborLinks(edges: DataFrame, k: Int,
+                          maxDegree: Long = 10000L,
+                          srcCol: String = "src",
+                          dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = und.select(col("a").as("m"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("m"), col("a").as("n")))
+    val deg = adj.groupBy("m").agg(count(lit(1)).as("d"))
+    val slim = adj.join(deg.filter(col("d") <= maxDegree), Seq("m"))
+    val cand = slim.select(col("m"), col("n").as("x"))
+      .join(slim.select(col("m"), col("n").as("y")), Seq("m"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    cand.join(und, cand("x") === und("a") && cand("y") === und("b"),
+        "left_anti")
+      .select(col("x").as("a"), col("y").as("b"), col("common_neighbors"))
+      .orderBy(col("common_neighbors").desc, col("a"), col("b"))
+      .limit(k)
+  }
 }

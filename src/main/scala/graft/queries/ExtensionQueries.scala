@@ -1101,6 +1101,25 @@ object ExtensionQueries {
         .limit(20)
     },
 
+    // Common-neighbors link prediction (Graph.commonNeighborLinks) over
+    // the q118 co-activity graph: top-20 NON-edges by shared-neighbor
+    // count. Hub middles above the degree cap drop before wedge building
+    // (quadratic-wedge guard; no hub exists at gate scale so the cap is
+    // inert for values).
+    "q119_link_prediction" -> { (s, d) =>
+      val act = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("h"))
+        .distinct()
+      val pairs = act
+        .join(act.select(col("user_id").as("v"), col("event_type"),
+          col("h")), Seq("event_type", "h"))
+        .filter(col("user_id") < col("v"))
+        .select(col("user_id").as("src"), col("v").as("dst"))
+        .distinct()
+      graft.operators.Graph.commonNeighborLinks(pairs, k = 20)
+    },
+
     // CDC changelog apply (Analytics.applyChangelog): snapshot = each
     // user's earliest-event value; changelog = their later events with
     // op = D for 'error' events, U otherwise. Latest change per key wins
@@ -2334,6 +2353,23 @@ object ExtensionQueries {
         |SELECT tot.n_rows, tot.n_keys, tot.max_key_rows, qs.p50_key_rows,
         |  qs.p90_key_rows, qs.p99_key_rows, top.top_keys
         |FROM tot CROSS JOIN qs CROSS JOIN top""".stripMargin,
+
+    "q119_link_prediction" ->
+      """WITH act AS (SELECT DISTINCT user_id, event_type,
+        |    date_trunc('minute', CAST(ts AS TIMESTAMP)) AS h FROM events),
+        |e AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        |  FROM act a JOIN act b ON a.event_type = b.event_type
+        |    AND a.h = b.h AND a.user_id < b.user_id),
+        |adj AS (SELECT u AS m, v AS n FROM e
+        |  UNION ALL SELECT v AS m, u AS n FROM e),
+        |cand AS (SELECT a1.n AS x, a2.n AS y, count(*) AS common_neighbors
+        |  FROM adj a1 JOIN adj a2 ON a1.m = a2.m AND a1.n < a2.n
+        |  GROUP BY a1.n, a2.n)
+        |SELECT cand.x AS a, cand.y AS b, cand.common_neighbors
+        |FROM cand
+        |WHERE NOT EXISTS (SELECT 1 FROM e
+        |  WHERE e.u = cand.x AND e.v = cand.y)
+        |ORDER BY common_neighbors DESC, a, b LIMIT 20""".stripMargin,
 
     // p<q<r enumeration over id-ordered edges finds each triangle once;
     // corner explode matches the operator's per-node membership counts

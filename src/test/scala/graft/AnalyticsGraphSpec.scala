@@ -201,6 +201,20 @@ class AnalyticsGraphSpec extends SparkSpec {
       s"K4 corners sit in 3 triangles each, pendant in none: $got")
   }
 
+  test("commonNeighborLinks: square predicts its diagonals; hub cap prunes") {
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = Graph.commonNeighborLinks(square, k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L), (2L, 4L, 2L)),
+      s"both diagonals share two neighbors: $got")
+    // a 3-spoke star with maxDegree=2 drops the only middle node
+    val star = Seq((10L, 20L), (10L, 21L), (10L, 22L)).toDF("src", "dst")
+    assert(Graph.commonNeighborLinks(star, k = 10, maxDegree = 2L)
+      .count() == 0L, "hub middles above the cap contribute no wedges")
+    assert(Graph.commonNeighborLinks(star, k = 10).count() == 3L,
+      "uncapped, the spokes pair through the hub")
+  }
+
   test("editDistanceVerify: exact Levenshtein + normalized similarity") {
     val pairs = Seq(("kitten", "sitting")).toDF("ta", "tb")
     val r = Dedup.editDistanceVerify(pairs, col("ta"), col("tb"))
