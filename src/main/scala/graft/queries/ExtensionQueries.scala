@@ -1120,6 +1120,74 @@ object ExtensionQueries {
       graft.operators.Graph.commonNeighborLinks(pairs, k = 20)
     },
 
+    // Z-score anomaly flags: events whose value sits more than 3 sample
+    // standard deviations from their event_type's mean. Stats come from
+    // ONE partial-aggregated pass broadcast back (five rows) — never a
+    // window over the raw stream; the z itself is the only double math,
+    // under the fr grid.
+    "q120_anomaly_zscore" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("_mu"),
+          stddev_samp(col("value")).as("_sd"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("_z", (col("value") - col("_mu")) / col("_sd"))
+        .filter(abs(col("_z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          fr(col("_z"), 4).as("z"))
+        .orderBy("event_id")
+    },
+
+    // Association rules over per-user event-type baskets: support,
+    // confidence and lift for every ordered type pair — the market-basket
+    // classic. All ratios are single divisions of exact integer counts
+    // (fr-gridded); baskets collapse to DISTINCT (user, type) first so
+    // repeat events can't inflate support.
+    "q121_association_rules" -> { (s, d) =>
+      val basket = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val n = basket.agg(countDistinct(col("user_id")).as("_n"))
+      val item = basket.groupBy(col("event_type")).agg(count(lit(1)).as("_c"))
+      val pair = basket.as("x")
+        .join(basket.select(col("user_id"), col("event_type").as("b")),
+          Seq("user_id"))
+        .filter(col("event_type") =!= col("b"))
+        .groupBy(col("event_type").as("a"), col("b"))
+        .agg(count(lit(1)).as("_cab"))
+        .withColumnRenamed("a", "ante")
+      pair
+        .join(item.select(col("event_type").as("ante"), col("_c").as("_ca")),
+          Seq("ante"))
+        .join(item.select(col("event_type").as("b"), col("_c").as("_cb")),
+          Seq("b"))
+        .crossJoin(broadcast(n))
+        .select(col("ante"), col("b").as("cons"), col("_cab").as("n_both"),
+          fr(col("_cab").cast("double") / col("_n"), 6).as("support"),
+          fr(col("_cab").cast("double") / col("_ca"), 6).as("confidence"),
+          fr((col("_cab").cast("double") * col("_n")) /
+            (col("_ca").cast("double") * col("_cb")), 6).as("lift"))
+        .orderBy("ante", "cons")
+    },
+
+    // First-order Markov transition matrix of each user's event-type
+    // sequence: P(next = b | current = a) from lead() pairs under the
+    // (ts, event_id) total order. Counts are exact; the probability is
+    // one division on the fr grid.
+    "q122_markov_transitions" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val steps = Tables.events(s, d)
+        .withColumn("_next", lead(col("event_type"), 1).over(w))
+        .filter(col("_next").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("_next").as("nxt"))
+        .agg(count(lit(1)).as("n"))
+      val outTot = steps.groupBy(col("cur")).agg(sum(col("n")).as("_t"))
+      steps.join(outTot, Seq("cur"))
+        .select(col("cur"), col("nxt"), col("n"),
+          fr(col("n").cast("double") / col("_t"), 6).as("p"))
+        .orderBy("cur", "nxt")
+    },
+
     // CDC changelog apply (Analytics.applyChangelog): snapshot = each
     // user's earliest-event value; changelog = their later events with
     // op = D for 'error' events, U otherwise. Latest change per key wins
@@ -2353,6 +2421,54 @@ object ExtensionQueries {
         |SELECT tot.n_rows, tot.n_keys, tot.max_key_rows, qs.p50_key_rows,
         |  qs.p90_key_rows, qs.p99_key_rows, top.top_keys
         |FROM tot CROSS JOIN qs CROSS JOIN top""".stripMargin,
+
+    "q120_anomaly_zscore" ->
+      """WITH st AS (SELECT event_type, avg(value) AS mu,
+        |    stddev_samp(value) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  floor((e.value - st.mu) / st.sd * 10000.0 + 0.5) / 10000.0 AS z
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |WHERE abs((e.value - st.mu) / st.sd) > 3.0
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q121_association_rules" ->
+      """WITH basket AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT count(DISTINCT user_id) AS nu FROM basket),
+        |item AS (SELECT event_type, count(*) AS c FROM basket
+        |  GROUP BY event_type),
+        |pair AS (SELECT x.event_type AS ante, y.event_type AS cons,
+        |    count(*) AS cab
+        |  FROM basket x JOIN basket y ON x.user_id = y.user_id
+        |    AND x.event_type <> y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.ante, p.cons, p.cab AS n_both,
+        |  floor(CAST(p.cab AS DOUBLE) / n.nu * 1000000.0 + 0.5)
+        |    / 1000000.0 AS support,
+        |  floor(CAST(p.cab AS DOUBLE) / ia.c * 1000000.0 + 0.5)
+        |    / 1000000.0 AS confidence,
+        |  floor((CAST(p.cab AS DOUBLE) * n.nu)
+        |    / (CAST(ia.c AS DOUBLE) * ib.c) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS lift
+        |FROM pair p
+        |JOIN item ia ON ia.event_type = p.ante
+        |JOIN item ib ON ib.event_type = p.cons
+        |CROSS JOIN n
+        |ORDER BY ante, cons""".stripMargin,
+
+    "q122_markov_transitions" ->
+      """WITH steps AS (SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |cnt AS (SELECT cur, nxt, count(*) AS n FROM steps
+        |  WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+        |tot AS (SELECT cur, sum(n) AS t FROM cnt GROUP BY cur)
+        |SELECT cnt.cur AS cur, cnt.nxt, cnt.n,
+        |  floor(CAST(cnt.n AS DOUBLE) / tot.t * 1000000.0 + 0.5)
+        |    / 1000000.0 AS p
+        |FROM cnt JOIN tot ON cnt.cur = tot.cur
+        |ORDER BY cnt.cur, nxt""".stripMargin,
 
     "q119_link_prediction" ->
       """WITH act AS (SELECT DISTINCT user_id, event_type,
