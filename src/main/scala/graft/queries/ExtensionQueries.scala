@@ -1188,6 +1188,39 @@ object ExtensionQueries {
         .orderBy("cur", "nxt")
     },
 
+    // Mergeable HLL distinct sketches (Datasketches hll_sketch_agg /
+    // hll_union_agg): per-day sketches union into the per-type count —
+    // the incremental-distinct analog of q115's algebraic state, and the
+    // only way distinct counts compose across partitions/days at 100 TB.
+    // Union is NOT register-exact once sketches leave sparse mode (the
+    // sf0.1 corpus promotes; measured), so the contract is tolerance:
+    // both the merged and the one-pass estimates must sit within 5% of
+    // the exact count — booleans the oracle pins TRUE (q93 pattern).
+    "q123_hll_merge" -> { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events_hll_v")
+      s.sql("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 hll_sketch_agg(user_id) AS sk
+          FROM events_hll_v GROUP BY event_type, CAST(ts AS DATE)),
+        merged AS (
+          SELECT event_type,
+                 hll_sketch_estimate(hll_union_agg(sk)) AS est_merged
+          FROM daily GROUP BY event_type),
+        whole AS (
+          SELECT event_type,
+                 hll_sketch_estimate(hll_sketch_agg(user_id)) AS est_whole,
+                 count(DISTINCT user_id) AS n_exact
+          FROM events_hll_v GROUP BY event_type)
+        SELECT w.event_type, w.n_exact,
+          (abs(m.est_merged - w.n_exact) / w.n_exact <= 0.05)
+            AS merged_within_5pct,
+          (abs(w.est_whole - w.n_exact) / w.n_exact <= 0.05)
+            AS whole_within_5pct
+        FROM whole w JOIN merged m ON w.event_type = m.event_type
+        ORDER BY w.event_type""")
+    },
+
     // CDC changelog apply (Analytics.applyChangelog): snapshot = each
     // user's earliest-event value; changelog = their later events with
     // op = D for 'error' events, U otherwise. Latest change per key wins
@@ -2421,6 +2454,13 @@ object ExtensionQueries {
         |SELECT tot.n_rows, tot.n_keys, tot.max_key_rows, qs.p50_key_rows,
         |  qs.p90_key_rows, qs.p99_key_rows, top.top_keys
         |FROM tot CROSS JOIN qs CROSS JOIN top""".stripMargin,
+
+    // TRUE booleans are the contract: a merged-daily or one-pass sketch
+    // estimate drifting past 5% of exact flips them and fails the compare
+    "q123_hll_merge" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  TRUE AS merged_within_5pct, TRUE AS whole_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q120_anomaly_zscore" ->
       """WITH st AS (SELECT event_type, avg(value) AS mu,
