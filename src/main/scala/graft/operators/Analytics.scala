@@ -155,6 +155,36 @@ object Analytics {
         col("n_obs")): _*)
   }
 
+  /** Cutler's RSI (simple-moving-average form) per key: 100 − 100/(1 +
+    * SMA(gains, n)/SMA(losses, n)) over the trailing n deltas, emitted
+    * once the frame is full. Cutler's variant, not Wilder's: the smoothed
+    * (EMA) form is recursive — every value depends on the entire history
+    * — which neither distributes nor replays; the SMA form is a pure
+    * windowed aggregate. Gains/losses accumulate in DECIMAL inside the
+    * ROWS frame (engines disagree on float sliding-sum algebra; exact
+    * decimals can't), the final ratio is the only double math, and
+    * avgLoss = 0 takes the RSI=100 convention.
+    */
+  def rsi(df: DataFrame, keyCol: String, valueCol: String, tsCol: String,
+          tieCol: String, periods: Int = 14): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val frame = w.rowsBetween(-(periods - 1), Window.currentRow)
+    val delta = col(valueCol) - lag(col(valueCol), 1).over(w)
+    df.withColumn("_delta", delta)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_sg", sum(greatest(col("_delta"), lit(0.0))
+        .cast("decimal(18,6)")).over(frame))
+      .withColumn("_sl", sum(greatest(-col("_delta"), lit(0.0))
+        .cast("decimal(18,6)")).over(frame))
+      .filter(col("_rn") > periods) // first delta is null; need n full deltas
+      .withColumn("rsi", fr(
+        when(col("_sl") === 0, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) /
+            (lit(1.0) + col("_sg").cast("double") / col("_sl").cast("double"))),
+        4))
+      .drop("_delta", "_rn", "_sg", "_sl")
+  }
+
   /** Slowly-changing-dimension type-2 history build: collapse an entity's
     * event stream into state runs — one row per maximal run of an
     * unchanged state, with `valid_from` (run start), `valid_to` (next

@@ -1221,6 +1221,18 @@ object ExtensionQueries {
         ORDER BY w.event_type""")
     },
 
+    // Cutler's RSI (Analytics.rsi): 14-period SMA-form relative strength
+    // per user value stream, sampled to ~1% of users. Decimal frame sums
+    // make the window replayable; the ratio is the only double math.
+    "q124_rsi" -> { (s, d) =>
+      graft.operators.Analytics.rsi(
+          Tables.events(s, d).filter(col("user_id") % 97 === 0),
+          "user_id", "value", "ts", "event_id", periods = 14)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("rsi"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+
     // CDC changelog apply (Analytics.applyChangelog): snapshot = each
     // user's earliest-event value; changelog = their later events with
     // op = D for 'error' events, U otherwise. Latest change per key wins
@@ -2454,6 +2466,25 @@ object ExtensionQueries {
         |SELECT tot.n_rows, tot.n_keys, tot.max_key_rows, qs.p50_key_rows,
         |  qs.p90_key_rows, qs.p99_key_rows, top.top_keys
         |FROM tot CROSS JOIN qs CROSS JOIN top""".stripMargin,
+
+    "q124_rsi" ->
+      """WITH d AS (SELECT user_id, event_id, ts, value,
+        |    value - lag(value) OVER w AS delta,
+        |    row_number() OVER w AS rn
+        |  FROM events WHERE user_id % 97 = 0
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id, ts, rn,
+        |    sum(CAST(greatest(delta, 0) AS DECIMAL(18,6))) OVER f AS sg,
+        |    sum(CAST(greatest(-delta, 0) AS DECIMAL(18,6))) OVER f AS sl
+        |  FROM d
+        |  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  floor(CASE WHEN sl = 0 THEN 100.0
+        |    ELSE 100.0 - 100.0 / (1.0 + CAST(sg AS DOUBLE)
+        |      / CAST(sl AS DOUBLE)) END * 10000.0 + 0.5) / 10000.0 AS rsi
+        |FROM s WHERE rn > 14
+        |ORDER BY user_id, ts, event_id""".stripMargin,
 
     // TRUE booleans are the contract: a merged-daily or one-pass sketch
     // estimate drifting past 5% of exact flips them and fails the compare

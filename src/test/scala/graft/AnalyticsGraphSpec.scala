@@ -149,6 +149,20 @@ class AnalyticsGraphSpec extends SparkSpec {
     assert(got == Seq((1L, 12.0), (3L, 30.0), (4L, 40.0)))
   }
 
+  test("rsi: hand-computed Cutler form, zero-loss convention = 100") {
+    val df = Seq((1L, 10.0, 1L), (1L, 11.0, 2L), (1L, 9.0, 3L),
+      (1L, 12.0, 4L), (2L, 5.0, 1L), (2L, 6.0, 2L), (2L, 7.0, 3L))
+      .toDF("k", "v", "i")
+      .withColumn("ts", timestamp_seconds(col("i")))
+    val got = Analytics.rsi(df, "k", "v", "ts", "i", periods = 2)
+      .select(col("k"), col("i"), col("rsi"))
+      .orderBy("k", "i").as[(Long, Long, Double)].collect().toSeq
+    // k=1: deltas +1,-2,+3 → frames (1,2): 100-100/1.5; (3,2): 100-100/2.5
+    // k=2: all gains → RSI 100 by the zero-loss convention
+    assert(got == Seq((1L, 3L, 33.3333), (1L, 4L, 60.0), (2L, 3L, 100.0)),
+      s"hand-computed RSI mismatch: $got")
+  }
+
   test("pageRankFixedPoint: 2-cycle is a fixed point at unit mass") {
     val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
     val rows = Graph.pageRankFixedPoint(edges).orderBy("node")
