@@ -1233,6 +1233,35 @@ object ExtensionQueries {
         .orderBy("user_id", "ts", "event_id")
     },
 
+    // Relational data-contract audit — the O18 pre-export validation
+    // idea extended to warehouse constraints: PK uniqueness, FK
+    // containment, domain ranges, null rates. Each constraint is one
+    // fixed-size aggregate (the anti-join for FKs); verdicts union into
+    // a per-constraint report exactly like the Gopher rule audits.
+    "q125_constraint_audit" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val customer = Tables.customer(s, d)
+      val events = Tables.events(s, d)
+      def row(name: String, violations: DataFrame) =
+        violations.agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_violations"),
+            (col("n_violations") === 0).as("pass"))
+      val pkDup = orders.groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("_c")).filter(col("_c") > 1)
+      row("pk_orders_orderkey_unique", pkDup)
+        .unionByName(row("fk_orders_custkey_in_customer",
+          orders.join(customer,
+            col("o_custkey") === col("c_custkey"), "left_anti")))
+        .unionByName(row("domain_orders_totalprice_positive",
+          orders.filter(col("o_totalprice") <= 0)))
+        .unionByName(row("not_null_events_value",
+          events.filter(col("value").isNull)))
+        .unionByName(row("domain_events_type_known",
+          events.filter(!col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"))))
+        .orderBy("check_name")
+    },
+
     // CDC changelog apply (Analytics.applyChangelog): snapshot = each
     // user's earliest-event value; changelog = their later events with
     // op = D for 'error' events, U otherwise. Latest change per key wins
@@ -2466,6 +2495,28 @@ object ExtensionQueries {
         |SELECT tot.n_rows, tot.n_keys, tot.max_key_rows, qs.p50_key_rows,
         |  qs.p90_key_rows, qs.p99_key_rows, top.top_keys
         |FROM tot CROSS JOIN qs CROSS JOIN top""".stripMargin,
+
+    "q125_constraint_audit" ->
+      """WITH rows_ AS (
+        |  SELECT 'pk_orders_orderkey_unique' AS c, count(*) AS v FROM (
+        |    SELECT o_orderkey FROM orders GROUP BY o_orderkey
+        |    HAVING count(*) > 1) t
+        |  UNION ALL
+        |  SELECT 'fk_orders_custkey_in_customer', count(*) FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |      WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'domain_orders_totalprice_positive', count(*) FROM orders
+        |    WHERE o_totalprice <= 0
+        |  UNION ALL
+        |  SELECT 'not_null_events_value', count(*) FROM events
+        |    WHERE value IS NULL
+        |  UNION ALL
+        |  SELECT 'domain_events_type_known', count(*) FROM events
+        |    WHERE event_type NOT IN
+        |      ('click', 'view', 'purchase', 'signup', 'error'))
+        |SELECT c AS check_name, v AS n_violations, (v = 0) AS pass
+        |FROM rows_ ORDER BY c""".stripMargin,
 
     "q124_rsi" ->
       """WITH d AS (SELECT user_id, event_id, ts, value,
