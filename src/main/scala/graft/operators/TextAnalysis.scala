@@ -1075,6 +1075,67 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Byte-pair-encoding merge induction — the first `nMerges` merges a
+    * BPE tokenizer trainer would learn from this corpus: repeatedly count
+    * adjacent symbol pairs across the (word, frequency) vocabulary and
+    * fuse the most frequent (ties: lexicographically smallest pair), the
+    * actual Sennrich et al. algorithm, not a proxy. Fixed merge count
+    * keeps it oracle-replayable (the kmeans unroll pattern).
+    *
+    * Symbols live as space-joined strings with sentinel spaces, so a
+    * merge is ONE `replace(" l r " -> " lr ")` — left-to-right
+    * non-overlapping, which is BPE's merge order ("a a a" fuses to
+    * "aa a", not "a aa") and is implemented identically by Java
+    * `replaceAll` and DuckDB `replace`. One divergence from scan-merge
+    * BPE, shared by both engines so parity holds: in runs of ≥4 equal
+    * symbols the consumed separator shifts WHICH occurrences fuse
+    * ("a a a a" → "aa a aa"-style) — a degenerate-run boundary case
+    * that does not change learned merges on natural text.
+    * Shape: the corpus explodes ONCE into a (word, freq) vocabulary
+    * (map-side collapse); each round is one pair-count aggregate over
+    * the vocabulary — rows bounded by distinct words, not tokens — and a
+    * driver collect of a single winner row (the codebook pattern).
+    */
+  def bpeMerges(df: DataFrame, textCol: String,
+                nMerges: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    var vocab = df.select(explode(tokens(col(textCol))).as("_w"))
+      .filter(col("_w") =!= "")
+      .groupBy(col("_w")).agg(count(lit(1)).as("_f"))
+      .select(concat(lit(" "),
+        array_join(split(col("_w"), ""), " "), lit(" ")).as("_s"), col("_f"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    vocab.count()
+    val merges = (1 to nMerges).map { rank =>
+      val syms = split(trim(col("_s")), " ")
+      val pairs = vocab
+        .select(col("_f"), explode(zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("_p"))
+        .groupBy(col("_p.l").as("l"), col("_p.r").as("r"))
+        .agg(sum(col("_f")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(pairs.nonEmpty, s"corpus exhausted before merge $rank")
+      val (l, r, n) = (pairs(0).getString(0), pairs(0).getString(1),
+        pairs(0).getLong(2))
+      val next = vocab.withColumn("_s",
+        regexp_replace(col("_s"),
+          java.util.regex.Pattern.quote(s" $l $r "),
+          java.util.regex.Matcher.quoteReplacement(s" $l$r ")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      vocab.unpersist(false)
+      vocab = next
+      (rank.toLong, l, r, s"$l$r", n)
+    }
+    vocab.unpersist(false)
+    merges.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** Capped inverted index: (term, document frequency, postings) rows for
     * every term appearing in at most `maxDf` documents — the retrieval /
     * contamination-lookup side table. Postings are the ascending doc-id

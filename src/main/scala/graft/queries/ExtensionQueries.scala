@@ -1262,6 +1262,15 @@ object ExtensionQueries {
         .orderBy("check_name")
     },
 
+    // BPE merge induction (TextAnalysis.bpeMerges): the first 5 merges a
+    // byte-pair tokenizer trainer learns from the documents corpus — the
+    // actual Sennrich et al. loop at a fixed merge count so the oracle
+    // unrolls it round by round (the kmeans replay pattern).
+    "q126_bpe_merges" -> { (s, d) =>
+      TextAnalysis.bpeMerges(Tables.documents(s, d), "text", nMerges = 5)
+        .orderBy("merge_rank")
+    },
+
     // CDC changelog apply (Analytics.applyChangelog): snapshot = each
     // user's earliest-event value; changelog = their later events with
     // op = D for 'error' events, U otherwise. Latest change per key wins
@@ -2496,6 +2505,8 @@ object ExtensionQueries {
         |  qs.p90_key_rows, qs.p99_key_rows, top.top_keys
         |FROM tot CROSS JOIN qs CROSS JOIN top""".stripMargin,
 
+    "q126_bpe_merges" -> bpeMergeSql,
+
     "q125_constraint_audit" ->
       """WITH rows_ AS (
         |  SELECT 'pk_orders_orderkey_unique' AS c, count(*) AS v FROM (
@@ -2700,6 +2711,40 @@ object ExtensionQueries {
     * in-list-order sum, mirroring the Spark side's ordered
     * `aggregate(zip_with(...))`.
     */
+  /** Generated oracle for q126: the 5 BPE merge rounds unrolled — each
+    * round re-derives the winning pair over the previous round's symbol
+    * strings and applies the same sentinel-space `replace`. Built
+    * programmatically because the rounds are strictly mechanical.
+    */
+  private lazy val bpeMergeSql: String = {
+    val init =
+      """WITH vocab AS (SELECT w, count(*) AS f FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |    FROM documents) t
+        |  WHERE w <> '' GROUP BY w),
+        |v0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ')
+        |    || ' ' AS s, f FROM vocab)""".stripMargin
+    val rounds = (1 to 5).map { i =>
+      s""",
+         |p$i AS (SELECT split_part(pr, ' ', 1) AS l,
+         |    split_part(pr, ' ', 2) AS r, sum(f) AS n
+         |  FROM (SELECT f, unnest(list_transform(range(1, len(sy)),
+         |      j -> sy[j] || ' ' || sy[j + 1])) AS pr
+         |    FROM (SELECT string_split(trim(s), ' ') AS sy, f
+         |          FROM v${i - 1}) t1) t2
+         |  GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
+         |v$i AS (SELECT replace(s,
+         |    ' ' || (SELECT l FROM p$i) || ' ' || (SELECT r FROM p$i) || ' ',
+         |    ' ' || (SELECT l FROM p$i) || (SELECT r FROM p$i) || ' ') AS s,
+         |    f FROM v${i - 1})""".stripMargin
+    }.mkString
+    val finals = (1 to 5).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
+        s"l || r AS merged, CAST(n AS BIGINT) AS pair_count FROM p$i")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY merge_rank")
+    init + rounds + finals
+  }
+
   // lazy: declared below the `sql` map that references it, so a strict val
   // would still be null during the map's initialization
   private lazy val pqTrainSql: String =

@@ -940,6 +940,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top(0)._3 == top(1)._3, "identical codes share one ADC distance")
   }
 
+  test("bpeMerges: Sennrich loop hand-checked, frequency then lexi ties") {
+    val df = Seq("low low low", "lower").toDF("text")
+    val got = TextAnalysis.bpeMerges(df, "text", nMerges = 3)
+      .orderBy("merge_rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // vocab low:3, lower:1 → (l,o) and (o,w) tie at 4, lexi picks (l,o);
+    // then (lo,w) at 4; then (low,e) ties (e,r) at 1, lexi picks (e,r)
+    assert(got == Seq(
+      (1L, "l", "o", "lo", 4L),
+      (2L, "lo", "w", "low", 4L),
+      (3L, "e", "r", "er", 1L)), s"merge trace mismatch: $got")
+  }
+
   test("pmiCollocations: hand-computed PMI, count floor, rank order") {
     // corpus: "new york" x3, "red car" x1 (+ filler to vary unigram counts)
     val df = Seq(
