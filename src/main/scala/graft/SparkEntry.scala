@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.queries.{ExtensionQueries, RelationalQueries, WindowQueries}
+import graft.queries.{ExtensionQueries, RelationalQueries, WarehouseQueries, WindowQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -28,11 +28,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ WindowQueries.defs ++ ExtensionQueries.defs
+    RelationalQueries.defs ++ WindowQueries.defs ++ ExtensionQueries.defs ++
+      WarehouseQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.sql ++ WindowQueries.sql ++ ExtensionQueries.sql
+    RelationalQueries.sql ++ WindowQueries.sql ++ ExtensionQueries.sql ++
+      WarehouseQueries.sql
 }

@@ -468,6 +468,45 @@ class PlanSpec extends SparkSpec {
       s"sketch merges map-side partials, not raw rows:\n$p")
   }
 
+  test("q129: skyline is join-decomposed — no cartesian, no raw-point global window") {
+    val p = plan(graft.queries.WarehouseQueries
+      .defs("q129_pareto_frontier")(spark, d))
+    assert(!p.contains("CartesianProduct"),
+      s"dominance must come from the bucket decomposition, not all-pairs:\n$p")
+    // the only nested-loop join allowed is the 1-row (lo, hi) scalar-range
+    // attach (the q121 broadcast-scalar pattern); a dominance BNLJ would
+    // carry a join condition instead of a bare Cross
+    val bnl = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toVector
+    assert(bnl.forall(_.trim.endsWith("Cross")),
+      s"only the scalar range attach may nested-loop:\n${bnl.mkString("\n")}")
+    // the only keyless window is the 64-row bucket prefix; every other
+    // window must partition on the bucket key
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toVector
+    assert(winLines.count(!_.contains("_b#")) <= 1,
+      s"at most the bounded bucket-prefix window may be keyless:\n$p")
+  }
+
+  test("q127/q130: attribution and drawdown windows stay keyed by user") {
+    for (q <- Seq("q127_last_touch_attribution", "q130_max_drawdown")) {
+      val winLines = plan(graft.queries.WarehouseQueries
+        .defs(q)(spark, d))
+        .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+      assert(winLines.nonEmpty && winLines.forall(_.contains("user_id")),
+        s"$q must window per user:\n${winLines.mkString("\n")}")
+    }
+  }
+
+  test("q128: RFM is pure scan math — no window, no join") {
+    val p = plan(graft.queries.WarehouseQueries
+      .defs("q128_rfm_segments")(spark, d))
+    assert(!p.contains("windowspecdefinition"),
+      s"threshold scoring must not rank customers through a window:\n$p")
+    assert("partial_count".r.findAllIn(p).nonEmpty,
+      s"per-customer aggregate must map-side combine:\n$p")
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
