@@ -147,6 +147,109 @@ object WarehouseQueries {
           max(col("value")).as("peak_value"),
           fr(max(col("_dd")), 6).as("max_drawdown"))
         .orderBy("user_id")
+    },
+
+    // VWAP + Bollinger bands per (returnflag, ship day): the daily VWAP is
+    // a ratio of two exact DECIMAL sums (one double division, fr-gridded),
+    // and the 20-day bands re-apply q124's replayable-sliding-window rule —
+    // frame sums of the GRIDDED vwap as DECIMAL (engines disagree on float
+    // sliding-sum algebra; DuckDB segment-trees its frames), variance from
+    // the n·Σx²−(Σx)² identity in exact integer-scaled math, doubles only
+    // at the final sqrt/division.
+    "q131_vwap_bollinger" -> { (s, d) =>
+      val daily = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_shipdate").cast("date").as("day"))
+        .agg(decSum(col("l_extendedprice")).as("_p"),
+          decSum(col("l_quantity")).as("_q"))
+        .withColumn("vwap",
+          fr(col("_p").cast("double") / col("_q").cast("double"), 6))
+        .withColumn("_vd", col("vwap").cast("decimal(18,6)"))
+      val f = Window.partitionBy(col("l_returnflag")).orderBy(col("day"))
+        .rowsBetween(-19, Window.currentRow)
+      daily
+        .withColumn("_n", count(lit(1)).over(f))
+        .withColumn("_sg", sum(col("_vd")).over(f))
+        .withColumn("_sq", sum(col("_vd") * col("_vd")).over(f))
+        .withColumn("sma", fr(col("_sg").cast("double") / col("_n"), 4))
+        .withColumn("_var", when(col("_n") > 1,
+          (col("_n") * col("_sq") - col("_sg") * col("_sg")).cast("double")
+            / (col("_n") * (col("_n") - 1)).cast("double")))
+        .select(col("l_returnflag"), col("day"), col("vwap"), col("_n").as("n"),
+          col("sma"),
+          when(col("_n") > 1, fr(col("_sg").cast("double") / col("_n")
+            + lit(2.0) * sqrt(col("_var")), 4)).as("upper_band"),
+          when(col("_n") > 1, fr(col("_sg").cast("double") / col("_n")
+            - lit(2.0) * sqrt(col("_var")), 4)).as("lower_band"))
+        .orderBy("l_returnflag", "day")
+    },
+
+    // Breadth-first distances through Spark 4's native recursive CTE
+    // (UnionLoop): min hop count from the seed user over the mod-7
+    // co-activity subgraph, depth-bounded at 4. The SQL-surface answer to
+    // graph reachability — both engines execute the IDENTICAL recursive
+    // query text over the same edge view. Depth-bounded UNION ALL walks
+    // grow with path count, so production reachability at 100 TB uses the
+    // Pregel-style iteration (Graph.pageRankFixedPoint's lineage-bounded
+    // loop / Dedup.connectedComponents); this gate pins the SQL parity.
+    "q132_recursive_bfs" -> { (s, d) =>
+      val act = Tables.events(s, d)
+        .filter(col("user_id") % 7 === 0)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("_h"))
+        .distinct()
+      val edges = act
+        .join(act.select(col("user_id").as("_v"), col("event_type"),
+          col("_h")), Seq("event_type", "_h"))
+        .filter(col("user_id") =!= col("_v"))
+        .select(col("user_id").as("s"), col("_v").as("d"))
+        .distinct()
+      edges.createOrReplaceTempView("graft_bfs_edges")
+      s.sql("""
+        WITH RECURSIVE walk(node, lvl) AS (
+          SELECT min(s) AS node, 0 AS lvl FROM graft_bfs_edges
+          UNION ALL
+          SELECT e.d, w.lvl + 1
+          FROM walk w JOIN graft_bfs_edges e ON e.s = w.node
+          WHERE w.lvl < 4)
+        SELECT node, min(lvl) AS dist FROM walk
+        GROUP BY node ORDER BY node""")
+    },
+
+    // Flesch reading-ease per document: whitespace words (the q35 token
+    // convention), [.!?]+ sentence runs and [aeiouy]+ vowel-group syllable
+    // approximation — all three are codegen regexp counts, the score is
+    // fixed-constant double math in one written order, fr-gridded. The
+    // classic readability quality signal beside Gopher (q71) and the
+    // model-based classifier (q80).
+    "q133_readability" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("words"),
+          regexp_count(col("text"), lit("[.!?]+")).as("sentences"),
+          regexp_count(lower(col("text")), lit("[aeiouy]+")).as("syllables"))
+        .withColumn("flesch",
+          when(col("words") > 0 && col("sentences") > 0,
+            fr(lit(206.835)
+              - lit(1.015) * (col("words").cast("double") / col("sentences"))
+              - lit(84.6) * (col("syllables").cast("double") / col("words")),
+              4)))
+        .orderBy("doc_id")
+    },
+
+    // Quality-aware exact dedup: same content-hash groups as q31, but the
+    // keeper is the HIGHEST-quality copy (max n_chars, ties to the
+    // smallest doc_id) — what a training-data pipeline actually keeps when
+    // near-identical pages differ in extraction quality. One map-side
+    // max_by over a struct ordering; no window over the corpus.
+    "q134_dedup_keep_best" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("_h"))
+        .agg(max_by(col("doc_id"),
+          struct(col("n_chars"), -col("doc_id"))).as("doc_id"),
+          count(lit(1)).as("n_copies"),
+          max(col("n_chars")).as("kept_chars"))
+        .select(col("doc_id"), col("n_copies"), col("kept_chars"))
+        .orderBy("doc_id")
     }
   )
 
@@ -220,6 +323,80 @@ object WarehouseQueries {
         |SELECT user_id, count(*) AS n_obs, max(value) AS peak_value,
         |  floor(max((peak - value) / peak) * 1000000.0 + 0.5) / 1000000.0
         |    AS max_drawdown
-        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q131_vwap_bollinger" ->
+      """WITH daily AS (SELECT l_returnflag,
+        |    CAST(l_shipdate AS DATE) AS day,
+        |    floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |      / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS vwap
+        |  FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
+        |f AS (SELECT l_returnflag, day, vwap,
+        |    count(*) OVER w AS n,
+        |    sum(CAST(vwap AS DECIMAL(19,6))) OVER w AS sg,
+        |    sum(CAST(vwap AS DECIMAL(19,6)) * CAST(vwap AS DECIMAL(19,6)))
+        |      OVER w AS sq
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY l_returnflag ORDER BY day
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |v AS (SELECT l_returnflag, day, vwap, n,
+        |    floor(CAST(sg AS DOUBLE) / n * 10000.0 + 0.5) / 10000.0 AS sma,
+        |    CASE WHEN n > 1 THEN CAST(n * sq - sg * sg AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE) END AS var,
+        |    CAST(sg AS DOUBLE) AS sgd
+        |  FROM f)
+        |SELECT l_returnflag, day, vwap, n, sma,
+        |  CASE WHEN n > 1 THEN
+        |    floor((sgd / n + 2.0 * sqrt(var)) * 10000.0 + 0.5) / 10000.0
+        |  END AS upper_band,
+        |  CASE WHEN n > 1 THEN
+        |    floor((sgd / n - 2.0 * sqrt(var)) * 10000.0 + 0.5) / 10000.0
+        |  END AS lower_band
+        |FROM v ORDER BY l_returnflag, day""".stripMargin,
+
+    "q132_recursive_bfs" ->
+      """WITH RECURSIVE act AS (
+        |  SELECT DISTINCT user_id, event_type,
+        |    date_trunc('minute', ts) AS h
+        |  FROM events WHERE user_id % 7 = 0),
+        |edges AS (SELECT DISTINCT a.user_id AS s, b.user_id AS d
+        |  FROM act a JOIN act b
+        |    ON a.event_type = b.event_type AND a.h = b.h
+        |  WHERE a.user_id <> b.user_id),
+        |walk(node, lvl) AS (
+        |  SELECT min(s) AS node, 0 AS lvl FROM edges
+        |  UNION ALL
+        |  SELECT e.d, w.lvl + 1 FROM walk w JOIN edges e ON e.s = w.node
+        |  WHERE w.lvl < 4)
+        |SELECT node, min(lvl) AS dist FROM walk
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q133_readability" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS words,
+        |    CAST(length(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+        |      AS sentences,
+        |    CAST(length(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS syllables
+        |  FROM documents)
+        |SELECT doc_id, words, sentences, syllables,
+        |  CASE WHEN words > 0 AND sentences > 0 THEN
+        |    floor((206.835
+        |      - 1.015 * (CAST(words AS DOUBLE) / sentences)
+        |      - 84.6 * (CAST(syllables AS DOUBLE) / words))
+        |      * 10000.0 + 0.5) / 10000.0
+        |  END AS flesch
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q134_dedup_keep_best" ->
+      """SELECT doc_id, n_copies, kept_chars FROM (
+        |  SELECT doc_id,
+        |    count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+        |    max(n_chars) OVER (PARTITION BY md5(text)) AS kept_chars,
+        |    row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -507,6 +507,32 @@ class PlanSpec extends SparkSpec {
       s"per-customer aggregate must map-side combine:\n$p")
   }
 
+  test("q131: Bollinger windows stay keyed by returnflag") {
+    val winLines = plan(graft.queries.WarehouseQueries
+      .defs("q131_vwap_bollinger")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(winLines.nonEmpty && winLines.forall(_.contains("l_returnflag")),
+      s"frame sums must partition by flag:\n${winLines.mkString("\n")}")
+  }
+
+  test("q134: keep-best dedup is one map-side aggregate — no window over the corpus") {
+    val p = plan(graft.queries.WarehouseQueries
+      .defs("q134_dedup_keep_best")(spark, d))
+    assert(!p.contains("windowspecdefinition"),
+      s"the keeper must come from max_by, not a per-group rank window:\n$p")
+    assert("partial_max_by".r.findAllIn(p).nonEmpty,
+      s"max_by must combine map-side:\n$p")
+  }
+
+  test("q132: recursive BFS executes through UnionLoop, edges stay equi-joined") {
+    val p = plan(graft.queries.WarehouseQueries
+      .defs("q132_recursive_bfs")(spark, d))
+    assert(p.contains("UnionLoop"),
+      s"recursion must compile to the native UnionLoop operator:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"edge construction and the walk join must stay keyed:\n$p")
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
