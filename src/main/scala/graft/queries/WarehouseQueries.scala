@@ -250,6 +250,91 @@ object WarehouseQueries {
           max(col("n_chars")).as("kept_chars"))
         .select(col("doc_id"), col("n_copies"), col("kept_chars"))
         .orderBy("doc_id")
+    },
+
+    // VARIANT shredding (Spark 4's semi-structured type): props parses
+    // once into a VARIANT, fields come out through typed variant_get
+    // paths — the open-schema ingestion path table formats are
+    // standardizing on (Parquet VARIANT), replacing per-field
+    // get_json_object re-parses (q33). Missing paths are null, counted to
+    // pin the absent-path semantics; the oracle replays with DuckDB's
+    // JSON extraction on the same strings.
+    "q135_variant_shred" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("_v", parse_json(col("props")))
+        .groupBy(col("event_type"))
+        .agg(sum(variant_get(col("_v"), "$.k", "int")).as("sum_k"),
+          min(variant_get(col("_v"), "$.k", "int")).as("min_k"),
+          count(variant_get(col("_v"), "$.missing", "string"))
+            .as("n_missing_present"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // Two-sided 10% trimmed mean of value per event type — the robust
+    // aggregation family. Trim by RANK, not by quantile value: row_number
+    // under the (value, event_id) total order is engine-replayable where
+    // value-threshold membership at duplicated boundary values is not.
+    // The window is keyed by type (scales); the kept values sum in
+    // DECIMAL, one fr-gridded division at the end.
+    "q136_trimmed_mean" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .withColumn("_k", floor(col("_n") / 10))
+        .filter(col("_rn") > col("_k") && col("_rn") <= col("_n") - col("_k"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"),
+          max(col("_n")).as("n_total"),
+          fr(decSum(col("value")).cast("double") / count(lit(1)), 6)
+            .as("trimmed_mean"))
+        .orderBy("event_type")
+    },
+
+    // Gini coefficient of per-user event counts — activity-inequality in
+    // one number. The Σ i·x_i rank sum decomposes over the count-of-counts
+    // census exactly like q114's quantiles: a run of f users at count x
+    // occupying positions p0+1..p0+f contributes x·(f·p0 + f(f+1)/2), all
+    // BIGINT math over the census (bounded by distinct count VALUES), the
+    // only double is the final fr-gridded division. No window ever touches
+    // user rows.
+    "q137_gini" -> { (s, d) =>
+      val census = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("_x"))
+        .groupBy(col("_x")).agg(count(lit(1)).as("_f"))
+      val wc = Window.orderBy(col("_x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val terms = census
+        .withColumn("_p0", coalesce(sum(col("_f")).over(wc), lit(0L)))
+        .withColumn("_r", expr(
+          "_x * (_f * _p0 + (_f * (_f + 1)) div 2)"))
+      terms.agg(sum(col("_f")).as("_n"),
+          sum(col("_f") * col("_x")).as("_s"),
+          sum(col("_r")).as("_ri"))
+        .select(col("_n").as("n_users"), col("_s").as("total_events"),
+          fr((lit(2.0) * col("_ri") - (col("_n") + 1) * col("_s"))
+            / (col("_n") * col("_s")), 6).as("gini"))
+    },
+
+    // Benford first-digit audit of order totals — the forensic
+    // data-quality screen. The leading digit comes from the DECIMAL(18,2)
+    // string rendering (both engines print decimals identically; double
+    // formatting differs and log10 is ulp-fragile at powers of ten), the
+    // expected fraction is log10(1+1/d) on the fr grid.
+    "q138_benford" -> { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("_d", substring(
+          col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1))
+        .groupBy(col("_d").as("digit"))
+        .agg(count(lit(1)).as("n_obs"))
+        .withColumn("obs_frac", fr(col("n_obs")
+          / sum(col("n_obs")).over(Window.partitionBy()), 6))
+        .withColumn("exp_frac",
+          fr(log10(lit(1.0) + lit(1.0) / col("digit").cast("int")), 6))
+        .orderBy("digit")
     }
   )
 
@@ -397,6 +482,59 @@ object WarehouseQueries {
         |    max(n_chars) OVER (PARTITION BY md5(text)) AS kept_chars,
         |    row_number() OVER (PARTITION BY md5(text)
         |      ORDER BY n_chars DESC, doc_id) AS rn
-        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q135_variant_shred" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+        |    AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS INT))
+        |    AS INT) AS min_k,
+        |  count(json_extract_string(props, '$.missing'))
+        |    AS n_missing_present,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q136_trimmed_mean" ->
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |kept AS (SELECT event_type, value, n FROM r
+        |  WHERE rn > floor(n / 10.0) AND rn <= n - floor(n / 10.0))
+        |SELECT event_type, count(*) AS n_kept, max(n) AS n_total,
+        |  floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS trimmed_mean
+        |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q137_gini" ->
+      """WITH per_user AS (SELECT user_id, count(*) AS x FROM events
+        |  GROUP BY user_id),
+        |census AS (SELECT x, count(*) AS f FROM per_user GROUP BY x),
+        |c2 AS (SELECT x, f,
+        |    coalesce(sum(f) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p0
+        |  FROM census),
+        |t AS (SELECT CAST(sum(f) AS BIGINT) AS n,
+        |    CAST(sum(f * x) AS BIGINT) AS s,
+        |    CAST(sum(x * (f * p0 + (f * (f + 1)) // 2)) AS BIGINT) AS ri
+        |  FROM c2)
+        |SELECT n AS n_users, s AS total_events,
+        |  floor((2.0 * ri - (n + 1) * s) / (n * s) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS gini
+        |FROM t""".stripMargin,
+
+    "q138_benford" ->
+      """WITH d AS (SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |      AS VARCHAR), 1, 1) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+        |t AS (SELECT sum(n_obs) AS tot FROM g)
+        |SELECT digit, n_obs,
+        |  floor(n_obs / tot * 1000000.0 + 0.5) / 1000000.0 AS obs_frac,
+        |  floor(log10(1.0 + 1.0 / CAST(digit AS INT)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS exp_frac
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin
   )
 }

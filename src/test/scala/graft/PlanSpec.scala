@@ -533,6 +533,35 @@ class PlanSpec extends SparkSpec {
       s"edge construction and the walk join must stay keyed:\n$p")
   }
 
+  test("q136: trim ranks stay keyed by event_type; sums combine map-side") {
+    val p = plan(graft.queries.WarehouseQueries
+      .defs("q136_trimmed_mean")(spark, d))
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toVector
+    assert(winLines.nonEmpty && winLines.forall(_.contains("event_type")),
+      s"rank/count windows must partition by type:\n${winLines.mkString("\n")}")
+  }
+
+  test("q137: the only window runs over the count-of-counts census, never user rows") {
+    val p = plan(graft.queries.WarehouseQueries.defs("q137_gini")(spark, d))
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toVector
+    assert(winLines.length == 1,
+      s"exactly the census prefix window:\n${winLines.mkString("\n")}")
+    // the window's input must be the census aggregate (keys _x), not the
+    // raw event scan — the census row count is bounded by distinct count
+    // values, the scan is not
+    assert(p.contains("partial_count"),
+      s"per-user and census counts must map-side combine:\n$p")
+  }
+
+  test("q135: variant shredding is one aggregate pass — no window, no join") {
+    val p = plan(graft.queries.WarehouseQueries
+      .defs("q135_variant_shred")(spark, d))
+    assert(!p.contains("windowspecdefinition") && !p.contains("Join"),
+      s"typed variant_get paths fold into the aggregate:\n$p")
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
