@@ -44,11 +44,21 @@ object AsofJoin {
     *                 seeds so one hot key's timeline parallelizes across
     *                 tasks; the default hash layout scans each key in one
     *                 task (fine when no key dominates a partition)
+    * @param direction "backward" (latest right at-or-before, the default)
+    *                 or "forward" (earliest right at-or-after — the
+    *                 next-quote-after-trade variant). Only the scan order
+    *                 changes: forward sorts event time DESCENDING within
+    *                 the key so the same last-seen carry yields the
+    *                 earliest at-or-after row; the merge-scan, seed pass
+    *                 and state size are direction-agnostic.
     */
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            leftTs: String, rightTs: String,
            pickCols: Seq[String],
-           crossPartition: Boolean = false): DataFrame = {
+           crossPartition: Boolean = false,
+           direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftFields = left.schema.fields.toSeq
     val outSchema = StructType(
       leftFields.map(_.copy(nullable = true)) ++
@@ -77,7 +87,12 @@ object AsofJoin {
         lit(null).cast(unionSchema("_left").dataType).as("_left"),
         struct(pickCols.map(col): _*).as("_right")): _*)
 
-    val sortCols = (keyCols.map(col) :+ col("_ts") :+ col("_side"))
+    // at equal ts the right side (_side = 0) must be SEEN first in scan
+    // order so the match is inclusive — ascending _side does that under
+    // both time directions
+    val tsOrder =
+      if (direction == "backward") col("_ts").asc else col("_ts").desc
+    val sortCols = (keyCols.map(c => col(c).asc) :+ tsOrder :+ col("_side").asc)
     val unioned = l.unionByName(r)
     val combined =
       if (!crossPartition)

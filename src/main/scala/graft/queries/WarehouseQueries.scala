@@ -335,6 +335,117 @@ object WarehouseQueries {
         .withColumn("exp_frac",
           fr(log10(lit(1.0) + lit(1.0) / col("digit").cast("int")), 6))
         .orderBy("digit")
+    },
+
+    // Funnel time-to-convert percentiles: signup → first purchase delay
+    // per user in whole seconds, exact type-1 p50/p90/p99 via the q86
+    // census argument — the cumulative window runs over the (delta-second,
+    // count) census, bounded by distinct second values, never over users;
+    // thresholds are pure integer cross-multiplication (cum·100 ≥ p·n).
+    "q139_funnel_ttc" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("_su"))
+      val deltas = ev.filter(col("event_type") === "purchase")
+        .join(su, Seq("user_id"))
+        .filter(col("ts") >= col("_su"))
+        .groupBy(col("user_id"), col("_su"))
+        .agg(min(col("ts")).as("_pu"))
+        .select(((unix_micros(col("_pu")) - unix_micros(col("_su")))
+          / lit(1000000L)).cast("long").as("_ds"))
+      val census = deltas.groupBy(col("_ds")).agg(count(lit(1)).as("_f"))
+        .withColumn("_cum", sum(col("_f")).over(Window.orderBy(col("_ds"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val n = census.agg(sum(col("_f")).as("_n"))
+      census.crossJoin(broadcast(n))
+        .agg(max(col("_n")).as("n_converted"),
+          min(when(col("_cum") * 100 >= lit(50) * col("_n"), col("_ds")))
+            .as("p50_s"),
+          min(when(col("_cum") * 100 >= lit(90) * col("_n"), col("_ds")))
+            .as("p90_s"),
+          min(when(col("_cum") * 100 >= lit(99) * col("_n"), col("_ds")))
+            .as("p99_s"))
+    },
+
+    // Forward as-of through the AsofJoin operator (direction = "forward"):
+    // the next order at-or-after each event — the next-quote-after-trade
+    // variant. Same one-shuffle merge-scan and range-sharded hot-key
+    // layout as q44; only the scan order flips. Oracle is the correlated
+    // min-subquery the operator replaces at scale.
+    "q140_asof_forward" -> { (s, d) =>
+      val events = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"))
+      graft.operators.AsofJoin.asof(events, orders, Seq("user_id"),
+          "ts", "o_orderdate", Seq("o_orderdate"), crossPartition = true,
+          direction = "forward")
+        .select(col("event_id"),
+          col("asof_o_orderdate").cast("timestamp_ntz").as("next_order"))
+        .orderBy("event_id")
+        .limit(500)
+    },
+
+    // Sessionized conversion split: q47's gaps-and-islands sessions,
+    // grouped by whether the session contains a purchase — converting vs
+    // non-converting session shape (count, mean size, mean duration).
+    // Duration stays integer seconds; the means are single fr divisions
+    // of exact BIGINT sums.
+    "q141_session_conversion" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sessions = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          lag(col("ts"), 1).over(w).as("_prev"))
+        .withColumn("_new", when(col("_prev").isNull ||
+          col("ts") > col("_prev") + expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+        .withColumn("_sno", sum(col("_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("_sno"))
+        .agg(count(lit(1)).as("_n"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("converted"),
+          (unix_seconds(max(col("ts"))) - unix_seconds(min(col("ts"))))
+            .as("_dur"))
+      sessions.groupBy(col("converted"))
+        .agg(count(lit(1)).as("n_sessions"),
+          fr(sum(col("_n")).cast("double") / count(lit(1)), 4)
+            .as("avg_events"),
+          fr(sum(col("_dur")).cast("double") / count(lit(1)), 4)
+            .as("avg_duration_s"))
+        .orderBy("converted")
+    },
+
+    // Equi-depth (quantile-binned) histogram of order totals — q65's
+    // fixed-width complement. Everything happens on exact integer CENTS
+    // from the DECIMAL rendering: decile edges are type-1 quantiles via
+    // the census cumsum (cum·10 ≥ b·n integer math), bucket membership is
+    // "count of edges strictly below", and the per-bucket rollup sums
+    // census frequencies. The only window runs over the price census,
+    // bounded by distinct prices.
+    "q142_equidepth_hist" -> { (s, d) =>
+      val census = Tables.orders(s, d)
+        .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("_c"))
+        .groupBy(col("_c")).agg(count(lit(1)).as("_f"))
+        .withColumn("_cum", sum(col("_f")).over(Window.orderBy(col("_c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val edgeCols = Seq.range(1, 10).map(b =>
+        min(when(col("_cum") * 10 >= lit(b) * col("_n"), col("_c")))
+          .as(s"_e$b"))
+      val edges = census.crossJoin(broadcast(
+          census.agg(sum(col("_f")).as("_n"))))
+        .agg(edgeCols.head, edgeCols.tail: _*)
+      census.crossJoin(broadcast(edges))
+        .withColumn("bucket", Seq.range(1, 10)
+          .map(b => when(col("_c") > col(s"_e$b"), 1).otherwise(0))
+          .reduce(_ + _) + 1)
+        .groupBy(col("bucket"))
+        .agg(sum(col("_f")).as("n_orders"),
+          fr(min(col("_c")).cast("double") / 100, 2).as("lo_price"),
+          fr(max(col("_c")).cast("double") / 100, 2).as("hi_price"))
+        .orderBy("bucket")
     }
   )
 
@@ -535,6 +646,100 @@ object WarehouseQueries {
         |  floor(n_obs / tot * 1000000.0 + 0.5) / 1000000.0 AS obs_frac,
         |  floor(log10(1.0 + 1.0 / CAST(digit AS INT)) * 1000000.0 + 0.5)
         |    / 1000000.0 AS exp_frac
-        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    "q139_funnel_ttc" ->
+      """WITH su AS (SELECT user_id, min(ts) AS su_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (SELECT e.user_id, su.su_ts, min(e.ts) AS pu_ts
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.su_ts
+        |  GROUP BY e.user_id, su.su_ts),
+        |ds AS (SELECT (epoch_us(pu_ts) - epoch_us(su_ts)) // 1000000
+        |    AS d FROM pu),
+        |census AS (SELECT d, count(*) AS f FROM ds GROUP BY d),
+        |c2 AS (SELECT d, f, sum(f) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM census),
+        |t AS (SELECT sum(f) AS n FROM census)
+        |SELECT CAST(t.n AS BIGINT) AS n_converted,
+        |  CAST(min(CASE WHEN cum * 100 >= 50 * t.n THEN d END) AS BIGINT)
+        |    AS p50_s,
+        |  CAST(min(CASE WHEN cum * 100 >= 90 * t.n THEN d END) AS BIGINT)
+        |    AS p90_s,
+        |  CAST(min(CASE WHEN cum * 100 >= 99 * t.n THEN d END) AS BIGINT)
+        |    AS p99_s
+        |FROM c2 CROSS JOIN t GROUP BY t.n""".stripMargin,
+
+    "q140_asof_forward" ->
+      """SELECT e.event_id,
+        |       (SELECT min(o.o_orderdate) FROM orders o
+        |        WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
+        |         AS next_order
+        |FROM events e ORDER BY e.event_id LIMIT 500""".stripMargin,
+
+    "q141_session_conversion" ->
+      """WITH x AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |f AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+        |      AS new_s
+        |  FROM x),
+        |g AS (SELECT user_id, ts, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno
+        |  FROM f),
+        |sess AS (SELECT user_id, sno, count(*) AS n,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted,
+        |    epoch_us(CAST(max(ts) AS TIMESTAMP)) // 1000000
+        |      - epoch_us(CAST(min(ts) AS TIMESTAMP)) // 1000000 AS dur
+        |  FROM g GROUP BY user_id, sno)
+        |SELECT converted, count(*) AS n_sessions,
+        |  floor(CAST(sum(n) AS DOUBLE) / count(*) * 10000.0 + 0.5)
+        |    / 10000.0 AS avg_events,
+        |  floor(CAST(sum(dur) AS DOUBLE) / count(*) * 10000.0 + 0.5)
+        |    / 10000.0 AS avg_duration_s
+        |FROM sess GROUP BY converted ORDER BY converted""".stripMargin,
+
+    "q142_equidepth_hist" ->
+      """WITH census AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS c, count(*) AS f
+        |  FROM orders GROUP BY 1),
+        |c2 AS (SELECT c, f, sum(f) OVER (ORDER BY c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM census),
+        |t AS (SELECT sum(f) AS n FROM census),
+        |e AS (SELECT
+        |    min(CASE WHEN cum * 10 >= 1 * t.n THEN c END) AS e1,
+        |    min(CASE WHEN cum * 10 >= 2 * t.n THEN c END) AS e2,
+        |    min(CASE WHEN cum * 10 >= 3 * t.n THEN c END) AS e3,
+        |    min(CASE WHEN cum * 10 >= 4 * t.n THEN c END) AS e4,
+        |    min(CASE WHEN cum * 10 >= 5 * t.n THEN c END) AS e5,
+        |    min(CASE WHEN cum * 10 >= 6 * t.n THEN c END) AS e6,
+        |    min(CASE WHEN cum * 10 >= 7 * t.n THEN c END) AS e7,
+        |    min(CASE WHEN cum * 10 >= 8 * t.n THEN c END) AS e8,
+        |    min(CASE WHEN cum * 10 >= 9 * t.n THEN c END) AS e9
+        |  FROM c2 CROSS JOIN t),
+        |b AS (SELECT c, f,
+        |    1 + (CASE WHEN c > e1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN c > e2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN c > e3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN c > e4 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN c > e5 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN c > e6 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN c > e7 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN c > e8 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN c > e9 THEN 1 ELSE 0 END) AS bucket
+        |  FROM census CROSS JOIN e)
+        |SELECT bucket, CAST(sum(f) AS BIGINT) AS n_orders,
+        |  floor(CAST(min(c) AS DOUBLE) / 100 * 100.0 + 0.5) / 100.0
+        |    AS lo_price,
+        |  floor(CAST(max(c) AS DOUBLE) / 100 * 100.0 + 0.5) / 100.0
+        |    AS hi_price
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

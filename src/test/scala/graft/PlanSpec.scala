@@ -562,6 +562,26 @@ class PlanSpec extends SparkSpec {
       s"typed variant_get paths fold into the aggregate:\n$p")
   }
 
+  test("q139/q142: quantile windows run over the census only") {
+    for (q <- Seq("q139_funnel_ttc", "q142_equidepth_hist")) {
+      val p = plan(graft.queries.WarehouseQueries.defs(q)(spark, d))
+      val winLines = p.linesIterator
+        .filter(_.contains("windowspecdefinition")).toVector
+      assert(winLines.length == 1,
+        s"$q: exactly the census cumsum window:\n${winLines.mkString("\n")}")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: the scalar attaches must broadcast:\n$p")
+    }
+  }
+
+  test("q141: session windows stay keyed by user") {
+    val winLines = plan(graft.queries.WarehouseQueries
+      .defs("q141_session_conversion")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(winLines.nonEmpty && winLines.forall(_.contains("user_id")),
+      s"gaps-and-islands must partition by user:\n${winLines.mkString("\n")}")
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._

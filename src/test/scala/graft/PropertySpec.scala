@@ -230,6 +230,45 @@ class PropertySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", adaptive)
   }
 
+  test("forward as-of equals brute-force earliest-at-or-after on random fixtures") {
+    val caseGen = for {
+      nKeys <- Gen.chooseNum(1, 4)
+      nLeft <- Gen.chooseNum(20, 200)
+      nRight <- Gen.chooseNum(0, 30)
+    } yield (nKeys, nLeft, nRight)
+    for (((nKeys, nLeft, nRight), i) <- samples(caseGen, 4).zipWithIndex) {
+      val rnd = new scala.util.Random(991L + i)
+      val events = (0 until nLeft)
+        .map(j => (1L + rnd.nextInt(nKeys), ts(rnd.nextInt(240)), j.toLong))
+        .toDF("k", "ts", "eid")
+      val quotes = (0 until nRight)
+        .map(j => (1L + rnd.nextInt(nKeys), rnd.nextInt(240), j))
+        .distinctBy(q => (q._1, q._2))
+        .map { case (k, m, j) => (k, ts(m), j * 1.5) }.toDF("k", "qts", "v")
+      val ref = {
+        val qs = quotes.collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+        events.collect().map { r =>
+          val (k, t, eid) = (r.getLong(0), r.getTimestamp(1), r.getLong(2))
+          val next = qs.filter(q => q._1 == k && !q._2.before(t))
+            .sortBy(_._2.getTime).headOption.map(_._3)
+          (k, t, eid, next)
+        }.sortBy(t => (t._1, t._2.getTime, t._3)).toSeq
+      }
+      for (cross <- Seq(false, true)) {
+        val got = graft.operators.AsofJoin.asof(events, quotes, Seq("k"),
+            "ts", "qts", Seq("v"), crossPartition = cross,
+            direction = "forward")
+          .collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+            Option(r.get(3)).map(_.asInstanceOf[Double])))
+          .sortBy(t => (t._1, t._2.getTime, t._3)).toSeq
+        assert(got == ref,
+          s"case $i cross=$cross: nKeys=$nKeys nLeft=$nLeft nRight=$nRight")
+      }
+    }
+  }
+
   test("connected components equals driver-side union-find on random graphs") {
     val caseGen = for {
       n <- Gen.choose(5, 40)
