@@ -446,6 +446,99 @@ object WarehouseQueries {
           fr(min(col("_c")).cast("double") / 100, 2).as("lo_price"),
           fr(max(col("_c")).cast("double") / 100, 2).as("hi_price"))
         .orderBy("bucket")
+    },
+
+    // Two-sample Kolmogorov-Smirnov statistic (click vs purchase value
+    // distributions): D = max |F₁−F₂| decomposed over the merged value
+    // census — |cum₁·n₂ − cum₂·n₁| is exact BIGINT cross-multiplication,
+    // the max is order-free, and the single division happens once on the
+    // fr grid. The census window is bounded by distinct values, never row
+    // count; the drift test every feature pipeline should run between
+    // snapshots.
+    "q143_ks_test" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      def censusOf(t: String, fcol: String) =
+        ev.filter(col("event_type") === t)
+          .groupBy(col("value").as("_v")).agg(count(lit(1)).as(fcol))
+      val merged = censusOf("click", "_fa")
+        .join(censusOf("purchase", "_fb"), Seq("_v"), "full_outer")
+        .na.fill(0L, Seq("_fa", "_fb"))
+      val wc = Window.orderBy(col("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      merged
+        .withColumn("_ca", sum(col("_fa")).over(wc))
+        .withColumn("_cb", sum(col("_fb")).over(wc))
+        .withColumn("_na", sum(col("_fa")).over(wAll))
+        .withColumn("_nb", sum(col("_fb")).over(wAll))
+        .agg(max(col("_na")).as("_na"), max(col("_nb")).as("_nb"),
+          max(abs(col("_ca") * col("_nb") - col("_cb") * col("_na")))
+            .as("_dnum"))
+        .select(col("_na").as("n_click"), col("_nb").as("n_purchase"),
+          fr(col("_dnum").cast("double")
+            / (col("_na") * col("_nb")).cast("double"), 6).as("ks_d"))
+    },
+
+    // Correlated LATERAL top-k (Spark 4 lateral subquery with ORDER BY
+    // LIMIT): top-2 customers by DECIMAL lifetime monetary per region —
+    // the SQL-surface sibling of q19's window ranking and q109's
+    // correlated scalars; both engines run the identical lateral text
+    // over the same views, Catalyst decorrelates it.
+    "q144_lateral_topk" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("graft_lat_customer")
+      Tables.nation(s, d).createOrReplaceTempView("graft_lat_nation")
+      Tables.orders(s, d).createOrReplaceTempView("graft_lat_orders")
+      Tables.region(s, d).createOrReplaceTempView("graft_lat_region")
+      s.sql("""
+        WITH cm AS (
+          SELECT c.c_custkey, c.c_name, n.n_regionkey,
+                 sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS mon
+          FROM graft_lat_customer c
+          JOIN graft_lat_nation n ON c.c_nationkey = n.n_nationkey
+          JOIN graft_lat_orders o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_custkey, c.c_name, n.n_regionkey)
+        SELECT r.r_name, t.c_name,
+               -- 100.0 is a DECIMAL literal to Spark's parser; keep every
+               -- step in doubles so both engines render the same type
+               CAST(floor(CAST(t.mon AS DOUBLE) * CAST(100 AS DOUBLE)
+                 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / CAST(100 AS DOUBLE)
+                 AS monetary
+        FROM graft_lat_region r,
+        LATERAL (SELECT c_name, mon FROM cm
+                 WHERE cm.n_regionkey = r.r_regionkey
+                 ORDER BY mon DESC, c_name LIMIT 2) t
+        ORDER BY r.r_name, t.mon DESC, t.c_name""")
+    },
+
+    // Rolling 20-day regression slope of the daily VWAP against the day
+    // index, per returnflag — the rolling-beta quant operator. Every frame
+    // sum is exact (BIGINT x, x², DECIMAL y, x·y), the slope identity
+    // (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) divides once on the fr grid; same
+    // replayable-sliding-window discipline as q124/q131.
+    "q145_rolling_beta" -> { (s, d) =>
+      val daily = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_shipdate").cast("date").as("day"))
+        .agg(decSum(col("l_extendedprice")).as("_p"),
+          decSum(col("l_quantity")).as("_q"))
+        .withColumn("vwap",
+          fr(col("_p").cast("double") / col("_q").cast("double"), 6))
+        .withColumn("_vd", col("vwap").cast("decimal(18,6)"))
+        .withColumn("_x",
+          datediff(col("day"), lit("1995-01-01").cast("date")).cast("long"))
+      val f = Window.partitionBy(col("l_returnflag")).orderBy(col("day"))
+        .rowsBetween(-19, Window.currentRow)
+      daily
+        .withColumn("_n", count(lit(1)).over(f))
+        .withColumn("_sx", sum(col("_x")).over(f))
+        .withColumn("_sxx", sum(col("_x") * col("_x")).over(f))
+        .withColumn("_sy", sum(col("_vd")).over(f))
+        .withColumn("_sxy", sum(col("_x") * col("_vd")).over(f))
+        .select(col("l_returnflag"), col("day"), col("_n").as("n"),
+          when(col("_n") > 1, fr(
+            (col("_n") * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+              / (col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+                .cast("double"), 6)).as("beta"))
+        .orderBy("l_returnflag", "day")
     }
   )
 
@@ -740,6 +833,73 @@ object WarehouseQueries {
         |    AS lo_price,
         |  floor(CAST(max(c) AS DOUBLE) / 100 * 100.0 + 0.5) / 100.0
         |    AS hi_price
-        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q143_ks_test" ->
+      """WITH a AS (SELECT value AS v, count(*) AS fa FROM events
+        |  WHERE event_type = 'click' GROUP BY value),
+        |b AS (SELECT value AS v, count(*) AS fb FROM events
+        |  WHERE event_type = 'purchase' GROUP BY value),
+        |m AS (SELECT coalesce(a.v, b.v) AS v,
+        |    coalesce(fa, 0) AS fa, coalesce(fb, 0) AS fb
+        |  FROM a FULL OUTER JOIN b ON a.v = b.v),
+        |c AS (SELECT v, fa, fb,
+        |    sum(fa) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    sum(fb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |    sum(fa) OVER () AS na, sum(fb) OVER () AS nb
+        |  FROM m)
+        |SELECT CAST(max(na) AS BIGINT) AS n_click,
+        |  CAST(max(nb) AS BIGINT) AS n_purchase,
+        |  floor(CAST(max(abs(ca * nb - cb * na)) AS DOUBLE)
+        |    / CAST(max(na) * max(nb) AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS ks_d
+        |FROM c""".stripMargin,
+
+    "q144_lateral_topk" ->
+      """WITH cm AS (
+        |  SELECT c.c_custkey, c.c_name, n.n_regionkey,
+        |         sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS mon
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_custkey, c.c_name, n.n_regionkey)
+        |SELECT r.r_name, t.c_name,
+        |       floor(CAST(t.mon AS DOUBLE) * 100.0 + 0.5) / 100.0
+        |         AS monetary
+        |FROM region r,
+        |LATERAL (SELECT c_name, mon FROM cm
+        |         WHERE cm.n_regionkey = r.r_regionkey
+        |         ORDER BY mon DESC, c_name LIMIT 2) t
+        |ORDER BY r.r_name, t.mon DESC, t.c_name""".stripMargin,
+
+    "q145_rolling_beta" ->
+      """WITH daily AS (SELECT l_returnflag,
+        |    CAST(l_shipdate AS DATE) AS day,
+        |    floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |      / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS vwap
+        |  FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
+        |x AS (SELECT l_returnflag, day,
+        |    CAST(vwap AS DECIMAL(19,6)) AS vd,
+        |    CAST(date_diff('day', DATE '1995-01-01', day) AS BIGINT) AS xi
+        |  FROM daily),
+        |f AS (SELECT l_returnflag, day,
+        |    count(*) OVER w AS n,
+        |    sum(xi) OVER w AS sx,
+        |    sum(xi * xi) OVER w AS sxx,
+        |    sum(vd) OVER w AS sy,
+        |    sum(xi * vd) OVER w AS sxy
+        |  FROM x
+        |  WINDOW w AS (PARTITION BY l_returnflag ORDER BY day
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT l_returnflag, day, n,
+        |  CASE WHEN n > 1 THEN
+        |    floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5)
+        |      / 1000000.0
+        |  END AS beta
+        |FROM f ORDER BY l_returnflag, day""".stripMargin
   )
 }

@@ -582,6 +582,23 @@ class PlanSpec extends SparkSpec {
       s"gaps-and-islands must partition by user:\n${winLines.mkString("\n")}")
   }
 
+  test("q143/q145: KS windows stay on the census, beta windows stay keyed") {
+    val ks = plan(graft.queries.WarehouseQueries.defs("q143_ks_test")(spark, d))
+    assert(!ks.contains("CartesianProduct"),
+      s"census merge must be an equi-join:\n$ks")
+    // the census is aggregated BEFORE any window: every window input is
+    // post-aggregate, so no window line may reference raw event columns
+    val ksWins = ks.linesIterator
+      .filter(_.contains("windowspecdefinition")).toVector
+    assert(ksWins.nonEmpty && ksWins.forall(!_.contains("event_id")),
+      s"KS windows must run over the value census:\n${ksWins.mkString("\n")}")
+    val beta = plan(graft.queries.WarehouseQueries
+      .defs("q145_rolling_beta")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(beta.nonEmpty && beta.forall(_.contains("l_returnflag")),
+      s"frame sums must partition by flag:\n${beta.mkString("\n")}")
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
