@@ -203,6 +203,11 @@ object WarehouseQueries {
         .filter(col("user_id") =!= col("_v"))
         .select(col("user_id").as("s"), col("_v").as("d"))
         .distinct()
+        // UnionLoop re-executes the referenced plan once per recursion
+        // level — pin the edge list to a materialized snapshot so the
+        // self-join + distinct runs once, not depth+1 times (the same
+        // lineage-truncation lever as connectedComponents/pageRank)
+        .localCheckpoint()
       edges.createOrReplaceTempView("graft_bfs_edges")
       s.sql("""
         WITH RECURSIVE walk(node, lvl) AS (
@@ -539,6 +544,79 @@ object WarehouseQueries {
               / (col("_n") * col("_sxx") - col("_sx") * col("_sx"))
                 .cast("double"), 6)).as("beta"))
         .orderBy("l_returnflag", "day")
+    },
+
+    // Multiset set operations (EXCEPT ALL / INTERSECT ALL): bag semantics
+    // keep duplicate multiplicity — a row occurring 3× in A and 1× in B
+    // survives EXCEPT ALL twice and INTERSECT ALL once — where q26/q27's
+    // set forms collapse it. Catalyst rewrites both to keyed aggregates
+    // (sum-of-multiplicity joins), no sort, no window.
+    "q146_multiset_ops" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("value") > 100)
+        .select(col("user_id"), col("event_type"))
+      val b = ev.filter(col("value") > 150)
+        .select(col("user_id"), col("event_type"))
+      a.exceptAll(b).agg(count(lit(1)).as("n_except_all"))
+        .crossJoin(a.intersectAll(b)
+          .agg(count(lit(1)).as("n_intersect_all")))
+        .crossJoin(a.except(b).agg(count(lit(1)).as("n_except_distinct")))
+        .crossJoin(a.intersect(b)
+          .agg(count(lit(1)).as("n_intersect_distinct")))
+    },
+
+    // Null-safe equality join (IS NOT DISTINCT FROM / <=>): the nullable
+    // key — event_type with 'error' nulled out — joins its own census so
+    // the NULL group matches instead of dropping, and the join stays a
+    // HASH join (eqNullSafe is a valid hash key; a naive x = y OR (x IS
+    // NULL AND y IS NULL) predicate degrades to nested-loop). The
+    // three-valued-logic trap every warehouse hits.
+    "q147_nullsafe_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("_k", nullif(col("event_type"), lit("error")))
+      val ref = ev.groupBy(col("_k").as("_rk"))
+        .agg(count(lit(1)).as("ref_n"))
+      ev.join(broadcast(ref), col("_k") <=> col("_rk"))
+        .groupBy(col("_k").as("k"))
+        .agg(count(lit(1)).as("n_events"), max(col("ref_n")).as("ref_n"))
+        .orderBy(col("k").asc_nulls_first)
+    },
+
+    // Array higher-order functions over embeddings: transform → aggregate
+    // (left fold from a 0.0 seed — both engines fold in list order, and
+    // 0+x₁² ≡ x₁², so the IEEE sequence is identical) for the L2 norm,
+    // filter for the large-component census. The HOF surface the vector
+    // operators (VectorFunctions/q34) build on, pinned directly.
+    "q148_vector_hof" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") <= 200)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("_e"))
+        .select(col("vec_id"),
+          size(col("_e")).as("dim"),
+          fr(sqrt(aggregate(transform(col("_e"), x => x * x),
+            lit(0.0), (acc, x) => acc + x)), 6).as("l2_norm"),
+          size(filter(col("_e"), x => abs(x) > lit(0.1)))
+            .as("n_large"))
+        .orderBy("vec_id")
+    },
+
+    // Case-insensitive collation (Spark 4 collated strings): token counts
+    // under UTF8_LCASE vs binary collation, on ASCII-only tokens so the
+    // oracle's lower() is provably the same equivalence (ICU case folding
+    // and lower() diverge on Turkish-I/long-s outside ASCII). The
+    // distinct-count gap IS the case-variant census.
+    "q149_collation" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), explode(split(trim(col("text")), "\\s+"))
+          .as("_tok"))
+        .filter(col("_tok").rlike("^[A-Za-z]+$"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("_tok")).as("distinct_binary"),
+          countDistinct(collate(col("_tok"), "UTF8_LCASE"))
+            .as("distinct_lcase"))
+        .orderBy("source")
     }
   )
 
@@ -900,6 +978,51 @@ object WarehouseQueries {
         |      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5)
         |      / 1000000.0
         |  END AS beta
-        |FROM f ORDER BY l_returnflag, day""".stripMargin
+        |FROM f ORDER BY l_returnflag, day""".stripMargin,
+
+    "q146_multiset_ops" ->
+      """WITH a AS (SELECT user_id, event_type FROM events
+        |  WHERE value > 100),
+        |b AS (SELECT user_id, event_type FROM events WHERE value > 150),
+        |ea AS (SELECT count(*) AS n_except_all FROM
+        |  (SELECT * FROM a EXCEPT ALL SELECT * FROM b) t),
+        |ia AS (SELECT count(*) AS n_intersect_all FROM
+        |  (SELECT * FROM a INTERSECT ALL SELECT * FROM b) t),
+        |ed AS (SELECT count(*) AS n_except_distinct FROM
+        |  (SELECT * FROM a EXCEPT SELECT * FROM b) t),
+        |id_ AS (SELECT count(*) AS n_intersect_distinct FROM
+        |  (SELECT * FROM a INTERSECT SELECT * FROM b) t)
+        |SELECT n_except_all, n_intersect_all, n_except_distinct,
+        |  n_intersect_distinct
+        |FROM ea CROSS JOIN ia CROSS JOIN ed CROSS JOIN id_""".stripMargin,
+
+    "q147_nullsafe_join" ->
+      """WITH e AS (SELECT nullif(event_type, 'error') AS k FROM events),
+        |ref AS (SELECT k AS rk, count(*) AS ref_n FROM e GROUP BY k)
+        |SELECT e.k, count(*) AS n_events, max(ref.ref_n) AS ref_n
+        |FROM e JOIN ref ON e.k IS NOT DISTINCT FROM ref.rk
+        |GROUP BY e.k ORDER BY e.k NULLS FIRST""".stripMargin,
+
+    "q148_vector_hof" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  floor(sqrt(list_reduce(
+        |      list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+        |      (a, b) -> a + b)) * 1000000.0 + 0.5) / 1000000.0 AS l2_norm,
+        |  CAST(len(list_filter(CAST(embedding AS DOUBLE[]),
+        |      x -> abs(x) > 0.1)) AS INT) AS n_large
+        |FROM embeddings WHERE vec_id <= 200 ORDER BY vec_id""".stripMargin,
+
+    "q149_collation" ->
+      """WITH t AS (SELECT source, unnest(string_split_regex(trim(text),
+        |      '\s+')) AS tok
+        |  FROM documents),
+        |f AS (SELECT source, tok FROM t
+        |  WHERE regexp_full_match(tok, '[A-Za-z]+'))
+        |SELECT source, count(*) AS n_tokens,
+        |  count(DISTINCT tok) AS distinct_binary,
+        |  count(DISTINCT lower(tok)) AS distinct_lcase
+        |FROM f GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -599,6 +599,37 @@ class PlanSpec extends SparkSpec {
       s"frame sums must partition by flag:\n${beta.mkString("\n")}")
   }
 
+  test("q147: null-safe equality keeps a hash join — never nested-loop") {
+    val p = plan(graft.queries.WarehouseQueries
+      .defs("q147_nullsafe_join")(spark, d))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"eqNullSafe must stay a hash-joinable key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the OR-isnull rewrite would degrade to nested-loop:\n$p")
+  }
+
+  test("q148: HOF vector math is pure projection — no join, no window") {
+    val p = plan(graft.queries.WarehouseQueries
+      .defs("q148_vector_hof")(spark, d))
+    assert(!p.contains("windowspecdefinition") && !p.contains("Join"),
+      s"transform/aggregate/filter fold inside the projection:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(vec_id,200"),
+      s"the vec_id probe filter must reach the parquet scan:\n$p")
+  }
+
+  test("q146: multiset ops rewrite to keyed aggregates, not sorts") {
+    val p = plan(graft.queries.WarehouseQueries
+      .defs("q146_multiset_ops")(spark, d))
+    assert(!p.contains("windowspecdefinition"),
+      s"EXCEPT/INTERSECT ALL must not rank through windows:\n$p")
+    val bnl = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toVector
+    assert(bnl.forall(_.trim.endsWith("Cross")),
+      s"only 1-row scalar attaches may nested-loop:\n${bnl.mkString("\n")}")
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
