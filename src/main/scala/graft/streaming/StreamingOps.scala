@@ -22,6 +22,34 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Native stream-stream interval join (Spark's watermarked two-stream
+    * join): each left row matches right rows of the same key whose event
+    * time falls in `[leftTs − lookback, leftTs]` — click-before-purchase
+    * attribution, quote-context attach, any bounded-history enrichment.
+    *
+    * This is the one streaming shape where Spark itself manages BOTH
+    * buffers: the equality key routes the two streams to the same state
+    * partition and the time-range conjunct + watermarks bound each side's
+    * retained rows (left evicts at `wm − 0`, right at `wm − lookback`).
+    * No mapGroupsWithState needed — the declarative condition IS the
+    * state-cleanup contract, so it survives 100 TB/day feeds as long as
+    * `lookback` stays bounded.
+    *
+    * Column names must be disjoint across the two inputs (the condition
+    * references both sides by name).
+    */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame,
+                            leftKey: String, rightKey: String,
+                            leftTs: String, rightTs: String,
+                            lookback: String = "30 minutes",
+                            delay: String = "1 minute"): DataFrame =
+    left.withWatermark(leftTs, delay)
+      .join(right.withWatermark(rightTs, delay),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+          col(rightTs) <= col(leftTs),
+        "inner")
+
   /** Event-time OHLCV resample over a stream: tumbling window of `rule`,
     * watermark `delay` for late data. min_by/max_by give deterministic
     * open/close exactly as in the batch operator.

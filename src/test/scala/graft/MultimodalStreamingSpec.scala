@@ -75,6 +75,55 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(w >= 64 && w < 192 && h >= 64 && h < 192 && c == 3)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    implicit val sc = spark.sqlContext
+    def ts(min: Int) = Timestamp.from(
+      Instant.parse(f"2024-01-01T${min / 60}%02d:${min % 60}%02d:00Z"))
+    val rnd = new scala.util.Random(31L)
+    // feed in event-time order: a batch older than the watermark would be
+    // (correctly) dropped as late, which is not what this pins
+    val purchases = (0 until 40).map(i =>
+      (1L + rnd.nextInt(5), ts(rnd.nextInt(200)), i.toLong))
+      .sortBy(_._2.getTime)
+    val clicks = (0 until 120).map(i =>
+      (1L + rnd.nextInt(5), ts(rnd.nextInt(200)), 1000L + i))
+      .sortBy(_._2.getTime)
+
+    val pm = MemoryStream[(Long, Timestamp, Long)]
+    val cm = MemoryStream[(Long, Timestamp, Long)]
+    val joined = StreamingOps.streamingIntervalJoin(
+      pm.toDF().toDF("p_user", "pts", "pid"),
+      cm.toDF().toDF("c_user", "cts", "cid"),
+      "p_user", "c_user", "pts", "cts", lookback = "30 minutes")
+    val q = joined.writeStream.format("memory")
+      .queryName("ssj_out").outputMode("append").start()
+    // feed in two chunks + a watermark-advancing tail so buffered
+    // matches on both sides flush
+    pm.addData(purchases.take(20): _*); cm.addData(clicks.take(60): _*)
+    q.processAllAvailable()
+    pm.addData(purchases.drop(20): _*); cm.addData(clicks.drop(60): _*)
+    q.processAllAvailable()
+    pm.addData((99L, ts(600), 9999L)); cm.addData((99L, ts(600), 9998L))
+    q.processAllAvailable()
+    val got = spark.table("ssj_out")
+      .filter(col("pid") < 9000)
+      .select("pid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+
+    val batch = purchases.toDF("p_user", "pts", "pid")
+      .join(clicks.toDF("c_user", "cts", "cid"),
+        col("p_user") === col("c_user") &&
+          col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES") &&
+          col("cts") <= col("pts"))
+      .filter(col("pid") < 9000)
+      .select("pid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture must produce matches")
+    assert(got == batch,
+      s"missing=${(batch -- got).take(5)} extra=${(got -- batch).take(5)}")
+  }
+
   test("streaming resample: tumbling event-time windows over a memory stream") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Double, Double, String)]
