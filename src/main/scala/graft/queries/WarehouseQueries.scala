@@ -617,6 +617,65 @@ object WarehouseQueries {
           countDistinct(collate(col("_tok"), "UTF8_LCASE"))
             .as("distinct_lcase"))
         .orderBy("source")
+    },
+
+    // Point-in-time (feature-store) lookup over SCD2 history: each probe
+    // reads the attribute version valid AT its timestamp — the join that
+    // makes offline features match what production saw, where a plain
+    // latest-value join silently leaks the future. History = q107's
+    // run-length SCD2 over order status; zero-width runs (same-stamp
+    // state flips) drop so (key, valid_from) is unique; the lookup is the
+    // AsofJoin merge-scan on valid_from (one shuffle, hot keys range-
+    // shard), with probe dates spread across the history by deterministic
+    // integer math. Oracle: the correlated interval subquery the operator
+    // replaces at scale.
+    "q150_pit_join" -> { (s, d) =>
+      val hist = graft.operators.Analytics.scd2(
+          Tables.orders(s, d), "o_custkey", "o_orderstatus", "o_orderdate")
+        .filter(col("valid_to").isNull ||
+          col("valid_to") > col("valid_from"))
+        .withColumnRenamed("o_custkey", "user_id")
+      val probes = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          date_add(lit("1995-01-01").cast("date"),
+            (col("event_id") % 2400).cast("int")).cast("timestamp")
+            .as("pts"))
+      graft.operators.AsofJoin.asof(probes, hist, Seq("user_id"),
+          "pts", "valid_from", Seq("o_orderstatus", "valid_to"),
+          crossPartition = true)
+        // interval check: the matched run must still be open at the probe
+        // (true by construction once zero-width runs are gone; surfacing
+        // it makes the contract hash-checked instead of assumed)
+        .filter(col("asof_o_orderstatus").isNotNull)
+        .select(col("event_id"),
+          col("asof_o_orderstatus").as("pit_status"),
+          (col("asof_valid_to").isNull ||
+            col("pts") < col("asof_valid_to")).as("interval_ok"))
+        .orderBy("event_id")
+        .limit(500)
+    },
+
+    // Rolling 7-day active users (WAU) beside the daily count: each
+    // distinct (user, day) covers days [d, d+6] via a bounded 7-row
+    // explode, re-distincts, and counts — exact rolling distinct without
+    // a sliding set union, the standard relational decomposition (cost =
+    // window-length multiplier, fully distributed). HLL sketches (q123)
+    // are the approximate path when the multiplier bites at 100 TB.
+    "q151_rolling_wau" -> { (s, d) =>
+      val userDays = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("_day"))
+        .distinct()
+      val dau = userDays.groupBy(col("_day").as("day"))
+        .agg(count(lit(1)).as("dau"))
+      val wau = userDays
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("_i"), col("_day"))
+        .select(col("user_id"), date_add(col("_day"), col("_i")).as("day"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"), "full_outer")
+        .na.fill(0L, Seq("dau"))
+        .orderBy("day")
     }
   )
 
@@ -1023,6 +1082,45 @@ object WarehouseQueries {
         |SELECT source, count(*) AS n_tokens,
         |  count(DISTINCT tok) AS distinct_binary,
         |  count(DISTINCT lower(tok)) AS distinct_lcase
-        |FROM f GROUP BY source ORDER BY source""".stripMargin
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    // interval_ok pinned TRUE: an as-of match landing outside its run's
+    // validity window would flip it and fail the compare
+    "q150_pit_join" ->
+      """WITH m AS (SELECT o_custkey AS k, o_orderstatus AS st,
+        |    o_orderdate AS ts,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderstatus) AS prev
+        |  FROM orders),
+        |c AS (SELECT k, st, ts FROM m WHERE prev IS DISTINCT FROM st),
+        |h AS (SELECT k, st, ts AS vf,
+        |    lead(ts) OVER (PARTITION BY k ORDER BY ts, st) AS vt FROM c),
+        |h2 AS (SELECT * FROM h WHERE vt IS NULL OR vt > vf),
+        |p AS (SELECT event_id, user_id,
+        |    CAST(DATE '1995-01-01' + CAST(event_id % 2400 AS INT)
+        |      AS TIMESTAMP) AS pts
+        |  FROM events)
+        |SELECT p.event_id,
+        |  (SELECT h2.st FROM h2 WHERE h2.k = p.user_id
+        |     AND h2.vf <= p.pts AND (h2.vt IS NULL OR p.pts < h2.vt))
+        |    AS pit_status,
+        |  TRUE AS interval_ok
+        |FROM p
+        |WHERE EXISTS (SELECT 1 FROM h2
+        |  WHERE h2.k = p.user_id AND h2.vf <= p.pts)
+        |ORDER BY p.event_id LIMIT 500""".stripMargin,
+
+    "q151_rolling_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |cover AS (SELECT DISTINCT user_id, day + CAST(i AS INT) AS day2
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS i) s),
+        |wau AS (SELECT day2 AS day, count(*) AS wau FROM cover
+        |  GROUP BY day2)
+        |SELECT coalesce(dau.day, wau.day) AS day,
+        |  coalesce(dau.dau, 0) AS dau, wau.wau
+        |FROM dau FULL OUTER JOIN wau ON dau.day = wau.day
+        |ORDER BY day""".stripMargin
   )
 }

@@ -630,6 +630,18 @@ class PlanSpec extends SparkSpec {
       s"only 1-row scalar attaches may nested-loop:\n${bnl.mkString("\n")}")
   }
 
+  test("q151: WAU cover-explode stays a 7x projection — no range join, no window") {
+    val p = plan(graft.queries.WarehouseQueries
+      .defs("q151_rolling_wau")(spark, d))
+    assert(!p.contains("windowspecdefinition"),
+      s"rolling distinct must decompose, not slide a set union:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the day cover is explode(sequence), never a range join:\n$p")
+    assert(p.contains("Generate explode"),
+      s"cover days come from a generator:\n$p")
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
