@@ -642,6 +642,36 @@ class PlanSpec extends SparkSpec {
       s"cover days come from a generator:\n$p")
   }
 
+  test("runtime bloom-filter join pruning injects on a selective fact join") {
+    // At 100 TB the optimizer's runtime filters are a first-class lever:
+    // a selective dimension side should inject a bloom probe into the
+    // fact scan so pruning happens BEFORE the shuffle. Default size
+    // thresholds (10 MB creation side) never trigger at test scale, so
+    // pin the MECHANISM with thresholds lowered — if an engine upgrade or
+    // conf regression drops the injection, this breaks.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val sel = Tables.orders(spark, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val joined = Tables.lineitem(spark, d)
+        .join(sel, Seq("l_orderkey").map(c => col(c) === sel("o_orderkey"))
+          .reduce(_ && _))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") && p.contains("might_contain"),
+        s"selective join must inject a runtime bloom probe:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
