@@ -676,6 +676,76 @@ object WarehouseQueries {
       dau.join(wau, Seq("day"), "full_outer")
         .na.fill(0L, Seq("dau"))
         .orderBy("day")
+    },
+
+    // CUSUM change-point screen per user: running sum of DECIMAL
+    // deviations from the user's own mean — the classic drift detector.
+    // The mean comes from a whole-partition window (keyed, no second
+    // scan), deviations accumulate exactly (value and mean both on the
+    // DECIMAL grid), and only the reported max |S| touches the fr grid.
+    "q152_cusum" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+      val wSeq = byUser.orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("_vd", fr(col("value"), 6).cast("decimal(18,6)"))
+        // mean via DECIMAL window sum / count — a windowed avg() of raw
+        // doubles would sum in partition order and drift across engines
+        .withColumn("_mu", fr(sum(col("_vd")).over(byUser).cast("double")
+          / count(lit(1)).over(byUser), 6).cast("decimal(18,6)"))
+        .withColumn("_s", sum(col("_vd") - col("_mu")).over(wSeq))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_obs"),
+          fr(max(abs(col("_s"))).cast("double"), 4).as("cusum_max"))
+        .orderBy("user_id")
+    },
+
+    // Burstiness index B = (σ−μ)/(σ+μ) of inter-event gaps per user
+    // (Goh & Barabási): B→−1 periodic, 0 Poisson, →1 bursty. Gaps are
+    // integer SECONDS (per-stamp unix_seconds floor), their sums and the
+    // n·Σd²−(Σd)² variance identity run in DECIMAL(38,0) so 100 TB-sized
+    // counts cannot overflow the cross-products; σ, μ and B are the only
+    // doubles, computed in one written order.
+    "q153_burstiness" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("_d", unix_seconds(col("ts"))
+          - unix_seconds(lag(col("ts"), 1).over(w)))
+        .filter(col("_d").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("_n"),
+          sum(col("_d").cast("decimal(38,0)")).as("_sd"),
+          sum((col("_d") * col("_d")).cast("decimal(38,0)")).as("_sdd"))
+        .filter(col("_n") > 1)
+        .withColumn("_mu", col("_sd").cast("double") / col("_n"))
+        .withColumn("_sigma", sqrt(
+          (col("_n") * col("_sdd") - col("_sd") * col("_sd")).cast("double")
+            / (col("_n") * (col("_n") - 1)).cast("double")))
+        .select(col("user_id"), col("_n").as("n_gaps"),
+          fr(col("_mu"), 4).as("mean_gap_s"),
+          fr((col("_sigma") - col("_mu")) / (col("_sigma") + col("_mu")), 6)
+            .as("burstiness"))
+        .orderBy("user_id")
+    },
+
+    // Sequential pattern mining lite: the 20 most common event-type
+    // trigrams across user journeys — lead()×2 under the (ts, event_id)
+    // total order, exact counts, TakeOrderedAndProject top-k with a full
+    // lexicographic tiebreak so the kept set is engine-stable.
+    "q154_event_trigrams" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("a"),
+          lead(col("event_type"), 1).over(w).as("b"),
+          lead(col("event_type"), 2).over(w).as("c"))
+        .filter(col("b").isNotNull && col("c").isNotNull)
+        .groupBy(col("a"), col("b"), col("c"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"), col("c"))
+        .limit(20)
     }
   )
 
@@ -1121,6 +1191,58 @@ object WarehouseQueries {
         |SELECT coalesce(dau.day, wau.day) AS day,
         |  coalesce(dau.dau, 0) AS dau, wau.wau
         |FROM dau FULL OUTER JOIN wau ON dau.day = wau.day
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+
+    "q152_cusum" ->
+      """WITH v0 AS (SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 1000000.0 + 0.5) / 1000000.0
+        |      AS DECIMAL(18,6)) AS vd
+        |  FROM events),
+        |v AS (SELECT user_id, ts, event_id, vd,
+        |    CAST(floor(CAST(sum(vd) OVER (PARTITION BY user_id) AS DOUBLE)
+        |      / count(*) OVER (PARTITION BY user_id)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS mu
+        |  FROM v0),
+        |s AS (SELECT user_id,
+        |    sum(vd - mu) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |  FROM v)
+        |SELECT user_id, count(*) AS n_obs,
+        |  floor(CAST(max(abs(cs)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS cusum_max
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q153_burstiness" ->
+      """WITH g AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+        |      - epoch_us(CAST(lag(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS TIMESTAMP)) // 1000000 AS d
+        |  FROM events),
+        |a AS (SELECT user_id, count(*) AS n,
+        |    sum(CAST(d AS DECIMAL(38,0))) AS sd,
+        |    sum(CAST(d * d AS DECIMAL(38,0))) AS sdd
+        |  FROM g WHERE d IS NOT NULL GROUP BY user_id),
+        |m AS (SELECT user_id, n,
+        |    CAST(sd AS DOUBLE) / n AS mu,
+        |    sqrt(CAST(n * sdd - sd * sd AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE)) AS sigma
+        |  FROM a WHERE n > 1)
+        |SELECT user_id, n AS n_gaps,
+        |  floor(mu * 10000.0 + 0.5) / 10000.0 AS mean_gap_s,
+        |  floor((sigma - mu) / (sigma + mu) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS burstiness
+        |FROM m ORDER BY user_id""".stripMargin,
+
+    "q154_event_trigrams" ->
+      """WITH t AS (SELECT
+        |    event_type AS a,
+        |    lead(event_type, 1) OVER w AS b,
+        |    lead(event_type, 2) OVER w AS c
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT a, b, c, count(*) AS n FROM t
+        |WHERE b IS NOT NULL AND c IS NOT NULL
+        |GROUP BY a, b, c
+        |ORDER BY n DESC, a, b, c LIMIT 20""".stripMargin
   )
 }

@@ -642,6 +642,19 @@ class PlanSpec extends SparkSpec {
       s"cover days come from a generator:\n$p")
   }
 
+  test("q152-q154: CUSUM/burstiness/trigram windows stay keyed; top-k avoids a global sort") {
+    for (q <- Seq("q152_cusum", "q153_burstiness", "q154_event_trigrams")) {
+      val winLines = plan(graft.queries.WarehouseQueries.defs(q)(spark, d))
+        .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+      assert(winLines.nonEmpty && winLines.forall(_.contains("user_id")),
+        s"$q must window per user:\n${winLines.mkString("\n")}")
+    }
+    val p = plan(graft.queries.WarehouseQueries
+      .defs("q154_event_trigrams")(spark, d))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"trigram top-k must not materialize a global sort:\n$p")
+  }
+
   test("runtime bloom-filter join pruning injects on a selective fact join") {
     // At 100 TB the optimizer's runtime filters are a first-class lever:
     // a selective dimension side should inject a bloom probe into the
