@@ -277,25 +277,59 @@ object WarehouseQueries {
     },
 
     // Two-sided 10% trimmed mean of value per event type — the robust
-    // aggregation family. Trim by RANK, not by quantile value: row_number
-    // under the (value, event_id) total order is engine-replayable where
-    // value-threshold membership at duplicated boundary values is not.
-    // The window is keyed by type (scales); the kept values sum in
-    // DECIMAL, one fr-gridded division at the end.
+    // aggregation family, census-decomposed: a row_number trim would rank
+    // every row of a type inside ONE window task (event_type is
+    // low-cardinality — the q66 straggler), so the bottom-k/top-k mass
+    // comes off the (type, value) census instead. Boundary values split
+    // exactly: trimmed_sum = Σ v·f − bottomPart − topPart, where each
+    // part is the census prefix mass plus (k − prefixCount)·boundary —
+    // all DECIMAL/BIGINT, one fr division. The census window is bounded
+    // by distinct values per type, never rows.
     "q136_trimmed_mean" -> { (s, d) =>
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("value"), col("event_id"))
-      val ev = Tables.events(s, d)
-        .withColumn("_rn", row_number().over(w))
-        .withColumn("_n", count(lit(1)).over(
-          Window.partitionBy(col("event_type"))))
-        .withColumn("_k", floor(col("_n") / 10))
-        .filter(col("_rn") > col("_k") && col("_rn") <= col("_n") - col("_k"))
-      ev.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_kept"),
-          max(col("_n")).as("n_total"),
-          fr(decSum(col("value")).cast("double") / count(lit(1)), 6)
-            .as("trimmed_mean"))
+      val census = Tables.events(s, d)
+        .withColumn("_vd", col("value").cast("decimal(18,4)"))
+        .groupBy(col("event_type"), col("_vd"))
+        .agg(count(lit(1)).as("_f"))
+      val wAsc = Window.partitionBy(col("event_type")).orderBy(col("_vd"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(col("event_type"))
+      val c = census
+        .withColumn("_cumBefore", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
+        .withColumn("_cumValBefore",
+          coalesce(sum(col("_vd") * col("_f")).over(wAsc),
+            lit(0).cast("decimal(28,4)")))
+        .withColumn("_n", sum(col("_f")).over(wAll))
+        .withColumn("_sumAll", sum(col("_vd") * col("_f")).over(wAll))
+        .withColumn("_k", floor(col("_n") / 10).cast("long"))
+      // the census row whose run CONTAINS rank k (ascending): bottom mass
+      // = value-mass strictly below it + the partial run up to k
+      val bottom = c
+        .filter(col("_cumBefore") < col("_k") &&
+          col("_cumBefore") + col("_f") >= col("_k"))
+        .select(col("event_type"),
+          (col("_cumValBefore")
+            + (col("_k") - col("_cumBefore")) * col("_vd")).as("_botSum"))
+      // mirrored for the top: ranks above n − k
+      val top = c
+        .withColumn("_cumAfter",
+          col("_n") - col("_cumBefore") - col("_f"))
+        .filter(col("_cumAfter") < col("_k") &&
+          col("_cumAfter") + col("_f") >= col("_k"))
+        .select(col("event_type"),
+          (col("_sumAll") - col("_cumValBefore") - col("_vd") * col("_f")
+            + (col("_k") - col("_cumAfter")) * col("_vd")).as("_topSum"))
+      val zero = lit(0).cast("decimal(38,4)")
+      c.groupBy(col("event_type"))
+        .agg(max(col("_n")).as("n_total"), max(col("_k")).as("_k2"),
+          max(col("_sumAll")).as("_sum"))
+        .join(bottom, Seq("event_type"), "left") // k = 0 trims nothing
+        .join(top, Seq("event_type"), "left")
+        .select(col("event_type"),
+          (col("n_total") - lit(2) * col("_k2")).as("n_kept"),
+          col("n_total"),
+          fr((col("_sum") - coalesce(col("_botSum"), zero)
+            - coalesce(col("_topSum"), zero)).cast("double")
+            / (col("n_total") - lit(2) * col("_k2")), 6).as("trimmed_mean"))
         .orderBy("event_type")
     },
 
@@ -907,17 +941,41 @@ object WarehouseQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q136_trimmed_mean" ->
-      """WITH r AS (SELECT event_type, value,
-        |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY value, event_id) AS rn,
-        |    count(*) OVER (PARTITION BY event_type) AS n
-        |  FROM events),
-        |kept AS (SELECT event_type, value, n FROM r
-        |  WHERE rn > floor(n / 10.0) AND rn <= n - floor(n / 10.0))
-        |SELECT event_type, count(*) AS n_kept, max(n) AS n_total,
-        |  floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
-        |    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS trimmed_mean
-        |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH census AS (SELECT event_type,
+        |    CAST(value AS DECIMAL(18,4)) AS vd, count(*) AS f
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, vd, f,
+        |    coalesce(sum(f) OVER wb, 0) AS cumBefore,
+        |    coalesce(sum(vd * f) OVER wb, 0) AS cumValBefore,
+        |    sum(f) OVER wa AS n,
+        |    sum(vd * f) OVER wa AS sumAll
+        |  FROM census
+        |  WINDOW wb AS (PARTITION BY event_type ORDER BY vd
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    wa AS (PARTITION BY event_type)),
+        |c2 AS (SELECT *, CAST(floor(n / 10.0) AS BIGINT) AS k,
+        |    n - cumBefore - f AS cumAfter
+        |  FROM c),
+        |bot AS (SELECT event_type,
+        |    cumValBefore + (k - cumBefore) * vd AS botSum
+        |  FROM c2 WHERE cumBefore < k AND cumBefore + f >= k),
+        |top AS (SELECT event_type,
+        |    sumAll - cumValBefore - vd * f + (k - cumAfter) * vd AS topSum
+        |  FROM c2 WHERE cumAfter < k AND cumAfter + f >= k),
+        |agg AS (SELECT event_type, max(n) AS n_total, max(k) AS k2,
+        |    max(sumAll) AS sumAll
+        |  FROM c2 GROUP BY event_type)
+        |SELECT a.event_type,
+        |  CAST(a.n_total - 2 * a.k2 AS BIGINT) AS n_kept,
+        |  CAST(a.n_total AS BIGINT) AS n_total,
+        |  floor(CAST(a.sumAll - coalesce(bot.botSum, 0)
+        |      - coalesce(top.topSum, 0) AS DOUBLE)
+        |    / CAST(a.n_total - 2 * a.k2 AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS trimmed_mean
+        |FROM agg a
+        |LEFT JOIN bot ON a.event_type = bot.event_type
+        |LEFT JOIN top ON a.event_type = top.event_type
+        |ORDER BY a.event_type""".stripMargin,
 
     "q137_gini" ->
       """WITH per_user AS (SELECT user_id, count(*) AS x FROM events

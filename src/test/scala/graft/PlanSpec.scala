@@ -533,13 +533,20 @@ class PlanSpec extends SparkSpec {
       s"edge construction and the walk join must stay keyed:\n$p")
   }
 
-  test("q136: trim ranks stay keyed by event_type; sums combine map-side") {
+  test("q136: trim mass comes off the census — no rank over raw rows") {
     val p = plan(graft.queries.WarehouseQueries
       .defs("q136_trimmed_mean")(spark, d))
     val winLines = p.linesIterator
       .filter(_.contains("windowspecdefinition")).toVector
     assert(winLines.nonEmpty && winLines.forall(_.contains("event_type")),
-      s"rank/count windows must partition by type:\n${winLines.mkString("\n")}")
+      s"census windows must partition by type:\n${winLines.mkString("\n")}")
+    // event_type is low-cardinality: a row_number trim would rank every
+    // row of a type in ONE task (the q66 straggler) — the census form
+    // never ranks raw rows
+    assert(!p.contains("row_number"),
+      s"trim must decompose over the value census:\n$p")
+    assert("partial_count".r.findAllIn(p).nonEmpty,
+      s"the census aggregate must map-side combine:\n$p")
   }
 
   test("q137: the only window runs over the count-of-counts census, never user rows") {
