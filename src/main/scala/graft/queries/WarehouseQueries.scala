@@ -780,6 +780,56 @@ object WarehouseQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"), col("c"))
         .limit(20)
+    },
+
+    // Quantile (CDF) normalization of value per event type — the feature
+    // preprocessing staple that maps every value to its empirical
+    // percentile. The type-1 CDF (cum/n, ties share the inclusive
+    // cumulative) computes ONCE per distinct value on the census, then
+    // equi-joins back to rows — no rank window ever touches the raw
+    // stream, the q136 census argument as a row-level transform.
+    "q155_quantile_norm" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("_vd", col("value").cast("decimal(18,4)"))
+      val census = ev.groupBy(col("event_type"), col("_vd"))
+        .agg(count(lit(1)).as("_f"))
+      val wAsc = Window.partitionBy(col("event_type")).orderBy(col("_vd"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = census
+        .withColumn("_cum", sum(col("_f")).over(wAsc))
+        .withColumn("_n", sum(col("_f")).over(
+          Window.partitionBy(col("event_type"))))
+        .select(col("event_type"), col("_vd"),
+          fr(col("_cum").cast("double") / col("_n"), 6).as("cdf"))
+      ev.filter(col("event_id") % 199 === 0)
+        .join(cdf, Seq("event_type", "_vd"))
+        .select(col("event_id"), col("event_type"),
+          col("value"), col("cdf"))
+        .orderBy("event_id")
+    },
+
+    // Leave-one-out target encoding of event_type against a derived
+    // binary target (value above the GLOBAL gridded mean): the ML
+    // categorical encoder that removes self-leakage — per row, (category
+    // positives − own target)/(category count − 1). Category stats are
+    // one partial-aggregated pass broadcast back; all counts exact, one
+    // fr division per row.
+    "q156_target_encoding" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val gm = ev.agg(
+        fr(decSum(col("value")).cast("double") / count(lit(1)), 6)
+          .as("_gmu"))
+      val tagged = ev.crossJoin(broadcast(gm))
+        .withColumn("_t", when(col("value") > col("_gmu"), 1L).otherwise(0L))
+      val stats = tagged.groupBy(col("event_type"))
+        .agg(sum(col("_t")).as("_pos"), count(lit(1)).as("_cnt"))
+      tagged.join(broadcast(stats), Seq("event_type"))
+        .filter(col("event_id") % 199 === 0)
+        .select(col("event_id"), col("event_type"), col("_t").as("target"),
+          when(col("_cnt") > 1,
+            fr((col("_pos") - col("_t")).cast("double")
+              / (col("_cnt") - 1), 6)).as("loo_encoding"))
+        .orderBy("event_id")
     }
   )
 
@@ -1301,6 +1351,44 @@ object WarehouseQueries {
         |SELECT a, b, c, count(*) AS n FROM t
         |WHERE b IS NOT NULL AND c IS NOT NULL
         |GROUP BY a, b, c
-        |ORDER BY n DESC, a, b, c LIMIT 20""".stripMargin
+        |ORDER BY n DESC, a, b, c LIMIT 20""".stripMargin,
+
+    "q155_quantile_norm" ->
+      """WITH ev AS (SELECT event_id, event_type, value,
+        |    CAST(value AS DECIMAL(18,4)) AS vd
+        |  FROM events),
+        |census AS (SELECT event_type, vd, count(*) AS f FROM ev
+        |  GROUP BY event_type, vd),
+        |cdf AS (SELECT event_type, vd,
+        |    floor(CAST(sum(f) OVER (PARTITION BY event_type ORDER BY vd
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE)
+        |      / CAST(sum(f) OVER (PARTITION BY event_type) AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS cdf
+        |  FROM census)
+        |SELECT ev.event_id, ev.event_type, ev.value, cdf.cdf
+        |FROM ev JOIN cdf
+        |  ON ev.event_type = cdf.event_type AND ev.vd = cdf.vd
+        |WHERE ev.event_id % 199 = 0
+        |ORDER BY ev.event_id""".stripMargin,
+
+    "q156_target_encoding" ->
+      """WITH gm AS (SELECT floor(
+        |      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS gmu
+        |  FROM events),
+        |tagged AS (SELECT event_id, event_type,
+        |    CASE WHEN value > gm.gmu THEN 1 ELSE 0 END AS t
+        |  FROM events CROSS JOIN gm),
+        |stats AS (SELECT event_type, sum(t) AS pos, count(*) AS cnt
+        |  FROM tagged GROUP BY event_type)
+        |SELECT g.event_id, g.event_type, CAST(g.t AS BIGINT) AS target,
+        |  CASE WHEN s.cnt > 1 THEN
+        |    floor(CAST(s.pos - g.t AS DOUBLE) / CAST(s.cnt - 1 AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0
+        |  END AS loo_encoding
+        |FROM tagged g JOIN stats s ON g.event_type = s.event_type
+        |WHERE g.event_id % 199 = 0
+        |ORDER BY g.event_id""".stripMargin
   )
 }

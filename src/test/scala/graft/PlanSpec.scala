@@ -662,6 +662,23 @@ class PlanSpec extends SparkSpec {
       s"trigram top-k must not materialize a global sort:\n$p")
   }
 
+  test("q155/q156: row-level transforms join censuses back — no rank window, stats broadcast") {
+    val p = plan(graft.queries.WarehouseQueries
+      .defs("q155_quantile_norm")(spark, d))
+    assert(!p.contains("row_number") && !p.contains("percent_rank"),
+      s"the CDF computes on the census, never ranks raw rows:\n$p")
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toVector
+    assert(winLines.nonEmpty && winLines.forall(_.contains("event_type")),
+      s"census windows keyed by type:\n${winLines.mkString("\n")}")
+    val te = plan(graft.queries.WarehouseQueries
+      .defs("q156_target_encoding")(spark, d))
+    assert(!te.contains("windowspecdefinition"),
+      s"LOO encoding is aggregate+broadcast, not a window:\n$te")
+    assert(te.contains("BroadcastHashJoin"),
+      s"category stats must broadcast back:\n$te")
+  }
+
   test("runtime bloom-filter join pruning injects on a selective fact join") {
     // At 100 TB the optimizer's runtime filters are a first-class lever:
     // a selective dimension side should inject a bloom probe into the
