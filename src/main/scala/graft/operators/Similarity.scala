@@ -612,6 +612,77 @@ object Similarity {
       .select(col("_id").as(idCol), col("codes"), col("recon_err"))
   }
 
+  /** The composed IVF-PQ ANN stack (the FAISS IndexIVFPQ shape, non-
+    * residual variant): an IVF coarse quantizer prunes each query to its
+    * `nProbe` nearest lists, then PQ asymmetric distance ranks ONLY the
+    * codes inside those lists — coarse pruning bounds the scan, code
+    * compression bounds the memory; together they are what makes ANN over
+    * a 100 TB corpus tractable. Training (snapped-Lloyd for both the
+    * coarse centroids and the sub-space codebooks) and every ranking rule
+    * mirror `ivfTopK`/`pqAdcTopK` exactly, so `nProbe = nLists` is
+    * bit-identical to plain `pqAdcTopK` — the property the gate oracle
+    * checks — while the spec pins that pruned probes return the same ADC
+    * values on the probed subset.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, qIdCol: String,
+                cIdCol: String, vecCol: String, k: Int,
+                nLists: Int = 8, nProbe: Int = 8,
+                m: Int = 8, kCodes: Int = 16,
+                ivfIterations: Int = 1, pqIterations: Int = 2,
+                sampleFraction: Double = 1.0): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val c0 = corpus.select(col(cIdCol).as("cid"),
+        col(vecCol).cast("array<double>").as("ce"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centroids = trainCentroids(c0.select(col("ce").as("v")), "v",
+        nLists, ivfIterations, sampleFraction)
+      val assigned = c0.select(col("cid"),
+        nearestCentroid(spark, col("ce"), centroids).as("ivf_list"))
+      val books = pqCodebooks(corpus, cIdCol, vecCol, m, kCodes,
+        pqIterations)
+      val dsub = books.head.head.length
+      val enc = pqEncode(corpus, cIdCol, vecCol, books)
+        .select(col(cIdCol).as("cid"), col("codes"))
+        .join(assigned, Seq("cid"))
+      // per-query probe set: the nProbe nearest coarse lists
+      val probes = queries
+        .select(col(qIdCol).as("qid"),
+          col(vecCol).cast("array<double>").as("qe"))
+        .withColumn("ivf_list",
+          explode(probeListsCol(col("qe"), centroids, nProbe)))
+        .select(col("qid"), col("ivf_list"))
+      // codes of probed lists only — the pruned scan
+      val codes = broadcast(probes).join(enc, Seq("ivf_list"))
+        .select(col("qid"), col("cid"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+      val cb = books.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (ce, c) => (j, c, ce) }
+      }.toDF("sub", "code", "ce")
+      val table = subVectors(queries, qIdCol, vecCol, m, dsub)
+        .withColumnRenamed("_id", "qid")
+        .join(broadcast(cb), Seq("sub"))
+        .select(col("qid"), col("sub"), col("code"),
+          sqDist(col("sv"), col("ce")).as("_d"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
+      codes.join(broadcast(table), Seq("qid", "sub", "code"))
+        .groupBy(col("qid"), col("cid"))
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("sub"), col("_d")))),
+            e => e.getField("_d")),
+          lit(0.0), (acc, x) => acc + x).as("_adc"))
+        .withColumn("adc", floor(col("_adc") * 1e6 + 0.5) / 1e6)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= k)
+        .select(col("qid"), col("cid"), col("adc"),
+          col("_rn").cast("long").as("rank"))
+    } finally {
+      c0.unpersist()
+      ()
+    }
+  }
+
   /** PQ-ADC top-k: rank the encoded corpus for each query by asymmetric
     * distance — Σ_sub table(sub, code_sub) where `table` is the query's
     * sub-distance lookup (m·k entries, computed once per query). The scan

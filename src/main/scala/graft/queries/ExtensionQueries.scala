@@ -1028,6 +1028,23 @@ object ExtensionQueries {
         .orderBy("qid", "rank")
     },
 
+    // The composed IVF-PQ ANN stack (Similarity.ivfPqTopK): coarse lists
+    // prune the scan, PQ codes compress it — the FAISS IndexIVFPQ shape.
+    // The gate probes ALL lists, which is bit-identical to plain ADC
+    // (q113's oracle re-used verbatim proves the composition changes
+    // nothing when pruning is off); the spec pins that pruned probes
+    // return the same ADC values on the probed subset.
+    "q157_ivf_pq_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") <= 5), emb,
+          "vec_id", "vec_id", "embedding", k = 10,
+          nLists = 8, nProbe = 8, m = 8, kCodes = 16,
+          ivfIterations = 1, pqIterations = 2)
+        .select(col("qid"), col("cid"), fr(col("adc"), 4).as("adc"),
+          col("rank"))
+        .orderBy("qid", "rank")
+    },
+
     // Key-skew profile (Reporting.skewProfile): exact per-key-count
     // quantiles + heaviest keys for events.user_id — the pre-flight
     // diagnostic behind every salting/bucketing decision in this repo.
@@ -2463,6 +2480,29 @@ object ExtensionQueries {
         |FROM sf GROUP BY vec_id ORDER BY vec_id""".stripMargin),
 
     "q113_pq_adc_topk" -> (pqTrainSql.stripSuffix("\n") +
+      """,
+        |qsv AS (SELECT vec_id AS qid, sub, s AS qs FROM sv
+        |  WHERE vec_id <= 5),
+        |tbl AS (SELECT q.qid, c.sub, c.code,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (q.qs[i] - c.ce[i])^2)) AS qd
+        |  FROM qsv q JOIN c2 c ON q.sub = c.sub),
+        |adc AS (SELECT t.qid, sf.vec_id AS cid,
+        |    floor(list_sum(list(t.qd ORDER BY t.sub)) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS a
+        |  FROM sf JOIN tbl t ON sf.sub = t.sub AND sf.code = t.code
+        |  GROUP BY t.qid, sf.vec_id),
+        |rk AS (SELECT qid, cid, a,
+        |    row_number() OVER (PARTITION BY qid ORDER BY a, cid) AS rank
+        |  FROM adc)
+        |SELECT qid, cid, floor(a * 10000.0 + 0.5) / 10000.0 AS adc,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
+
+    // identical text to q113's oracle: with every list probed, IVF-PQ IS
+    // plain PQ ADC — any drift the coarse-quantizer stage introduced
+    // would hash-mismatch here
+    "q157_ivf_pq_topk" -> (pqTrainSql.stripSuffix("\n") +
       """,
         |qsv AS (SELECT vec_id AS qid, sub, s AS qs FROM sv
         |  WHERE vec_id <= 5),

@@ -613,6 +613,44 @@ class MultimodalStreamingSpec extends SparkSpec {
       "clone lands in a probed bucket and ranks first")
   }
 
+  test("IVF-PQ: exhaustive probe equals plain ADC; pruning keeps exact ADC on the subset") {
+    val rnd = new scala.util.Random(17)
+    def vec(): Seq[Double] = Seq.fill(16)(rnd.nextGaussian())
+    val df = (0L until 120L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 3)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("qid"), r.getAs[Long]("cid"),
+        r.getAs[Double]("adc"), r.getAs[Long]("rank"))
+    // probing every list must reproduce plain PQ ADC bit-for-bit: the
+    // coarse stage may only PRUNE, never change a distance or a rank
+    val books = Similarity.pqCodebooks(df, "vec_id", "embedding",
+      m = 4, k = 8, iterations = 2)
+    val enc = Similarity.pqEncode(df, "vec_id", "embedding", books)
+    val plain = Similarity.pqAdcTopK(q, enc, "vec_id", "embedding",
+      books, k = 5).collect().map(key).toSet
+    val full = Similarity.ivfPqTopK(q, df, "vec_id", "vec_id", "embedding",
+      k = 5, nLists = 4, nProbe = 4, m = 4, kCodes = 8,
+      ivfIterations = 1, pqIterations = 2).collect().map(key).toSet
+    assert(full == plain, s"missing=${(plain -- full).take(3)} " +
+      s"extra=${(full -- plain).take(3)}")
+    // pruned probes: every returned pair carries the SAME snapped ADC the
+    // exhaustive ranking assigns it — pruning narrows the candidate set,
+    // it must not perturb a single distance
+    val allAdc = Similarity.pqAdcTopK(q, enc, "vec_id", "embedding",
+        books, k = 1000).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")) ->
+        r.getAs[Double]("adc")).toMap
+    val pruned = Similarity.ivfPqTopK(q, df, "vec_id", "vec_id", "embedding",
+      k = 5, nLists = 4, nProbe = 1, m = 4, kCodes = 8,
+      ivfIterations = 1, pqIterations = 2).collect()
+    assert(pruned.nonEmpty)
+    for (r <- pruned) {
+      val k2 = (r.getAs[Long]("qid"), r.getAs[Long]("cid"))
+      assert(allAdc(k2) == r.getAs[Double]("adc"),
+        s"$k2: pruned adc ${r.getAs[Double]("adc")} != exhaustive ${allAdc(k2)}")
+    }
+  }
+
   test("as-of join attaches the latest at-or-before right row per key") {
     def ts(min: Int) = Timestamp.from(Instant.parse(f"2024-01-01T00:$min%02d:00Z"))
     val events = Seq(
