@@ -15,6 +15,60 @@ import org.apache.spark.sql.functions._
   */
 object WarehouseQueries {
 
+  /** Census-decomposed two-sided 10% trimmed mean per key (the q136
+    * core, extracted so the property suite can drive it on adversarial
+    * fixtures — the oracle replays the SAME census algorithm, so only an
+    * independent sorted-trim reference can catch a shared boundary-split
+    * error). See the q136 entry for the algorithm notes.
+    */
+  def trimmedMeanByKey(df: DataFrame, keyCol: String,
+                       valueCol: String): DataFrame = {
+    val census = df
+      .withColumn("_vd", col(valueCol).cast("decimal(18,4)"))
+      .groupBy(col(keyCol), col("_vd"))
+      .agg(count(lit(1)).as("_f"))
+    val wAsc = Window.partitionBy(col(keyCol)).orderBy(col("_vd"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col(keyCol))
+    val c = census
+      .withColumn("_cumBefore", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
+      .withColumn("_cumValBefore",
+        coalesce(sum(col("_vd") * col("_f")).over(wAsc),
+          lit(0).cast("decimal(28,4)")))
+      .withColumn("_n", sum(col("_f")).over(wAll))
+      .withColumn("_sumAll", sum(col("_vd") * col("_f")).over(wAll))
+      .withColumn("_k", floor(col("_n") / 10).cast("long"))
+    // the census row whose run CONTAINS rank k (ascending): bottom mass
+    // = value-mass strictly below it + the partial run up to k
+    val bottom = c
+      .filter(col("_cumBefore") < col("_k") &&
+        col("_cumBefore") + col("_f") >= col("_k"))
+      .select(col(keyCol),
+        (col("_cumValBefore")
+          + (col("_k") - col("_cumBefore")) * col("_vd")).as("_botSum"))
+    // mirrored for the top: ranks above n − k
+    val top = c
+      .withColumn("_cumAfter",
+        col("_n") - col("_cumBefore") - col("_f"))
+      .filter(col("_cumAfter") < col("_k") &&
+        col("_cumAfter") + col("_f") >= col("_k"))
+      .select(col(keyCol),
+        (col("_sumAll") - col("_cumValBefore") - col("_vd") * col("_f")
+          + (col("_k") - col("_cumAfter")) * col("_vd")).as("_topSum"))
+    val zero = lit(0).cast("decimal(38,4)")
+    c.groupBy(col(keyCol))
+      .agg(max(col("_n")).as("n_total"), max(col("_k")).as("_k2"),
+        max(col("_sumAll")).as("_sum"))
+      .join(bottom, Seq(keyCol), "left") // k = 0 trims nothing
+      .join(top, Seq(keyCol), "left")
+      .select(col(keyCol),
+        (col("n_total") - lit(2) * col("_k2")).as("n_kept"),
+        col("n_total"),
+        fr((col("_sum") - coalesce(col("_botSum"), zero)
+          - coalesce(col("_topSum"), zero)).cast("double")
+          / (col("n_total") - lit(2) * col("_k2")), 6).as("trimmed_mean"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Last-touch attribution: each purchase is credited to the user's most
@@ -286,50 +340,7 @@ object WarehouseQueries {
     // all DECIMAL/BIGINT, one fr division. The census window is bounded
     // by distinct values per type, never rows.
     "q136_trimmed_mean" -> { (s, d) =>
-      val census = Tables.events(s, d)
-        .withColumn("_vd", col("value").cast("decimal(18,4)"))
-        .groupBy(col("event_type"), col("_vd"))
-        .agg(count(lit(1)).as("_f"))
-      val wAsc = Window.partitionBy(col("event_type")).orderBy(col("_vd"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wAll = Window.partitionBy(col("event_type"))
-      val c = census
-        .withColumn("_cumBefore", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
-        .withColumn("_cumValBefore",
-          coalesce(sum(col("_vd") * col("_f")).over(wAsc),
-            lit(0).cast("decimal(28,4)")))
-        .withColumn("_n", sum(col("_f")).over(wAll))
-        .withColumn("_sumAll", sum(col("_vd") * col("_f")).over(wAll))
-        .withColumn("_k", floor(col("_n") / 10).cast("long"))
-      // the census row whose run CONTAINS rank k (ascending): bottom mass
-      // = value-mass strictly below it + the partial run up to k
-      val bottom = c
-        .filter(col("_cumBefore") < col("_k") &&
-          col("_cumBefore") + col("_f") >= col("_k"))
-        .select(col("event_type"),
-          (col("_cumValBefore")
-            + (col("_k") - col("_cumBefore")) * col("_vd")).as("_botSum"))
-      // mirrored for the top: ranks above n − k
-      val top = c
-        .withColumn("_cumAfter",
-          col("_n") - col("_cumBefore") - col("_f"))
-        .filter(col("_cumAfter") < col("_k") &&
-          col("_cumAfter") + col("_f") >= col("_k"))
-        .select(col("event_type"),
-          (col("_sumAll") - col("_cumValBefore") - col("_vd") * col("_f")
-            + (col("_k") - col("_cumAfter")) * col("_vd")).as("_topSum"))
-      val zero = lit(0).cast("decimal(38,4)")
-      c.groupBy(col("event_type"))
-        .agg(max(col("_n")).as("n_total"), max(col("_k")).as("_k2"),
-          max(col("_sumAll")).as("_sum"))
-        .join(bottom, Seq("event_type"), "left") // k = 0 trims nothing
-        .join(top, Seq("event_type"), "left")
-        .select(col("event_type"),
-          (col("n_total") - lit(2) * col("_k2")).as("n_kept"),
-          col("n_total"),
-          fr((col("_sum") - coalesce(col("_botSum"), zero)
-            - coalesce(col("_topSum"), zero)).cast("double")
-            / (col("n_total") - lit(2) * col("_k2")), 6).as("trimmed_mean"))
+      trimmedMeanByKey(Tables.events(s, d), "event_type", "value")
         .orderBy("event_type")
     },
 

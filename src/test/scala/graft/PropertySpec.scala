@@ -269,6 +269,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("census trimmed mean equals driver-side sorted trim on random fixtures") {
+    // adversarial shapes: heavy ties (boundary runs spanning k), tiny
+    // groups (k = 0), duplicate-only groups — the partial-boundary split
+    // is the code most likely to be wrong identically in both engines
+    val caseGen = for {
+      nKeys <- Gen.chooseNum(1, 4)
+      n <- Gen.chooseNum(3, 300)
+      distinctVals <- Gen.chooseNum(1, 12) // few values => long tie runs
+    } yield (nKeys, n, distinctVals)
+    for (((nKeys, n, distinctVals), i) <- samples(caseGen, 6).zipWithIndex) {
+      val rnd = new scala.util.Random(555L + i)
+      val rows = (0 until n).map { j =>
+        (("k" + (j % nKeys)),
+          math.floor(rnd.nextInt(distinctVals) * 7.25 * 10000) / 10000)
+      }
+      val got = graft.queries.WarehouseQueries
+        .trimmedMeanByKey(rows.toDF("k", "v"), "k", "v")
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toMap
+      val want = rows.groupBy(_._1).map { case (k, grp) =>
+        val sorted = grp.map(v => BigDecimal(v._2).setScale(4)).sorted
+        val kk = sorted.length / 10
+        val kept = sorted.drop(kk).dropRight(kk)
+        // same op order as the engine: exact decimal sum -> double division
+        val mean = kept.sum.toDouble / kept.length
+        k -> ((kept.length.toLong, sorted.length.toLong,
+          math.floor(mean * 1e6 + 0.5) / 1e6))
+      }
+      assert(got.keySet == want.keySet, s"case $i keys")
+      for ((k, (nk, nt, m)) <- want) {
+        val (gnk, gnt, gm) = got(k)
+        assert(gnk == nk && gnt == nt, s"case $i $k counts: got ($gnk,$gnt) want ($nk,$nt)")
+        assert(math.abs(gm - m) < 1e-9, s"case $i $k mean: got $gm want $m")
+      }
+    }
+  }
+
   test("connected components equals driver-side union-find on random graphs") {
     val caseGen = for {
       n <- Gen.choose(5, 40)
