@@ -69,6 +69,27 @@ object WarehouseQueries {
           / (col("n_total") - lit(2) * col("_k2")), 6).as("trimmed_mean"))
   }
 
+  /** Gini coefficient over a column of non-negative counts (`_x`) via the
+    * count-of-counts census (the q137 core, extracted for the property
+    * suite — the oracle replays the same run decomposition, so only an
+    * independent sorted Σi·xᵢ can catch a rank-sum error).
+    */
+  def giniOfCounts(perKey: DataFrame): DataFrame = {
+    val census = perKey.groupBy(col("_x")).agg(count(lit(1)).as("_f"))
+    val wc = Window.orderBy(col("_x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val terms = census
+      .withColumn("_p0", coalesce(sum(col("_f")).over(wc), lit(0L)))
+      .withColumn("_r", expr(
+        "_x * (_f * _p0 + (_f * (_f + 1)) div 2)"))
+    terms.agg(sum(col("_f")).as("_n"),
+        sum(col("_f") * col("_x")).as("_s"),
+        sum(col("_r")).as("_ri"))
+      .select(col("_n").as("n_users"), col("_s").as("total_events"),
+        fr((lit(2.0) * col("_ri") - (col("_n") + 1) * col("_s"))
+          / (col("_n") * col("_s")), 6).as("gini"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Last-touch attribution: each purchase is credited to the user's most
@@ -352,21 +373,8 @@ object WarehouseQueries {
     // only double is the final fr-gridded division. No window ever touches
     // user rows.
     "q137_gini" -> { (s, d) =>
-      val census = Tables.events(s, d)
-        .groupBy(col("user_id")).agg(count(lit(1)).as("_x"))
-        .groupBy(col("_x")).agg(count(lit(1)).as("_f"))
-      val wc = Window.orderBy(col("_x"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val terms = census
-        .withColumn("_p0", coalesce(sum(col("_f")).over(wc), lit(0L)))
-        .withColumn("_r", expr(
-          "_x * (_f * _p0 + (_f * (_f + 1)) div 2)"))
-      terms.agg(sum(col("_f")).as("_n"),
-          sum(col("_f") * col("_x")).as("_s"),
-          sum(col("_r")).as("_ri"))
-        .select(col("_n").as("n_users"), col("_s").as("total_events"),
-          fr((lit(2.0) * col("_ri") - (col("_n") + 1) * col("_s"))
-            / (col("_n") * col("_s")), 6).as("gini"))
+      giniOfCounts(Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("_x")))
     },
 
     // Benford first-digit audit of order totals — the forensic

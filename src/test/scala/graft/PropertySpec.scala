@@ -307,6 +307,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("census Gini equals driver-side sorted rank sum on random fixtures") {
+    val caseGen = for {
+      n <- Gen.chooseNum(2, 400)
+      maxC <- Gen.chooseNum(1, 25) // small range => long equal-count runs
+    } yield (n, maxC)
+    for (((n, maxC), i) <- samples(caseGen, 6).zipWithIndex) {
+      val rnd = new scala.util.Random(777L + i)
+      val counts = (0 until n).map(_ => 1L + rnd.nextInt(maxC))
+      val row = graft.queries.WarehouseQueries
+        .giniOfCounts(counts.toDF("_x")).head()
+      val sorted = counts.sorted
+      val s = sorted.sum
+      val ri = sorted.zipWithIndex.map { case (x, j) => (j + 1) * x }.sum
+      val g = math.floor((2.0 * ri - (n + 1) * s) / (n.toLong * s)
+        * 1e6 + 0.5) / 1e6
+      assert(row.getLong(0) == n && row.getLong(1) == s, s"case $i totals")
+      assert(math.abs(row.getDouble(2) - g) < 1e-9,
+        s"case $i gini: got ${row.getDouble(2)} want $g")
+    }
+  }
+
   test("connected components equals driver-side union-find on random graphs") {
     val caseGen = for {
       n <- Gen.choose(5, 40)
