@@ -849,6 +849,67 @@ object WarehouseQueries {
             fr((col("_pos") - col("_t")).cast("double")
               / (col("_cnt") - 1), 6)).as("loo_encoding"))
         .orderBy("event_id")
+    },
+
+    // GROUP BY ALL / ORDER BY ALL (the analyst-SQL sugar both engines
+    // standardized): identical query text through the spark.sql entry
+    // point — the resolver must infer the same grouping keys and the
+    // same ordering as DuckDB for the hash to land.
+    "q158_group_by_all" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_gba_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+            AS DOUBLE) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+            AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_qty
+        FROM graft_gba_lineitem
+        GROUP BY ALL ORDER BY ALL""")
+    },
+
+    // Schema-evolution union: two feeds with reordered and missing
+    // columns align BY NAME (missing → null) — the batch form of every
+    // long-lived table's ingestion reality. Spark: unionByName with
+    // allowMissingColumns; DuckDB: UNION ALL BY NAME. The null census
+    // per status proves the fill semantics match.
+    "q159_union_by_name" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val b = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderstatus"), col("o_orderkey"))
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_totalprice")).as("n_with_price"),
+          fr(decSum(col("o_totalprice")).cast("double"), 2)
+            .as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Weighted median (type-1) of quantity weighted by price, per flag:
+    // the census carries DECIMAL-exact cent weights per distinct
+    // quantity, the crossing point is pure integer threshold math
+    // (cum·2 ≥ total), and the only window runs over the census. The
+    // robust-statistics sibling of q86/q139/q142.
+    "q160_weighted_median" -> { (s, d) =>
+      val census = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,2)").as("_q"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("_w"))
+        .groupBy(col("l_returnflag"), col("_q"))
+        .agg(sum(col("_w")).as("_wsum"))
+      val wAsc = Window.partitionBy(col("l_returnflag")).orderBy(col("_q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      census
+        .withColumn("_cum", sum(col("_wsum")).over(wAsc))
+        .withColumn("_tot", sum(col("_wsum")).over(
+          Window.partitionBy(col("l_returnflag"))))
+        .groupBy(col("l_returnflag"))
+        .agg(min(when(col("_cum") * 2 >= col("_tot"), col("_q")))
+            .cast("double").as("weighted_median_qty"),
+          fr(max(col("_tot")).cast("double") / 100, 2).as("total_weight"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -1408,6 +1469,46 @@ object WarehouseQueries {
         |  END AS loo_encoding
         |FROM tagged g JOIN stats s ON g.event_type = s.event_type
         |WHERE g.event_id % 199 = 0
-        |ORDER BY g.event_id""".stripMargin
+        |ORDER BY g.event_id""".stripMargin,
+
+    "q158_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+        |    AS DOUBLE) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |    AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ALL ORDER BY ALL""".stripMargin,
+
+    "q159_union_by_name" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderstatus, o_orderkey FROM orders
+        |  WHERE o_orderkey % 2 = 1)
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        |  count(o_totalprice) AS n_with_price,
+        |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    * 100.0 + 0.5) / 100.0 AS sum_price
+        |FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q160_weighted_median" ->
+      """WITH census AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS wsum
+        |  FROM lineitem GROUP BY l_returnflag, CAST(l_quantity
+        |    AS DECIMAL(18,2))),
+        |c AS (SELECT l_returnflag, q, wsum,
+        |    sum(wsum) OVER (PARTITION BY l_returnflag ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(wsum) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM census)
+        |SELECT l_returnflag,
+        |  CAST(min(CASE WHEN cum * 2 >= tot THEN q END) AS DOUBLE)
+        |    AS weighted_median_qty,
+        |  floor(CAST(max(tot) AS DOUBLE) / 100 * 100.0 + 0.5) / 100.0
+        |    AS total_weight
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

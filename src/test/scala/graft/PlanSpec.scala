@@ -679,6 +679,17 @@ class PlanSpec extends SparkSpec {
       s"category stats must broadcast back:\n$te")
   }
 
+  test("q160: weighted-median windows run over the quantity census, keyed by flag") {
+    val p = plan(graft.queries.WarehouseQueries
+      .defs("q160_weighted_median")(spark, d))
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toVector
+    assert(winLines.nonEmpty && winLines.forall(_.contains("l_returnflag")),
+      s"census windows keyed by flag:\n${winLines.mkString("\n")}")
+    assert(!p.contains("row_number"),
+      s"the crossing point is threshold math, not a rank:\n$p")
+  }
+
   test("runtime bloom-filter join pruning injects on a selective fact join") {
     // At 100 TB the optimizer's runtime filters are a first-class lever:
     // a selective dimension side should inject a bloom probe into the
