@@ -910,6 +910,98 @@ object WarehouseQueries {
             .cast("double").as("weighted_median_qty"),
           fr(max(col("_tot")).cast("double") / 100, 2).as("total_weight"))
         .orderBy("l_returnflag")
+    },
+
+    // Mutual information between event type and a fixed value bin (I(X;Y)
+    // in nats): every marginal is an exact BIGINT from the 50-cell
+    // contingency census, each cell term is one identical double
+    // expression, and the cell terms SUM IN (type, bin) ORDER through the
+    // q113 ordered-fold pattern — a bare SUM of doubles would drift with
+    // aggregation order. The dependence screen behind every feature-
+    // selection pass.
+    "q161_mutual_information" -> { (s, d) =>
+      val cells = Tables.events(s, d)
+        .select(col("event_type").as("_x"),
+          least(floor(col("value") / 50).cast("int"), lit(9)).as("_y"))
+        .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_c"))
+      val wAll = Window.partitionBy()
+      val t = cells
+        .withColumn("_r", sum(col("_c")).over(Window.partitionBy(col("_x"))))
+        .withColumn("_k", sum(col("_c")).over(Window.partitionBy(col("_y"))))
+        .withColumn("_n", sum(col("_c")).over(wAll))
+        .withColumn("_t",
+          (col("_c").cast("double") / col("_n"))
+            * log((col("_c") * col("_n")).cast("double")
+              / (col("_r") * col("_k")).cast("double")))
+      t.agg(max(col("_n")).as("n"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("_x"), col("_y"),
+              col("_t")))), e => e.getField("_t")),
+            lit(0.0), (acc, x) => acc + x).as("_mi"))
+        .select(col("n"), fr(col("_mi"), 6).as("mi_nats"))
+    },
+
+    // Chi-square test of independence + Cramér's V over the same
+    // contingency census: expected counts are exact integer cross-
+    // products over n, each cell's (c−e)²/e folds in (type, bin) order,
+    // V normalizes by n·min(R−1, C−1). The classic categorical-
+    // association audit.
+    "q162_chi_square" -> { (s, d) =>
+      val cells = Tables.events(s, d)
+        .select(col("event_type").as("_x"),
+          least(floor(col("value") / 50).cast("int"), lit(9)).as("_y"))
+        .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_c"))
+      val wAll = Window.partitionBy()
+      val t = cells
+        .withColumn("_r", sum(col("_c")).over(Window.partitionBy(col("_x"))))
+        .withColumn("_k", sum(col("_c")).over(Window.partitionBy(col("_y"))))
+        .withColumn("_n", sum(col("_c")).over(wAll))
+        .withColumn("_nx", size(collect_set(col("_x")).over(wAll)).cast("long"))
+        .withColumn("_ny", size(collect_set(col("_y")).over(wAll)).cast("long"))
+        .withColumn("_e",
+          (col("_r") * col("_k")).cast("double") / col("_n"))
+        .withColumn("_t",
+          (col("_c") - col("_e")) * (col("_c") - col("_e")) / col("_e"))
+      t.agg(max(col("_n")).as("n"),
+          max((col("_nx") - 1) * (col("_ny") - 1)).as("dof"),
+          max(least(col("_nx") - 1, col("_ny") - 1)).as("_mindim"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("_x"), col("_y"),
+              col("_t")))), e => e.getField("_t")),
+            lit(0.0), (acc, x) => acc + x).as("_chi2"))
+        .select(col("n"), col("dof"), fr(col("_chi2"), 4).as("chi2"),
+          fr(sqrt(col("_chi2") / (col("n") * col("_mindim"))), 6)
+            .as("cramers_v"))
+    },
+
+    // Population stability index between the month's two halves — the
+    // model-monitoring drift score beside KS (q143): per value bin,
+    // (p−q)·ln(p/q) from exact bin counts, folded in bin order. Bins
+    // with a missing side contribute a CASE-guarded 0 so the score stays
+    // finite and both engines agree on the guard.
+    "q163_psi" -> { (s, d) =>
+      val binned = Tables.events(s, d)
+        .select(least(floor(col("value") / 50).cast("int"), lit(9)).as("_b"),
+          (dayofmonth(col("ts")) <= 15).as("_early"))
+      val cells = binned.groupBy(col("_b"))
+        .agg(sum(when(col("_early"), 1L).otherwise(0L)).as("_a"),
+          sum(when(!col("_early"), 1L).otherwise(0L)).as("_c"))
+      val wAll = Window.partitionBy()
+      val t = cells
+        .withColumn("_na", sum(col("_a")).over(wAll))
+        .withColumn("_nc", sum(col("_c")).over(wAll))
+        .withColumn("_t", when(col("_a") > 0 && col("_c") > 0,
+          (col("_a").cast("double") / col("_na")
+            - col("_c").cast("double") / col("_nc"))
+            * log((col("_a") * col("_nc")).cast("double")
+              / (col("_c") * col("_na")).cast("double")))
+          .otherwise(lit(0.0)))
+      t.agg(max(col("_na")).as("n_early"), max(col("_nc")).as("n_late"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("_b"), col("_t")))),
+              e => e.getField("_t")),
+            lit(0.0), (acc, x) => acc + x).as("_psi"))
+        .select(col("n_early"), col("n_late"), fr(col("_psi"), 6).as("psi"))
     }
   )
 
@@ -1509,6 +1601,72 @@ object WarehouseQueries {
         |    AS weighted_median_qty,
         |  floor(CAST(max(tot) AS DOUBLE) / 100 * 100.0 + 0.5) / 100.0
         |    AS total_weight
-        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q161_mutual_information" ->
+      """WITH cells AS (SELECT event_type AS x,
+        |    least(CAST(floor(value / 50) AS INT), 9) AS y, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT x, y, c,
+        |    sum(c) OVER (PARTITION BY x) AS r,
+        |    sum(c) OVER (PARTITION BY y) AS k,
+        |    sum(c) OVER () AS n
+        |  FROM cells),
+        |t AS (SELECT x, y, n,
+        |    (CAST(c AS DOUBLE) / n)
+        |      * ln(CAST(c * n AS DOUBLE) / CAST(r * k AS DOUBLE)) AS t
+        |  FROM m)
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        |  floor(list_sum(list(t ORDER BY x, y)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS mi_nats
+        |FROM t""".stripMargin,
+
+    "q162_chi_square" ->
+      """WITH cells AS (SELECT event_type AS x,
+        |    least(CAST(floor(value / 50) AS INT), 9) AS y, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT count(DISTINCT x) AS nx, count(DISTINCT y) AS ny
+        |  FROM cells),
+        |m AS (SELECT x, y, c,
+        |    sum(c) OVER (PARTITION BY x) AS r,
+        |    sum(c) OVER (PARTITION BY y) AS k,
+        |    sum(c) OVER () AS n
+        |  FROM cells),
+        |t AS (SELECT x, y, n, nx, ny,
+        |    (c - CAST(r * k AS DOUBLE) / n) * (c - CAST(r * k AS DOUBLE) / n)
+        |      / (CAST(r * k AS DOUBLE) / n) AS t
+        |  FROM m CROSS JOIN d),
+        |s AS (SELECT CAST(max(n) AS BIGINT) AS n,
+        |    CAST(max((nx - 1) * (ny - 1)) AS BIGINT) AS dof,
+        |    CAST(max(least(nx - 1, ny - 1)) AS BIGINT) AS mindim,
+        |    list_sum(list(t ORDER BY x, y)) AS chi2
+        |  FROM t)
+        |SELECT n, dof, floor(chi2 * 10000.0 + 0.5) / 10000.0 AS chi2,
+        |  floor(sqrt(chi2 / (n * mindim)) * 1000000.0 + 0.5) / 1000000.0
+        |    AS cramers_v
+        |FROM s""".stripMargin,
+
+    "q163_psi" ->
+      """WITH b AS (SELECT least(CAST(floor(value / 50) AS INT), 9) AS bin,
+        |    (date_part('day', CAST(ts AS TIMESTAMP)) <= 15) AS early
+        |  FROM events),
+        |cells AS (SELECT bin,
+        |    sum(CASE WHEN early THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS c
+        |  FROM b GROUP BY bin),
+        |m AS (SELECT bin, a, c,
+        |    sum(a) OVER () AS na, sum(c) OVER () AS nc
+        |  FROM cells),
+        |t AS (SELECT bin, na, nc,
+        |    CASE WHEN a > 0 AND c > 0 THEN
+        |      (CAST(a AS DOUBLE) / na - CAST(c AS DOUBLE) / nc)
+        |        * ln(CAST(a * nc AS DOUBLE) / CAST(c * na AS DOUBLE))
+        |    ELSE 0.0 END AS t
+        |  FROM m)
+        |SELECT CAST(max(na) AS BIGINT) AS n_early,
+        |  CAST(max(nc) AS BIGINT) AS n_late,
+        |  floor(list_sum(list(t ORDER BY bin)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS psi
+        |FROM t""".stripMargin
   )
 }

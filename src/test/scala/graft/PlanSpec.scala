@@ -690,6 +690,22 @@ class PlanSpec extends SparkSpec {
       s"the crossing point is threshold math, not a rank:\n$p")
   }
 
+  test("q161-q163: statistic folds run over the bounded contingency census") {
+    for (q <- Seq("q161_mutual_information", "q162_chi_square", "q163_psi")) {
+      val p = plan(graft.queries.WarehouseQueries.defs(q)(spark, d))
+      assert("partial_count|partial_sum".r.findAllIn(p).nonEmpty,
+        s"$q: the cell census must map-side combine:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: scalar attaches broadcast:\n$p")
+      // marginal windows are keyless but run over the ≤50-cell census —
+      // the raw scan must never appear under a window
+      val winLines = p.linesIterator
+        .filter(_.contains("windowspecdefinition")).toVector
+      assert(winLines.forall(!_.contains("event_id")),
+        s"$q: windows over cells, not events:\n${winLines.mkString("\n")}")
+    }
+  }
+
   test("runtime bloom-filter join pruning injects on a selective fact join") {
     // At 100 TB the optimizer's runtime filters are a first-class lever:
     // a selective dimension side should inject a bloom probe into the
