@@ -1002,6 +1002,33 @@ object WarehouseQueries {
               e => e.getField("_t")),
             lit(0.0), (acc, x) => acc + x).as("_psi"))
         .select(col("n_early"), col("n_late"), fr(col("_psi"), 6).as("psi"))
+    },
+
+    // Exact ROC AUC of the q80 quality score predicting English documents
+    // — the canonical model-eval metric as pure census math: the
+    // Mann-Whitney identity 2·AUC·nP·nN = Σᵢ(2·pᵢ·cumNegBelow + pᵢ·nᵢ)
+    // over the gridded-score census (ties contribute half, hence the ×2
+    // to stay in BIGINT). No per-row rank window, no doubles until the
+    // single final division.
+    "q164_roc_auc" -> { (s, d) =>
+      val scored = graft.operators.TextAnalysis
+        .qualityClassifier(Tables.documents(s, d), "text")
+        .select(fr(col("quality_score"), 4).as("_s"),
+          (col("lang") === "en").as("_pos"))
+      val census = scored.groupBy(col("_s"))
+        .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("_p"),
+          sum(when(!col("_pos"), 1L).otherwise(0L)).as("_g"))
+      val wAsc = Window.orderBy(col("_s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      census
+        .withColumn("_cumG", coalesce(sum(col("_g")).over(wAsc), lit(0L)))
+        .agg(sum(col("_p")).as("_np"), sum(col("_g")).as("_ng"),
+          sum(lit(2) * col("_p") * col("_cumG") + col("_p") * col("_g"))
+            .as("_u2"))
+        .select(col("_np").as("n_pos"), col("_ng").as("n_neg"),
+          fr(col("_u2").cast("double")
+            / (lit(2) * col("_np") * col("_ng")).cast("double"), 6)
+            .as("auc"))
     }
   )
 
@@ -1667,6 +1694,41 @@ object WarehouseQueries {
         |  CAST(max(nc) AS BIGINT) AS n_late,
         |  floor(list_sum(list(t ORDER BY bin)) * 1000000.0 + 0.5)
         |    / 1000000.0 AS psi
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    // the q80 logistic replayed, then the Mann-Whitney census identity
+    "q164_roc_auc" ->
+      """WITH t AS (SELECT doc_id, text, lang,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |z AS (SELECT doc_id, lang,
+        |  -6.0
+        |  + 5.0 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |           AS DOUBLE) / greatest(length(text), 1))
+        |  + 4.0 * (CAST(length(list_filter(toks,
+        |           t -> t IN ('the','a','of','and','in','to','is')))
+        |           AS DOUBLE) / greatest(length(toks), 1))
+        |  + 0.25 * (CAST(length(text) - length(toks) + 1 AS DOUBLE)
+        |           / greatest(length(toks), 1))
+        |  + 0.6 * ln(1.0 + CAST(length(toks) AS DOUBLE)) AS z
+        |  FROM t),
+        |sc AS (SELECT floor(1.0 / (1.0 + exp(-z)) * 10000.0 + 0.5)
+        |    / 10000.0 AS s,
+        |    (lang = 'en') AS pos
+        |  FROM z),
+        |census AS (SELECT s,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS p,
+        |    sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS g
+        |  FROM sc GROUP BY s),
+        |c2 AS (SELECT s, p, g,
+        |    coalesce(sum(g) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumg
+        |  FROM census)
+        |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+        |  CAST(sum(g) AS BIGINT) AS n_neg,
+        |  floor(CAST(sum(2 * p * cumg + p * g) AS DOUBLE)
+        |    / CAST(2 * sum(p) * sum(g) AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS auc
+        |FROM c2""".stripMargin
   )
 }
