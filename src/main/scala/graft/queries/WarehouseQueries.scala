@@ -1029,6 +1029,49 @@ object WarehouseQueries {
           fr(col("_u2").cast("double")
             / (lit(2) * col("_np") * col("_ng")).cast("double"), 6)
             .as("auc"))
+    },
+
+    // Calibration table for the q80 score against the English label: ten
+    // predicted-probability bins, each with exact counts, the DECIMAL
+    // mean prediction and the observed positive rate — reliability
+    // diagrams as a relational census, no sum of doubles anywhere (each
+    // bin's two ratios are single gridded divisions).
+    "q165_calibration" -> { (s, d) =>
+      graft.operators.TextAnalysis
+        .qualityClassifier(Tables.documents(s, d), "text")
+        .select(fr(col("quality_score"), 4).as("_s"),
+          (col("lang") === "en").as("_pos"))
+        .withColumn("_bin", least(floor(col("_s") * 10).cast("int"), lit(9)))
+        .groupBy(col("_bin").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("_pos"), 1L).otherwise(0L)).as("n_pos"),
+          fr(sum(col("_s").cast("decimal(18,4)")).cast("double")
+            / count(lit(1)), 6).as("mean_pred"),
+          fr(sum(when(col("_pos"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 6).as("obs_rate"))
+        .orderBy("bin")
+    },
+
+    // Brier score of the same prediction: mean squared error between the
+    // gridded probability and the binary label, decomposed over the
+    // (score, label) census — each cell contributes c·(s−y)² through one
+    // identical double expression, cells fold in (score, label) order
+    // (the q161 rule), one division at the end.
+    "q166_brier" -> { (s, d) =>
+      val census = graft.operators.TextAnalysis
+        .qualityClassifier(Tables.documents(s, d), "text")
+        .select(fr(col("quality_score"), 4).as("_s"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("_y"))
+        .groupBy(col("_s"), col("_y")).agg(count(lit(1)).as("_c"))
+        .withColumn("_t", col("_c")
+          * (col("_s") - col("_y")) * (col("_s") - col("_y")))
+      census.agg(sum(col("_c")).as("_n"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("_s"), col("_y"),
+              col("_t")))), e => e.getField("_t")),
+            lit(0.0), (acc, x) => acc + x).as("_b"))
+        .select(col("_n").as("n"),
+          fr(col("_b") / col("_n"), 6).as("brier"))
     }
   )
 
@@ -1729,6 +1772,60 @@ object WarehouseQueries {
         |  floor(CAST(sum(2 * p * cumg + p * g) AS DOUBLE)
         |    / CAST(2 * sum(p) * sum(g) AS DOUBLE) * 1000000.0 + 0.5)
         |    / 1000000.0 AS auc
-        |FROM c2""".stripMargin
+        |FROM c2""".stripMargin,
+
+    "q165_calibration" ->
+      """WITH t AS (SELECT doc_id, text, lang,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |z AS (SELECT doc_id, lang,
+        |  -6.0
+        |  + 5.0 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |           AS DOUBLE) / greatest(length(text), 1))
+        |  + 4.0 * (CAST(length(list_filter(toks,
+        |           t -> t IN ('the','a','of','and','in','to','is')))
+        |           AS DOUBLE) / greatest(length(toks), 1))
+        |  + 0.25 * (CAST(length(text) - length(toks) + 1 AS DOUBLE)
+        |           / greatest(length(toks), 1))
+        |  + 0.6 * ln(1.0 + CAST(length(toks) AS DOUBLE)) AS z
+        |  FROM t),
+        |sc AS (SELECT floor(1.0 / (1.0 + exp(-z)) * 10000.0 + 0.5)
+        |    / 10000.0 AS s,
+        |    (lang = 'en') AS pos
+        |  FROM z),
+        |b AS (SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin, s, pos
+        |  FROM sc)
+        |SELECT bin, count(*) AS n,
+        |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  floor(CAST(sum(CAST(s AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS mean_pred,
+        |  floor(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS obs_rate
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q166_brier" ->
+      """WITH t AS (SELECT doc_id, text, lang,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |z AS (SELECT doc_id, lang,
+        |  -6.0
+        |  + 5.0 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |           AS DOUBLE) / greatest(length(text), 1))
+        |  + 4.0 * (CAST(length(list_filter(toks,
+        |           t -> t IN ('the','a','of','and','in','to','is')))
+        |           AS DOUBLE) / greatest(length(toks), 1))
+        |  + 0.25 * (CAST(length(text) - length(toks) + 1 AS DOUBLE)
+        |           / greatest(length(toks), 1))
+        |  + 0.6 * ln(1.0 + CAST(length(toks) AS DOUBLE)) AS z
+        |  FROM t),
+        |sc AS (SELECT floor(1.0 / (1.0 + exp(-z)) * 10000.0 + 0.5)
+        |    / 10000.0 AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM z),
+        |census AS (SELECT s, y, count(*) AS c FROM sc GROUP BY s, y),
+        |tt AS (SELECT s, y, c * (s - y) * (s - y) AS t FROM census),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM census)
+        |SELECT n.n,
+        |  floor(list_sum(list(t ORDER BY s, y)) / n.n * 1000000.0 + 0.5)
+        |    / 1000000.0 AS brier
+        |FROM tt CROSS JOIN n GROUP BY n.n""".stripMargin
   )
 }
