@@ -1072,8 +1072,234 @@ object WarehouseQueries {
             lit(0.0), (acc, x) => acc + x).as("_b"))
         .select(col("_n").as("n"),
           fr(col("_b") / col("_n"), 6).as("brier"))
+    },
+
+    // Lag-1..3 autocorrelation of the daily event-value series per type.
+    // All five Pearson sums run over INTEGER-gridded daily means (4 dp →
+    // BIGINT, ≤ 5e6 per day, so Σx² ≤ 7.5e14 and n·Σx² ≤ 2.25e16 stay
+    // exact in int64); the only doubles are the final casts, and an
+    // identical int64 → double cast is bit-deterministic on both engines.
+    // The window is over the DAILY series (one row per key·day — bounded
+    // by calendar, not data volume), so the plan at 100 TB is one shuffle
+    // to (event_type) of a few-thousand-row aggregate, never a sort of
+    // raw events.
+    "q167_acf" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(floor(decSum(col("value")).cast("double") / count(lit(1))
+          * lit(10000.0) + lit(0.5)).as("_x"))
+      val pairs = daily
+        .withColumn("_l1", lag(col("_x"), 1).over(w))
+        .withColumn("_l2", lag(col("_x"), 2).over(w))
+        .withColumn("_l3", lag(col("_x"), 3).over(w))
+        .select(col("event_type"), explode(array(
+          struct(lit(1).as("lag_k"), col("_x").as("x"), col("_l1").as("y")),
+          struct(lit(2).as("lag_k"), col("_x").as("x"), col("_l2").as("y")),
+          struct(lit(3).as("lag_k"), col("_x").as("x"), col("_l3").as("y"))))
+          .as("p"))
+        .select(col("event_type"), col("p.lag_k").as("lag_k"),
+          col("p.x").as("x"), col("p.y").as("y"))
+        .filter(col("y").isNotNull)
+      pairs.groupBy(col("event_type"), col("lag_k"))
+        .agg(count(lit(1)).as("_n"), sum(col("x")).as("_sx"),
+          sum(col("y")).as("_sy"), sum(col("x") * col("y")).as("_sxy"),
+          sum(col("x") * col("x")).as("_sxx"),
+          sum(col("y") * col("y")).as("_syy"))
+        .select(col("event_type"), col("lag_k"), col("_n").as("n_pairs"),
+          fr((col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+            .cast("double")
+            / (sqrt((col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+                .cast("double"))
+              * sqrt((col("_n") * col("_syy") - col("_sy") * col("_sy"))
+                .cast("double"))), 6).as("acf"))
+        .orderBy("event_type", "lag_k")
+    },
+
+    // Exponentially-weighted moving average of the daily mean value per
+    // type, α = 0.2. EWMA is inherently sequential, so it runs as an
+    // ordered left fold over the collected daily series — both engines
+    // fold list-order left-to-right with the literal sequence
+    // 0.2·x + 0.8·acc, seeded by the first day, so the IEEE trajectories
+    // are identical. The collected array is the DAILY series (calendar-
+    // bounded), never raw rows: at 100 TB this is a ~thousands-element
+    // array per key after a map-side-combined aggregate.
+    "q168_ewma" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg((floor(decSum(col("value")).cast("double") / count(lit(1))
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("_v"))
+      daily.groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day"), col("_v"))))
+          .as("_s"))
+        .select(col("event_type"),
+          transform(col("_s"), e => e.getField("_v")).as("_vs"))
+        .select(col("event_type"), size(col("_vs")).as("n_days"),
+          fr(aggregate(
+            slice(col("_vs"), lit(2), greatest(size(col("_vs")) - 1, lit(0))),
+            element_at(col("_vs"), 1),
+            (acc, x) => lit(0.2) * x + lit(0.8) * acc), 6).as("ewma"))
+        .orderBy("event_type")
+    },
+
+    // Annualization-free Sharpe ratio of daily returns per event type.
+    // Returns are computed from the 4 dp-gridded daily means (identical
+    // double division on identical ints), winsorized to ±10 so the
+    // 6 dp-scaled integer return rᵢ ≤ 1e7 keeps n·Σr² ≤ 9e16 exact in
+    // int64, then mean and sample variance come out of the (n, Σr, Σr²)
+    // integer sums — the textbook one-pass identity, but with zero
+    // double-summation anywhere. Doubles appear only in the final
+    // mean/vol/sharpe divisions, identical op-for-op to the oracle.
+    "q169_sharpe" -> { (s, d) =>
+      dailyReturns(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_n"), sum(col("_r")).as("_s"),
+          sum(col("_r") * col("_r")).as("_ss"))
+        .select(col("event_type"), col("_n").as("n_ret"),
+          fr(col("_s").cast("double") / col("_n") / lit(1000000.0), 6)
+            .as("mean_ret"),
+          fr(sqrt((col("_n") * col("_ss") - col("_s") * col("_s"))
+            .cast("double")
+            / (col("_n") * (col("_n") - 1)).cast("double")
+            / lit(1.0e12)), 6).as("vol"),
+          fr((col("_s").cast("double") / col("_n") / lit(1000000.0))
+            / sqrt((col("_n") * col("_ss") - col("_s") * col("_s"))
+              .cast("double")
+              / (col("_n") * (col("_n") - 1)).cast("double")
+              / lit(1.0e12)), 6).as("sharpe"))
+        .orderBy("event_type")
+    },
+
+    // Historical VaR(95) and expected shortfall per event type, census-
+    // decomposed: the k = ⌈n/20⌉ smallest scaled-integer returns are
+    // located by cumulating the (return, freq) census — a window over
+    // DISTINCT return values, never raw rows — and ES sums the tail run
+    // as v·(min(k, cum+f) − cum), the partial-run overlap identity, all
+    // in exact int64. VaR is the census run containing rank k. The same
+    // shape the trimmed-mean census (q136) uses; at 100 TB the sort is
+    // over the bounded census, and the expensive part is one map-side-
+    // combined groupBy.
+    "q170_var_es" -> { (s, d) =>
+      val wAsc = Window.partitionBy(col("event_type")).orderBy(col("_v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(col("event_type"))
+      val census = dailyReturns(s, d)
+        .groupBy(col("event_type"), col("_r").as("_v"))
+        .agg(count(lit(1)).as("_f"))
+        .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
+        .withColumn("_n", sum(col("_f")).over(wAll))
+        .withColumn("_k", expr("(_n + 19) div 20"))
+      census.groupBy(col("event_type"))
+        .agg(max(col("_n")).as("n_ret"), max(col("_k")).as("_kk"),
+          max(when(col("_cum") < col("_k")
+            && col("_cum") + col("_f") >= col("_k"), col("_v"))).as("_var"),
+          sum(col("_v") * greatest(
+            least(col("_k"), col("_cum") + col("_f")) - col("_cum"),
+            lit(0L))).as("_tail"))
+        .select(col("event_type"), col("n_ret"),
+          fr(col("_var").cast("double") / lit(1000000.0), 6).as("var95"),
+          fr(col("_tail").cast("double") / col("_kk") / lit(1000000.0), 6)
+            .as("es95"))
+        .orderBy("event_type")
+    },
+
+    // 5/95-winsorized mean account balance per market segment. Both
+    // clamp bounds are exact order statistics read off the cumulated
+    // (cents, freq) census; the census then joins its own per-key bounds
+    // (5 rows, broadcast) and the winsorized mean is Σ f·clamp(v,lo,hi)
+    // — integer cents end to end, one final double division. No window
+    // or sort ever touches raw rows.
+    "q171_winsorized_mean" -> { (s, d) =>
+      val wAsc = Window.partitionBy(col("_seg")).orderBy(col("_v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(col("_seg"))
+      val census = Tables.customer(s, d)
+        .select(col("c_mktsegment").as("_seg"),
+          floor(col("c_acctbal") * lit(100.0) + lit(0.5)).as("_v"))
+        .groupBy(col("_seg"), col("_v")).agg(count(lit(1)).as("_f"))
+        .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
+        .withColumn("_n", sum(col("_f")).over(wAll))
+        .withColumn("_klo", expr("(_n + 19) div 20"))
+        .withColumn("_khi", expr("(19 * _n + 19) div 20"))
+      val bounds = census.groupBy(col("_seg").as("_bseg"))
+        .agg(max(when(col("_cum") < col("_klo")
+            && col("_cum") + col("_f") >= col("_klo"), col("_v"))).as("_lo"),
+          max(when(col("_cum") < col("_khi")
+            && col("_cum") + col("_f") >= col("_khi"), col("_v"))).as("_hi"))
+      census.join(broadcast(bounds), col("_seg") === col("_bseg"))
+        .groupBy(col("_seg").as("segment"))
+        .agg(max(col("_n")).as("n"), max(col("_lo")).as("_l"),
+          max(col("_hi")).as("_h"),
+          sum(col("_f") * least(greatest(col("_v"), col("_lo")), col("_hi")))
+            .as("_ws"))
+        .select(col("segment"), col("n"),
+          fr(col("_l").cast("double") / lit(100.0), 2).as("p05"),
+          fr(col("_h").cast("double") / lit(100.0), 2).as("p95"),
+          fr(col("_ws").cast("double") / col("n") / lit(100.0), 6)
+            .as("w_mean"))
+        .orderBy("segment")
+    },
+
+    // Tukey-fence outlier census of retail prices per brand: Q1/Q3 as
+    // exact order statistics from the cumulated cents census, fences in
+    // DOUBLED integer cents (2·v ≶ 2·q ∓ 3·IQR) so the 1.5× multiplier
+    // never leaves int64 — the whole query is integer-exact, the two
+    // fr() divisions at the end are presentation only. Census join is a
+    // 25-row broadcast.
+    "q172_iqr_outliers" -> { (s, d) =>
+      val wAsc = Window.partitionBy(col("_b")).orderBy(col("_v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(col("_b"))
+      val census = Tables.part(s, d)
+        .select(col("p_brand").as("_b"),
+          floor(col("p_retailprice") * lit(100.0) + lit(0.5)).as("_v"))
+        .groupBy(col("_b"), col("_v")).agg(count(lit(1)).as("_f"))
+        .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
+        .withColumn("_n", sum(col("_f")).over(wAll))
+        .withColumn("_k1", expr("(_n + 3) div 4"))
+        .withColumn("_k3", expr("(3 * _n + 3) div 4"))
+      val bounds = census.groupBy(col("_b").as("_bb"))
+        .agg(max(when(col("_cum") < col("_k1")
+            && col("_cum") + col("_f") >= col("_k1"), col("_v"))).as("_q1"),
+          max(when(col("_cum") < col("_k3")
+            && col("_cum") + col("_f") >= col("_k3"), col("_v"))).as("_q3"))
+      census.join(broadcast(bounds), col("_b") === col("_bb"))
+        .withColumn("_iqr", col("_q3") - col("_q1"))
+        .groupBy(col("_b").as("brand"))
+        .agg(max(col("_n")).as("n"), max(col("_q1")).as("_g1"),
+          max(col("_q3")).as("_g3"),
+          sum(when(lit(2) * col("_v") < lit(2) * col("_q1")
+              - lit(3) * col("_iqr")
+              || lit(2) * col("_v") > lit(2) * col("_q3")
+              + lit(3) * col("_iqr"), col("_f")).otherwise(lit(0L)))
+            .as("n_out"))
+        .select(col("brand"), col("n"),
+          fr(col("_g1").cast("double") / lit(100.0), 2).as("q1"),
+          fr(col("_g3").cast("double") / lit(100.0), 2).as("q3"),
+          col("n_out"))
+        .orderBy("brand")
     }
   )
+
+  /** Shared base for q169/q170: 6 dp-scaled integer daily returns of the
+    * per-type mean event value, winsorized to ±10 so every downstream
+    * moment sum stays inside int64. The daily grid is 4 dp ints; the
+    * return division is the identical int→double cast and divide on both
+    * engines.
+    */
+  private def dailyReturns(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    Tables.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(floor(decSum(col("value")).cast("double") / count(lit(1))
+        * lit(10000.0) + lit(0.5)).as("_x"))
+      .withColumn("_p", lag(col("_x"), 1).over(w))
+      .filter(col("_p").isNotNull && col("_p") =!= 0L)
+      .select(col("event_type"), col("day"),
+        floor(least(greatest(
+          col("_x").cast("double") / col("_p").cast("double") - lit(1.0),
+          lit(-10.0)), lit(10.0)) * lit(1000000.0) + lit(0.5)).as("_r"))
+  }
 
   val sql: Map[String, String] = Map(
 
@@ -1826,6 +2052,156 @@ object WarehouseQueries {
         |SELECT n.n,
         |  floor(list_sum(list(t ORDER BY s, y)) / n.n * 1000000.0 + 0.5)
         |    / 1000000.0 AS brier
-        |FROM tt CROSS JOIN n GROUP BY n.n""".stripMargin
+        |FROM tt CROSS JOIN n GROUP BY n.n""".stripMargin,
+
+    "q167_acf" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 10000.0 + 0.5) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, x,
+        |    lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2,
+        |    lag(x, 3) OVER w AS l3
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |u AS (SELECT event_type, 1 AS lag_k, x, l1 AS y FROM l
+        |    WHERE l1 IS NOT NULL
+        |  UNION ALL SELECT event_type, 2, x, l2 FROM l WHERE l2 IS NOT NULL
+        |  UNION ALL SELECT event_type, 3, x, l3 FROM l
+        |    WHERE l3 IS NOT NULL),
+        |s AS (SELECT event_type, lag_k, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM u GROUP BY 1, 2)
+        |SELECT event_type, lag_k, n AS n_pairs,
+        |  floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS acf
+        |FROM s ORDER BY event_type, lag_k""".stripMargin,
+
+    "q168_ewma" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 1000000.0 + 0.5) / 1000000.0 AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS INT) AS n_days,
+        |  floor(list_reduce(list(v ORDER BY day),
+        |      (a, b) -> 0.2 * b + 0.8 * a) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS ewma
+        |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q169_sharpe" ->
+      """WITH r AS (SELECT event_type,
+        |    CAST(floor(least(greatest(
+        |      CAST(x AS DOUBLE) / CAST(lag(x) OVER w AS DOUBLE) - 1.0,
+        |      -10.0), 10.0) * 1000000.0 + 0.5) AS BIGINT) AS ri,
+        |    lag(x) OVER w AS p
+        |  FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+        |      CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |        / count(*) * 10000.0 + 0.5) AS BIGINT) AS x
+        |    FROM events GROUP BY 1, 2)
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(ri) AS BIGINT) AS s,
+        |    CAST(sum(ri * ri) AS BIGINT) AS ss
+        |  FROM r WHERE p IS NOT NULL AND p <> 0 GROUP BY 1)
+        |SELECT event_type, n AS n_ret,
+        |  floor(CAST(s AS DOUBLE) / n / 1000000.0 * 1000000.0 + 0.5)
+        |    / 1000000.0 AS mean_ret,
+        |  floor(sqrt(CAST(n * ss - s * s AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE) / 1.0e12)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS vol,
+        |  floor((CAST(s AS DOUBLE) / n / 1000000.0)
+        |    / sqrt(CAST(n * ss - s * s AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE) / 1.0e12)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS sharpe
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    "q170_var_es" ->
+      """WITH r AS (SELECT event_type,
+        |    CAST(floor(least(greatest(
+        |      CAST(x AS DOUBLE) / CAST(lag(x) OVER w AS DOUBLE) - 1.0,
+        |      -10.0), 10.0) * 1000000.0 + 0.5) AS BIGINT) AS v,
+        |    lag(x) OVER w AS p
+        |  FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+        |      CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |        / count(*) * 10000.0 + 0.5) AS BIGINT) AS x
+        |    FROM events GROUP BY 1, 2)
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |census AS (SELECT event_type, v, count(*) AS f
+        |  FROM r WHERE p IS NOT NULL AND p <> 0 GROUP BY 1, 2),
+        |c AS (SELECT event_type, v, f,
+        |    coalesce(CAST(sum(f) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum,
+        |    CAST(sum(f) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM census),
+        |k AS (SELECT *, (n + 19) // 20 AS kk FROM c)
+        |SELECT event_type, max(n) AS n_ret,
+        |  floor(CAST(max(CASE WHEN cum < kk AND cum + f >= kk THEN v END)
+        |      AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5)
+        |    / 1000000.0 AS var95,
+        |  floor(CAST(sum(v * greatest(least(kk, cum + f) - cum, 0))
+        |      AS DOUBLE) / max(kk) / 1000000.0 * 1000000.0 + 0.5)
+        |    / 1000000.0 AS es95
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q171_winsorized_mean" ->
+      """WITH census AS (SELECT c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS v,
+        |    count(*) AS f
+        |  FROM customer GROUP BY 1, 2),
+        |c AS (SELECT seg, v, f,
+        |    coalesce(CAST(sum(f) OVER (PARTITION BY seg ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum,
+        |    CAST(sum(f) OVER (PARTITION BY seg) AS BIGINT) AS n
+        |  FROM census),
+        |k AS (SELECT *, (n + 19) // 20 AS klo,
+        |    (19 * n + 19) // 20 AS khi FROM c),
+        |b AS (SELECT seg,
+        |    max(CASE WHEN cum < klo AND cum + f >= klo THEN v END) AS lo,
+        |    max(CASE WHEN cum < khi AND cum + f >= khi THEN v END) AS hi
+        |  FROM k GROUP BY seg)
+        |SELECT k.seg AS segment, max(k.n) AS n,
+        |  floor(CAST(max(b.lo) AS DOUBLE) / 100.0 * 100.0 + 0.5)
+        |    / 100.0 AS p05,
+        |  floor(CAST(max(b.hi) AS DOUBLE) / 100.0 * 100.0 + 0.5)
+        |    / 100.0 AS p95,
+        |  floor(CAST(sum(k.f * least(greatest(k.v, b.lo), b.hi))
+        |      AS DOUBLE) / max(k.n) / 100.0 * 1000000.0 + 0.5)
+        |    / 1000000.0 AS w_mean
+        |FROM k JOIN b ON k.seg = b.seg
+        |GROUP BY k.seg ORDER BY segment""".stripMargin,
+
+    "q172_iqr_outliers" ->
+      """WITH census AS (SELECT p_brand AS b,
+        |    CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS v,
+        |    count(*) AS f
+        |  FROM part GROUP BY 1, 2),
+        |c AS (SELECT b, v, f,
+        |    coalesce(CAST(sum(f) OVER (PARTITION BY b ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum,
+        |    CAST(sum(f) OVER (PARTITION BY b) AS BIGINT) AS n
+        |  FROM census),
+        |k AS (SELECT *, (n + 3) // 4 AS k1,
+        |    (3 * n + 3) // 4 AS k3 FROM c),
+        |bd AS (SELECT b,
+        |    max(CASE WHEN cum < k1 AND cum + f >= k1 THEN v END) AS q1,
+        |    max(CASE WHEN cum < k3 AND cum + f >= k3 THEN v END) AS q3
+        |  FROM k GROUP BY b)
+        |SELECT k.b AS brand, max(k.n) AS n,
+        |  floor(CAST(max(bd.q1) AS DOUBLE) / 100.0 * 100.0 + 0.5)
+        |    / 100.0 AS q1,
+        |  floor(CAST(max(bd.q3) AS DOUBLE) / 100.0 * 100.0 + 0.5)
+        |    / 100.0 AS q3,
+        |  CAST(sum(CASE WHEN 2 * k.v < 2 * bd.q1 - 3 * (bd.q3 - bd.q1)
+        |      OR 2 * k.v > 2 * bd.q3 + 3 * (bd.q3 - bd.q1)
+        |      THEN k.f ELSE 0 END) AS BIGINT) AS n_out
+        |FROM k JOIN bd ON k.b = bd.b
+        |GROUP BY k.b ORDER BY brand""".stripMargin
   )
 }
