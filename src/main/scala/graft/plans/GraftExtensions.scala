@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.misraGriesKeysDescriptor)
     ext.injectFunction(GraftExtensions.shingleHashesPosDescriptor)
     ext.injectFunction(GraftExtensions.charEntropyDescriptor)
+    ext.injectFunction(GraftExtensions.jaroWinklerDescriptor)
   }
 }
 
@@ -214,6 +215,16 @@ object GraftExtensions {
       CharEntropy(Cast(children.head, StringType))
     })
 
+  private[plans] val jaroWinklerDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "jaro_winkler(a, b) takes two strings")
+      JaroWinkler(Cast(children.head, StringType),
+        Cast(children(1), StringType))
+    })
+
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit = {
     for ((id, info, builder) <- Seq(cosineSimDescriptor, tzLocalizeDescriptor,
@@ -221,7 +232,7 @@ object GraftExtensions {
         bloomMightContainDescriptor, shingleHashesDescriptor,
         stopwordLangCountsDescriptor, cjkCountDescriptor,
         misraGriesKeysDescriptor, shingleHashesPosDescriptor,
-        charEntropyDescriptor))
+        charEntropyDescriptor, jaroWinklerDescriptor))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }

@@ -1307,6 +1307,52 @@ object ExtensionQueries {
       graft.operators.Analytics.applyChangelog(snapshot, changes,
           "user_id", "value", "ts", "op")
         .orderBy("user_id")
+    },
+
+    // Record-linkage scorer: native codegen Jaro–Winkler (JaroWinklerExpr,
+    // DuckDB-parity semantics — byte-level, integer-halved transpositions,
+    // 0.7 Winkler gate) over every pair of DISTINCT part names. The pair
+    // source is the deduplicated name domain (64 values here; bounded by
+    // vocabulary, not row count), so the quadratic stays on the broadcast
+    // side even at 100 TB of parts — production pairs come from blocking
+    // (q174 / the LSH family) with this same scorer inside the codegen
+    // stage.
+    "q173_jaro_winkler" -> { (s, d) =>
+      graft.plans.GraftExtensions.register(s)
+      val names = Tables.part(s, d).select(col("p_name").as("a")).distinct()
+      val other = names.select(col("a").as("b"))
+      names.join(broadcast(other), col("a") < col("b"))
+        .withColumn("jw",
+          fr(call_function("jaro_winkler", col("a"), col("b")), 6))
+        .filter(col("jw") >= 0.5)
+        .select(col("a"), col("b"), col("jw"))
+        .orderBy("a", "b")
+    },
+
+    // Sorted-neighborhood blocking (the multi-pass SNM variant): docs
+    // sort by a normalized 40-char prefix key WITHIN 2-char blocks, and
+    // only lag-adjacent neighbors are compared (levenshtein ≤ 10 on the
+    // keys). The window partitions by block — never a single global
+    // sort partition — so at 100 TB each block sorts independently;
+    // cross-block boundary pairs are the documented SNM trade-off (the
+    // multi-pass fix is a second key, e.g. reversed suffix). Candidate
+    // counts per block, integer-exact.
+    "q174_sorted_neighborhood" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_blk")).orderBy(col("_key"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(lower(substring(col("text"), 1, 60)),
+            "[^a-z ]", "").substr(1, 40).as("_key"))
+        .withColumn("_blk", col("_key").substr(1, 2))
+        .withColumn("_prev", lag(col("_key"), 1).over(w))
+        .groupBy(col("_blk").as("block"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("_prev").isNotNull
+            && levenshtein(col("_key"), col("_prev")) <= 10, 1L)
+            .otherwise(0L)).as("n_close"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("block")
     }
   )
 
@@ -2741,7 +2787,31 @@ object ExtensionQueries {
         |WHERE user_id % 97 = 0
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, ts, event_id""".stripMargin
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q173_jaro_winkler" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |p AS (SELECT a.p_name AS a, b.p_name AS b,
+        |    floor(jaro_winkler_similarity(a.p_name, b.p_name)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS jw
+        |  FROM n a JOIN n b ON a.p_name < b.p_name)
+        |SELECT a, b, jw FROM p WHERE jw >= 0.5 ORDER BY a, b""".stripMargin,
+
+    "q174_sorted_neighborhood" ->
+      """WITH k AS (SELECT doc_id,
+        |    substr(regexp_replace(lower(substr(text, 1, 60)),
+        |      '[^a-z ]', '', 'g'), 1, 40) AS key
+        |  FROM documents),
+        |b AS (SELECT doc_id, key, substr(key, 1, 2) AS blk FROM k),
+        |l AS (SELECT blk, key,
+        |    lag(key) OVER (PARTITION BY blk ORDER BY key, doc_id) AS prev
+        |  FROM b)
+        |SELECT blk AS block, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL
+        |    AND levenshtein(key, prev) <= 10 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_close
+        |FROM l GROUP BY blk HAVING count(*) >= 2
+        |ORDER BY block""".stripMargin
   )
 
   /** Shared oracle prefix for q112/q113: the full PQ training replay —

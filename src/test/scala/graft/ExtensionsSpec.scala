@@ -158,6 +158,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(plan.contains("*(1)"), s"expression stays inside codegen:\n$plan")
   }
 
+  test("jaro_winkler: textbook values, edge cases, codegen-resident") {
+    GraftExtensions.register(spark)
+    import graft.plans.JaroWinkler.{similarity => jw}
+    def b(s: String) = s.getBytes("UTF-8")
+    // the canonical textbook pair: jaro 17/18, winkler prefix 3
+    assert(math.abs(jw(b("martha"), b("marhta")) - 0.9611111111111111) < 1e-12)
+    // identical, empty-vs-empty, empty-vs-nonempty, disjoint
+    assert(jw(b("abc"), b("abc")) == 1.0)
+    assert(jw(b(""), b("")) == 1.0)
+    assert(jw(b(""), b("x")) == 0.0)
+    assert(jw(b("abc"), b("xyz")) == 0.0)
+    // below the 0.7 gate the Winkler boost must NOT fire even with a
+    // common prefix: craft a prefix-sharing pair with low jaro
+    val raw = jw(b("abxxxxxx"), b("abyyyyyy"))
+    assert(raw < 0.7 + 1e-12, s"gate fixture drifted: $raw")
+    // symmetry
+    assert(jw(b("dwayne"), b("duane")) == jw(b("duane"), b("dwayne")))
+    // SQL registration + whole-stage codegen against a parquet scan
+    graft.core.Tables.part(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("parts_jw")
+    val q = spark.sql(
+      "SELECT jaro_winkler(p_name, 'red widget') FROM parts_jw")
+    assert(q.count() > 0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expression stays inside codegen:\n$plan")
+    // null propagation
+    assert(spark.sql("SELECT jaro_winkler(NULL, 'x')").collect()(0).isNullAt(0))
+  }
+
   test("array expressions reject non-array arguments at analysis time") {
     GraftExtensions.register(spark)
     import spark.implicits._
