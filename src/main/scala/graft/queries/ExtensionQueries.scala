@@ -1353,6 +1353,38 @@ object ExtensionQueries {
             .otherwise(0L)).as("n_close"))
         .filter(col("n_docs") >= 2)
         .orderBy("block")
+    },
+
+    // End-to-end entity resolution on top of q174's blocking: within each
+    // block's sorted chain, a BREAK opens wherever the adjacent pair is
+    // not close (levenshtein > 10), and the running sum of breaks is the
+    // cluster id — chain clustering as one window pass, the relational
+    // equivalent of union-find on SNM adjacency edges. Outputs the
+    // per-block cluster census (all integer-exact). At 100 TB each block
+    // clusters independently; no global structure is ever materialized.
+    "q175_er_clusters" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_blk")).orderBy(col("_key"), col("doc_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val chained = Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(lower(substring(col("text"), 1, 60)),
+            "[^a-z ]", "").substr(1, 40).as("_key"))
+        .withColumn("_blk", col("_key").substr(1, 2))
+        .withColumn("_prev", lag(col("_key"), 1).over(w))
+        .withColumn("_brk", when(col("_prev").isNull
+          || levenshtein(col("_key"), col("_prev")) > 10, 1L)
+          .otherwise(0L))
+        .withColumn("_cluster", sum(col("_brk")).over(run))
+      chained.groupBy(col("_blk"), col("_cluster"))
+        .agg(count(lit(1)).as("_sz"))
+        .groupBy(col("_blk").as("block"))
+        .agg(sum(col("_sz")).as("n_docs"),
+          count(lit(1)).as("n_clusters"),
+          max(col("_sz")).as("max_cluster"),
+          sum(when(col("_sz") >= 2, 1L).otherwise(0L)).as("n_multi"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("block")
     }
   )
 
@@ -2811,6 +2843,33 @@ object ExtensionQueries {
         |    AND levenshtein(key, prev) <= 10 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_close
         |FROM l GROUP BY blk HAVING count(*) >= 2
+        |ORDER BY block""".stripMargin,
+
+    "q175_er_clusters" ->
+      """WITH k AS (SELECT doc_id,
+        |    substr(regexp_replace(lower(substr(text, 1, 60)),
+        |      '[^a-z ]', '', 'g'), 1, 40) AS key
+        |  FROM documents),
+        |b AS (SELECT doc_id, key, substr(key, 1, 2) AS blk FROM k),
+        |l AS (SELECT blk, key, doc_id,
+        |    lag(key) OVER (PARTITION BY blk ORDER BY key, doc_id) AS prev
+        |  FROM b),
+        |c AS (SELECT blk, key, doc_id,
+        |    CASE WHEN prev IS NULL OR levenshtein(key, prev) > 10
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM l),
+        |cl AS (SELECT blk,
+        |    CAST(sum(brk) OVER (PARTITION BY blk ORDER BY key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cluster
+        |  FROM c),
+        |sz AS (SELECT blk, cluster, count(*) AS sz
+        |  FROM cl GROUP BY blk, cluster)
+        |SELECT blk AS block, CAST(sum(sz) AS BIGINT) AS n_docs,
+        |  count(*) AS n_clusters, CAST(max(sz) AS BIGINT) AS max_cluster,
+        |  CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_multi
+        |FROM sz GROUP BY blk HAVING sum(sz) >= 2
         |ORDER BY block""".stripMargin
   )
 

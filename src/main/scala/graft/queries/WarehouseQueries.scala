@@ -1278,6 +1278,166 @@ object WarehouseQueries {
           fr(col("_g3").cast("double") / lit(100.0), 2).as("q3"),
           col("n_out"))
         .orderBy("brand")
+    },
+
+    // Lexicon sentiment scoring per source: token-level positive/negative
+    // hits via array HOFs (codegen, no explode — the per-document count
+    // never leaves the row), per-document score integer-gridded BEFORE
+    // the cross-document sum so the source-level average is an exact
+    // int64 census, not an order-dependent double fold.
+    "q176_sentiment_lexicon" -> { (s, d) =>
+      val posW = Seq("good", "great", "excellent", "happy", "love", "best",
+        "nice", "win")
+      val negW = Seq("bad", "terrible", "poor", "sad", "hate", "worst",
+        "fail", "loss")
+      val toks = split(regexp_replace(lower(col("text")), "[^a-z]+", " "),
+        " ")
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(filter(toks, x => x.isin(posW: _*))).as("_np"),
+          size(filter(toks, x => x.isin(negW: _*))).as("_nn"))
+        .withColumn("_sc", floor((col("_np") - col("_nn")).cast("double")
+          / (col("_np") + col("_nn") + lit(1)) * lit(1000000.0) + lit(0.5)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_np")).as("n_pos"),
+          sum(col("_nn")).as("n_neg"), sum(col("_sc")).as("_ssc"))
+        .select(col("source"), col("n_docs"), col("n_pos"), col("n_neg"),
+          fr(col("_ssc").cast("double") / col("n_docs") / lit(1000000.0), 6)
+            .as("avg_score"))
+        .orderBy("source")
+    },
+
+    // Robust dispersion per segment: median and MAD both as exact order
+    // statistics off cumulated integer-cents censuses (two census passes,
+    // windows over distinct values only), robust outliers counted with
+    // the 3·1.4826·MAD fence kept integral (10000·dev > 44478·mad — the
+    // scaled-integer form of dev > 4.4478·mad). Nothing double except
+    // the two presentation divisions.
+    "q177_mad" -> { (s, d) =>
+      val wAsc = Window.partitionBy(col("_seg")).orderBy(col("_v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(col("_seg"))
+      val census = Tables.customer(s, d)
+        .select(col("c_mktsegment").as("_seg"),
+          floor(col("c_acctbal") * lit(100.0) + lit(0.5)).as("_v"))
+        .groupBy(col("_seg"), col("_v")).agg(count(lit(1)).as("_f"))
+        .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
+        .withColumn("_n", sum(col("_f")).over(wAll))
+        .withColumn("_k", expr("(_n + 1) div 2"))
+      val med = census.groupBy(col("_seg").as("_ms"))
+        .agg(max(when(col("_cum") < col("_k")
+          && col("_cum") + col("_f") >= col("_k"), col("_v"))).as("_med"),
+          max(col("_n")).as("_mn"))
+      val wDev = Window.partitionBy(col("_seg")).orderBy(col("_dv"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val devCensus = census.join(broadcast(med), col("_seg") === col("_ms"))
+        .withColumn("_dv", abs(col("_v") - col("_med")))
+        .groupBy(col("_seg"), col("_dv"))
+        .agg(sum(col("_f")).as("_df"), max(col("_med")).as("_med2"),
+          max(col("_mn")).as("_n2"))
+        .withColumn("_dcum", coalesce(sum(col("_df")).over(wDev), lit(0L)))
+        .withColumn("_k", expr("(_n2 + 1) div 2"))
+      val mad = devCensus.groupBy(col("_seg").as("_mads"))
+        .agg(max(when(col("_dcum") < col("_k")
+          && col("_dcum") + col("_df") >= col("_k"), col("_dv"))).as("_mad"))
+      devCensus.join(broadcast(mad), col("_seg") === col("_mads"))
+        .groupBy(col("_seg").as("segment"))
+        .agg(max(col("_n2")).as("n"), max(col("_med2")).as("_m"),
+          max(col("_mad")).as("_d"),
+          sum(when(lit(10000L) * col("_dv") > lit(44478L) * col("_mad"),
+            col("_df")).otherwise(lit(0L))).as("n_robust_out"))
+        .select(col("segment"), col("n"),
+          fr(col("_m").cast("double") / lit(100.0), 2).as("median"),
+          fr(col("_d").cast("double") / lit(100.0), 2).as("mad"),
+          col("n_robust_out"))
+        .orderBy("segment")
+    },
+
+    // Hour-of-day seasonality z-scores per event type over a DENSE 24-hour
+    // grid (absent hours count 0 — dropping them would bias the mean).
+    // Counts and their squares are exact int64; the mean/stddev/z chain
+    // is one identical double sequence from those ints. The grid is
+    // types × 24 — constant-size regardless of data volume.
+    "q178_seasonality" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("_c0"))
+      val grid = Tables.events(s, d).select(col("event_type")).distinct()
+        .select(col("event_type"), explode(sequence(lit(0), lit(23)))
+          .as("hr"))
+      val wAll = Window.partitionBy(col("event_type"))
+      grid.join(counts, Seq("event_type", "hr"), "left")
+        .withColumn("_c", coalesce(col("_c0"), lit(0L)))
+        .withColumn("_s", sum(col("_c")).over(wAll))
+        .withColumn("_ss", sum(col("_c") * col("_c")).over(wAll))
+        .select(col("event_type"), col("hr"), col("_c").as("n"),
+          fr((col("_c").cast("double") - col("_s").cast("double") / lit(24.0))
+            / sqrt((col("_ss").cast("double")
+              - col("_s").cast("double") * col("_s").cast("double")
+              / lit(24.0)) / lit(24.0)), 4).as("z"))
+        .orderBy("event_type", "hr")
+    },
+
+    // Theil–Sen robust trend per event type: the median of all pairwise
+    // slopes of the daily series. The pair space is days² — bounded by
+    // calendar, never by row count — and each slope is integer-rounded
+    // (1e-4 value units/day) so the median is an exact census order
+    // statistic. The robust-regression complement to q103's OLS family.
+    "q179_theil_sen" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(floor(decSum(col("value")).cast("double") / count(lit(1))
+          * lit(10000.0) + lit(0.5)).as("_v"))
+        .withColumn("_x",
+          datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
+      val a = daily.select(col("event_type"), col("_x").as("_x1"),
+        col("_v").as("_v1"))
+      val b = daily.select(col("event_type").as("_et2"), col("_x").as("_x2"),
+        col("_v").as("_v2"))
+      val wAsc = Window.partitionBy(col("event_type")).orderBy(col("_si"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(col("event_type"))
+      a.join(b, col("event_type") === col("_et2") && col("_x1") < col("_x2"))
+        .select(col("event_type"),
+          floor((col("_v2") - col("_v1")).cast("double")
+            / (col("_x2") - col("_x1")).cast("double") + lit(0.5)).as("_si"))
+        .groupBy(col("event_type"), col("_si"))
+        .agg(count(lit(1)).as("_f"))
+        .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
+        .withColumn("_n", sum(col("_f")).over(wAll))
+        .withColumn("_k", expr("(_n + 1) div 2"))
+        .groupBy(col("event_type"))
+        .agg(max(col("_n")).as("n_pairs"),
+          max(when(col("_cum") < col("_k")
+            && col("_cum") + col("_f") >= col("_k"), col("_si"))).as("_m"))
+        .select(col("event_type"), col("n_pairs"),
+          fr(col("_m").cast("double") / lit(10000.0), 4).as("slope"))
+        .orderBy("event_type")
+    },
+
+    // Shannon diversity of the language mix per source, plus the
+    // effective-language count exp(H). Uses the same count-entropy
+    // identity as the char_entropy expression — every ln() argument is
+    // an exact integer, and the Σ c·ln c fold runs in fixed lang order
+    // over the bounded language census, so the doubles replay exactly.
+    "q180_shannon_diversity" -> { (s, d) =>
+      val census = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("_c"))
+        .withColumn("_t",
+          col("_c").cast("double") * log(col("_c").cast("double")))
+      census.groupBy(col("source"))
+        .agg(sum(col("_c")).as("n_docs"), count(lit(1)).as("n_langs"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("lang"),
+              col("_t")))), e => e.getField("_t")),
+            lit(0.0), (acc, x) => acc + x).as("_sum"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          fr(log(col("n_docs").cast("double"))
+            - col("_sum") / col("n_docs").cast("double"), 6).as("h"),
+          fr(exp(log(col("n_docs").cast("double"))
+            - col("_sum") / col("n_docs").cast("double")), 6).as("eff_langs"))
+        .orderBy("source")
     }
   )
 
@@ -2202,6 +2362,135 @@ object WarehouseQueries {
         |      OR 2 * k.v > 2 * bd.q3 + 3 * (bd.q3 - bd.q1)
         |      THEN k.f ELSE 0 END) AS BIGINT) AS n_out
         |FROM k JOIN bd ON k.b = bd.b
-        |GROUP BY k.b ORDER BY brand""".stripMargin
+        |GROUP BY k.b ORDER BY brand""".stripMargin,
+
+    "q176_sentiment_lexicon" ->
+      """WITH t AS (SELECT source,
+        |    string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),
+        |      ' ') AS toks
+        |  FROM documents),
+        |c AS (SELECT source,
+        |    CAST(len(list_filter(toks, x -> x IN ('good','great',
+        |      'excellent','happy','love','best','nice','win'))) AS INT)
+        |      AS np,
+        |    CAST(len(list_filter(toks, x -> x IN ('bad','terrible','poor',
+        |      'sad','hate','worst','fail','loss'))) AS INT) AS nn
+        |  FROM t),
+        |sc AS (SELECT source, np, nn,
+        |    CAST(floor(CAST(np - nn AS DOUBLE) / (np + nn + 1)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS s
+        |  FROM c)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  floor(CAST(sum(s) AS DOUBLE) / count(*) / 1000000.0
+        |    * 1000000.0 + 0.5) / 1000000.0 AS avg_score
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+
+    "q177_mad" ->
+      """WITH census AS (SELECT c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS v,
+        |    count(*) AS f
+        |  FROM customer GROUP BY 1, 2),
+        |c AS (SELECT seg, v, f,
+        |    coalesce(CAST(sum(f) OVER (PARTITION BY seg ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum,
+        |    CAST(sum(f) OVER (PARTITION BY seg) AS BIGINT) AS n
+        |  FROM census),
+        |k AS (SELECT *, (n + 1) // 2 AS km FROM c),
+        |med AS (SELECT seg,
+        |    max(CASE WHEN cum < km AND cum + f >= km THEN v END) AS med,
+        |    max(n) AS mn
+        |  FROM k GROUP BY seg),
+        |dev AS (SELECT k.seg, abs(k.v - med.med) AS dv,
+        |    CAST(sum(k.f) AS BIGINT) AS df,
+        |    max(med.med) AS med2, max(med.mn) AS n2
+        |  FROM k JOIN med ON k.seg = med.seg GROUP BY 1, 2),
+        |dc AS (SELECT seg, dv, df, med2, n2,
+        |    coalesce(CAST(sum(df) OVER (PARTITION BY seg ORDER BY dv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS dcum,
+        |    (n2 + 1) // 2 AS km
+        |  FROM dev),
+        |mad AS (SELECT seg,
+        |    max(CASE WHEN dcum < km AND dcum + df >= km THEN dv END) AS mad
+        |  FROM dc GROUP BY seg)
+        |SELECT dc.seg AS segment, max(dc.n2) AS n,
+        |  floor(CAST(max(dc.med2) AS DOUBLE) / 100.0 * 100.0 + 0.5)
+        |    / 100.0 AS median,
+        |  floor(CAST(max(mad.mad) AS DOUBLE) / 100.0 * 100.0 + 0.5)
+        |    / 100.0 AS mad,
+        |  CAST(sum(CASE WHEN 10000 * dc.dv > 44478 * mad.mad
+        |    THEN dc.df ELSE 0 END) AS BIGINT) AS n_robust_out
+        |FROM dc JOIN mad ON dc.seg = mad.seg
+        |GROUP BY dc.seg ORDER BY segment""".stripMargin,
+
+    "q178_seasonality" ->
+      """WITH counts AS (SELECT event_type, hour(ts) AS hr,
+        |    count(*) AS c0
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT t.event_type, gs.hr
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hr) gs),
+        |j AS (SELECT grid.event_type, grid.hr,
+        |    CAST(coalesce(counts.c0, 0) AS BIGINT) AS c
+        |  FROM grid LEFT JOIN counts
+        |    ON grid.event_type = counts.event_type
+        |    AND grid.hr = counts.hr),
+        |w AS (SELECT event_type, hr, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+        |    CAST(sum(c * c) OVER (PARTITION BY event_type) AS BIGINT) AS ss
+        |  FROM j)
+        |SELECT event_type, CAST(hr AS INT) AS hr, c AS n,
+        |  floor((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / 24.0)
+        |    / sqrt((CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 24.0) / 24.0)
+        |    * 10000.0 + 0.5) / 10000.0 AS z
+        |FROM w ORDER BY event_type, hr""".stripMargin,
+
+    "q179_theil_sen" ->
+      """WITH daily0 AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 10000.0 + 0.5) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (SELECT event_type, v,
+        |    CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT) AS x
+        |  FROM daily0),
+        |p AS (SELECT a.event_type,
+        |    CAST(floor(CAST(b.v - a.v AS DOUBLE)
+        |      / CAST(b.x - a.x AS DOUBLE) + 0.5) AS BIGINT) AS si
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.x < b.x),
+        |census AS (SELECT event_type, si, count(*) AS f
+        |  FROM p GROUP BY 1, 2),
+        |c AS (SELECT event_type, si, f,
+        |    coalesce(CAST(sum(f) OVER (PARTITION BY event_type ORDER BY si
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum,
+        |    CAST(sum(f) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM census),
+        |k AS (SELECT *, (n + 1) // 2 AS km FROM c)
+        |SELECT event_type, max(n) AS n_pairs,
+        |  floor(CAST(max(CASE WHEN cum < km AND cum + f >= km THEN si END)
+        |      AS DOUBLE) / 10000.0 * 10000.0 + 0.5) / 10000.0 AS slope
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q180_shannon_diversity" ->
+      """WITH census AS (SELECT source, lang, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, lang,
+        |    CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS t, c
+        |  FROM census),
+        |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    count(*) AS n_langs,
+        |    list_sum(list(t ORDER BY lang)) AS st
+        |  FROM t GROUP BY source)
+        |SELECT source, n_docs, n_langs,
+        |  floor((ln(CAST(n_docs AS DOUBLE)) - st / CAST(n_docs AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS h,
+        |  floor(exp(ln(CAST(n_docs AS DOUBLE)) - st / CAST(n_docs AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS eff_langs
+        |FROM g ORDER BY source""".stripMargin
   )
 }
