@@ -1438,6 +1438,137 @@ object WarehouseQueries {
           fr(exp(log(col("n_docs").cast("double"))
             - col("_sum") / col("n_docs").cast("double")), 6).as("eff_langs"))
         .orderBy("source")
+    },
+
+    // Exact PERCENTILE_CONT (linear interpolation, type-7) per segment at
+    // p ∈ {0.5, 0.9, 0.99}, census-decomposed: h = (n−1)p + 1 locates the
+    // two bracketing order statistics in the cumulated cents census, and
+    // the interpolation v_k + frac·(v_{k+1} − v_k) runs the identical
+    // double sequence on both engines (the only doubles are h and the
+    // final blend — positions and values are exact ints). The n=1 /
+    // frac=0 edge coalesces v_{k+1} to v_k.
+    "q181_percentile_cont" -> { (s, d) =>
+      val wAsc = Window.partitionBy(col("_seg")).orderBy(col("_v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(col("_seg"))
+      val census = Tables.customer(s, d)
+        .select(col("c_mktsegment").as("_seg"),
+          floor(col("c_acctbal") * lit(100.0) + lit(0.5)).as("_v"))
+        .groupBy(col("_seg"), col("_v")).agg(count(lit(1)).as("_f"))
+        .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
+        .withColumn("_n", sum(col("_f")).over(wAll))
+      census
+        .crossJoin(broadcast(s.range(1).select(
+          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))))
+        .withColumn("_h", (col("_n") - 1).cast("double") * col("p")
+          + lit(1.0))
+        .withColumn("_k", floor(col("_h")))
+        .groupBy(col("_seg").as("segment"), col("p"))
+        .agg(max(col("_n")).as("n"),
+          max(when(col("_cum") < col("_k")
+            && col("_cum") + col("_f") >= col("_k"), col("_v"))).as("_vk"),
+          max(when(col("_cum") < col("_k") + 1
+            && col("_cum") + col("_f") >= col("_k") + 1, col("_v")))
+            .as("_vk1"),
+          max(col("_h") - col("_k").cast("double")).as("_fr"))
+        .select(col("segment"), col("p"), col("n"),
+          fr((col("_vk").cast("double") + col("_fr")
+            * (coalesce(col("_vk1"), col("_vk")) - col("_vk")).cast("double"))
+            / lit(100.0), 4).as("pct_value"))
+        .orderBy("segment", "p")
+    },
+
+    // Deterministic MODE per event type: the census row winning under the
+    // total order (freq DESC, value ASC) — engines' built-in mode() leaves
+    // ties undefined, so the tie-break is pinned explicitly. The ranking
+    // window runs over distinct integer values only.
+    "q182_mode_by_key" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("_f").desc, col("_v").asc)
+      val wAll = Window.partitionBy(col("event_type"))
+      Tables.events(s, d)
+        .select(col("event_type"), floor(col("value")).as("_v"))
+        .groupBy(col("event_type"), col("_v"))
+        .agg(count(lit(1)).as("_f"))
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("_nd", count(lit(1)).over(wAll))
+        .filter(col("_rn") === 1)
+        .select(col("event_type"), col("_v").as("mode_value"),
+          col("_f").as("freq"), col("_nd").as("n_distinct"))
+        .orderBy("event_type")
+    },
+
+    // Ordered string aggregation per brand: the distinct-name roster as a
+    // '|'-joined sorted list — collect_set → array_sort → array_join is
+    // the deterministic Spark form of STRING_AGG(DISTINCT … ORDER BY …).
+    // Roster size is vocabulary-bounded, so the collected arrays stay
+    // small no matter the row count.
+    "q183_string_agg" -> { (s, d) =>
+      Tables.part(s, d)
+        .groupBy(col("p_brand").as("brand"))
+        .agg(countDistinct(col("p_name")).as("n_names"),
+          array_join(array_sort(collect_set(col("p_name"))), "|")
+            .as("names"))
+        .orderBy("brand")
+    },
+
+    // Gaps-and-islands: per-user consecutive-active-day streaks via the
+    // classic dayNumber − row_number() grouping key, reduced to the
+    // longest-streak histogram (how many users peak at a k-day streak).
+    // Integer-exact end to end; the window is per user over their
+    // distinct active DAYS (calendar-bounded), not their raw events.
+    "q184_activity_islands" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("_day"))
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("_day"))
+        .distinct()
+      val streaks = days
+        .withColumn("_grp", col("_day") - row_number().over(w))
+        .groupBy(col("user_id"), col("_grp"))
+        .agg(count(lit(1)).as("_len"))
+      streaks.groupBy(col("user_id"))
+        .agg(max(col("_len")).as("_maxStreak"))
+        .groupBy(col("_maxStreak").as("max_streak"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("max_streak")
+    },
+
+    // Pairwise Pearson correlation matrix over lineitem's four measures
+    // in ONE scan: every moment is an exact DECIMAL sum (products formed
+    // in decimal, never double), the 6 upper-triangle pairs unpivot from
+    // a single aggregate row, and the corr combine is the same
+    // int/decimal → double cast sequence as q167. One pass, no shuffle
+    // beyond the single global aggregate.
+    "q185_corr_matrix" -> { (s, d) =>
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def dec(c: String) = col(c).cast("decimal(19,4)")
+      val aggs =
+        cols.map(c => decSum(col(c)).as(s"_s_$c")) ++
+        cols.map(c => sum(dec(c) * dec(c)).as(s"_ss_$c")) ++
+        (for { i <- cols.indices; j <- cols.indices if i < j }
+          yield sum(dec(cols(i)) * dec(cols(j)))
+            .as(s"_sp_${cols(i)}_${cols(j)}"))
+      val base = Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("_n"), aggs: _*)
+      def corr(x: String, y: String): Column = {
+        val n = col("_n").cast("double")
+        val sx = col(s"_s_$x").cast("double")
+        val sy = col(s"_s_$y").cast("double")
+        val sxy = col(s"_sp_${x}_$y").cast("double")
+        val sxx = col(s"_ss_$x").cast("double")
+        val syy = col(s"_ss_$y").cast("double")
+        fr((n * sxy - sx * sy)
+          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+      }
+      base.select(col("_n").as("n"), explode(array(
+          (for { i <- cols.indices; j <- cols.indices if i < j }
+            yield struct(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
+              corr(cols(i), cols(j)).as("r"))): _*)).as("_p"))
+        .select(col("_p.col_x").as("col_x"), col("_p.col_y").as("col_y"),
+          col("n"), col("_p.r").as("r"))
+        .orderBy("col_x", "col_y")
     }
   )
 
@@ -2491,6 +2622,129 @@ object WarehouseQueries {
         |    * 1000000.0 + 0.5) / 1000000.0 AS h,
         |  floor(exp(ln(CAST(n_docs AS DOUBLE)) - st / CAST(n_docs AS DOUBLE))
         |    * 1000000.0 + 0.5) / 1000000.0 AS eff_langs
-        |FROM g ORDER BY source""".stripMargin
+        |FROM g ORDER BY source""".stripMargin,
+
+    "q181_percentile_cont" ->
+      """WITH census AS (SELECT c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS v,
+        |    count(*) AS f
+        |  FROM customer GROUP BY 1, 2),
+        |c AS (SELECT seg, v, f,
+        |    coalesce(CAST(sum(f) OVER (PARTITION BY seg ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum,
+        |    CAST(sum(f) OVER (PARTITION BY seg) AS BIGINT) AS n
+        |  FROM census),
+        |x AS (SELECT c.*, ps.p,
+        |    CAST(c.n - 1 AS DOUBLE) * ps.p + 1.0 AS h,
+        |    CAST(floor(CAST(c.n - 1 AS DOUBLE) * ps.p + 1.0) AS BIGINT)
+        |      AS k
+        |  FROM c CROSS JOIN
+        |    (SELECT unnest([0.5, 0.9, 0.99]) AS p) ps),
+        |g AS (SELECT seg AS segment, p, max(n) AS n,
+        |    max(CASE WHEN cum < k AND cum + f >= k THEN v END) AS vk,
+        |    max(CASE WHEN cum < k + 1 AND cum + f >= k + 1 THEN v END)
+        |      AS vk1,
+        |    max(h - CAST(k AS DOUBLE)) AS fr
+        |  FROM x GROUP BY seg, p)
+        |SELECT segment, p, n,
+        |  floor((CAST(vk AS DOUBLE)
+        |    + fr * CAST(coalesce(vk1, vk) - vk AS DOUBLE)) / 100.0
+        |    * 10000.0 + 0.5) / 10000.0 AS pct_value
+        |FROM g ORDER BY segment, p""".stripMargin,
+
+    "q182_mode_by_key" ->
+      """WITH census AS (SELECT event_type,
+        |    CAST(floor(value) AS BIGINT) AS v, count(*) AS f
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, v, f,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY f DESC, v ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM census)
+        |SELECT event_type, v AS mode_value, f AS freq,
+        |  CAST(nd AS BIGINT) AS n_distinct
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q183_string_agg" ->
+      """SELECT p_brand AS brand,
+        |  count(DISTINCT p_name) AS n_names,
+        |  string_agg(DISTINCT p_name, '|' ORDER BY p_name) AS names
+        |FROM part GROUP BY p_brand ORDER BY brand""".stripMargin,
+
+    "q184_activity_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM events),
+        |g AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM days),
+        |streaks AS (SELECT user_id, grp, count(*) AS len
+        |  FROM g GROUP BY 1, 2),
+        |mx AS (SELECT user_id, max(len) AS max_streak
+        |  FROM streaks GROUP BY 1)
+        |SELECT max_streak, count(*) AS n_users
+        |FROM mx GROUP BY max_streak ORDER BY max_streak""".stripMargin,
+
+    "q185_corr_matrix" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS s_q,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS s_p,
+        |  sum(CAST(l_discount AS DECIMAL(18,4))) AS s_d,
+        |  sum(CAST(l_tax AS DECIMAL(18,4))) AS s_t,
+        |  sum(CAST(l_quantity AS DECIMAL(19,4))
+        |    * CAST(l_quantity AS DECIMAL(19,4))) AS ss_q,
+        |  sum(CAST(l_extendedprice AS DECIMAL(19,4))
+        |    * CAST(l_extendedprice AS DECIMAL(19,4))) AS ss_p,
+        |  sum(CAST(l_discount AS DECIMAL(19,4))
+        |    * CAST(l_discount AS DECIMAL(19,4))) AS ss_d,
+        |  sum(CAST(l_tax AS DECIMAL(19,4))
+        |    * CAST(l_tax AS DECIMAL(19,4))) AS ss_t,
+        |  sum(CAST(l_quantity AS DECIMAL(19,4))
+        |    * CAST(l_extendedprice AS DECIMAL(19,4))) AS sp_qp,
+        |  sum(CAST(l_quantity AS DECIMAL(19,4))
+        |    * CAST(l_discount AS DECIMAL(19,4))) AS sp_qd,
+        |  sum(CAST(l_quantity AS DECIMAL(19,4))
+        |    * CAST(l_tax AS DECIMAL(19,4))) AS sp_qt,
+        |  sum(CAST(l_extendedprice AS DECIMAL(19,4))
+        |    * CAST(l_discount AS DECIMAL(19,4))) AS sp_pd,
+        |  sum(CAST(l_extendedprice AS DECIMAL(19,4))
+        |    * CAST(l_tax AS DECIMAL(19,4))) AS sp_pt,
+        |  sum(CAST(l_discount AS DECIMAL(19,4))
+        |    * CAST(l_tax AS DECIMAL(19,4))) AS sp_dt
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
+        |    CAST(sp_qp AS DOUBLE) AS sxy, CAST(s_q AS DOUBLE) AS sx,
+        |    CAST(s_p AS DOUBLE) AS sy, CAST(ss_q AS DOUBLE) AS sxx,
+        |    CAST(ss_p AS DOUBLE) AS syy FROM a
+        |  UNION ALL SELECT 'l_discount', 'l_tax', n,
+        |    CAST(sp_dt AS DOUBLE), CAST(s_d AS DOUBLE),
+        |    CAST(s_t AS DOUBLE), CAST(ss_d AS DOUBLE),
+        |    CAST(ss_t AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', n,
+        |    CAST(sp_pd AS DOUBLE), CAST(s_p AS DOUBLE),
+        |    CAST(s_d AS DOUBLE), CAST(ss_p AS DOUBLE),
+        |    CAST(ss_d AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', n,
+        |    CAST(sp_pt AS DOUBLE), CAST(s_p AS DOUBLE),
+        |    CAST(s_t AS DOUBLE), CAST(ss_p AS DOUBLE),
+        |    CAST(ss_t AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', n,
+        |    CAST(sp_qd AS DOUBLE), CAST(s_q AS DOUBLE),
+        |    CAST(s_d AS DOUBLE), CAST(ss_q AS DOUBLE),
+        |    CAST(ss_d AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', n,
+        |    CAST(sp_qt AS DOUBLE), CAST(s_q AS DOUBLE),
+        |    CAST(s_t AS DOUBLE), CAST(ss_q AS DOUBLE),
+        |    CAST(ss_t AS DOUBLE) FROM a)
+        |SELECT col_x, col_y, n,
+        |  floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |      * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS r
+        |FROM u ORDER BY col_x, col_y""".stripMargin
   )
 }
