@@ -736,6 +736,74 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q167/q170/q179: risk-metric windows run over daily/census rows, never raw events") {
+    for (q <- Seq("q167_acf", "q170_var_es", "q179_theil_sen")) {
+      val p = plan(graft.queries.WarehouseQueries.defs(q)(spark, d))
+      val winLines = p.linesIterator
+        .filter(_.contains("windowspecdefinition")).toVector
+      assert(winLines.nonEmpty, s"$q plans a window")
+      // the raw event grain (event_id/user_id) must never reach a window:
+      // every window input is the calendar-bounded daily series or the
+      // distinct-value census
+      assert(winLines.forall(l =>
+        !l.contains("event_id") && !l.contains("user_id")),
+        s"$q: window over daily/census rows only:\n${winLines.mkString("\n")}")
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$q: daily aggregation must partial-combine before the shuffle:\n$p")
+    }
+  }
+
+  test("q177/q181: order-statistic windows stay on the cents census") {
+    for (q <- Seq("q177_mad", "q181_percentile_cont")) {
+      val p = plan(graft.queries.WarehouseQueries.defs(q)(spark, d))
+      val winLines = p.linesIterator
+        .filter(_.contains("windowspecdefinition")).toVector
+      assert(winLines.nonEmpty && winLines.forall(l =>
+        !l.contains("c_custkey") && !l.contains("c_name")),
+        s"$q: windows cumulate the census, never customer rows:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: bounds attach via broadcast, not cartesian:\n$p")
+    }
+  }
+
+  test("q174/q175/q184: blocking and island windows partition by their key") {
+    val blkPins = Seq(
+      "q174_sorted_neighborhood" -> "_blk",
+      "q175_er_clusters" -> "_blk")
+    for ((q, key) <- blkPins) {
+      val winLines = plan(graft.queries.ExtensionQueries.defs(q)(spark, d))
+        .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+      assert(winLines.nonEmpty && winLines.forall(_.contains(key)),
+        s"$q: every window must partition by $key (no global sort):\n" +
+          winLines.mkString("\n"))
+    }
+    val winLines = plan(graft.queries.WarehouseQueries
+      .defs("q184_activity_islands")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(winLines.nonEmpty && winLines.forall(_.contains("user_id")),
+      s"q184: island numbering partitions by user:\n${winLines.mkString("\n")}")
+  }
+
+  test("q185: the correlation matrix is ONE scan, one aggregate, no join") {
+    val p = plan(graft.queries.WarehouseQueries
+      .defs("q185_corr_matrix")(spark, d))
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"all 15 moments share a single lineitem scan:\n$p")
+    assert(!p.contains("windowspecdefinition") && !p.contains("Join"),
+      s"pure aggregate pipeline:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"moment sums must partial-combine map-side:\n$p")
+  }
+
+  test("q173: the distinct-name pair join stays on the broadcast side") {
+    val p = plan(graft.queries.ExtensionQueries
+      .defs("q173_jaro_winkler")(spark, d))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"inequality pairing over the bounded name domain must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"never a partitioned cartesian:\n$p")
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
