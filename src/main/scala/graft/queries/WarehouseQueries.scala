@@ -1569,6 +1569,162 @@ object WarehouseQueries {
         .select(col("_p.col_x").as("col_x"), col("_p.col_y").as("col_y"),
           col("n"), col("_p.r").as("r"))
         .orderBy("col_x", "col_y")
+    },
+
+    // Telemetry debounce: count events arriving within 5 s of the
+    // previous event on the same (user, type) key (the stateless lag
+    // form; a keep-chain debounce is the stateful/streaming variant).
+    // Pure keyed window + integer-µs time math, exact on both engines.
+    "q186_debounce" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("_prev", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("_keep", col("_prev").isNull
+          || unix_micros(col("ts")) - col("_prev") > lit(5000000L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("_keep"), 1L).otherwise(0L)).as("n_debounced"))
+        .orderBy("event_type")
+    },
+
+    // Share-of-total revenue per nation (ratio_to_report): exact DECIMAL
+    // revenue census, the total attached by a window over the ≤25 nation
+    // rows (bounded — the keyless window never sees order rows), share
+    // and rank read off it.
+    "q187_share_of_total" -> { (s, d) =>
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice")).as("_rev"))
+      val wAll = Window.partitionBy()
+      rev
+        .withColumn("_tot", sum(col("_rev")).over(wAll))
+        .withColumn("_rk", rank().over(
+          Window.orderBy(col("_rev").desc, col("n_name"))))
+        .select(col("n_name"), col("n_orders"),
+          fr(col("_rev").cast("double"), 2).as("revenue"),
+          fr(col("_rev").cast("double") / col("_tot").cast("double"), 6)
+            .as("share"),
+          col("_rk").as("rev_rank"))
+        .orderBy("n_name")
+    },
+
+    // Week-over-week growth per event type: weekly DECIMAL value sums on
+    // the day grid, lag + one gridded division. The weekly census is
+    // calendar-bounded; growth is null for the first week by definition.
+    "q188_wow_growth" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+      Tables.events(s, d)
+        .withColumn("_day",
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")))
+        .groupBy(col("event_type"),
+          floor(col("_day") / lit(7)).as("week"))
+        .agg(decSum(col("value")).as("_wv"))
+        .withColumn("_prev", lag(col("_wv"), 1).over(w))
+        .select(col("event_type"), col("week"),
+          fr(col("_wv").cast("double"), 4).as("total_value"),
+          when(col("_prev").isNotNull, fr(
+            (col("_wv") - col("_prev")).cast("double")
+              / col("_prev").cast("double"), 6)).as("wow_growth"))
+        .orderBy("event_type", "week")
+    },
+
+    // Hurst exponent per event type via rescaled-range (R/S) analysis:
+    // the daily 4 dp-integer series splits into complete blocks of
+    // n ∈ {5,10,15} days; per block the cumulative-deviation range R and
+    // population σ come from exact int cumsums/moments (the only doubles
+    // are the shared m = Σv/n and the final R/σ); ln E[R/S] regresses on
+    // ln n over the three sizes with an explicit 3-point least-squares
+    // whose literal op order both engines replay. Everything is bounded
+    // by calendar blocks — the heavy part is one daily aggregate.
+    "q189_hurst" -> { (s, d) =>
+      val wDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(floor(decSum(col("value")).cast("double") / count(lit(1))
+          * lit(10000.0) + lit(0.5)).as("_v"))
+        .withColumn("_idx", (row_number().over(wDay) - 1).cast("long"))
+      val sizes = s.range(1).select(
+        explode(array(lit(5L), lit(10L), lit(15L))).as("_bn"))
+      val wBlk = Window.partitionBy(col("event_type"), col("_bn"),
+        col("_bid"))
+      val wCum = wBlk.orderBy(col("_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blocks = daily.crossJoin(broadcast(sizes))
+        .withColumn("_bid", expr("_idx div _bn"))
+        .withColumn("_rn", expr("_idx % _bn"))
+        .withColumn("_cum", sum(col("_v")).over(wCum))
+        .withColumn("_sb", sum(col("_v")).over(wBlk))
+        .withColumn("_ssb", sum(col("_v") * col("_v")).over(wBlk))
+        .withColumn("_cnt", count(lit(1)).over(wBlk))
+        .filter(col("_cnt") === col("_bn"))
+        .filter(col("_bn") * col("_ssb") =!= col("_sb") * col("_sb"))
+        .withColumn("_z", col("_cum").cast("double")
+          - (col("_rn") + 1).cast("double")
+          * (col("_sb").cast("double") / col("_bn").cast("double")))
+      val rs = blocks
+        .groupBy(col("event_type"), col("_bn"), col("_bid"))
+        .agg(((max(col("_z")) - min(col("_z")))
+          / sqrt((max(col("_ssb")).cast("double")
+            - max(col("_sb")).cast("double") * max(col("_sb")).cast("double")
+            / max(col("_bn")).cast("double"))
+            / max(col("_bn")).cast("double"))).as("_rs"))
+      val y = rs.groupBy(col("event_type"), col("_bn"))
+        .agg(count(lit(1)).as("_nb"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("_bid"),
+              col("_rs")))), e => e.getField("_rs")),
+            lit(0.0), (acc, x) => acc + x).as("_srs"))
+        .withColumn("_y", log(col("_srs") / col("_nb")))
+      val x5 = log(lit(5.0)); val x10 = log(lit(10.0))
+      val x15 = log(lit(15.0))
+      val sx = x5 + x10 + x15
+      val sxx = x5 * x5 + x10 * x10 + x15 * x15
+      y.groupBy(col("event_type"))
+        .agg(sum(col("_nb")).as("n_blocks"),
+          max(when(col("_bn") === 5, col("_y"))).as("_y5"),
+          max(when(col("_bn") === 10, col("_y"))).as("_y10"),
+          max(when(col("_bn") === 15, col("_y"))).as("_y15"))
+        .select(col("event_type"), col("n_blocks"),
+          fr((lit(3.0) * (x5 * col("_y5") + x10 * col("_y10")
+              + x15 * col("_y15"))
+            - sx * (col("_y5") + col("_y10") + col("_y15")))
+            / (lit(3.0) * sxx - sx * sx), 4).as("hurst"))
+        .orderBy("event_type")
+    },
+
+    // Cross-series correlation of daily returns between event-type pairs,
+    // aligned by day: the 6 dp-scaled integer returns (q169's base) join
+    // on the calendar day and the Pearson combine runs off exact int64
+    // sums — the portfolio-style co-movement matrix, bounded by
+    // (types × days), never raw rows.
+    "q190_cross_corr" -> { (s, d) =>
+      val r = dailyReturns(s, d)
+      val a = r.select(col("event_type").as("type_a"), col("day"),
+        col("_r").as("_x"))
+      val b = r.select(col("event_type").as("type_b"),
+        col("day").as("_day2"), col("_r").as("_y"))
+      a.join(b, col("day") === col("_day2")
+          && col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_days"), sum(col("_x")).as("_sx"),
+          sum(col("_y")).as("_sy"), sum(col("_x") * col("_y")).as("_sxy"),
+          sum(col("_x") * col("_x")).as("_sxx"),
+          sum(col("_y") * col("_y")).as("_syy"))
+        .select(col("type_a"), col("type_b"), col("n_days"),
+          fr((col("n_days") * col("_sxy") - col("_sx") * col("_sy"))
+            .cast("double")
+            / (sqrt((col("n_days") * col("_sxx")
+                - col("_sx") * col("_sx")).cast("double"))
+              * sqrt((col("n_days") * col("_syy")
+                - col("_sy") * col("_sy")).cast("double"))), 6).as("r"))
+        .orderBy("type_a", "type_b")
     }
   )
 
@@ -2745,6 +2901,135 @@ object WarehouseQueries {
         |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
         |      * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
         |    * 1000000.0 + 0.5) / 1000000.0 AS r
-        |FROM u ORDER BY col_x, col_y""".stripMargin
+        |FROM u ORDER BY col_x, col_y""".stripMargin,
+
+    "q186_debounce" ->
+      """WITH l AS (SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN gap IS NULL OR gap > 5000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 5000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q187_share_of_total" ->
+      """WITH rev AS (SELECT n.n_name, count(*) AS n_orders,
+        |    sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name),
+        |t AS (SELECT *, sum(rev) OVER () AS tot,
+        |    rank() OVER (ORDER BY rev DESC, n_name) AS rk
+        |  FROM rev)
+        |SELECT n_name, n_orders,
+        |  floor(CAST(rev AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue,
+        |  floor(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS share,
+        |  CAST(rk AS BIGINT) AS rev_rank
+        |FROM t ORDER BY n_name""".stripMargin,
+
+    "q188_wow_growth" ->
+      """WITH wk AS (SELECT event_type,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) / 7) AS BIGINT) AS week,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS wv
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, week, wv,
+        |    lag(wv) OVER (PARTITION BY event_type ORDER BY week) AS prev
+        |  FROM wk)
+        |SELECT event_type, week,
+        |  floor(CAST(wv AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS total_value,
+        |  CASE WHEN prev IS NOT NULL THEN
+        |    floor(CAST(wv - prev AS DOUBLE) / CAST(prev AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS wow_growth
+        |FROM l ORDER BY event_type, week""".stripMargin,
+
+    "q189_hurst" ->
+      """WITH daily0 AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 10000.0 + 0.5) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (SELECT event_type, v,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      - 1 AS BIGINT) AS idx
+        |  FROM daily0),
+        |blocks0 AS (SELECT d.event_type, d.v, d.idx, sz.bn,
+        |    d.idx // sz.bn AS bid, d.idx % sz.bn AS rn
+        |  FROM daily d CROSS JOIN
+        |    (SELECT unnest([5, 10, 15]) AS bn) sz),
+        |blocks AS (SELECT event_type, bn, bid, rn, v,
+        |    CAST(sum(v) OVER (PARTITION BY event_type, bn, bid
+        |      ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(v) OVER wb AS BIGINT) AS sb,
+        |    CAST(sum(v * v) OVER wb AS BIGINT) AS ssb,
+        |    CAST(count(*) OVER wb AS BIGINT) AS cnt
+        |  FROM blocks0
+        |  WINDOW wb AS (PARTITION BY event_type, bn, bid)),
+        |z AS (SELECT event_type, bn, bid,
+        |    CAST(cum AS DOUBLE) - CAST(rn + 1 AS DOUBLE)
+        |      * (CAST(sb AS DOUBLE) / CAST(bn AS DOUBLE)) AS z,
+        |    sb, ssb
+        |  FROM blocks WHERE cnt = bn AND bn * ssb <> sb * sb),
+        |rs AS (SELECT event_type, bn, bid,
+        |    (max(z) - min(z))
+        |      / sqrt((CAST(max(ssb) AS DOUBLE)
+        |        - CAST(max(sb) AS DOUBLE) * CAST(max(sb) AS DOUBLE)
+        |        / CAST(max(bn) AS DOUBLE)) / CAST(max(bn) AS DOUBLE))
+        |      AS rs
+        |  FROM z GROUP BY 1, 2, 3),
+        |y AS (SELECT event_type, bn, count(*) AS nb,
+        |    ln(list_sum(list(rs ORDER BY bid)) / count(*)) AS y
+        |  FROM rs GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(nb) AS BIGINT) AS n_blocks,
+        |  floor((3.0 * (ln(5.0) * max(CASE WHEN bn = 5 THEN y END)
+        |      + ln(10.0) * max(CASE WHEN bn = 10 THEN y END)
+        |      + ln(15.0) * max(CASE WHEN bn = 15 THEN y END))
+        |    - (ln(5.0) + ln(10.0) + ln(15.0))
+        |      * (max(CASE WHEN bn = 5 THEN y END)
+        |        + max(CASE WHEN bn = 10 THEN y END)
+        |        + max(CASE WHEN bn = 15 THEN y END)))
+        |    / (3.0 * (ln(5.0) * ln(5.0) + ln(10.0) * ln(10.0)
+        |      + ln(15.0) * ln(15.0))
+        |      - (ln(5.0) + ln(10.0) + ln(15.0))
+        |        * (ln(5.0) + ln(10.0) + ln(15.0)))
+        |    * 10000.0 + 0.5) / 10000.0 AS hurst
+        |FROM y GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q190_cross_corr" ->
+      """WITH r AS (SELECT event_type, day,
+        |    CAST(floor(least(greatest(
+        |      CAST(x AS DOUBLE) / CAST(lag(x) OVER w AS DOUBLE) - 1.0,
+        |      -10.0), 10.0) * 1000000.0 + 0.5) AS BIGINT) AS ri,
+        |    lag(x) OVER w AS p
+        |  FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+        |      CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |        / count(*) * 10000.0 + 0.5) AS BIGINT) AS x
+        |    FROM events GROUP BY 1, 2)
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |f AS (SELECT event_type, day, ri FROM r
+        |  WHERE p IS NOT NULL AND p <> 0),
+        |j AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.ri AS x, b.ri AS y
+        |  FROM f a JOIN f b
+        |    ON a.day = b.day AND a.event_type < b.event_type),
+        |s AS (SELECT type_a, type_b, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM j GROUP BY 1, 2)
+        |SELECT type_a, type_b, n AS n_days,
+        |  floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS r
+        |FROM s ORDER BY type_a, type_b""".stripMargin
   )
 }
