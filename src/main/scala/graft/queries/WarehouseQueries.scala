@@ -1699,6 +1699,77 @@ object WarehouseQueries {
         .orderBy("event_type")
     },
 
+    // Multi-touch attribution, linear + time-decay in one pass: each
+    // purchase joins its prior 7-day click/view touches per user (keyed
+    // range join), decay weights are 2^-age_days — exactly representable
+    // doubles whose per-conversion sum is order-independent — and both
+    // credit shares are integer-gridded per touch BEFORE the channel
+    // rollup, so the final sums are exact int64. Complements q127's
+    // last-touch rule with the fractional models.
+    "q191_multi_touch" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("_pu"), col("event_id").as("_pid"),
+          col("ts").as("_pts"))
+      val touches = ev
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("_tu"), col("event_type").as("channel"),
+          col("ts").as("_tts"))
+      val w = Window.partitionBy(col("_pid"))
+      purchases.join(touches, col("_pu") === col("_tu")
+          && col("_tts") < col("_pts")
+          && unix_micros(col("_pts")) - unix_micros(col("_tts"))
+            <= lit(7L * 86400000000L))
+        .withColumn("_age", expr(
+          "(unix_micros(_pts) - unix_micros(_tts)) div 86400000000"))
+        .withColumn("_w", pow(lit(0.5), col("_age").cast("double")))
+        .withColumn("_sw", sum(col("_w")).over(w))
+        .withColumn("_k", count(lit(1)).over(w))
+        .withColumn("_decay",
+          floor(col("_w") / col("_sw") * lit(1000000.0) + lit(0.5)))
+        .withColumn("_linear",
+          floor(lit(1000000.0) / col("_k") + lit(0.5)))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("_pid")).as("n_conversions"),
+          fr(sum(col("_linear")).cast("double") / lit(1000000.0), 4)
+            .as("linear_credit"),
+          fr(sum(col("_decay")).cast("double") / lit(1000000.0), 4)
+            .as("decay_credit"))
+        .orderBy("channel")
+    },
+
+    // Holt double exponential smoothing (level + trend, α=0.3, β=0.2)
+    // per event type: the inherently sequential recurrence runs as an
+    // ordered struct-state fold over the calendar-bounded daily array —
+    // seed (l₀=v₁, b₀=v₂−v₁), then l' = αx + (1−α)(l+b),
+    // b' = β(l'−l) + (1−β)b, the literal op order both engines replay.
+    // The one-step-ahead forecast l+b falls out at the end.
+    "q192_holt" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg((floor(decSum(col("value")).cast("double") / count(lit(1))
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("_v"))
+      def lNew(acc: Column, x: Column): Column =
+        lit(0.3) * x + lit(0.7) * (acc.getField("l") + acc.getField("b"))
+      daily.groupBy(col("event_type"))
+        .agg(transform(array_sort(collect_list(struct(col("day"),
+          col("_v")))), e => e.getField("_v")).as("_vs"))
+        .filter(size(col("_vs")) >= 2)
+        .withColumn("_st", aggregate(
+          slice(col("_vs"), lit(3), greatest(size(col("_vs")) - 2, lit(0))),
+          struct(element_at(col("_vs"), 1).as("l"),
+            (element_at(col("_vs"), 2) - element_at(col("_vs"), 1)).as("b")),
+          (acc, x) => struct(lNew(acc, x).as("l"),
+            (lit(0.2) * (lNew(acc, x) - acc.getField("l"))
+              + lit(0.8) * acc.getField("b")).as("b"))))
+        .select(col("event_type"), size(col("_vs")).as("n_days"),
+          fr(col("_st.l"), 6).as("level"),
+          fr(col("_st.b"), 6).as("trend"),
+          fr(col("_st.l") + col("_st.b"), 6).as("forecast_next"))
+        .orderBy("event_type")
+    },
+
     // Cross-series correlation of daily returns between event-type pairs,
     // aligned by day: the 6 dp-scaled integer returns (q169's base) join
     // on the calendar day and the Pearson combine runs off exact int64
@@ -2949,6 +3020,55 @@ object WarehouseQueries {
         |    floor(CAST(wv - prev AS DOUBLE) / CAST(prev AS DOUBLE)
         |      * 1000000.0 + 0.5) / 1000000.0 END AS wow_growth
         |FROM l ORDER BY event_type, week""".stripMargin,
+
+    "q191_multi_touch" ->
+      """WITH p AS (SELECT user_id AS pu, event_id AS pid, ts AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id AS tu, event_type AS channel, ts AS tts
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT p.pid, t.channel,
+        |    (epoch_us(p.pts) - epoch_us(t.tts)) // 86400000000 AS age
+        |  FROM p JOIN t ON p.pu = t.tu AND t.tts < p.pts
+        |    AND epoch_us(p.pts) - epoch_us(t.tts) <= 7 * 86400000000),
+        |w AS (SELECT pid, channel,
+        |    power(0.5, CAST(age AS DOUBLE)) AS w,
+        |    sum(power(0.5, CAST(age AS DOUBLE))) OVER (PARTITION BY pid)
+        |      AS sw,
+        |    count(*) OVER (PARTITION BY pid) AS k
+        |  FROM j),
+        |g AS (SELECT pid, channel,
+        |    CAST(floor(w / sw * 1000000.0 + 0.5) AS BIGINT) AS decay,
+        |    CAST(floor(1000000.0 / k + 0.5) AS BIGINT) AS lin
+        |  FROM w)
+        |SELECT channel, count(*) AS n_touches,
+        |  count(DISTINCT pid) AS n_conversions,
+        |  floor(CAST(sum(lin) AS DOUBLE) / 1000000.0 * 10000.0 + 0.5)
+        |    / 10000.0 AS linear_credit,
+        |  floor(CAST(sum(decay) AS DOUBLE) / 1000000.0 * 10000.0 + 0.5)
+        |    / 10000.0 AS decay_credit
+        |FROM g GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q192_holt" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 1000000.0 + 0.5) / 1000000.0 AS v
+        |  FROM events GROUP BY 1, 2),
+        |arr AS (SELECT event_type, list(v ORDER BY day) AS vs
+        |  FROM daily GROUP BY event_type),
+        |f AS (SELECT event_type, len(vs) AS n_days,
+        |    list_reduce(
+        |      list_prepend([vs[1], vs[2] - vs[1]],
+        |        list_transform(vs[3:], v -> [v, CAST(0.0 AS DOUBLE)])),
+        |      (a, x) -> [0.3 * x[1] + 0.7 * (a[1] + a[2]),
+        |        0.2 * ((0.3 * x[1] + 0.7 * (a[1] + a[2])) - a[1])
+        |          + 0.8 * a[2]]) AS st
+        |  FROM arr WHERE len(vs) >= 2)
+        |SELECT event_type, CAST(n_days AS INT) AS n_days,
+        |  floor(st[1] * 1000000.0 + 0.5) / 1000000.0 AS level,
+        |  floor(st[2] * 1000000.0 + 0.5) / 1000000.0 AS trend,
+        |  floor((st[1] + st[2]) * 1000000.0 + 0.5) / 1000000.0
+        |    AS forecast_next
+        |FROM f ORDER BY event_type""".stripMargin,
 
     "q189_hurst" ->
       """WITH daily0 AS (SELECT event_type, CAST(ts AS DATE) AS day,
