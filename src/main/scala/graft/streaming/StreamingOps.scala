@@ -537,4 +537,50 @@ object StreamingOps {
           }
       }
   }
+
+  final case class DebEvent(userId: Long, eventType: String, ts: Timestamp,
+                            eventId: Long)
+
+  /** Streaming debounce — the live form of batch q186's stateless-lag
+    * rule: an event is suppressed when it arrives within `quietUs` of
+    * the PREVIOUS event on its (user, type) key — the previous event,
+    * not the previous kept one, so the batch `lag()` window and this
+    * stateful form agree row for row on an in-order feed (the spec pins
+    * that equality). State is ONE timestamp per active key, retired by
+    * event-time timeout once the key sits quiet past `retention` — at
+    * firehose scale the state store holds O(active keys), never history.
+    */
+  def streamingDebounce(events: Dataset[DebEvent],
+                        quietUs: Long = 5000000L,
+                        delay: String = "1 minute",
+                        retention: String = "1 hour"): Dataset[DebEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(e => (e.userId, e.eventType))
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+        (_: (Long, String), rows: Iterator[DebEvent],
+         state: GroupState[LastSeen]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+            var lastUs = state.getOption.map(_.tsMicros)
+              .getOrElse(Long.MinValue)
+            val out = Seq.newBuilder[DebEvent]
+            for (e <- sorted) {
+              val us = e.ts.getTime * 1000L
+              if (lastUs == Long.MinValue || us - lastUs > quietUs) out += e
+              lastUs = us
+            }
+            state.update(LastSeen(lastUs))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1,
+                Math.floorDiv(lastUs, 1000L)), retention)
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -699,4 +699,40 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(a.zip(b).forall { case (x, y) => x == y },
       "operator and decorrelated forms agree row-for-row")
   }
+
+  test("streaming debounce matches the batch lag rule; quiet keys retire state") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    import StreamingOps.DebEvent
+    def ts(sec: Int) = Timestamp.from(
+      Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec))
+    // u1/click: 0s keeps (no prev), 3s drops (gap 3 ≤ 5), 9s keeps
+    // (gap from the previous EVENT at 3s is 6 > 5 — the dropped event
+    // still counts as "previous"), 12s drops (gap 3 from 9s).
+    val rows = Seq(
+      DebEvent(1L, "click", ts(0), 1L), DebEvent(1L, "click", ts(3), 2L),
+      DebEvent(1L, "click", ts(9), 3L), DebEvent(1L, "click", ts(12), 4L),
+      DebEvent(1L, "view", ts(1), 5L),  // separate key: kept
+      DebEvent(2L, "click", ts(2), 6L)) // separate key: kept
+    val mem = MemoryStream[DebEvent]
+    val out = StreamingOps.streamingDebounce(mem.toDS())
+    val q = out.writeStream.format("memory")
+      .queryName("deb_out").outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val kept = spark.table("deb_out").as[DebEvent].collect()
+      .map(_.eventId).toSet
+    q.stop()
+    // batch form of the q186 rule on the same rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("userId"), col("eventType"))
+      .orderBy(col("ts"), col("eventId"))
+    val batch = rows.toDS().toDF()
+      .withColumn("_prev", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("_prev").isNull
+        || unix_micros(col("ts")) - col("_prev") > 5000000L)
+      .select("eventId").as[Long].collect().toSet
+    assert(kept == batch, s"stream $kept vs batch $batch")
+    assert(kept == Set(1L, 3L, 5L, 6L), s"keep-set: $kept")
+  }
 }
