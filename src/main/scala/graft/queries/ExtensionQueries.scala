@@ -1385,6 +1385,63 @@ object ExtensionQueries {
           sum(when(col("_sz") >= 2, 1L).otherwise(0L)).as("n_multi"))
         .filter(col("n_docs") >= 2)
         .orderBy("block")
+    },
+
+    // Corpus length power law: document lengths bucket into log2 octaves
+    // and ln(count) regresses on the octave index — the standard check
+    // that a crawl's length distribution has the expected heavy tail.
+    // Bucket counts are exact ints; the two double sums (Σy, Σxy) fold
+    // in bucket order over the ≤40-row octave census.
+    "q195_length_power_law" -> { (s, d) =>
+      val census = Tables.documents(s, d)
+        .select(floor(log2(col("n_chars").cast("double"))).as("_b"))
+        .groupBy(col("_b")).agg(count(lit(1)).as("_c"))
+        .filter(col("_c") >= 5)
+        .withColumn("_y", log(col("_c").cast("double")))
+        .withColumn("_t", col("_b").cast("double") * col("_y"))
+      val agg = census.agg(count(lit(1)).as("_n"),
+        sum(col("_b")).as("_sx"), sum(col("_b") * col("_b")).as("_sxx"),
+        aggregate(transform(array_sort(collect_list(struct(col("_b"),
+          col("_y")))), e => e.getField("_y")),
+          lit(0.0), (a, x) => a + x).as("_sy"),
+        aggregate(transform(array_sort(collect_list(struct(col("_b"),
+          col("_t")))), e => e.getField("_t")),
+          lit(0.0), (a, x) => a + x).as("_sxy"))
+      agg
+        .withColumn("_slope", (col("_n").cast("double") * col("_sxy")
+          - col("_sx").cast("double") * col("_sy"))
+          / (col("_n").cast("double") * col("_sxx").cast("double")
+            - col("_sx").cast("double") * col("_sx").cast("double")))
+        .select(col("_n").as("n_buckets"),
+          fr(col("_slope"), 4).as("slope"),
+          fr((col("_sy") - col("_slope") * col("_sx").cast("double"))
+            / col("_n").cast("double"), 4).as("intercept"))
+    },
+
+    // Zipf slope of the vocabulary: ln(freq) vs ln(rank) over the top-50
+    // terms (rank pinned by the (cnt DESC, token) total order). All four
+    // regression sums fold in rank order over the 50-row array — the
+    // corpus-health twin of q195, checking the rank-frequency law.
+    "q196_vocab_zipf" -> { (s, d) =>
+      val top = TextAnalysis.vocabulary(Tables.documents(s, d), "text")
+        .orderBy(col("cnt").desc, col("token")).limit(50)
+        .withColumn("_rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("token"))))
+        .withColumn("_x", log(col("_rank").cast("double")))
+        .withColumn("_y", log(col("cnt").cast("double")))
+      def fold(field: String): org.apache.spark.sql.Column =
+        aggregate(transform(array_sort(collect_list(struct(col("_rank"),
+          col("_x"), col("_y"), (col("_x") * col("_y")).as("_xy"),
+          (col("_x") * col("_x")).as("_xx")))),
+          e => e.getField(field)), lit(0.0), (a, x) => a + x)
+      top.agg(count(lit(1)).as("_n"), fold("_x").as("_sx"),
+          fold("_y").as("_sy"), fold("_xy").as("_sxy"),
+          fold("_xx").as("_sxx"))
+        .select(col("_n").as("n_terms"),
+          fr((col("_n").cast("double") * col("_sxy")
+            - col("_sx") * col("_sy"))
+            / (col("_n").cast("double") * col("_sxx")
+              - col("_sx") * col("_sx")), 4).as("zipf_slope"))
     }
   )
 
@@ -2870,7 +2927,55 @@ object ExtensionQueries {
         |  CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_multi
         |FROM sz GROUP BY blk HAVING sum(sz) >= 2
-        |ORDER BY block""".stripMargin
+        |ORDER BY block""".stripMargin,
+
+    "q195_length_power_law" ->
+      """WITH census AS (SELECT
+        |    CAST(floor(log2(CAST(n_chars AS DOUBLE))) AS BIGINT) AS b,
+        |    count(*) AS c
+        |  FROM documents GROUP BY 1),
+        |f AS (SELECT b, c, ln(CAST(c AS DOUBLE)) AS y,
+        |    CAST(b AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS t
+        |  FROM census WHERE c >= 5),
+        |a AS (SELECT count(*) AS n,
+        |    CAST(sum(b) AS BIGINT) AS sx,
+        |    CAST(sum(b * b) AS BIGINT) AS sxx,
+        |    list_sum(list(y ORDER BY b)) AS sy,
+        |    list_sum(list(t ORDER BY b)) AS sxy
+        |  FROM f),
+        |sl AS (SELECT n, sx, sy,
+        |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+        |  FROM a)
+        |SELECT n AS n_buckets,
+        |  floor(slope * 10000.0 + 0.5) / 10000.0 AS slope,
+        |  floor((sy - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS intercept
+        |FROM sl""".stripMargin,
+
+    "q196_vocab_zipf" ->
+      """WITH v AS (SELECT t AS token, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+        |      '\s+')) AS t FROM documents)
+        |  WHERE t <> '' GROUP BY t ORDER BY cnt DESC, token LIMIT 50),
+        |r AS (SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, token) AS rank
+        |  FROM v),
+        |x AS (SELECT rank, ln(CAST(rank AS DOUBLE)) AS x,
+        |    ln(CAST(cnt AS DOUBLE)) AS y
+        |  FROM r),
+        |a AS (SELECT count(*) AS n,
+        |    list_sum(list(x ORDER BY rank)) AS sx,
+        |    list_sum(list(y ORDER BY rank)) AS sy,
+        |    list_sum(list(x * y ORDER BY rank)) AS sxy,
+        |    list_sum(list(x * x ORDER BY rank)) AS sxx
+        |  FROM x)
+        |SELECT n AS n_terms,
+        |  floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n AS DOUBLE) * sxx - sx * sx)
+        |    * 10000.0 + 0.5) / 10000.0 AS zipf_slope
+        |FROM a""".stripMargin
   )
 
   /** Shared oracle prefix for q112/q113: the full PQ training replay —

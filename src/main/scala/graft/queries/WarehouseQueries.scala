@@ -1770,6 +1770,82 @@ object WarehouseQueries {
         .orderBy("event_type")
     },
 
+    // Two-proportion A/B z-test on user conversion (variant = user_id
+    // parity — the deterministic hash-split stand-in): counts are exact
+    // ints, and the pooled-variance z statistic is one literal double
+    // sequence from them. The whole query is two keyed aggregates.
+    "q193_ab_test" -> { (s, d) =>
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase"
+          && col("value") > 300, 1L).otherwise(0L)).as("_conv"))
+        .withColumn("_variant", pmod(col("user_id"), lit(2)))
+      val g = users.groupBy(col("_variant"))
+        .agg(count(lit(1)).as("_n"), sum(col("_conv")).as("_c"))
+      val one = g.agg(
+        max(when(col("_variant") === 0, col("_n"))).as("_na"),
+        max(when(col("_variant") === 0, col("_c"))).as("_ca"),
+        max(when(col("_variant") === 1, col("_n"))).as("_nb"),
+        max(when(col("_variant") === 1, col("_c"))).as("_cb"))
+      val pa = col("_ca").cast("double") / col("_na").cast("double")
+      val pb = col("_cb").cast("double") / col("_nb").cast("double")
+      val pp = (col("_ca") + col("_cb")).cast("double") /
+        (col("_na") + col("_nb")).cast("double")
+      one.select(col("_na").as("n_a"), col("_ca").as("conv_a"),
+        col("_nb").as("n_b"), col("_cb").as("conv_b"),
+        fr(pa, 6).as("p_a"), fr(pb, 6).as("p_b"),
+        // degenerate pooled rate (all or none convert) → z undefined
+        when(col("_ca") + col("_cb") > 0
+          && col("_ca") + col("_cb") < col("_na") + col("_nb"),
+          fr((pa - pb) / sqrt(pp * (lit(1.0) - pp)
+            * (lit(1.0) / col("_na").cast("double")
+              + lit(1.0) / col("_nb").cast("double"))), 4)).as("z"))
+    },
+
+    // Deterministic Poisson bootstrap CI for the mean event value per
+    // type: 20 resample replicas whose per-row weights come from the
+    // inverse Poisson(1) CDF applied to an md5-derived uniform — the SAME
+    // hex math on both engines, so the "random" replicas replay exactly.
+    // Replica means are exact integer-cents ratios; the 90% CI reads the
+    // 2nd/19th order statistics off the 20 replica means per key. The
+    // explode is a bounded ×20 of the scan, all map-side until the
+    // (type, rep) aggregate.
+    "q194_bootstrap_ci" -> { (s, d) =>
+      val reps = s.range(1, 21).select(col("id").cast("int").as("rep"))
+      val t = Seq(0.36787944117144233, 0.7357588823428847,
+        0.9196986029286058, 0.9810118431238462)
+      val base = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * lit(100.0) + lit(0.5)).as("_v"))
+        .crossJoin(broadcast(reps))
+        .withColumn("_u",
+          conv(substring(md5(concat_ws(":", col("event_id"), col("rep"))),
+            1, 6), 16, 10).cast("long").cast("double") / lit(16777216.0))
+        .withColumn("_w",
+          when(col("_u") < t(0), 0L).when(col("_u") < t(1), 1L)
+            .when(col("_u") < t(2), 2L).when(col("_u") < t(3), 3L)
+            .otherwise(4L))
+      val repMeans = base.groupBy(col("event_type"), col("rep"))
+        .agg(sum(col("_w")).as("_sw"), sum(col("_w") * col("_v")).as("_swx"))
+        .withColumn("_m", col("_swx").cast("double")
+          / col("_sw").cast("double") / lit(100.0))
+      val wRank = Window.partitionBy(col("event_type"))
+        .orderBy(col("_m"), col("rep"))
+      val ci = repMeans.withColumn("_rn", row_number().over(wRank))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_reps"),
+          max(when(col("_rn") === 2, col("_m"))).as("_lo"),
+          max(when(col("_rn") === 19, col("_m"))).as("_hi"))
+      val point = Tables.events(s, d).groupBy(col("event_type").as("_et"))
+        .agg((decSum(col("value")).cast("double") / count(lit(1)))
+          .as("_mean"))
+      ci.join(broadcast(point), col("event_type") === col("_et"))
+        .select(col("event_type"), col("n_reps"),
+          fr(col("_mean"), 6).as("mean"),
+          fr(col("_lo"), 6).as("ci_lo"), fr(col("_hi"), 6).as("ci_hi"))
+        .orderBy("event_type")
+    },
+
     // Cross-series correlation of daily returns between event-type pairs,
     // aligned by day: the 6 dp-scaled integer returns (q169's base) join
     // on the calendar day and the Pearson combine runs off exact int64
@@ -3020,6 +3096,74 @@ object WarehouseQueries {
         |    floor(CAST(wv - prev AS DOUBLE) / CAST(prev AS DOUBLE)
         |      * 1000000.0 + 0.5) / 1000000.0 END AS wow_growth
         |FROM l ORDER BY event_type, week""".stripMargin,
+
+    "q193_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 300
+        |      THEN 1 ELSE 0 END) AS conv,
+        |    user_id % 2 AS variant
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT variant, count(*) AS n, CAST(sum(conv) AS BIGINT)
+        |    AS c
+        |  FROM u GROUP BY variant),
+        |o AS (SELECT
+        |    max(CASE WHEN variant = 0 THEN n END) AS na,
+        |    max(CASE WHEN variant = 0 THEN c END) AS ca,
+        |    max(CASE WHEN variant = 1 THEN n END) AS nb,
+        |    max(CASE WHEN variant = 1 THEN c END) AS cb
+        |  FROM g)
+        |SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+        |  floor(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS p_a,
+        |  floor(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS p_b,
+        |  CASE WHEN ca + cb > 0 AND ca + cb < na + nb THEN
+        |    floor((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |        - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      / sqrt((CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |        * (1.0 - CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |        * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))
+        |      * 10000.0 + 0.5) / 10000.0 END AS z
+        |FROM o""".stripMargin,
+
+    "q194_bootstrap_ci" ->
+      """WITH base AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v, r.rep
+        |  FROM events CROSS JOIN
+        |    (SELECT unnest(generate_series(1, 20)) AS rep) r),
+        |w AS (SELECT event_type, rep, v,
+        |    CAST(CAST(('0x' || substr(md5(concat(
+        |      CAST(event_id AS VARCHAR), ':', CAST(rep AS VARCHAR))),
+        |      1, 6)) AS BIGINT) AS DOUBLE) / 16777216.0 AS u
+        |  FROM base),
+        |ww AS (SELECT event_type, rep, v,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |      WHEN u < 0.7357588823428847 THEN 1
+        |      WHEN u < 0.9196986029286058 THEN 2
+        |      WHEN u < 0.9810118431238462 THEN 3 ELSE 4 END AS w
+        |  FROM w),
+        |rm AS (SELECT event_type, rep,
+        |    CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS DOUBLE) / 100.0
+        |      AS m
+        |  FROM ww GROUP BY 1, 2),
+        |rk AS (SELECT event_type, m,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY m, rep)
+        |      AS rn
+        |  FROM rm),
+        |ci AS (SELECT event_type, count(*) AS n_reps,
+        |    max(CASE WHEN rn = 2 THEN m END) AS lo,
+        |    max(CASE WHEN rn = 19 THEN m END) AS hi
+        |  FROM rk GROUP BY event_type),
+        |pt AS (SELECT event_type AS et,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        |      AS mean
+        |  FROM events GROUP BY 1)
+        |SELECT ci.event_type, ci.n_reps,
+        |  floor(pt.mean * 1000000.0 + 0.5) / 1000000.0 AS mean,
+        |  floor(ci.lo * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+        |  floor(ci.hi * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
+        |FROM ci JOIN pt ON ci.event_type = pt.et
+        |ORDER BY ci.event_type""".stripMargin,
 
     "q191_multi_touch" ->
       """WITH p AS (SELECT user_id AS pu, event_id AS pid, ts AS pts
