@@ -1846,6 +1846,120 @@ object WarehouseQueries {
         .orderBy("event_type")
     },
 
+    // Corpus-health dashboard: the single-row summary a data-curation
+    // team reads before a training run — exact-dup rate (md5 census),
+    // token budget, mean quality (per-doc 4 dp-gridded scores summed in
+    // int64), language diversity and the modal language under a pinned
+    // tie-break. One scan plus a 20-row language census; every number is
+    // exact, so the row doubles as a pipeline regression fingerprint.
+    "q200_corpus_health" -> { (s, d) =>
+      val base = graft.operators.TextAnalysis
+        .qualityClassifier(Tables.documents(s, d), "text")
+        .select(md5(col("text")).as("_h"),
+          floor(col("quality_score") * lit(10000.0) + lit(0.5)).as("_q"),
+          size(split(trim(col("text")), "\\s+")).as("_tok"),
+          col("lang"))
+      val top = base.groupBy(col("lang")).agg(count(lit(1)).as("_lc"))
+        .withColumn("_rn", row_number().over(
+          Window.orderBy(col("_lc").desc, col("lang"))))
+        .filter(col("_rn") === 1)
+        .select(col("lang").as("top_lang"), col("_lc").as("top_lang_docs"))
+      base.agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("_h")).as("_dh"),
+          sum(col("_q")).as("_sq"),
+          sum(col("_tok").cast("long")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+        .crossJoin(broadcast(top))
+        .select(col("n_docs"),
+          fr((col("n_docs") - col("_dh")).cast("double")
+            / col("n_docs").cast("double"), 6).as("dup_rate"),
+          col("total_tokens"),
+          fr(col("_sq").cast("double") / col("n_docs") / lit(10000.0), 6)
+            .as("mean_quality"),
+          col("n_langs"), col("top_lang"), col("top_lang_docs"))
+    },
+
+    // Item-item co-occurrence cosine (the collaborative-filtering prep
+    // step): parts pair within an order via a self-join on the order key
+    // — bounded by order width, never parts² — and cosine =
+    // c_ij/√(c_i·c_j) comes from exact distinct-order counts. Top-10
+    // under the (cosine DESC, part_a, part_b) total order, taken with
+    // rounded cosines so the ordering is engine-stable.
+    "q197_item_cooccurrence" -> { (s, d) =>
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("_o"), col("l_partkey").as("_p"))
+        .distinct()
+      val cnt = op.groupBy(col("_p").as("_pc"))
+        .agg(count(lit(1)).as("_ci"))
+      val pairs = op.join(op.select(col("_o").as("_o2"),
+          col("_p").as("_q")), col("_o") === col("_o2")
+          && col("_p") < col("_q"))
+        .groupBy(col("_p").as("part_a"), col("_q").as("part_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(cnt), col("part_a") === col("_pc"))
+        .withColumnRenamed("_ci", "_ca").drop("_pc")
+        .join(broadcast(cnt), col("part_b") === col("_pc"))
+        .withColumnRenamed("_ci", "_cb").drop("_pc")
+        .select(col("part_a"), col("part_b"), col("n_both"),
+          fr(col("n_both").cast("double")
+            / sqrt(col("_ca").cast("double") * col("_cb").cast("double")),
+            6).as("cosine"))
+        .orderBy(col("cosine").desc, col("part_a"), col("part_b"))
+        .limit(10)
+    },
+
+    // Degree distribution power-law fit over the supplier→part bipartite
+    // graph: per-supplier distinct-part degrees census, then the
+    // continuous MLE α = 1 + n / Σ f·ln(d/(dmin−½)) with the log fold in
+    // degree order over the bounded census. The graph-health twin of
+    // q195/q196's corpus laws.
+    "q198_degree_powerlaw" -> { (s, d) =>
+      val degrees = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("_deg"))
+        .groupBy(col("_deg")).agg(count(lit(1)).as("_f"))
+        .withColumn("_t", col("_f").cast("double")
+          * log(col("_deg").cast("double") / lit(0.5)))
+      degrees.agg(sum(col("_f")).as("_n"), min(col("_deg")).as("_dmin"),
+          max(col("_deg")).as("_dmax"),
+          aggregate(transform(array_sort(collect_list(struct(col("_deg"),
+            col("_t")))), e => e.getField("_t")),
+            lit(0.0), (a, x) => a + x).as("_sl"))
+        .select(col("_n").as("n_nodes"), col("_dmin").as("d_min"),
+          col("_dmax").as("d_max"),
+          fr(lit(1.0) + col("_n").cast("double") / col("_sl"), 4)
+            .as("alpha"))
+    },
+
+    // Week-over-week audience overlap: Jaccard of consecutive weekly
+    // active-user sets — intersection via a keyed self-join on the
+    // distinct (week, user) census, union by inclusion-exclusion, all
+    // exact ints. The retention-overlap complement to q151's rolling WAU.
+    "q199_week_overlap" -> { (s, d) =>
+      val wk = Tables.events(s, d)
+        .select(floor(
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            / lit(7)).as("_w"), col("user_id"))
+        .distinct()
+      val sizes = wk.groupBy(col("_w")).agg(count(lit(1)).as("_n"))
+      val common = wk.join(wk.select((col("_w") - 1).as("_w"),
+          col("user_id")), Seq("_w", "user_id"))
+        .groupBy(col("_w")).agg(count(lit(1)).as("_common"))
+      sizes
+        .join(sizes.select((col("_w") - 1).as("_w"), col("_n").as("_n2")),
+          Seq("_w"))
+        .join(common, Seq("_w"), "left")
+        .withColumn("_c", coalesce(col("_common"), lit(0L)))
+        .select(col("_w").as("week_a"), (col("_w") + 1).as("week_b"),
+          col("_n").as("n_a"), col("_n2").as("n_b"),
+          col("_c").as("n_common"),
+          fr(col("_c").cast("double")
+            / (col("_n") + col("_n2") - col("_c")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy("week_a")
+    },
+
     // Cross-series correlation of daily returns between event-type pairs,
     // aligned by day: the 6 dp-scaled integer returns (q169's base) join
     // on the calendar day and the Pearson combine runs off exact int64
@@ -3096,6 +3210,100 @@ object WarehouseQueries {
         |    floor(CAST(wv - prev AS DOUBLE) / CAST(prev AS DOUBLE)
         |      * 1000000.0 + 0.5) / 1000000.0 END AS wow_growth
         |FROM l ORDER BY event_type, week""".stripMargin,
+
+    "q200_corpus_health" ->
+      """WITH t AS (SELECT doc_id, text, lang,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |z AS (SELECT doc_id, text, lang, toks,
+        |  -6.0
+        |  + 5.0 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |           AS DOUBLE) / greatest(length(text), 1))
+        |  + 4.0 * (CAST(length(list_filter(toks,
+        |           t -> t IN ('the','a','of','and','in','to','is')))
+        |           AS DOUBLE) / greatest(length(toks), 1))
+        |  + 0.25 * (CAST(length(text) - length(toks) + 1 AS DOUBLE)
+        |           / greatest(length(toks), 1))
+        |  + 0.6 * ln(1.0 + CAST(length(toks) AS DOUBLE)) AS z
+        |  FROM t),
+        |base AS (SELECT md5(text) AS h,
+        |    CAST(floor(1.0 / (1.0 + exp(-z)) * 10000.0 + 0.5) AS BIGINT)
+        |      AS q,
+        |    CAST(length(toks) AS BIGINT) AS tok, lang
+        |  FROM z),
+        |top AS (SELECT lang AS top_lang, c AS top_lang_docs
+        |  FROM (SELECT lang, count(*) AS c,
+        |      row_number() OVER (ORDER BY count(*) DESC, lang) AS rn
+        |    FROM base GROUP BY lang)
+        |  WHERE rn = 1),
+        |agg AS (SELECT count(*) AS n_docs,
+        |    count(DISTINCT h) AS dh,
+        |    CAST(sum(q) AS BIGINT) AS sq,
+        |    CAST(sum(tok) AS BIGINT) AS total_tokens,
+        |    count(DISTINCT lang) AS n_langs
+        |  FROM base)
+        |SELECT n_docs,
+        |  floor(CAST(n_docs - dh AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS dup_rate,
+        |  total_tokens,
+        |  floor(CAST(sq AS DOUBLE) / n_docs / 10000.0
+        |    * 1000000.0 + 0.5) / 1000000.0 AS mean_quality,
+        |  n_langs, top_lang, top_lang_docs
+        |FROM agg CROSS JOIN top""".stripMargin,
+
+    "q197_item_cooccurrence" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |cnt AS (SELECT p, count(*) AS ci FROM op GROUP BY p),
+        |pairs AS (SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_both
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2),
+        |x AS (SELECT part_a, part_b, n_both,
+        |    floor(CAST(n_both AS DOUBLE)
+        |      / sqrt(CAST(ca.ci AS DOUBLE) * CAST(cb.ci AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        |  FROM pairs
+        |  JOIN cnt ca ON pairs.part_a = ca.p
+        |  JOIN cnt cb ON pairs.part_b = cb.p)
+        |SELECT part_a, part_b, n_both, cosine FROM x
+        |ORDER BY cosine DESC, part_a, part_b LIMIT 10""".stripMargin,
+
+    "q198_degree_powerlaw" ->
+      """WITH deg AS (SELECT l_suppkey, count(*) AS d
+        |  FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+        |  GROUP BY l_suppkey),
+        |census AS (SELECT d, count(*) AS f FROM deg GROUP BY d),
+        |t AS (SELECT d, f,
+        |    CAST(f AS DOUBLE) * ln(CAST(d AS DOUBLE) / 0.5) AS t
+        |  FROM census),
+        |a AS (SELECT CAST(sum(f) AS BIGINT) AS n,
+        |    min(d) AS dmin, max(d) AS dmax,
+        |    list_sum(list(t ORDER BY d)) AS sl
+        |  FROM t)
+        |SELECT n AS n_nodes, dmin AS d_min, dmax AS d_max,
+        |  floor((1.0 + CAST(n AS DOUBLE) / sl) * 10000.0 + 0.5)
+        |    / 10000.0 AS alpha
+        |FROM a""".stripMargin,
+
+    "q199_week_overlap" ->
+      """WITH wk AS (SELECT DISTINCT
+        |    CAST(floor(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) / 7) AS BIGINT) AS w, user_id
+        |  FROM events),
+        |sizes AS (SELECT w, count(*) AS n FROM wk GROUP BY w),
+        |common AS (SELECT a.w, count(*) AS c
+        |  FROM wk a JOIN wk b ON a.user_id = b.user_id
+        |    AND b.w = a.w + 1
+        |  GROUP BY a.w)
+        |SELECT s1.w AS week_a, s1.w + 1 AS week_b,
+        |  s1.n AS n_a, s2.n AS n_b,
+        |  CAST(coalesce(common.c, 0) AS BIGINT) AS n_common,
+        |  floor(CAST(coalesce(common.c, 0) AS DOUBLE)
+        |    / CAST(s1.n + s2.n - coalesce(common.c, 0) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |FROM sizes s1
+        |JOIN sizes s2 ON s2.w = s1.w + 1
+        |LEFT JOIN common ON common.w = s1.w
+        |ORDER BY week_a""".stripMargin,
 
     "q193_ab_test" ->
       """WITH u AS (SELECT user_id,
