@@ -12,7 +12,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * ships (`jaro_winkler_similarity`), which is the cross-engine oracle:
   *  - operates on UTF-8 BYTES, not codepoints (identical for ASCII
   *    keys, and exactly what the oracle engine compares);
-  *  - match window = max(len)/2 − 1 (integer floor);
+  *  - match window = max(max(len)/2 − 1, 0) (integer floor, clamped —
+  *    pairs of ≤3-byte strings only match at exact positions);
   *  - transposition count = flagged-position mismatches, INTEGER-halved
   *    (`t /= 2`) before entering the similarity;
   *  - jaro = (m/len1 + m/len2 + (m−t)/m) / 3, summed in exactly that
@@ -59,7 +60,9 @@ object JaroWinkler {
     if (lp == 0 && lt == 0) return 1.0
     if (lp == 0 || lt == 0) return 0.0
 
-    val bound = math.max(lp, lt) / 2 - 1
+    // clamped at 0: for max-length ≤ 3 only exact positions match (the
+    // oracle library's behavior, verified on 1-3 byte pairs)
+    val bound = math.max(math.max(lp, lt) / 2 - 1, 0)
     val pFlags = new Array[Boolean](lp)
     val tFlags = new Array[Boolean](lt)
     var m = 0

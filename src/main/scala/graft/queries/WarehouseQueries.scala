@@ -1180,16 +1180,10 @@ object WarehouseQueries {
     // over the bounded census, and the expensive part is one map-side-
     // combined groupBy.
     "q170_var_es" -> { (s, d) =>
-      val wAsc = Window.partitionBy(col("event_type")).orderBy(col("_v"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wAll = Window.partitionBy(col("event_type"))
-      val census = dailyReturns(s, d)
-        .groupBy(col("event_type"), col("_r").as("_v"))
-        .agg(count(lit(1)).as("_f"))
-        .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
-        .withColumn("_n", sum(col("_f")).over(wAll))
+      val census = rankedCensus(dailyReturns(s, d), col("event_type"),
+          col("_r"))
         .withColumn("_k", expr("(_n + 19) div 20"))
-      census.groupBy(col("event_type"))
+      census.groupBy(col("_key").as("event_type"))
         .agg(max(col("_n")).as("n_ret"), max(col("_k")).as("_kk"),
           max(when(col("_cum") < col("_k")
             && col("_cum") + col("_f") >= col("_k"), col("_v"))).as("_var"),
@@ -1210,24 +1204,18 @@ object WarehouseQueries {
     // — integer cents end to end, one final double division. No window
     // or sort ever touches raw rows.
     "q171_winsorized_mean" -> { (s, d) =>
-      val wAsc = Window.partitionBy(col("_seg")).orderBy(col("_v"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wAll = Window.partitionBy(col("_seg"))
-      val census = Tables.customer(s, d)
-        .select(col("c_mktsegment").as("_seg"),
-          floor(col("c_acctbal") * lit(100.0) + lit(0.5)).as("_v"))
-        .groupBy(col("_seg"), col("_v")).agg(count(lit(1)).as("_f"))
-        .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
-        .withColumn("_n", sum(col("_f")).over(wAll))
+      val census = rankedCensus(Tables.customer(s, d),
+          col("c_mktsegment"),
+          floor(col("c_acctbal") * lit(100.0) + lit(0.5)))
         .withColumn("_klo", expr("(_n + 19) div 20"))
         .withColumn("_khi", expr("(19 * _n + 19) div 20"))
-      val bounds = census.groupBy(col("_seg").as("_bseg"))
+      val bounds = census.groupBy(col("_key").as("_bseg"))
         .agg(max(when(col("_cum") < col("_klo")
             && col("_cum") + col("_f") >= col("_klo"), col("_v"))).as("_lo"),
           max(when(col("_cum") < col("_khi")
             && col("_cum") + col("_f") >= col("_khi"), col("_v"))).as("_hi"))
-      census.join(broadcast(bounds), col("_seg") === col("_bseg"))
-        .groupBy(col("_seg").as("segment"))
+      census.join(broadcast(bounds), col("_key") === col("_bseg"))
+        .groupBy(col("_key").as("segment"))
         .agg(max(col("_n")).as("n"), max(col("_lo")).as("_l"),
           max(col("_hi")).as("_h"),
           sum(col("_f") * least(greatest(col("_v"), col("_lo")), col("_hi")))
@@ -1247,25 +1235,18 @@ object WarehouseQueries {
     // fr() divisions at the end are presentation only. Census join is a
     // 25-row broadcast.
     "q172_iqr_outliers" -> { (s, d) =>
-      val wAsc = Window.partitionBy(col("_b")).orderBy(col("_v"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wAll = Window.partitionBy(col("_b"))
-      val census = Tables.part(s, d)
-        .select(col("p_brand").as("_b"),
-          floor(col("p_retailprice") * lit(100.0) + lit(0.5)).as("_v"))
-        .groupBy(col("_b"), col("_v")).agg(count(lit(1)).as("_f"))
-        .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
-        .withColumn("_n", sum(col("_f")).over(wAll))
+      val census = rankedCensus(Tables.part(s, d), col("p_brand"),
+          floor(col("p_retailprice") * lit(100.0) + lit(0.5)))
         .withColumn("_k1", expr("(_n + 3) div 4"))
         .withColumn("_k3", expr("(3 * _n + 3) div 4"))
-      val bounds = census.groupBy(col("_b").as("_bb"))
+      val bounds = census.groupBy(col("_key").as("_bb"))
         .agg(max(when(col("_cum") < col("_k1")
             && col("_cum") + col("_f") >= col("_k1"), col("_v"))).as("_q1"),
           max(when(col("_cum") < col("_k3")
             && col("_cum") + col("_f") >= col("_k3"), col("_v"))).as("_q3"))
-      census.join(broadcast(bounds), col("_b") === col("_bb"))
+      census.join(broadcast(bounds), col("_key") === col("_bb"))
         .withColumn("_iqr", col("_q3") - col("_q1"))
-        .groupBy(col("_b").as("brand"))
+        .groupBy(col("_key").as("brand"))
         .agg(max(col("_n")).as("n"), max(col("_q1")).as("_g1"),
           max(col("_q3")).as("_g3"),
           sum(when(lit(2) * col("_v") < lit(2) * col("_q1")
@@ -1314,34 +1295,28 @@ object WarehouseQueries {
     // scaled-integer form of dev > 4.4478·mad). Nothing double except
     // the two presentation divisions.
     "q177_mad" -> { (s, d) =>
-      val wAsc = Window.partitionBy(col("_seg")).orderBy(col("_v"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wAll = Window.partitionBy(col("_seg"))
-      val census = Tables.customer(s, d)
-        .select(col("c_mktsegment").as("_seg"),
-          floor(col("c_acctbal") * lit(100.0) + lit(0.5)).as("_v"))
-        .groupBy(col("_seg"), col("_v")).agg(count(lit(1)).as("_f"))
-        .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
-        .withColumn("_n", sum(col("_f")).over(wAll))
+      val census = rankedCensus(Tables.customer(s, d),
+          col("c_mktsegment"),
+          floor(col("c_acctbal") * lit(100.0) + lit(0.5)))
         .withColumn("_k", expr("(_n + 1) div 2"))
-      val med = census.groupBy(col("_seg").as("_ms"))
+      val med = census.groupBy(col("_key").as("_ms"))
         .agg(max(when(col("_cum") < col("_k")
           && col("_cum") + col("_f") >= col("_k"), col("_v"))).as("_med"),
           max(col("_n")).as("_mn"))
-      val wDev = Window.partitionBy(col("_seg")).orderBy(col("_dv"))
+      val wDev = Window.partitionBy(col("_key")).orderBy(col("_dv"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val devCensus = census.join(broadcast(med), col("_seg") === col("_ms"))
+      val devCensus = census.join(broadcast(med), col("_key") === col("_ms"))
         .withColumn("_dv", abs(col("_v") - col("_med")))
-        .groupBy(col("_seg"), col("_dv"))
+        .groupBy(col("_key"), col("_dv"))
         .agg(sum(col("_f")).as("_df"), max(col("_med")).as("_med2"),
           max(col("_mn")).as("_n2"))
         .withColumn("_dcum", coalesce(sum(col("_df")).over(wDev), lit(0L)))
         .withColumn("_k", expr("(_n2 + 1) div 2"))
-      val mad = devCensus.groupBy(col("_seg").as("_mads"))
+      val mad = devCensus.groupBy(col("_key").as("_mads"))
         .agg(max(when(col("_dcum") < col("_k")
           && col("_dcum") + col("_df") >= col("_k"), col("_dv"))).as("_mad"))
-      devCensus.join(broadcast(mad), col("_seg") === col("_mads"))
-        .groupBy(col("_seg").as("segment"))
+      devCensus.join(broadcast(mad), col("_key") === col("_mads"))
+        .groupBy(col("_key").as("segment"))
         .agg(max(col("_n2")).as("n"), max(col("_med2")).as("_m"),
           max(col("_mad")).as("_d"),
           sum(when(lit(10000L) * col("_dv") > lit(44478L) * col("_mad"),
@@ -1448,22 +1423,14 @@ object WarehouseQueries {
     // final blend — positions and values are exact ints). The n=1 /
     // frac=0 edge coalesces v_{k+1} to v_k.
     "q181_percentile_cont" -> { (s, d) =>
-      val wAsc = Window.partitionBy(col("_seg")).orderBy(col("_v"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wAll = Window.partitionBy(col("_seg"))
-      val census = Tables.customer(s, d)
-        .select(col("c_mktsegment").as("_seg"),
-          floor(col("c_acctbal") * lit(100.0) + lit(0.5)).as("_v"))
-        .groupBy(col("_seg"), col("_v")).agg(count(lit(1)).as("_f"))
-        .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
-        .withColumn("_n", sum(col("_f")).over(wAll))
-      census
+      rankedCensus(Tables.customer(s, d), col("c_mktsegment"),
+          floor(col("c_acctbal") * lit(100.0) + lit(0.5)))
         .crossJoin(broadcast(s.range(1).select(
           explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))))
         .withColumn("_h", (col("_n") - 1).cast("double") * col("p")
           + lit(1.0))
         .withColumn("_k", floor(col("_h")))
-        .groupBy(col("_seg").as("segment"), col("p"))
+        .groupBy(col("_key").as("segment"), col("p"))
         .agg(max(col("_n")).as("n"),
           max(when(col("_cum") < col("_k")
             && col("_cum") + col("_f") >= col("_k"), col("_v"))).as("_vk"),
@@ -1988,6 +1955,27 @@ object WarehouseQueries {
         .orderBy("type_a", "type_b")
     }
   )
+
+  /** Cumulated (key, value, freq) census — the shared substrate of every
+    * order-statistic query (q170/q171/q172/q177/q181 and the q136/q160
+    * family): one row per DISTINCT value per key with its frequency, the
+    * cumulative frequency strictly below it, and the key's total count.
+    * The k-th smallest value per key is then the census row whose run
+    * contains rank k: `_cum < k && _cum + _f >= k`. Windows cumulate over
+    * distinct values only — the 100 TB contract is that no sort or rank
+    * ever touches raw rows. Extracted so the property suite can pin the
+    * rank-selection identity against an independent sorted reference.
+    */
+  private[graft] def rankedCensus(df: DataFrame, keyCol: Column,
+                                  vExpr: Column): DataFrame = {
+    val wAsc = Window.partitionBy(col("_key")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("_key"))
+    df.select(keyCol.as("_key"), vExpr.as("_v"))
+      .groupBy(col("_key"), col("_v")).agg(count(lit(1)).as("_f"))
+      .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
+      .withColumn("_n", sum(col("_f")).over(wAll))
+  }
 
   /** Shared base for q169/q170: 6 dp-scaled integer daily returns of the
     * per-type mean event value, winsorized to ±10 so every downstream

@@ -517,4 +517,111 @@ class PropertySpec extends AnyFunSuite {
           s"case $i doc $id: tf-weighted $lp vs occurrence-mean ${naive(id)}")
     }
   }
+
+  test("rankedCensus rank selection equals sorted-list order statistics on random fixtures") {
+    import org.apache.spark.sql.functions.{col, expr, lit, max, when}
+    // adversarial: heavy ties (runs spanning several ranks), single-value
+    // groups, k at run boundaries — the cum < k <= cum+f containment is
+    // the line every census order-statistic query stands on
+    val caseGen = for {
+      nKeys <- Gen.chooseNum(1, 4)
+      n <- Gen.chooseNum(1, 200)
+      distinctVals <- Gen.chooseNum(1, 8)
+    } yield (nKeys, n, distinctVals)
+    for (((nKeys, n, distinctVals), i) <- samples(caseGen, 5).zipWithIndex) {
+      val rnd = new scala.util.Random(987L + i)
+      val rows = (0 until n).map { j =>
+        ("k" + (j % nKeys), (rnd.nextInt(distinctVals) * 37 - 55).toLong)
+      }
+      val census = graft.queries.WarehouseQueries
+        .rankedCensus(rows.toDF("key", "v"), col("key"), col("v"))
+      // three rank formulas in one pass: median, ceil(n/20), ceil(3n/4)
+      val got = census
+        .withColumn("_kmed", expr("(_n + 1) div 2"))
+        .withColumn("_k05", expr("(_n + 19) div 20"))
+        .withColumn("_k75", expr("(3 * _n + 3) div 4"))
+        .groupBy(col("_key"))
+        .agg(max(when(col("_cum") < col("_kmed")
+            && col("_cum") + col("_f") >= col("_kmed"), col("_v"))).as("m"),
+          max(when(col("_cum") < col("_k05")
+            && col("_cum") + col("_f") >= col("_k05"), col("_v"))).as("lo"),
+          max(when(col("_cum") < col("_k75")
+            && col("_cum") + col("_f") >= col("_k75"), col("_v"))).as("hi"),
+          max(col("_n")).as("n"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val want = rows.groupBy(_._1).map { case (k, grp) =>
+        val sorted = grp.map(_._2).sorted
+        val nn = sorted.length
+        def kth(k: Int) = sorted(k - 1) // 1-based
+        k -> (kth((nn + 1) / 2), kth((nn + 19) / 20),
+          kth((3 * nn + 3) / 4), nn.toLong)
+      }
+      assert(got.keySet == want.keySet, s"case $i keys")
+      for ((k, w) <- want)
+        assert(got(k) == w, s"case $i $k: got ${got(k)} want $w")
+    }
+  }
+
+  test("JaroWinkler equals a clean-room reference; symmetric; bounded") {
+    // independent reference: builds the matched subsequences explicitly
+    // (the expression counts transpositions with a rolling pointer), so a
+    // shared indexing bug can't hide
+    def ref(p: Array[Byte], t: Array[Byte]): Double = {
+      if (p.isEmpty && t.isEmpty) return 1.0
+      if (p.isEmpty || t.isEmpty) return 0.0
+      val bound = math.max(math.max(p.length, t.length) / 2 - 1, 0)
+      val usedP = Array.fill(p.length)(false)
+      val matchT = scala.collection.mutable.ArrayBuffer[Byte]()
+      val matchP = scala.collection.mutable.ArrayBuffer[Byte]()
+      val pIdx = scala.collection.mutable.ArrayBuffer[Int]()
+      for (i <- t.indices) {
+        val lo = math.max(0, i - bound)
+        val hi = math.min(p.length - 1, i + bound)
+        var j = lo
+        var done = false
+        while (j <= hi && !done) {
+          if (!usedP(j) && p(j) == t(i)) {
+            usedP(j) = true; matchT += t(i); pIdx += j; done = true
+          }
+          j += 1
+        }
+      }
+      if (matchT.isEmpty) return 0.0
+      // matched chars of p in p-order
+      for (j <- p.indices if usedP(j)) matchP += p(j)
+      val mismatches = matchT.indices.count(i => matchT(i) != matchP(i))
+      val m = matchT.length
+      val tHalf = mismatches / 2
+      var sim = 0.0
+      sim += m.toDouble / p.length
+      sim += m.toDouble / t.length
+      sim += (m.toDouble - tHalf.toDouble) / m.toDouble
+      sim /= 3.0
+      var prefix = 0
+      val maxPre = math.min(math.min(p.length, t.length), 4)
+      while (prefix < maxPre && p(prefix) == t(prefix)) prefix += 1
+      if (sim > 0.7) sim += prefix.toDouble * 0.1 * (1.0 - sim)
+      sim
+    }
+    val charGen = Gen.oneOf("abcdef".toSeq)
+    val strGen = for {
+      len <- Gen.chooseNum(0, 12)
+      cs <- Gen.listOfN(len, charGen)
+    } yield cs.mkString
+    val pairs = samples(Gen.zip(strGen, strGen), 300)
+    for ((a, b) <- pairs) {
+      val got = graft.plans.JaroWinkler
+        .similarity(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val want = ref(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      assert(got == want, s"'$a' vs '$b': got $got want $want")
+      val sym = graft.plans.JaroWinkler
+        .similarity(b.getBytes("UTF-8"), a.getBytes("UTF-8"))
+      assert(got == sym, s"'$a' vs '$b': asymmetric $got vs $sym")
+      assert(got >= 0.0 && got <= 1.0, s"'$a' vs '$b': out of range $got")
+      assert(graft.plans.JaroWinkler.similarity(
+        a.getBytes("UTF-8"), a.getBytes("UTF-8")) == 1.0, "identity is 1.0")
+    }
+  }
 }
