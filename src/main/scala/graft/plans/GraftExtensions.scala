@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shingleHashesPosDescriptor)
     ext.injectFunction(GraftExtensions.charEntropyDescriptor)
     ext.injectFunction(GraftExtensions.jaroWinklerDescriptor)
+    ext.injectFunction(GraftExtensions.damerauLevenshteinDescriptor)
   }
 }
 
@@ -225,6 +226,18 @@ object GraftExtensions {
         Cast(children(1), StringType))
     })
 
+  private[plans] val damerauLevenshteinDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("damerau_levenshtein"),
+    new ExpressionInfo(classOf[DamerauLevenshtein].getName,
+      "damerau_levenshtein"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "damerau_levenshtein(a, b) takes two strings")
+      DamerauLevenshtein(Cast(children.head, StringType),
+        Cast(children(1), StringType))
+    })
+
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit = {
     for ((id, info, builder) <- Seq(cosineSimDescriptor, tzLocalizeDescriptor,
@@ -232,7 +245,8 @@ object GraftExtensions {
         bloomMightContainDescriptor, shingleHashesDescriptor,
         stopwordLangCountsDescriptor, cjkCountDescriptor,
         misraGriesKeysDescriptor, shingleHashesPosDescriptor,
-        charEntropyDescriptor, jaroWinklerDescriptor))
+        charEntropyDescriptor, jaroWinklerDescriptor,
+        damerauLevenshteinDescriptor))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }

@@ -1442,6 +1442,25 @@ object ExtensionQueries {
             - col("_sx") * col("_sy"))
             / (col("_n").cast("double") * col("_sxx")
               - col("_sx") * col("_sx")), 4).as("zipf_slope"))
+    },
+
+    // Transposition-aware typo distance beside plain edit distance over
+    // the bounded distinct-name domain: DamerauLevenshteinExpr is the
+    // FULL Lowrance-Wagner metric (dl("CA","ABC")=2 where the common OSA
+    // shortcut says 3), exactly the oracle's algorithm, codegen-resident.
+    // The lev column sits alongside so the output exhibits the
+    // transposition savings ("red widget" vs "red widgte" type typos).
+    "q201_damerau_pairs" -> { (s, d) =>
+      graft.plans.GraftExtensions.register(s)
+      val names = Tables.part(s, d).select(col("p_name").as("a")).distinct()
+      val other = names.select(col("a").as("b"))
+      names.join(broadcast(other), col("a") < col("b"))
+        .withColumn("dl",
+          call_function("damerau_levenshtein", col("a"), col("b")))
+        .withColumn("lev", levenshtein(col("a"), col("b")))
+        .filter(col("dl") <= 5)
+        .select(col("a"), col("b"), col("dl"), col("lev"))
+        .orderBy("a", "b")
     }
   )
 
@@ -2975,7 +2994,16 @@ object ExtensionQueries {
         |  floor((CAST(n AS DOUBLE) * sxy - sx * sy)
         |    / (CAST(n AS DOUBLE) * sxx - sx * sx)
         |    * 10000.0 + 0.5) / 10000.0 AS zipf_slope
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    "q201_damerau_pairs" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS a, b.p_name AS b,
+        |  CAST(damerau_levenshtein(a.p_name, b.p_name) AS INT) AS dl,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 5
+        |ORDER BY a, b""".stripMargin
   )
 
   /** Shared oracle prefix for q112/q113: the full PQ training replay —

@@ -187,6 +187,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.sql("SELECT jaro_winkler(NULL, 'x')").collect()(0).isNullAt(0))
   }
 
+  test("damerau_levenshtein: full-DL values, null propagation, codegen-resident") {
+    GraftExtensions.register(spark)
+    import graft.plans.DamerauLevenshtein.{distance => dl}
+    def b(s: String) = s.getBytes("UTF-8")
+    // the canonical full-vs-OSA pair, plus oracle-verified samples
+    assert(dl(b("CA"), b("ABC")) == 2)
+    assert(dl(b("ab"), b("ba")) == 1)
+    assert(dl(b("abc"), b("acb")) == 1)
+    assert(dl(b(""), b("abc")) == 3 && dl(b("abc"), b("")) == 3)
+    assert(dl(b("kitten"), b("sitting")) == 3)
+    assert(dl(b("x"), b("x")) == 0)
+    graft.core.Tables.part(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("parts_dl")
+    val q = spark.sql(
+      "SELECT damerau_levenshtein(p_name, 'red widget') FROM parts_dl")
+    assert(q.count() > 0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expression stays inside codegen:\n$plan")
+    assert(spark.sql("SELECT damerau_levenshtein('x', NULL)")
+      .collect()(0).isNullAt(0))
+  }
+
   test("array expressions reject non-array arguments at analysis time") {
     GraftExtensions.register(spark)
     import spark.implicits._

@@ -624,4 +624,61 @@ class PropertySpec extends AnyFunSuite {
         a.getBytes("UTF-8"), a.getBytes("UTF-8")) == 1.0, "identity is 1.0")
     }
   }
+
+  test("DamerauLevenshtein equals BFS shortest-edit-path on random short pairs") {
+    // independent reference: breadth-first search over the op graph
+    // {insert, delete, substitute, adjacent-transpose} — the metric's
+    // DEFINITION, sharing nothing with the Lowrance-Wagner DP. Inserting
+    // a char absent from the target is never optimal, so the branching
+    // alphabet is the target's chars; length capped at max+1.
+    def bfs(a: String, b: String): Int = {
+      if (a == b) return 0
+      val alpha = b.distinct
+      val maxLen = math.max(a.length, b.length) + 1
+      var frontier = Set(a)
+      val seen = scala.collection.mutable.Set(a)
+      var dist = 0
+      while (true) {
+        dist += 1
+        val next = scala.collection.mutable.Set[String]()
+        for (s <- frontier) {
+          val moves = scala.collection.mutable.Set[String]()
+          for (i <- 0 until s.length) // delete
+            moves += s.substring(0, i) + s.substring(i + 1)
+          for (i <- 0 until s.length; c <- alpha if s(i) != c) // substitute
+            moves += s.substring(0, i) + c + s.substring(i + 1)
+          if (s.length < maxLen)
+            for (i <- 0 to s.length; c <- alpha) // insert
+              moves += s.substring(0, i) + c + s.substring(i)
+          for (i <- 0 until s.length - 1 if s(i) != s(i + 1)) // transpose
+            moves += s.substring(0, i) + s(i + 1) + s(i) + s.substring(i + 2)
+          for (m <- moves) {
+            if (m == b) return dist
+            if (!seen(m)) { seen += m; next += m }
+          }
+        }
+        frontier = next.toSet
+        if (frontier.isEmpty) return Int.MaxValue // unreachable (never)
+      }
+      -1
+    }
+    val charGen = Gen.oneOf("abc".toSeq)
+    val strGen = for {
+      len <- Gen.chooseNum(0, 4)
+      cs <- Gen.listOfN(len, charGen)
+    } yield cs.mkString
+    for ((a, b) <- samples(Gen.zip(strGen, strGen), 150)) {
+      val got = graft.plans.DamerauLevenshtein
+        .distance(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val want = bfs(a, b)
+      assert(got == want, s"'$a' -> '$b': got $got want $want")
+      // metric symmetry
+      val rev = graft.plans.DamerauLevenshtein
+        .distance(b.getBytes("UTF-8"), a.getBytes("UTF-8"))
+      assert(got == rev, s"'$a' vs '$b': asymmetric $got vs $rev")
+    }
+    // the OSA-vs-full distinguishing pair: full DL edits CA->AC->ABC
+    assert(graft.plans.DamerauLevenshtein
+      .distance("CA".getBytes, "ABC".getBytes) == 2)
+  }
 }
