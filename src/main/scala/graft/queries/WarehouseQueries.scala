@@ -1813,6 +1813,134 @@ object WarehouseQueries {
         .orderBy("event_type")
     },
 
+    // Rank-window trio (percent_rank / cume_dist / nth_value) over the
+    // calendar-bounded daily series — the three rank functions not yet
+    // pinned elsewhere, with nth_value under an explicit full frame so
+    // both engines read the same 2nd-smallest value through tied orders.
+    "q202_window_trio" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("_v"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg((floor(decSum(col("value")).cast("double") / count(lit(1))
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("_v"))
+        .select(col("event_type"), col("day"), col("_v").as("daily_mean"),
+          fr(percent_rank().over(w), 6).as("pr"),
+          fr(cume_dist().over(w), 6).as("cd"),
+          nth_value(col("_v"), 2).over(wFull).as("second_lowest"))
+        .orderBy("event_type", "day")
+    },
+
+    // Aggregate FILTER clause (the SQL:2003 form both engines support):
+    // conditional aggregation without CASE scaffolding, through identical
+    // query text on spark.sql — the resolver must produce the same
+    // filtered partial aggregates as the oracle.
+    "q203_filter_agg" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_fa_lineitem")
+      s.sql("""
+        SELECT l_returnflag,
+          count(*) AS n_all,
+          count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+          count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+          CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+              FILTER (WHERE l_tax > 0.04) AS DOUBLE)
+            * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+            / CAST(100 AS DOUBLE) AS taxed_revenue
+        FROM graft_fa_lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+
+    // Day-of-week × type activity heatmap. The dow index is pure integer
+    // math off the epoch-day number ((daynum + 0) % 7 with 2024-01-01 a
+    // Monday → 0=Mon..6=Sun) — engine dow() builtins disagree on week
+    // start, so the portable form never calls them. Value mass in exact
+    // DECIMAL beside the count.
+    "q204_dow_heatmap" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("_dow", pmod(
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")),
+          lit(7)))
+        .groupBy(col("event_type"), col("_dow").as("dow"))
+        .agg(count(lit(1)).as("n"),
+          fr(decSum(col("value")).cast("double"), 2).as("value_sum"))
+        .orderBy("event_type", "dow")
+    },
+
+    // Decile lift table for the q80 quality classifier — the gains chart
+    // beside q164's AUC and q165's calibration. Docs order by score DESC
+    // into ten rank-deciles; tied-score runs split across decile
+    // boundaries by exact integer rank overlap, with each run's
+    // positives weighted by overlap mass (N_d = Σ pos·overlap,
+    // D_d = Σ f·overlap — a well-defined exact-integer tie rule). Lift
+    // is the decile rate over the overall rate, two double divisions.
+    "q205_decile_lift" -> { (s, d) =>
+      val scored = graft.operators.TextAnalysis
+        .qualityClassifier(Tables.documents(s, d), "text")
+        .select(fr(col("quality_score"), 4).as("_s"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("_y"))
+      val census = rankedCensus(scored.select(lit("all").as("_g"),
+          col("_s"), col("_y")),
+          col("_g"), col("_s"))
+      // re-attach positives per score value (rankedCensus keeps only f)
+      val pos = scored.groupBy(col("_s").as("_ps"))
+        .agg(sum(col("_y")).as("_pos"))
+      val deciles = s.range(0, 10).select(col("id").as("_d"))
+      census.join(broadcast(pos), col("_v") === col("_ps"))
+        .crossJoin(broadcast(deciles))
+        // descending-rank span of this run: (n-cum-f, n-cum]
+        .withColumn("_lo", expr("(_d * _n) div 10"))
+        .withColumn("_hi", expr("((_d + 1) * _n) div 10"))
+        .withColumn("_overlap", greatest(
+          least(col("_hi"), col("_n") - col("_cum"))
+            - greatest(col("_lo"), col("_n") - col("_cum") - col("_f")),
+          lit(0L)))
+        .groupBy(col("_d").as("decile"))
+        .agg(sum(col("_overlap")).as("n_docs"),
+          sum(col("_pos") * col("_overlap")).as("_nw"),
+          sum(col("_f") * col("_overlap")).as("_dw"),
+          max(col("_n")).as("_tot"))
+        .crossJoin(broadcast(scored.agg(sum(col("_y")).as("_allPos"),
+          count(lit(1)).as("_allN"))))
+        .select(col("decile"), col("n_docs"),
+          fr(col("_nw").cast("double") / col("_dw").cast("double"), 6)
+            .as("rate"),
+          fr((col("_nw").cast("double") / col("_dw").cast("double"))
+            / (col("_allPos").cast("double") / col("_allN").cast("double")),
+            4).as("lift"))
+        .orderBy("decile")
+    },
+
+    // Cohort LTV curve: users cohort by their first active week, and the
+    // per-user cumulative purchase revenue unfolds by week offset — the
+    // product-analytics LTV staple. Revenue sums are exact DECIMAL on
+    // the (cohort, offset) grid (≤ weeks² rows); the cumulative window
+    // runs over that grid only.
+    "q206_cohort_ltv" -> { (s, d) =>
+      val weeks = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"),
+          floor(datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")) / lit(7)).as("_w"))
+      val cohorts = weeks.groupBy(col("user_id"))
+        .agg(min(col("_w")).as("_cw"))
+      val sizes = cohorts.groupBy(col("_cw").as("_sc"))
+        .agg(count(lit(1)).as("_nu"))
+      val rev = weeks.filter(col("event_type") === "purchase")
+        .join(broadcast(cohorts), Seq("user_id"))
+        .groupBy(col("_cw"), (col("_w") - col("_cw")).as("week_offset"))
+        .agg(decSum(col("value")).as("_rev"))
+      val wCum = Window.partitionBy(col("_cw")).orderBy(col("week_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev
+        .withColumn("_cumRev", sum(col("_rev")).over(wCum))
+        .join(broadcast(sizes), col("_cw") === col("_sc"))
+        .select(col("_cw").as("cohort_week"), col("week_offset"),
+          col("_nu").as("n_users"),
+          fr(col("_cumRev").cast("double") / col("_nu").cast("double"), 4)
+            .as("cum_rev_per_user"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     // Corpus-health dashboard: the single-row summary a data-curation
     // team reads before a training run — exact-dup rate (md5 census),
     // token budget, mean quality (per-doc 4 dp-gridded scores summed in
@@ -3198,6 +3326,114 @@ object WarehouseQueries {
         |    floor(CAST(wv - prev AS DOUBLE) / CAST(prev AS DOUBLE)
         |      * 1000000.0 + 0.5) / 1000000.0 END AS wow_growth
         |FROM l ORDER BY event_type, week""".stripMargin,
+
+    "q202_window_trio" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 1000000.0 + 0.5) / 1000000.0 AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, v AS daily_mean,
+        |  floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0
+        |    AS pr,
+        |  floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cd,
+        |  nth_value(v, 2) OVER (PARTITION BY event_type ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_lowest
+        |FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY v)
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q203_filter_agg" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |      FILTER (WHERE l_tax > 0.04) AS DOUBLE)
+        |    * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+        |    / CAST(100 AS DOUBLE) AS taxed_revenue
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q204_dow_heatmap" ->
+      """SELECT event_type,
+        |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+        |    AS INT) AS dow,
+        |  count(*) AS n,
+        |  floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |    * 100.0 + 0.5) / 100.0 AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, dow""".stripMargin,
+
+    "q205_decile_lift" ->
+      """WITH t AS (SELECT doc_id, text, lang,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |z AS (SELECT doc_id, lang,
+        |  -6.0
+        |  + 5.0 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |           AS DOUBLE) / greatest(length(text), 1))
+        |  + 4.0 * (CAST(length(list_filter(toks,
+        |           t -> t IN ('the','a','of','and','in','to','is')))
+        |           AS DOUBLE) / greatest(length(toks), 1))
+        |  + 0.25 * (CAST(length(text) - length(toks) + 1 AS DOUBLE)
+        |           / greatest(length(toks), 1))
+        |  + 0.6 * ln(1.0 + CAST(length(toks) AS DOUBLE)) AS z
+        |  FROM t),
+        |sc AS (SELECT floor(1.0 / (1.0 + exp(-z)) * 10000.0 + 0.5)
+        |    / 10000.0 AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM z),
+        |census AS (SELECT s, count(*) AS f,
+        |    CAST(sum(y) AS BIGINT) AS pos
+        |  FROM sc GROUP BY s),
+        |c AS (SELECT s, f, pos,
+        |    coalesce(CAST(sum(f) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum,
+        |    CAST(sum(f) OVER () AS BIGINT) AS n
+        |  FROM census),
+        |x AS (SELECT c.*, ds.d,
+        |    greatest(least((ds.d + 1) * c.n // 10, c.n - c.cum)
+        |      - greatest(ds.d * c.n // 10, c.n - c.cum - c.f), 0)
+        |      AS ovl
+        |  FROM c CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 9)) AS d) ds),
+        |g AS (SELECT d AS decile,
+        |    CAST(sum(ovl) AS BIGINT) AS n_docs,
+        |    CAST(sum(pos * ovl) AS BIGINT) AS nw,
+        |    CAST(sum(f * ovl) AS BIGINT) AS dw
+        |  FROM x GROUP BY d),
+        |o AS (SELECT CAST(sum(y) AS BIGINT) AS allpos,
+        |    count(*) AS alln FROM sc)
+        |SELECT decile, n_docs,
+        |  floor(CAST(nw AS DOUBLE) / CAST(dw AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS rate,
+        |  floor((CAST(nw AS DOUBLE) / CAST(dw AS DOUBLE))
+        |    / (CAST(allpos AS DOUBLE) / CAST(alln AS DOUBLE))
+        |    * 10000.0 + 0.5) / 10000.0 AS lift
+        |FROM g CROSS JOIN o ORDER BY decile""".stripMargin,
+
+    "q206_cohort_ltv" ->
+      """WITH weeks AS (SELECT user_id, event_type, value,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) / 7) AS BIGINT) AS w
+        |  FROM events),
+        |cohorts AS (SELECT user_id, min(w) AS cw
+        |  FROM weeks GROUP BY user_id),
+        |sizes AS (SELECT cw, count(*) AS nu FROM cohorts GROUP BY cw),
+        |rev AS (SELECT c.cw, wk.w - c.cw AS week_offset,
+        |    sum(CAST(wk.value AS DECIMAL(18,4))) AS rev
+        |  FROM weeks wk JOIN cohorts c ON wk.user_id = c.user_id
+        |  WHERE wk.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT cw, week_offset,
+        |    sum(rev) OVER (PARTITION BY cw ORDER BY week_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr
+        |  FROM rev)
+        |SELECT cum.cw AS cohort_week, cum.week_offset,
+        |  CAST(sizes.nu AS BIGINT) AS n_users,
+        |  floor(CAST(cum.cr AS DOUBLE) / CAST(sizes.nu AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS cum_rev_per_user
+        |FROM cum JOIN sizes ON cum.cw = sizes.cw
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q200_corpus_health" ->
       """WITH t AS (SELECT doc_id, text, lang,
