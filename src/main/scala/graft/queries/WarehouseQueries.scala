@@ -1851,6 +1851,43 @@ object WarehouseQueries {
         GROUP BY l_returnflag ORDER BY l_returnflag""")
     },
 
+    // Closeness centrality + eccentricity of the q132 BFS seed: the
+    // recursive walk's min-distance frontier reduces to the two classic
+    // per-node centrality numbers — closeness = (reached−1)/Σdist over
+    // the reachable set, eccentricity = max dist. Same UnionLoop
+    // recursion and checkpointed edge snapshot as q132 (the lineage
+    // lever), one more aggregate on top.
+    "q207_closeness" -> { (s, d) =>
+      val act = Tables.events(s, d)
+        .filter(col("user_id") % 7 === 0)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("_h"))
+        .distinct()
+      val edges = act
+        .join(act.select(col("user_id").as("_v"), col("event_type"),
+          col("_h")), Seq("event_type", "_h"))
+        .filter(col("user_id") =!= col("_v"))
+        .select(col("user_id").as("s"), col("_v").as("d"))
+        .distinct()
+        .localCheckpoint()
+      edges.createOrReplaceTempView("graft_close_edges")
+      s.sql("""
+        WITH RECURSIVE walk(node, lvl) AS (
+          SELECT min(s) AS node, 0 AS lvl FROM graft_close_edges
+          UNION ALL
+          SELECT e.d, w.lvl + 1
+          FROM walk w JOIN graft_close_edges e ON e.s = w.node
+          WHERE w.lvl < 4),
+        dist AS (SELECT node, min(lvl) AS dist FROM walk GROUP BY node)
+        SELECT count(*) AS n_reached,
+          CAST(max(dist) AS BIGINT) AS eccentricity,
+          CAST(floor(CAST(count(*) - 1 AS DOUBLE)
+            / CAST(sum(dist) AS DOUBLE)
+            * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+            / CAST(1000000 AS DOUBLE) AS closeness
+        FROM dist""")
+    },
+
     // Day-of-week × type activity heatmap. The dow index is pure integer
     // math off the epoch-day number ((daynum + 0) % 7 with 2024-01-01 a
     // Monday → 0=Mon..6=Sun) — engine dow() builtins disagree on week
@@ -3353,6 +3390,29 @@ object WarehouseQueries {
         |    / CAST(100 AS DOUBLE) AS taxed_revenue
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q207_closeness" ->
+      """WITH RECURSIVE act AS (
+        |  SELECT DISTINCT user_id, event_type,
+        |    date_trunc('minute', ts) AS h
+        |  FROM events WHERE user_id % 7 = 0),
+        |edges AS (SELECT DISTINCT a.user_id AS s, b.user_id AS d
+        |  FROM act a JOIN act b
+        |    ON a.event_type = b.event_type AND a.h = b.h
+        |  WHERE a.user_id <> b.user_id),
+        |walk(node, lvl) AS (
+        |  SELECT min(s) AS node, 0 AS lvl FROM edges
+        |  UNION ALL
+        |  SELECT e.d, w.lvl + 1 FROM walk w JOIN edges e ON e.s = w.node
+        |  WHERE w.lvl < 4),
+        |dist AS (SELECT node, min(lvl) AS dist FROM walk GROUP BY node)
+        |SELECT count(*) AS n_reached,
+        |  CAST(max(dist) AS BIGINT) AS eccentricity,
+        |  CAST(floor(CAST(count(*) - 1 AS DOUBLE)
+        |    / CAST(sum(dist) AS DOUBLE)
+        |    * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+        |    / CAST(1000000 AS DOUBLE) AS closeness
+        |FROM dist""".stripMargin,
 
     "q204_dow_heatmap" ->
       """SELECT event_type,
