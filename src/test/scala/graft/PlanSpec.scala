@@ -804,6 +804,36 @@ class PlanSpec extends SparkSpec {
       s"never a partitioned cartesian:\n$p")
   }
 
+  test("q191/q194/q205/q206: attribution and bootstrap windows stay bounded") {
+    // q191: per-conversion weight windows key on the purchase id
+    val w191 = plan(graft.queries.WarehouseQueries
+      .defs("q191_multi_touch")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(w191.nonEmpty && w191.forall(_.contains("_pid")),
+      s"q191 windows key on the conversion id:\n${w191.mkString("\n")}")
+    // q194: the x20 replica fan-out is a broadcast nested-loop over the
+    // 20-row reps side, never a shuffle; replica stats need partial aggs
+    val p194 = plan(graft.queries.WarehouseQueries
+      .defs("q194_bootstrap_ci")(spark, d))
+    assert(p194.contains("BroadcastNestedLoopJoin"),
+      s"q194 replica fan-out broadcasts the 20-row side:\n$p194")
+    assert("partial_sum|partial_count".r.findAllIn(p194).nonEmpty,
+      s"q194 replica sums must map-side combine:\n$p194")
+    // q205: rank windows cumulate the SCORE census, never documents
+    val w205 = plan(graft.queries.WarehouseQueries
+      .defs("q205_decile_lift")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(w205.nonEmpty && w205.forall(!_.contains("doc_id")),
+      s"q205 windows over the score census only:\n${w205.mkString("\n")}")
+    // q206: the LTV cumulative window runs on the (cohort, offset) grid
+    val w206 = plan(graft.queries.WarehouseQueries
+      .defs("q206_cohort_ltv")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(w206.nonEmpty && w206.forall(l =>
+      !l.contains("user_id") && !l.contains("event_id")),
+      s"q206 window on the cohort grid, not raw events:\n${w206.mkString("\n")}")
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
