@@ -1851,6 +1851,49 @@ object WarehouseQueries {
         GROUP BY l_returnflag ORDER BY l_returnflag""")
     },
 
+    // Point-in-time-correct training-set assembly — the capstone ML
+    // shape: per user, features computed STRICTLY before the day-20
+    // cutoff (7-day activity, totals, DECIMAL mean value, distinct
+    // active days, last event type under the (ts, event_id) total
+    // order), the label from the NEXT 7 days only, and a deterministic
+    // md5 train/val/test split. Nothing after the cutoff can leak into
+    // a feature; the label window never feeds a feature. One scan,
+    // keyed aggregates, one row_number window per user.
+    "q208_training_assembly" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("_day",
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")))
+      val pre = ev.filter(col("_day") < 20)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val lastType = pre.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("user_id"), col("event_type").as("last_event_type"))
+      val feats = pre.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("_day") >= 13, 1L).otherwise(0L)).as("n_events_7d"),
+          fr(decSum(col("value")).cast("double") / count(lit(1)), 6)
+            .as("mean_value"),
+          countDistinct(col("_day")).as("days_active"))
+      val labels = ev.filter(col("_day") >= 20 && col("_day") < 27
+          && col("event_type") === "purchase")
+        .select(col("user_id").as("_lu")).distinct()
+        .withColumn("label", lit(1L))
+      feats
+        .join(lastType, Seq("user_id"))
+        .join(labels, col("user_id") === col("_lu"), "left")
+        .withColumn("label", coalesce(col("label"), lit(0L)))
+        .withColumn("_u",
+          conv(substring(md5(concat_ws(":", lit("split"), col("user_id"))),
+            1, 6), 16, 10).cast("long").cast("double") / lit(16777216.0))
+        .withColumn("split", when(col("_u") < 0.8, "train")
+          .when(col("_u") < 0.9, "val").otherwise("test"))
+        .select(col("user_id"), col("n_events"), col("n_events_7d"),
+          col("mean_value"), col("days_active"), col("last_event_type"),
+          col("label"), col("split"))
+        .orderBy("user_id")
+    },
+
     // Closeness centrality + eccentricity of the q132 BFS seed: the
     // recursive walk's min-distance frontier reduces to the two classic
     // per-node centrality numbers — closeness = (reached−1)/Σdist over
@@ -3390,6 +3433,41 @@ object WarehouseQueries {
         |    / CAST(100 AS DOUBLE) AS taxed_revenue
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q208_training_assembly" ->
+      """WITH ev AS (SELECT user_id, event_type, value, ts, event_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS INT) AS day
+        |  FROM events),
+        |pre AS (SELECT * FROM ev WHERE day < 20),
+        |lt AS (SELECT user_id, event_type AS last_event_type
+        |  FROM (SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM pre)
+        |  WHERE rn = 1),
+        |f AS (SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(CASE WHEN day >= 13 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_events_7d,
+        |    floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+        |    count(DISTINCT day) AS days_active
+        |  FROM pre GROUP BY user_id),
+        |lbl AS (SELECT DISTINCT user_id FROM ev
+        |  WHERE day >= 20 AND day < 27 AND event_type = 'purchase'),
+        |j AS (SELECT f.user_id, f.n_events, f.n_events_7d, f.mean_value,
+        |    f.days_active, lt.last_event_type,
+        |    CASE WHEN lbl.user_id IS NOT NULL THEN 1 ELSE 0 END AS label,
+        |    CAST(CAST(('0x' || substr(md5(concat('split', ':',
+        |      CAST(f.user_id AS VARCHAR))), 1, 6)) AS BIGINT) AS DOUBLE)
+        |      / 16777216.0 AS u
+        |  FROM f JOIN lt ON f.user_id = lt.user_id
+        |  LEFT JOIN lbl ON f.user_id = lbl.user_id)
+        |SELECT user_id, n_events, n_events_7d, mean_value, days_active,
+        |  last_event_type, CAST(label AS BIGINT) AS label,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM j ORDER BY user_id""".stripMargin,
 
     "q207_closeness" ->
       """WITH RECURSIVE act AS (
