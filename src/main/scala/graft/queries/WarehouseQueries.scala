@@ -1851,6 +1851,94 @@ object WarehouseQueries {
         GROUP BY l_returnflag ORDER BY l_returnflag""")
     },
 
+    // Local-extremum census of the daily series: strict peaks/troughs by
+    // lag/lead comparison on the 4 dp-integer grid — exact, no floats
+    // until the one presentation division. The signal-shape probe next
+    // to CUSUM (q152) and the Bollinger band family (q131).
+    "q209_peak_detect" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(floor(decSum(col("value")).cast("double") / count(lit(1))
+          * lit(10000.0) + lit(0.5)).as("_v"))
+        .withColumn("_p", lag(col("_v"), 1).over(w))
+        .withColumn("_n", lead(col("_v"), 1).over(w))
+        .filter(col("_p").isNotNull && col("_n").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("_v") > col("_p") && col("_v") > col("_n"), 1L)
+            .otherwise(0L)).as("n_peaks"),
+          sum(when(col("_v") < col("_p") && col("_v") < col("_n"), 1L)
+            .otherwise(0L)).as("n_troughs"),
+          fr(max(when(col("_v") > col("_p") && col("_v") > col("_n"),
+            col("_v"))).cast("double") / lit(10000.0), 4).as("max_peak"),
+          min(when(col("_v") > col("_p") && col("_v") > col("_n"),
+            col("day"))).as("first_peak_day"))
+        .orderBy("event_type")
+    },
+
+    // U-shaped (position-based 40/20/40) attribution beside q127's
+    // last-touch and q191's linear/decay models: first and last touch
+    // take 0.4 each, middles share 0.2 — per-touch credit gridded to
+    // int64 BEFORE the channel rollup (the q191 rule), positions from
+    // one keyed row_number under the (ts, event_id) total order.
+    "q210_position_attribution" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("_pu"), col("event_id").as("_pid"),
+          col("ts").as("_pts"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("_tu"), col("event_type").as("channel"),
+          col("ts").as("_tts"), col("event_id").as("_tid"))
+      val w = Window.partitionBy(col("_pid"))
+        .orderBy(col("_tts"), col("_tid"))
+      val wAll = Window.partitionBy(col("_pid"))
+      purchases.join(touches, col("_pu") === col("_tu")
+          && col("_tts") < col("_pts")
+          && unix_micros(col("_pts")) - unix_micros(col("_tts"))
+            <= lit(7L * 86400000000L))
+        .withColumn("_pos", row_number().over(w))
+        .withColumn("_k", count(lit(1)).over(wAll))
+        .withColumn("_c", when(col("_k") === 1, lit(1.0))
+          .when(col("_k") === 2, lit(0.5))
+          .when(col("_pos") === 1 || col("_pos") === col("_k"), lit(0.4))
+          .otherwise(lit(0.2) / (col("_k") - 2).cast("double")))
+        .withColumn("_ci", floor(col("_c") * lit(1000000.0) + lit(0.5)))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(when(col("_pos") === 1, 1L).otherwise(0L)).as("n_first"),
+          sum(when(col("_pos") === col("_k"), 1L).otherwise(0L))
+            .as("n_last"),
+          fr(sum(col("_ci")).cast("double") / lit(1000000.0), 4)
+            .as("position_credit"))
+        .orderBy("channel")
+    },
+
+    // Roll's implied-spread estimator: 2·√(−cov(Δp_t, Δp_{t−1})) on the
+    // 4 dp-integer daily price changes — the covariance numerator
+    // n·Σxy − ΣxΣy stays exact int64, the sign test is integer-exact,
+    // and positive-autocovariance keys yield null (the estimator is
+    // undefined there) rather than NaN.
+    "q211_roll_spread" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val deltas = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(floor(decSum(col("value")).cast("double") / count(lit(1))
+          * lit(10000.0) + lit(0.5)).as("_v"))
+        .withColumn("_dx", col("_v") - lag(col("_v"), 1).over(w))
+        .withColumn("_dy", lag(col("_dx"), 1).over(w))
+        .filter(col("_dx").isNotNull && col("_dy").isNotNull)
+      deltas.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_n"), sum(col("_dx")).as("_sx"),
+          sum(col("_dy")).as("_sy"), sum(col("_dx") * col("_dy")).as("_sxy"))
+        .select(col("event_type"), col("_n").as("n_pairs"),
+          when(col("_n") * col("_sxy") - col("_sx") * col("_sy") < 0,
+            fr(lit(2.0) * sqrt((col("_sx") * col("_sy")
+              - col("_n") * col("_sxy")).cast("double")
+              / (col("_n") * col("_n")).cast("double")) / lit(10000.0), 6))
+            .as("roll_spread"))
+        .orderBy("event_type")
+    },
+
     // Point-in-time-correct training-set assembly — the capstone ML
     // shape: per user, features computed STRICTLY before the day-20
     // cutoff (7-day activity, totals, DECIMAL mean value, distinct
@@ -3433,6 +3521,78 @@ object WarehouseQueries {
         |    / CAST(100 AS DOUBLE) AS taxed_revenue
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q209_peak_detect" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 10000.0 + 0.5) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, v,
+        |    lag(v) OVER w AS p, lead(v) OVER w AS n
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN v > p AND v > n THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_peaks,
+        |  CAST(sum(CASE WHEN v < p AND v < n THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_troughs,
+        |  floor(CAST(max(CASE WHEN v > p AND v > n THEN v END)
+        |      AS DOUBLE) / 10000.0 * 10000.0 + 0.5) / 10000.0
+        |    AS max_peak,
+        |  min(CASE WHEN v > p AND v > n THEN day END) AS first_peak_day
+        |FROM l WHERE p IS NOT NULL AND n IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q210_position_attribution" ->
+      """WITH p AS (SELECT user_id AS pu, event_id AS pid, ts AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id AS tu, event_type AS channel, ts AS tts,
+        |    event_id AS tid
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT p.pid, t.channel, t.tts, t.tid
+        |  FROM p JOIN t ON p.pu = t.tu AND t.tts < p.pts
+        |    AND epoch_us(p.pts) - epoch_us(t.tts) <= 7 * 86400000000),
+        |r AS (SELECT pid, channel,
+        |    row_number() OVER (PARTITION BY pid ORDER BY tts, tid)
+        |      AS pos,
+        |    count(*) OVER (PARTITION BY pid) AS k
+        |  FROM j),
+        |c AS (SELECT pid, channel, pos, k,
+        |    CAST(floor((CASE WHEN k = 1 THEN 1.0 WHEN k = 2 THEN 0.5
+        |      WHEN pos = 1 OR pos = k THEN 0.4
+        |      ELSE 0.2 / CAST(k - 2 AS DOUBLE) END)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS ci
+        |  FROM r)
+        |SELECT channel, count(*) AS n_touches,
+        |  CAST(sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_first,
+        |  CAST(sum(CASE WHEN pos = k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_last,
+        |  floor(CAST(sum(ci) AS DOUBLE) / 1000000.0 * 10000.0 + 0.5)
+        |    / 10000.0 AS position_credit
+        |FROM c GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q211_roll_spread" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 10000.0 + 0.5) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |d1 AS (SELECT event_type, day, v - lag(v) OVER w AS dx
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |dd AS (SELECT event_type, day, dx,
+        |    lag(dx) OVER (PARTITION BY event_type ORDER BY day) AS dy
+        |  FROM d1),
+        |f AS (SELECT event_type, dx, dy FROM dd
+        |  WHERE dx IS NOT NULL AND dy IS NOT NULL),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |    CAST(sum(dx * dy) AS BIGINT) AS sxy
+        |  FROM f GROUP BY 1)
+        |SELECT event_type, n AS n_pairs,
+        |  CASE WHEN n * sxy - sx * sy < 0 THEN
+        |    floor(2.0 * sqrt(CAST(sx * sy - n * sxy AS DOUBLE)
+        |      / CAST(n * n AS DOUBLE)) / 10000.0 * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS roll_spread
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "q208_training_assembly" ->
       """WITH ev AS (SELECT user_id, event_type, value, ts, event_id,
