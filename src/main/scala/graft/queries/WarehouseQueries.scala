@@ -1939,6 +1939,131 @@ object WarehouseQueries {
         .orderBy("event_type")
     },
 
+    // 2-D equi-width histogram (value decile × hour-of-day) with exact
+    // row and column marginals attached to every cell — the joint-density
+    // census behind heatmap UIs. Buckets are integer math; marginals are
+    // windows over the ≤240-cell grid.
+    "q212_histogram_2d" -> { (s, d) =>
+      val wRow = Window.partitionBy(col("vb"))
+      val wCol = Window.partitionBy(col("hr"))
+      Tables.events(s, d)
+        .select(least(floor(col("value") / lit(50.0)), lit(9L)).as("vb"),
+          hour(col("ts")).as("hr"))
+        .groupBy(col("vb"), col("hr"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total", sum(col("n")).over(wRow))
+        .withColumn("col_total", sum(col("n")).over(wCol))
+        .orderBy("vb", "hr")
+    },
+
+    // Cumulative distinct users by day — "total uniques to date" without
+    // ever re-scanning history: each user collapses to their FIRST active
+    // day (one keyed aggregate), and the running sum over the ≤31-row
+    // day census is the cumulative distinct count. The exact form of
+    // what HLL sketches (q123) approximate.
+    "q213_cumulative_uniques" -> { (s, d) =>
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts").cast("date")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .orderBy("day")
+    },
+
+    // Growth accounting: every week's actives decompose into NEW (first
+    // week ever), RETAINED (also active the previous week) and
+    // RESURRECTED (active before, but not last week); churned counts the
+    // previous week's actives who went quiet. Pure set algebra on the
+    // distinct (week, user) census — exact ints, two keyed self-joins.
+    "q214_growth_accounting" -> { (s, d) =>
+      val wk = Tables.events(s, d)
+        .select(floor(
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            / lit(7)).as("w"), col("user_id"))
+        .distinct()
+      val first = wk.groupBy(col("user_id")).agg(min(col("w")).as("_fw"))
+      val prev = wk.select((col("w") + 1).as("w"),
+        col("user_id"), lit(1L).as("_inPrev"))
+      val cur = wk.join(broadcast(first), Seq("user_id"))
+        .join(prev, Seq("w", "user_id"), "left")
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("_fw") === col("w"), 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("_inPrev").isNotNull
+            && col("_fw") =!= col("w"), 1L).otherwise(0L)).as("n_retained"),
+          sum(when(col("_inPrev").isNull
+            && col("_fw") =!= col("w"), 1L).otherwise(0L))
+            .as("n_resurrected"))
+        .select(col("w").as("week"), col("n_active"), col("n_new"),
+          col("n_retained"), col("n_resurrected"))
+      val churned = wk.join(wk.select((col("w") - 1).as("w"),
+          col("user_id"), lit(1L).as("_inNext")),
+          Seq("w", "user_id"), "left")
+        .groupBy((col("w") + 1).as("week"))
+        .agg(sum(when(col("_inNext").isNull, 1L).otherwise(0L))
+          .as("churned_from_prev"))
+      cur.join(churned, Seq("week"), "left")
+        .withColumn("churned_from_prev",
+          coalesce(col("churned_from_prev"), lit(0L)))
+        .orderBy("week")
+    },
+
+    // DAU/WAU stickiness per day: exact daily actives over the exact
+    // trailing-7-day actives via the q151 cover-explode (each (user, day)
+    // covers [d, d+6]; re-distinct gives rolling distinct without a range
+    // join). One gridded ratio per day.
+    "q215_stickiness" -> { (s, d) =>
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("_day"))
+        .distinct()
+      val dau = days.groupBy(col("_day").as("day"))
+        .agg(count(lit(1)).as("dau"))
+      // uncapped cover: days past the horizon drop in the inner dau join
+      val wau = days
+        .select(col("user_id"),
+          explode(sequence(col("_day"), col("_day") + 6)).as("day"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .filter(col("day") >= 6)
+        .select(col("day"), col("dau"), col("wau"),
+          fr(col("dau").cast("double") / col("wau").cast("double"), 6)
+            .as("stickiness"))
+        .orderBy("day")
+    },
+
+    // Power-user concentration: the event share of the top decile of
+    // users by activity. The per-user count census cumulates DESCENDING
+    // (heaviest first), the top-⌈n/10⌉ rank range splits tied-count runs
+    // by exact integer overlap (the q205 rule), and the share is one
+    // double division over exact int64 mass.
+    "q216_power_users" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("_c"))
+      val census = rankedCensus(counts.select(lit("all").as("_g"),
+          col("_c")), col("_g"), col("_c"))
+      census
+        .withColumn("_k", expr("(_n + 9) div 10"))
+        // descending-rank span of this run: (n-cum-f, n-cum]
+        .withColumn("_ovl", greatest(
+          least(col("_k"), col("_n") - col("_cum"))
+            - greatest(lit(0L), col("_n") - col("_cum") - col("_f")),
+          lit(0L)))
+        .groupBy(col("_key"))
+        .agg(max(col("_n")).as("n_users"), max(col("_k")).as("top_users"),
+          sum(col("_ovl") * col("_v")).as("_topEvents"),
+          sum(col("_f") * col("_v")).as("_allEvents"))
+        .select(col("n_users"), col("top_users"),
+          col("_topEvents").as("top_events"),
+          col("_allEvents").as("all_events"),
+          fr(col("_topEvents").cast("double")
+            / col("_allEvents").cast("double"), 6).as("top_decile_share"))
+    },
+
     // Point-in-time-correct training-set assembly — the capstone ML
     // shape: per user, features computed STRICTLY before the day-20
     // cutoff (7-day activity, totals, DECIMAL mean value, distinct
@@ -3521,6 +3646,93 @@ object WarehouseQueries {
         |    / CAST(100 AS DOUBLE) AS taxed_revenue
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q212_histogram_2d" ->
+      """WITH b AS (SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9)
+        |    AS vb, hour(ts) AS hr
+        |  FROM events),
+        |g AS (SELECT vb, hr, count(*) AS n FROM b GROUP BY 1, 2)
+        |SELECT vb, CAST(hr AS INT) AS hr, n,
+        |  CAST(sum(n) OVER (PARTITION BY vb) AS BIGINT) AS row_total,
+        |  CAST(sum(n) OVER (PARTITION BY hr) AS BIGINT) AS col_total
+        |FROM g ORDER BY vb, hr""".stripMargin,
+
+    "q213_cumulative_uniques" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_users
+        |FROM c ORDER BY day""".stripMargin,
+
+    "q214_growth_accounting" ->
+      """WITH wk AS (SELECT DISTINCT
+        |    CAST(floor(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) / 7) AS BIGINT) AS w, user_id
+        |  FROM events),
+        |first AS (SELECT user_id, min(w) AS fw FROM wk GROUP BY user_id),
+        |cur AS (SELECT wk.w AS week, count(*) AS n_active,
+        |    CAST(sum(CASE WHEN f.fw = wk.w THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN p.user_id IS NOT NULL AND f.fw <> wk.w
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN p.user_id IS NULL AND f.fw <> wk.w
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM wk
+        |  JOIN first f ON wk.user_id = f.user_id
+        |  LEFT JOIN wk p ON p.user_id = wk.user_id AND p.w = wk.w - 1
+        |  GROUP BY wk.w),
+        |churn AS (SELECT a.w + 1 AS week,
+        |    CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS churned_from_prev
+        |  FROM wk a LEFT JOIN wk b
+        |    ON b.user_id = a.user_id AND b.w = a.w + 1
+        |  GROUP BY a.w + 1)
+        |SELECT cur.week, cur.n_active, cur.n_new, cur.n_retained,
+        |  cur.n_resurrected,
+        |  CAST(coalesce(churn.churned_from_prev, 0) AS BIGINT)
+        |    AS churned_from_prev
+        |FROM cur LEFT JOIN churn ON cur.week = churn.week
+        |ORDER BY cur.week""".stripMargin,
+
+    "q215_stickiness" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM days GROUP BY day),
+        |cover AS (SELECT DISTINCT user_id, day + gs.o AS day
+        |  FROM days CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 6)) AS o) gs),
+        |wau AS (SELECT day, count(*) AS wau FROM cover GROUP BY day)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  floor(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |WHERE dau.day >= 6 ORDER BY dau.day""".stripMargin,
+
+    "q216_power_users" ->
+      """WITH counts AS (SELECT user_id, count(*) AS c
+        |  FROM events GROUP BY user_id),
+        |census AS (SELECT c AS v, count(*) AS f FROM counts GROUP BY c),
+        |cm AS (SELECT v, f,
+        |    coalesce(CAST(sum(f) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum,
+        |    CAST(sum(f) OVER () AS BIGINT) AS n
+        |  FROM census),
+        |k AS (SELECT *, (n + 9) // 10 AS kk FROM cm),
+        |o AS (SELECT *, greatest(least(kk, n - cum)
+        |    - greatest(0, n - cum - f), 0) AS ovl FROM k)
+        |SELECT max(n) AS n_users, max(kk) AS top_users,
+        |  CAST(sum(ovl * v) AS BIGINT) AS top_events,
+        |  CAST(sum(f * v) AS BIGINT) AS all_events,
+        |  floor(CAST(sum(ovl * v) AS DOUBLE)
+        |    / CAST(sum(f * v) AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS top_decile_share
+        |FROM o""".stripMargin,
 
     "q209_peak_detect" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
