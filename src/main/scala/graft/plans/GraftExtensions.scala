@@ -35,6 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.charEntropyDescriptor)
     ext.injectFunction(GraftExtensions.jaroWinklerDescriptor)
     ext.injectFunction(GraftExtensions.damerauLevenshteinDescriptor)
+    ext.injectFunction(GraftExtensions.cmsSketchDescriptor)
+    ext.injectFunction(GraftExtensions.cmsEstimateDescriptor)
   }
 }
 
@@ -238,6 +240,41 @@ object GraftExtensions {
         Cast(children(1), StringType))
     })
 
+  private[plans] val cmsSketchDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cms_sketch"),
+    new ExpressionInfo(classOf[CountMinSketchAgg].getName, "cms_sketch"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "cms_sketch(longKey, depth, width) takes three arguments")
+      def intLit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"cms_sketch $what must be an integer literal, got $other")
+      }
+      CountMinSketchAgg(Cast(children.head, LongType),
+        intLit(children(1), "depth"), intLit(children(2), "width"))
+    })
+
+  private[plans] val cmsEstimateDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cms_estimate"),
+    new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "cms_estimate(serializedSketch, longKey) takes two arguments")
+      val sketchExpr = children.head
+      require(sketchExpr.foldable,
+        "cms_estimate sketch must be a foldable binary literal")
+      val bytes = sketchExpr.eval() match {
+        case b: Array[Byte] => b
+        case other => throw new IllegalArgumentException(
+          s"cms_estimate sketch evaluated to $other")
+      }
+      CmsEstimate(Cast(children(1), LongType), bytes)
+    })
+
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit = {
     for ((id, info, builder) <- Seq(cosineSimDescriptor, tzLocalizeDescriptor,
@@ -246,7 +283,8 @@ object GraftExtensions {
         stopwordLangCountsDescriptor, cjkCountDescriptor,
         misraGriesKeysDescriptor, shingleHashesPosDescriptor,
         charEntropyDescriptor, jaroWinklerDescriptor,
-        damerauLevenshteinDescriptor))
+        damerauLevenshteinDescriptor, cmsSketchDescriptor,
+        cmsEstimateDescriptor))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }

@@ -148,4 +148,70 @@ class MisraGriesSpec extends SparkSpec {
     assert(cand.contains(hotHash),
       "dominant token survives cross-batch sketch merges")
   }
+
+  // ---- Count-Min sketch (CountMinSketchExpr) ----
+
+  /** Skewed fixture: key i occurs ~1000/(i+1) times — Zipf-ish. */
+  private def cmsFixture = {
+    import spark.implicits._
+    (0 until 200).flatMap(i => Seq.fill(1000 / (i + 1))(i.toLong))
+      .toDF("k")
+  }
+
+  test("cms estimates never undercount and stay inside the epsilon bound") {
+    graft.plans.GraftExtensions.register(spark)
+    val df = cmsFixture
+    val n = df.count()
+    val sketch = df.agg(expr("cms_sketch(k, 4, 1024)")).head()
+      .getAs[Array[Byte]](0)
+    val exact = df.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((k, c) <- exact) {
+      val est = graft.plans.CountMinSketchAgg.estimate(sketch, k)
+      assert(est >= c, s"key $k: estimate $est undercounts exact $c")
+      assert(est <= c + 3 * n / 1024,
+        s"key $k: estimate $est breaches the epsilon bound (exact $c)")
+    }
+  }
+
+  test("cms is linear: partition merges are elementwise, layout-invariant") {
+    graft.plans.GraftExtensions.register(spark)
+    val df = cmsFixture
+    def sketchOf(d: org.apache.spark.sql.DataFrame): Array[Byte] =
+      d.agg(expr("cms_sketch(k, 4, 512)")).head().getAs[Array[Byte]](0)
+    val full = sketchOf(df)
+    // byte-identical regardless of partitioning (the determinism pin)
+    assert(java.util.Arrays.equals(full, sketchOf(df.repartition(7))) &&
+      java.util.Arrays.equals(full, sketchOf(df.repartition(2))),
+      "sketch must not depend on partition layout")
+    // linearity: sketch(A ∪ B) = sketch(A) + sketch(B), cell by cell
+    val (dA, wA, a) = graft.plans.CountMinSketchAgg
+      .deserializeCells(sketchOf(df.filter(col("k") < 50)))
+    val (_, _, b) = graft.plans.CountMinSketchAgg
+      .deserializeCells(sketchOf(df.filter(col("k") >= 50)))
+    val (_, _, f) = graft.plans.CountMinSketchAgg.deserializeCells(full)
+    assert(dA == 4 && wA == 512)
+    assert(f.indices.forall(i => f(i) == a(i) + b(i)),
+      "union sketch must equal the elementwise sum of part sketches")
+  }
+
+  test("cms_estimate scalar runs codegen-resident against a built sketch") {
+    graft.plans.GraftExtensions.register(spark)
+    val df = cmsFixture
+    val sketch = df.agg(expr("cms_sketch(k, 4, 1024)")).head()
+      .getAs[Array[Byte]](0)
+    df.sparkSession.range(0, 10).select(col("id"))
+      .createOrReplaceTempView("cms_probe")
+    val lit = org.apache.spark.sql.functions.lit(sketch)
+    val got = spark.table("cms_probe")
+      .select(col("id"), org.apache.spark.sql.functions
+        .call_function("cms_estimate", lit, col("id")).as("est"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"scalar stays inside codegen:\n$plan")
+    val exact = df.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- got.collect())
+      assert(r.getLong(1) >= exact(r.getLong(0)),
+        s"probe ${r.getLong(0)} undercounts")
+  }
 }
