@@ -364,4 +364,59 @@ object Exporter {
       .drop("_z")
       .write.mode("overwrite").parquet(outPath)
   }
+
+  /** Small-files compaction report. */
+  final case class CompactReport(filesBefore: Int, filesAfter: Int,
+                                 bytesBefore: Long, rows: Long)
+
+  /** Compact a parquet dataset directory to ~`targetBytes` files — the
+    * operational answer to the small-files problem every long-running
+    * 100 TB pipeline accumulates (per-microbatch appends, per-key
+    * partition writes): thousands of KB-sized files turn scan planning
+    * and NameNode/listing into the bottleneck long before data volume
+    * does.
+    *
+    * Mechanics: list the leaf data files (one driver-side FS listing —
+    * the same metadata the scan planner reads), size the target file
+    * count as ⌈Σbytes / targetBytes⌉, rewrite via `repartition(n)` into
+    * a staging dir, then swap directories atomically-enough for a local
+    * or object store (rename staged → final after moving the old aside,
+    * delete old on success). Value-neutral: read-back rows equal input
+    * rows (the spec pins count and content); only layout changes. When
+    * the directory already has ≤ the target file count, this is a no-op
+    * (returns the report without rewriting) — idempotence the caller's
+    * scheduler relies on.
+    *
+    * Partition-pruned layouts: run per leaf directory (a `key=value`
+    * tree compacts leaf-by-leaf, preserving pruning); this entry point
+    * compacts ONE leaf.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetBytes: Long): CompactReport = {
+    require(targetBytes > 0, "compact targetBytes must be positive")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(hconf)
+    val files = fs.listStatus(path).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val bytes = files.map(_.getLen).sum
+    val targetFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    if (files.length <= targetFiles) {
+      val n = spark.read.parquet(dir).count()
+      return CompactReport(files.length, files.length, bytes, n)
+    }
+    val staged = new org.apache.hadoop.fs.Path(dir + "._compact_staged")
+    val old = new org.apache.hadoop.fs.Path(dir + "._compact_old")
+    fs.delete(staged, true); fs.delete(old, true)
+    val df = spark.read.parquet(dir)
+    df.repartition(targetFiles.toInt)
+      .write.mode("overwrite").parquet(staged.toString)
+    val rows = spark.read.parquet(staged.toString).count()
+    require(fs.rename(path, old), s"compact: could not move $dir aside")
+    require(fs.rename(staged, path), s"compact: could not promote staging")
+    fs.delete(old, true)
+    val after = fs.listStatus(path).count(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    CompactReport(files.length, after, bytes, rows)
+  }
 }

@@ -171,4 +171,27 @@ class ReportingExportSpec extends SparkSpec {
     val again = Reporting.skewProfile(df.repartition(7), "k").collect().head
     assert(again.toSeq == r.toSeq)
   }
+
+  test("compact: small files collapse, content survives, no-op is idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val out = s"$dir/data.parquet"
+    // 40 tiny files
+    (0 until 2000).map(i => (i.toLong, s"row $i")).toDF("id", "v")
+      .repartition(40).write.mode("overwrite").parquet(out)
+    val before = spark.read.parquet(out)
+    val beforeRows = before.orderBy("id").collect().toSeq
+    val r = Exporter.compact(spark, out, targetBytes = 512L * 1024)
+    assert(r.filesBefore == 40 && r.filesAfter < 40 && r.filesAfter >= 1,
+      s"expected a collapse, got $r")
+    assert(r.rows == 2000)
+    val after = spark.read.parquet(out)
+    assert(after.count() == 2000)
+    assert(after.orderBy("id").collect().toSeq == beforeRows,
+      "compaction must be value-neutral")
+    // second run: already at/below target → no rewrite, same report shape
+    val r2 = Exporter.compact(spark, out, targetBytes = 512L * 1024)
+    assert(r2.filesBefore == r.filesAfter && r2.filesAfter == r.filesAfter,
+      s"idempotent no-op expected, got $r2")
+  }
 }
