@@ -2064,6 +2064,62 @@ object WarehouseQueries {
             / col("_allEvents").cast("double"), 6).as("top_decile_share"))
     },
 
+    // Hierarchical share-of-parent: nation revenue as a share of its
+    // region and of the world, via three explicit aggregates joined back
+    // (NOT grouping-sets output — GROUPING() id semantics differ across
+    // engines, so the portable form materializes each level). Revenue is
+    // exact DECIMAL end to end; region/world totals broadcast.
+    "q217_share_of_parent" -> { (s, d) =>
+      val base = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("o_totalprice"))
+      val byNation = base.groupBy(col("r_name"), col("n_name"))
+        .agg(decSum(col("o_totalprice")).as("_nrev"),
+          count(lit(1)).as("n_orders"))
+      val byRegion = base.groupBy(col("r_name").as("_rr"))
+        .agg(decSum(col("o_totalprice")).as("_rrev"))
+      val world = base.agg(decSum(col("o_totalprice")).as("_wrev"))
+      byNation
+        .join(broadcast(byRegion), col("r_name") === col("_rr"))
+        .crossJoin(broadcast(world))
+        .select(col("r_name"), col("n_name"), col("n_orders"),
+          fr(col("_nrev").cast("double"), 2).as("revenue"),
+          fr(col("_nrev").cast("double") / col("_rrev").cast("double"), 6)
+            .as("share_of_region"),
+          fr(col("_nrev").cast("double") / col("_wrev").cast("double"), 6)
+            .as("share_of_world"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // ABC inventory classification: parts rank by DESC revenue under the
+    // (revenue, partkey) total order, and the cumulative revenue share
+    // buckets them A (≤80%), B (≤95%), C (rest). Revenue is exact
+    // DECIMAL; the running share divides two decimals cast to double in
+    // one written order. The ranking window runs over the bounded part
+    // domain (items, not order lines).
+    "q218_abc_analysis" -> { (s, d) =>
+      val w = Window.orderBy(col("_rev").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val parts = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(decSum(col("l_extendedprice")).as("_rev"))
+      parts
+        .withColumn("_cum", sum(col("_rev")).over(w))
+        .crossJoin(broadcast(parts.agg(sum(col("_rev")).as("_tot"))))
+        .withColumn("_cs",
+          col("_cum").cast("double") / col("_tot").cast("double"))
+        .withColumn("abc", when(col("_cs") <= 0.8, "A")
+          .when(col("_cs") <= 0.95, "B").otherwise("C"))
+        .groupBy(col("abc"))
+        .agg(count(lit(1)).as("n_parts"),
+          fr(sum(col("_rev")).cast("double"), 2).as("class_revenue"))
+        .orderBy("abc")
+    },
+
     // Point-in-time-correct training-set assembly — the capstone ML
     // shape: per user, features computed STRICTLY before the day-20
     // cutoff (7-day activity, totals, DECIMAL mean value, distinct
@@ -3805,6 +3861,51 @@ object WarehouseQueries {
         |      / CAST(n * n AS DOUBLE)) / 10000.0 * 1000000.0 + 0.5)
         |      / 1000000.0 END AS roll_spread
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "q217_share_of_parent" ->
+      """WITH base AS (SELECT r.r_name, n.n_name, o.o_totalprice
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey),
+        |bn AS (SELECT r_name, n_name,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS nrev,
+        |    count(*) AS n_orders
+        |  FROM base GROUP BY 1, 2),
+        |br AS (SELECT r_name,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rrev
+        |  FROM base GROUP BY 1),
+        |w AS (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4))) AS wrev
+        |  FROM base)
+        |SELECT bn.r_name, bn.n_name, bn.n_orders,
+        |  floor(CAST(bn.nrev AS DOUBLE) * 100.0 + 0.5) / 100.0
+        |    AS revenue,
+        |  floor(CAST(bn.nrev AS DOUBLE) / CAST(br.rrev AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS share_of_region,
+        |  floor(CAST(bn.nrev AS DOUBLE) / CAST(w.wrev AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS share_of_world
+        |FROM bn JOIN br ON bn.r_name = br.r_name CROSS JOIN w
+        |ORDER BY bn.r_name, bn.n_name""".stripMargin,
+
+    "q218_abc_analysis" ->
+      """WITH parts AS (SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem GROUP BY l_partkey),
+        |t AS (SELECT sum(rev) AS tot FROM parts),
+        |c AS (SELECT l_partkey, rev,
+        |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM parts),
+        |x AS (SELECT rev,
+        |    CASE WHEN CAST(cum AS DOUBLE) / CAST(t.tot AS DOUBLE) <= 0.8
+        |      THEN 'A'
+        |      WHEN CAST(cum AS DOUBLE) / CAST(t.tot AS DOUBLE) <= 0.95
+        |      THEN 'B' ELSE 'C' END AS abc
+        |  FROM c CROSS JOIN t)
+        |SELECT abc, count(*) AS n_parts,
+        |  floor(CAST(sum(rev) AS DOUBLE) * 100.0 + 0.5) / 100.0
+        |    AS class_revenue
+        |FROM x GROUP BY abc ORDER BY abc""".stripMargin,
 
     "q208_training_assembly" ->
       """WITH ev AS (SELECT user_id, event_type, value, ts, event_id,
