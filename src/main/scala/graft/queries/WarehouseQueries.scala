@@ -2120,6 +2120,54 @@ object WarehouseQueries {
         .orderBy("abc")
     },
 
+    // Provenance-aware dedup stats: within-source exact duplicates vs
+    // texts shared ACROSS sources — the census a curation team reads to
+    // decide whether dedup should be per-source or global. Pure set
+    // algebra on the (md5, source) census; "cross" marks every doc whose
+    // text also appears under another source.
+    "q219_provenance_dups" -> { (s, d) =>
+      val census = Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("_h"), col("source"))
+        .agg(count(lit(1)).as("_f"))
+      val spread = census.groupBy(col("_h").as("_sh"))
+        .agg(countDistinct(col("source")).as("_nsrc"))
+      census.join(spread, col("_h") === col("_sh"))
+        .groupBy(col("source"))
+        .agg(sum(col("_f")).as("n_docs"),
+          sum(greatest(col("_f") - 1, lit(0L))).as("n_dup_in_source"),
+          sum(when(col("_nsrc") >= 2, col("_f")).otherwise(0L))
+            .as("n_cross_source"))
+        .orderBy("source")
+    },
+
+    // Vocabulary concentration for tokenizer design: the share of all
+    // corpus word-bigram occurrences covered by the top-100 bigrams
+    // (pinned (count DESC, gram) order) — how much a small merge table
+    // buys, beside the real BPE induction (q126). The rank window runs
+    // over the bigram CENSUS (vocabulary-bounded), never occurrences.
+    "q220_bigram_coverage" -> { (s, d) =>
+      val toks = graft.operators.TextAnalysis.tokens(col("text"))
+      val bigrams = zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b))
+      val census = Tables.documents(s, d)
+        .filter(size(toks) >= 2)
+        .select(explode(bigrams).as("_bg"))
+        .groupBy(col("_bg")).agg(count(lit(1)).as("_c"))
+      val w = Window.orderBy(col("_c").desc, col("_bg"))
+      census
+        .withColumn("_rn", row_number().over(w))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(col("_c")).as("total_occurrences"),
+          sum(when(col("_rn") <= 100, col("_c")).otherwise(0L))
+            .as("top100_occurrences"))
+        .select(col("n_grams"), col("total_occurrences"),
+          col("top100_occurrences"),
+          fr(col("top100_occurrences").cast("double")
+            / col("total_occurrences").cast("double"), 6).as("coverage"))
+    },
+
     // Point-in-time-correct training-set assembly — the capstone ML
     // shape: per user, features computed STRICTLY before the day-20
     // cutoff (7-day activity, totals, DECIMAL mean value, distinct
@@ -3861,6 +3909,40 @@ object WarehouseQueries {
         |      / CAST(n * n AS DOUBLE)) / 10000.0 * 1000000.0 + 0.5)
         |      / 1000000.0 END AS roll_spread
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "q219_provenance_dups" ->
+      """WITH census AS (SELECT md5(text) AS h, source, count(*) AS f
+        |  FROM documents GROUP BY 1, 2),
+        |spread AS (SELECT h, count(DISTINCT source) AS nsrc
+        |  FROM census GROUP BY h)
+        |SELECT census.source,
+        |  CAST(sum(census.f) AS BIGINT) AS n_docs,
+        |  CAST(sum(greatest(census.f - 1, 0)) AS BIGINT)
+        |    AS n_dup_in_source,
+        |  CAST(sum(CASE WHEN spread.nsrc >= 2 THEN census.f ELSE 0 END)
+        |    AS BIGINT) AS n_cross_source
+        |FROM census JOIN spread ON census.h = spread.h
+        |GROUP BY census.source ORDER BY census.source""".stripMargin,
+
+    "q220_bigram_coverage" ->
+      """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+')
+        |    AS toks
+        |  FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, length(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM t WHERE length(toks) >= 2),
+        |census AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+        |r AS (SELECT c,
+        |    row_number() OVER (ORDER BY c DESC, bg) AS rn
+        |  FROM census)
+        |SELECT count(*) AS n_grams,
+        |  CAST(sum(c) AS BIGINT) AS total_occurrences,
+        |  CAST(sum(CASE WHEN rn <= 100 THEN c ELSE 0 END) AS BIGINT)
+        |    AS top100_occurrences,
+        |  floor(CAST(sum(CASE WHEN rn <= 100 THEN c ELSE 0 END)
+        |      AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS coverage
+        |FROM r""".stripMargin,
 
     "q217_share_of_parent" ->
       """WITH base AS (SELECT r.r_name, n.n_name, o.o_totalprice
