@@ -2168,6 +2168,76 @@ object WarehouseQueries {
             / col("total_occurrences").cast("double"), 6).as("coverage"))
     },
 
+    // Conditional next-event entropy H(next | current) in nats — how
+    // predictable the event stream is, the scalar summary of q122's
+    // transition matrix: H = (Σ_a n_a·ln n_a − Σ_ab c_ab·ln c_ab)/N over
+    // the ≤25-cell transition census, every ln() argument an exact
+    // integer, both folds in fixed census order (the q161 rule).
+    "q221_conditional_entropy" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .withColumn("_next", lead(col("event_type"), 1).over(w))
+        .filter(col("_next").isNotNull)
+        .groupBy(col("event_type").as("_a"), col("_next").as("_b"))
+        .agg(count(lit(1)).as("_c"))
+      val byA = trans.groupBy(col("_a").as("_aa"))
+        .agg(sum(col("_c")).as("_na"))
+        .withColumn("_ta",
+          col("_na").cast("double") * log(col("_na").cast("double")))
+      val cellTerms = trans
+        .withColumn("_tc",
+          col("_c").cast("double") * log(col("_c").cast("double")))
+      val aggA = byA.agg(sum(col("_na")).as("_n"),
+        aggregate(transform(array_sort(collect_list(struct(col("_aa"),
+          col("_ta")))), e => e.getField("_ta")),
+          lit(0.0), (acc, x) => acc + x).as("_sa"))
+      val aggC = cellTerms.agg(
+        aggregate(transform(array_sort(collect_list(struct(col("_a"),
+          col("_b"), col("_tc")))), e => e.getField("_tc")),
+          lit(0.0), (acc, x) => acc + x).as("_sc"),
+        count(lit(1)).as("n_cells"))
+      aggA.crossJoin(aggC)
+        .select(col("_n").as("n_transitions"), col("n_cells"),
+          fr((col("_sa") - col("_sc")) / col("_n").cast("double"), 6)
+            .as("h_next_given_cur"))
+    },
+
+    // Wald-Wolfowitz runs test on the daily up/down moves per type: runs
+    // R, up/down counts and the normal-approximation z — randomness of
+    // the direction sequence, beside the magnitude-level tests. Runs
+    // count by lag-compare on the integer sign sequence; the z chain is
+    // one literal double sequence from (R, n+, n−).
+    "q222_runs_test" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val moves = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(floor(decSum(col("value")).cast("double") / count(lit(1))
+          * lit(10000.0) + lit(0.5)).as("_v"))
+        .withColumn("_d", col("_v") - lag(col("_v"), 1).over(w))
+        .filter(col("_d").isNotNull && col("_d") =!= 0L)
+        .withColumn("_s", when(col("_d") > 0, 1L).otherwise(-1L))
+        .withColumn("_prev", lag(col("_s"), 1).over(
+          Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      val stats = moves.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_n"),
+          sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_np"),
+          sum(when(col("_s") === -1, 1L).otherwise(0L)).as("_nm"),
+          (sum(when(col("_prev").isNull
+            || col("_prev") =!= col("_s"), 1L).otherwise(0L))).as("_r"))
+      val mu = lit(2.0) * col("_np").cast("double") *
+        col("_nm").cast("double") / col("_n").cast("double") + lit(1.0)
+      stats
+        .select(col("event_type"), col("_n").as("n_moves"),
+          col("_np").as("n_up"), col("_nm").as("n_down"),
+          col("_r").as("runs"),
+          when(col("_np") > 0 && col("_nm") > 0 && col("_n") > 1,
+            fr((col("_r").cast("double") - mu)
+              / sqrt((mu - lit(1.0)) * (mu - lit(2.0))
+                / (col("_n").cast("double") - lit(1.0))), 4)).as("z"))
+        .orderBy("event_type")
+    },
+
     // Point-in-time-correct training-set assembly — the capstone ML
     // shape: per user, features computed STRICTLY before the day-20
     // cutoff (7-day activity, totals, DECIMAL mean value, distinct
@@ -3909,6 +3979,62 @@ object WarehouseQueries {
         |      / CAST(n * n AS DOUBLE)) / 10000.0 * 1000000.0 + 0.5)
         |      / 1000000.0 END AS roll_spread
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "q221_conditional_entropy" ->
+      """WITH t AS (SELECT event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS b
+        |  FROM events),
+        |trans AS (SELECT a, b, count(*) AS c FROM t
+        |  WHERE b IS NOT NULL GROUP BY a, b),
+        |bya AS (SELECT a, CAST(sum(c) AS BIGINT) AS na FROM trans
+        |  GROUP BY a),
+        |sa AS (SELECT CAST(sum(na) AS BIGINT) AS n,
+        |    list_sum(list(CAST(na AS DOUBLE) * ln(CAST(na AS DOUBLE))
+        |      ORDER BY a)) AS s
+        |  FROM bya),
+        |sc AS (SELECT count(*) AS n_cells,
+        |    list_sum(list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |      ORDER BY a, b)) AS s
+        |  FROM trans)
+        |SELECT sa.n AS n_transitions, sc.n_cells,
+        |  floor((sa.s - sc.s) / CAST(sa.n AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS h_next_given_cur
+        |FROM sa CROSS JOIN sc""".stripMargin,
+
+    "q222_runs_test" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 10000.0 + 0.5) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |d1 AS (SELECT event_type, day, v - lag(v) OVER w AS d
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |sgn AS (SELECT event_type, day,
+        |    CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+        |  FROM d1 WHERE d IS NOT NULL AND d <> 0),
+        |p AS (SELECT event_type, s,
+        |    lag(s) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |  FROM sgn),
+        |st AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nm,
+        |    CAST(sum(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0
+        |      END) AS BIGINT) AS r
+        |  FROM p GROUP BY event_type)
+        |SELECT event_type, n AS n_moves, np AS n_up, nm AS n_down,
+        |  r AS runs,
+        |  CASE WHEN np > 0 AND nm > 0 AND n > 1 THEN
+        |    floor((CAST(r AS DOUBLE)
+        |      - (2.0 * CAST(np AS DOUBLE) * CAST(nm AS DOUBLE)
+        |        / CAST(n AS DOUBLE) + 1.0))
+        |    / sqrt(((2.0 * CAST(np AS DOUBLE) * CAST(nm AS DOUBLE)
+        |        / CAST(n AS DOUBLE) + 1.0) - 1.0)
+        |      * ((2.0 * CAST(np AS DOUBLE) * CAST(nm AS DOUBLE)
+        |        / CAST(n AS DOUBLE) + 1.0) - 2.0)
+        |      / (CAST(n AS DOUBLE) - 1.0))
+        |    * 10000.0 + 0.5) / 10000.0 END AS z
+        |FROM st ORDER BY event_type""".stripMargin,
 
     "q219_provenance_dups" ->
       """WITH census AS (SELECT md5(text) AS h, source, count(*) AS f
