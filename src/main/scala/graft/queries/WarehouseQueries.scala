@@ -1956,20 +1956,22 @@ object WarehouseQueries {
         .orderBy("vb", "hr")
     },
 
-    // Cumulative distinct users by day — "total uniques to date" without
-    // ever re-scanning history: each user collapses to their FIRST active
-    // day (one keyed aggregate), and the running sum over the ≤31-row
-    // day census is the cumulative distinct count. The exact form of
-    // what HLL sketches (q123) approximate.
+    // Cumulative distinct users per event type by day — "total uniques
+    // to date" without ever re-scanning history: each (user, type)
+    // collapses to its FIRST active day (one keyed aggregate), and the
+    // running sum over the calendar-bounded (type, day) census is the
+    // cumulative distinct count. The exact form of what HLL sketches
+    // (q123) approximate.
     "q213_cumulative_uniques" -> { (s, d) =>
-      val w = Window.orderBy(col("day"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
-        .groupBy(col("user_id"))
+        .groupBy(col("event_type"), col("user_id"))
         .agg(min(col("ts").cast("date")).as("day"))
-        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("new_users"))
         .withColumn("cum_users", sum(col("new_users")).over(w))
-        .orderBy("day")
+        .orderBy("event_type", "day")
     },
 
     // Growth accounting: every week's actives decompose into NEW (first
@@ -3832,14 +3834,16 @@ object WarehouseQueries {
         |FROM g ORDER BY vb, hr""".stripMargin,
 
     "q213_cumulative_uniques" ->
-      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
-        |  FROM events GROUP BY user_id),
-        |c AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
-        |SELECT day, new_users,
-        |  CAST(sum(new_users) OVER (ORDER BY day
+      """WITH f AS (SELECT event_type, user_id,
+        |    min(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, day, count(*) AS new_users
+        |  FROM f GROUP BY 1, 2)
+        |SELECT event_type, day, new_users,
+        |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS cum_users
-        |FROM c ORDER BY day""".stripMargin,
+        |FROM c ORDER BY event_type, day""".stripMargin,
 
     "q214_growth_accounting" ->
       """WITH wk AS (SELECT DISTINCT
