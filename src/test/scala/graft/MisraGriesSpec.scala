@@ -195,6 +195,28 @@ class MisraGriesSpec extends SparkSpec {
       "union sketch must equal the elementwise sum of part sketches")
   }
 
+  test("cms maintains live frequencies over a stream (complete mode)") {
+    graft.plans.GraftExtensions.register(spark)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Long]
+    val agged = mem.toDS().toDF("k")
+      .agg(expr("cms_sketch(k, 4, 256)").as("sk"))
+    val q = agged.writeStream.format("memory")
+      .queryName("cms_stream_out").outputMode("complete").start()
+    mem.addData(Seq.fill(10)(7L) ++ Seq(1L, 2L, 3L): _*)
+    q.processAllAvailable()
+    mem.addData(Seq.fill(5)(7L) ++ Seq(4L, 5L): _*)
+    q.processAllAvailable()
+    q.stop()
+    val sketch = spark.table("cms_stream_out").head().getAs[Array[Byte]](0)
+    assert(graft.plans.CountMinSketchAgg.estimate(sketch, 7L) >= 15L,
+      "hot key count accumulates across micro-batches")
+    assert(graft.plans.CountMinSketchAgg.estimate(sketch, 99L) <= 2L,
+      "absent key estimate stays near zero at this load")
+  }
+
   test("cms_estimate scalar runs codegen-resident against a built sketch") {
     graft.plans.GraftExtensions.register(spark)
     val df = cmsFixture
