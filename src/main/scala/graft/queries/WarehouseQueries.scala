@@ -2240,6 +2240,101 @@ object WarehouseQueries {
         .orderBy("event_type")
     },
 
+    // KL divergence between the click and view value distributions —
+    // the directed companion to PSI (q163) and KS (q143): 20 equi-width
+    // bins, add-one smoothing so empty bins stay finite, every term from
+    // exact integer counts, folded in bin order.
+    "q223_kl_divergence" -> { (s, d) =>
+      val binned = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"),
+          least(floor(col("value") / lit(25.0)), lit(19L)).as("_b"))
+        .groupBy(col("_b"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("_p"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("_q"))
+      val wAll = Window.partitionBy()
+      val t = binned
+        .withColumn("_np", sum(col("_p")).over(wAll))
+        .withColumn("_nq", sum(col("_q")).over(wAll))
+        .withColumn("_t",
+          ((col("_p") + 1).cast("double") / (col("_np") + 20).cast("double"))
+            * log(((col("_p") + 1).cast("double")
+                / (col("_np") + 20).cast("double"))
+              / ((col("_q") + 1).cast("double")
+                / (col("_nq") + 20).cast("double"))))
+      t.agg(max(col("_np")).as("n_click"), max(col("_nq")).as("n_view"),
+          aggregate(transform(array_sort(collect_list(struct(col("_b"),
+            col("_t")))), e => e.getField("_t")),
+            lit(0.0), (acc, x) => acc + x).as("_kl"))
+        .select(col("n_click"), col("n_view"), fr(col("_kl"), 6).as("kl"))
+    },
+
+    // Lorenz curve of customer revenue: cumulative revenue share at each
+    // ascending rank decile, read off the cumulated revenue census with
+    // the q170 partial-run mass identity — tied revenues split by exact
+    // integer rank overlap, so the curve is deterministic under ties.
+    // Gini (q137) integrates this curve; here the 10 points themselves.
+    "q224_lorenz_curve" -> { (s, d) =>
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(floor(decSum(col("o_totalprice")).cast("double")
+          * lit(100.0) + lit(0.5)).as("_r"))
+      val census = rankedCensus(rev.select(lit("all").as("_g"), col("_r")),
+        col("_g"), col("_r"))
+      val deciles = s.range(1, 11).select(col("id").as("_d"))
+      census.crossJoin(broadcast(deciles))
+        .withColumn("_k", expr("(_d * _n) div 10"))
+        .withColumn("_mass", col("_v") * greatest(
+          least(col("_k"), col("_cum") + col("_f")) - col("_cum"), lit(0L)))
+        .groupBy(col("_d").as("decile"))
+        .agg(sum(col("_mass")).as("_below"),
+          sum(col("_v") * col("_f")).as("_total"),
+          max(col("_n")).as("n_customers"))
+        .select(col("decile"), col("n_customers"),
+          fr(col("_below").cast("double") / col("_total").cast("double"), 6)
+            .as("cum_share"))
+        .orderBy("decile")
+    },
+
+    // Peak session concurrency: gap-based sessions (30-minute quiet, the
+    // q47 rule) unpivot to +1/−1 boundary events and the global running
+    // sum's maximum is the capacity peak; starts order before ends at
+    // equal stamps so touching sessions count as concurrent. The ordered
+    // scan runs over SESSION BOUNDARIES (2 rows per session — orders of
+    // magnitude below raw events); at 100 TB this partitions by day with
+    // carry-in counts, the CrossPartitionSpec seed pattern.
+    "q225_peak_concurrency" -> { (s, d) =>
+      val wUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val runUser = wUser.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val sessions = Tables.events(s, d)
+        .withColumn("_prev", lag(unix_micros(col("ts")), 1).over(wUser))
+        .withColumn("_brk", when(col("_prev").isNull
+          || unix_micros(col("ts")) - col("_prev") > lit(1800000000L), 1L)
+          .otherwise(0L))
+        .withColumn("_sid", sum(col("_brk")).over(runUser))
+        .groupBy(col("user_id"), col("_sid"))
+        .agg(min(unix_micros(col("ts"))).as("_start"),
+          max(unix_micros(col("ts"))).as("_end"))
+      val bounds = sessions
+        .select(col("user_id"), col("_start").as("_t"), lit(1L).as("_delta"))
+        .unionByName(sessions.select(col("user_id"),
+          col("_end").as("_t"), lit(-1L).as("_delta")))
+      val wGlobal = Window.orderBy(col("_t"), col("_delta").desc,
+        col("user_id")).rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val run = bounds.withColumn("_conc", sum(col("_delta")).over(wGlobal))
+      run.agg(max(col("_conc")).as("_peak"))
+        .crossJoin(sessions.agg(count(lit(1)).as("n_sessions")))
+        .join(run.groupBy(col("_conc").as("_peak2"))
+          .agg(min(col("_t")).as("_at")), col("_peak") === col("_peak2"))
+        .select(col("n_sessions"), col("_peak").as("peak_concurrency"),
+          timestamp_micros(col("_at")).cast("timestamp_ntz").as("peak_at"))
+    },
+
     // Point-in-time-correct training-set assembly — the capstone ML
     // shape: per user, features computed STRICTLY before the day-20
     // cutoff (7-day activity, totals, DECIMAL mean value, distinct
@@ -3983,6 +4078,87 @@ object WarehouseQueries {
         |      / CAST(n * n AS DOUBLE)) / 10000.0 * 1000000.0 + 0.5)
         |      / 1000000.0 END AS roll_spread
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "q223_kl_divergence" ->
+      """WITH binned AS (SELECT
+        |    least(CAST(floor(value / 25.0) AS BIGINT), 19) AS b,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS q
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1),
+        |t AS (SELECT b, p, q,
+        |    CAST(sum(p) OVER () AS BIGINT) AS np,
+        |    CAST(sum(q) OVER () AS BIGINT) AS nq
+        |  FROM binned),
+        |terms AS (SELECT b, np, nq,
+        |    (CAST(p + 1 AS DOUBLE) / CAST(np + 20 AS DOUBLE))
+        |      * ln((CAST(p + 1 AS DOUBLE) / CAST(np + 20 AS DOUBLE))
+        |        / (CAST(q + 1 AS DOUBLE) / CAST(nq + 20 AS DOUBLE)))
+        |      AS t
+        |  FROM t)
+        |SELECT max(np) AS n_click, max(nq) AS n_view,
+        |  floor(list_sum(list(t ORDER BY b)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS kl
+        |FROM terms""".stripMargin,
+
+    "q224_lorenz_curve" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |      AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS r
+        |  FROM orders GROUP BY o_custkey),
+        |census AS (SELECT r AS v, count(*) AS f FROM rev GROUP BY r),
+        |c AS (SELECT v, f,
+        |    coalesce(CAST(sum(f) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum,
+        |    CAST(sum(f) OVER () AS BIGINT) AS n
+        |  FROM census),
+        |x AS (SELECT c.*, ds.d, (ds.d * c.n) // 10 AS k
+        |  FROM c CROSS JOIN
+        |    (SELECT unnest(generate_series(1, 10)) AS d) ds),
+        |g AS (SELECT d AS decile,
+        |    CAST(sum(v * greatest(least(k, cum + f) - cum, 0)) AS BIGINT)
+        |      AS below,
+        |    CAST(sum(v * f) AS BIGINT) AS total,
+        |    max(n) AS n_customers
+        |  FROM x GROUP BY d)
+        |SELECT decile, n_customers,
+        |  floor(CAST(below AS DOUBLE) / CAST(total AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS cum_share
+        |FROM g ORDER BY decile""".stripMargin,
+
+    "q225_peak_concurrency" ->
+      """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |b AS (SELECT user_id, event_id, t,
+        |    CASE WHEN prev IS NULL OR t - prev > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM l),
+        |sid AS (SELECT user_id, t,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sid
+        |  FROM b),
+        |sessions AS (SELECT user_id, sid, min(t) AS s, max(t) AS e
+        |  FROM sid GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, s AS t, 1 AS delta FROM sessions
+        |  UNION ALL SELECT user_id, e, -1 FROM sessions),
+        |run AS (SELECT t, CAST(sum(delta) OVER (
+        |    ORDER BY t, delta DESC, user_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS conc
+        |  FROM bounds),
+        |pk AS (SELECT max(conc) AS peak FROM run),
+        |at_ AS (SELECT run.conc, min(run.t) AS at FROM run
+        |  GROUP BY run.conc),
+        |ns AS (SELECT count(*) AS n_sessions FROM sessions)
+        |SELECT ns.n_sessions, pk.peak AS peak_concurrency,
+        |  CAST(make_timestamp(at_.at) AS TIMESTAMP) AS peak_at
+        |FROM pk JOIN at_ ON at_.conc = pk.peak CROSS JOIN ns""".stripMargin,
 
     "q221_conditional_entropy" ->
       """WITH t AS (SELECT event_type AS a,
