@@ -2335,6 +2335,118 @@ object WarehouseQueries {
           timestamp_micros(col("_at")).cast("timestamp_ntz").as("peak_at"))
     },
 
+    // Kaplan-Meier survival curve of user tenure (first→last active
+    // day; users still active in the final week are CENSORED, not
+    // events — the distinction naive churn averages get wrong). At-risk
+    // counts come off the duration census by suffix mass; S(t) is
+    // exp(Σ ln((n−d)/n)) with the running sum sequential over ≤31
+    // census rows, every ln() argument a ratio of exact ints.
+    "q226_survival_curve" -> { (s, d) =>
+      val wAsc = Window.orderBy(col("_t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.orderBy(col("_t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      val users = Tables.events(s, d)
+        .withColumn("_day",
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")))
+        .groupBy(col("user_id"))
+        .agg(min(col("_day")).as("_fd"), max(col("_day")).as("_ld"))
+        .select((col("_ld") - col("_fd")).cast("long").as("_t"),
+          when(col("_ld") <= 22, 1L).otherwise(0L).as("_e"))
+      users.groupBy(col("_t"))
+        .agg(sum(col("_e")).as("_d"), count(lit(1)).as("_m"))
+        .withColumn("_cumBefore",
+          coalesce(sum(col("_m")).over(wAsc), lit(0L)))
+        .withColumn("_N", sum(col("_m")).over(wAll))
+        .withColumn("_nrisk", col("_N") - col("_cumBefore"))
+        .withColumn("_term", log((col("_nrisk") - col("_d")).cast("double")
+          / col("_nrisk").cast("double")))
+        .withColumn("_s", exp(sum(col("_term")).over(wRun)))
+        .select(col("_t").as("tenure_days"), col("_nrisk").as("n_risk"),
+          col("_d").as("n_events"), (col("_m") - col("_d")).as("n_censored"),
+          fr(col("_s"), 6).as("survival"))
+        .orderBy("tenure_days")
+    },
+
+    // Average order value by basket size — the merchandising staple:
+    // line counts per order census, DECIMAL-exact AOV per size bucket.
+    "q227_basket_aov" -> { (s, d) =>
+      val sizes = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("basket_size"))
+      Tables.orders(s, d)
+        .join(sizes, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("basket_size"))
+        .agg(count(lit(1)).as("n_orders"),
+          fr(decSum(col("o_totalprice")).cast("double")
+            / count(lit(1)), 2).as("aov"))
+        .orderBy("basket_size")
+    },
+
+    // Language-ID evaluation: per-language precision/recall/F1 from the
+    // q40 confusion census — the metrics layer over the heuristic
+    // classifier, all ratios from exact integer cells with zero-guarded
+    // divisions mirrored literal-for-literal.
+    "q228_langid_prf" -> { (s, d) =>
+      val conf = graft.operators.TextAnalysis
+        .languageId(Tables.documents(s, d), textCol = "text")
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("_c"))
+      val byTrue = conf.groupBy(col("lang").as("_lt"))
+        .agg(sum(col("_c")).as("_nTrue"))
+      val byPred = conf.groupBy(col("lang_pred").as("_lp"))
+        .agg(sum(col("_c")).as("_nPred"))
+      val tp = conf.filter(col("lang") === col("lang_pred"))
+        .select(col("lang").as("_l"), col("_c").as("_tp"))
+      val prf = byTrue
+        .join(byPred, col("_lt") === col("_lp"), "full")
+        .withColumn("_lang", coalesce(col("_lt"), col("_lp")))
+        .join(tp, col("_lang") === col("_l"), "left")
+        .withColumn("_tp2", coalesce(col("_tp"), lit(0L)))
+        .withColumn("_nt", coalesce(col("_nTrue"), lit(0L)))
+        .withColumn("_np", coalesce(col("_nPred"), lit(0L)))
+      val p = col("_tp2").cast("double") / col("_np").cast("double")
+      val r = col("_tp2").cast("double") / col("_nt").cast("double")
+      prf.select(col("_lang").as("lang"), col("_nt").as("n_true"),
+          col("_np").as("n_pred"), col("_tp2").as("n_correct"),
+          when(col("_np") > 0, fr(p, 6)).as("precision"),
+          when(col("_nt") > 0, fr(r, 6)).as("recall"),
+          when(col("_np") > 0 && col("_nt") > 0 && col("_tp2") > 0,
+            fr(lit(2.0) * p * r / (p + r), 6)).as("f1"))
+        .orderBy("lang")
+    },
+
+    // Referential-integrity audit of every foreign key in the star
+    // schema: orphan rows per relationship via anti-join counts — the
+    // cross-table data contract beside q125's single-table constraints.
+    // Each relationship is one broadcast-ish anti-join aggregate; the
+    // five single-row results union into the report.
+    "q229_fk_audit" -> { (s, d) =>
+      def audit(name: String, child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String): DataFrame = {
+        val n = child.count()
+        val orphans = child.join(parent,
+          child(childKey) === parent(parentKey), "left_anti").count()
+        s.range(1).select(lit(name).as("relationship"),
+          lit(n).as("n_rows"), lit(orphans).as("n_orphans"))
+      }
+      audit("customer.c_nationkey->nation", Tables.customer(s, d),
+          "c_nationkey", Tables.nation(s, d), "n_nationkey")
+        .unionByName(audit("lineitem.l_orderkey->orders",
+          Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"))
+        .unionByName(audit("lineitem.l_partkey->part",
+          Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey"))
+        .unionByName(audit("lineitem.l_suppkey->supplier",
+          Tables.lineitem(s, d), "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"))
+        .unionByName(audit("orders.o_custkey->customer",
+          Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .orderBy("relationship")
+    },
+
     // Point-in-time-correct training-set assembly — the capstone ML
     // shape: per user, features computed STRICTLY before the day-20
     // cutoff (7-day activity, totals, DECIMAL mean value, distinct
@@ -4078,6 +4190,123 @@ object WarehouseQueries {
         |      / CAST(n * n AS DOUBLE)) / 10000.0 * 1000000.0 + 0.5)
         |      / 1000000.0 END AS roll_spread
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "q226_survival_curve" ->
+      """WITH u AS (SELECT user_id,
+        |    min(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+        |      AS fd,
+        |    max(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+        |      AS ld
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(ld - fd AS BIGINT) AS t,
+        |    CASE WHEN ld <= 22 THEN 1 ELSE 0 END AS e
+        |  FROM u),
+        |census AS (SELECT t, CAST(sum(e) AS BIGINT) AS d,
+        |    count(*) AS m
+        |  FROM t GROUP BY t),
+        |c AS (SELECT t, d, m,
+        |    coalesce(CAST(sum(m) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cumb,
+        |    CAST(sum(m) OVER () AS BIGINT) AS n
+        |  FROM census),
+        |s AS (SELECT t, d, m, n - cumb AS nrisk,
+        |    ln(CAST((n - cumb) - d AS DOUBLE)
+        |      / CAST(n - cumb AS DOUBLE)) AS term
+        |  FROM c)
+        |SELECT t AS tenure_days, nrisk AS n_risk, d AS n_events,
+        |  CAST(m - d AS BIGINT) AS n_censored,
+        |  floor(exp(sum(term) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS survival
+        |FROM s ORDER BY tenure_days""".stripMargin,
+
+    "q227_basket_aov" ->
+      """WITH sizes AS (SELECT l_orderkey, count(*) AS basket_size
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT s.basket_size, count(*) AS n_orders,
+        |  floor(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4)))
+        |      AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0 AS aov
+        |FROM orders o JOIN sizes s ON o.o_orderkey = s.l_orderkey
+        |GROUP BY s.basket_size ORDER BY s.basket_size""".stripMargin,
+
+    "q228_langid_prf" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks,
+        |    CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '',
+        |      'g')) AS DOUBLE) / greatest(length(text), 1) AS cjk
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, cjk,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ist','ich','nicht','mit','ein','zu','den','von'))) AS DOUBLE) / greatest(len(toks), 1) AS s_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','you','that','for','was'))) AS DOUBLE) / greatest(len(toks), 1) AS s_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','es','se','no','los','por'))) AS DOUBLE) / greatest(len(toks), 1) AS s_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','une','est','que','dans','pour'))) AS DOUBLE) / greatest(len(toks), 1) AS s_fr,
+        |    CAST(len(list_filter(toks, x -> x IN ('的','是','了','在','我','有','和','就','不','人','一','这'))) AS DOUBLE) / greatest(len(toks), 1) AS s_zh
+        |  FROM t),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN cjk > 0.2 THEN 'zh'
+        |         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |         WHEN s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS lang_pred
+        |  FROM s),
+        |conf AS (SELECT lang, lang_pred, count(*) AS c
+        |  FROM p GROUP BY 1, 2),
+        |bt AS (SELECT lang AS lt, CAST(sum(c) AS BIGINT) AS ntrue
+        |  FROM conf GROUP BY lang),
+        |bp AS (SELECT lang_pred AS lp, CAST(sum(c) AS BIGINT) AS npred
+        |  FROM conf GROUP BY lang_pred),
+        |tp AS (SELECT lang AS l, CAST(c AS BIGINT) AS tp FROM conf
+        |  WHERE lang = lang_pred),
+        |j AS (SELECT coalesce(bt.lt, bp.lp) AS lang,
+        |    coalesce(bt.ntrue, 0) AS nt, coalesce(bp.npred, 0) AS np,
+        |    coalesce(tp.tp, 0) AS tp2
+        |  FROM bt FULL JOIN bp ON bt.lt = bp.lp
+        |  LEFT JOIN tp ON coalesce(bt.lt, bp.lp) = tp.l)
+        |SELECT lang, CAST(nt AS BIGINT) AS n_true,
+        |  CAST(np AS BIGINT) AS n_pred, CAST(tp2 AS BIGINT) AS n_correct,
+        |  CASE WHEN np > 0 THEN floor(CAST(tp2 AS DOUBLE)
+        |    / CAST(np AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END
+        |    AS precision,
+        |  CASE WHEN nt > 0 THEN floor(CAST(tp2 AS DOUBLE)
+        |    / CAST(nt AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END
+        |    AS recall,
+        |  CASE WHEN np > 0 AND nt > 0 AND tp2 > 0 THEN
+        |    floor(2.0 * (CAST(tp2 AS DOUBLE) / CAST(np AS DOUBLE))
+        |      * (CAST(tp2 AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      / ((CAST(tp2 AS DOUBLE) / CAST(np AS DOUBLE))
+        |        + (CAST(tp2 AS DOUBLE) / CAST(nt AS DOUBLE)))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS f1
+        |FROM j ORDER BY lang""".stripMargin,
+
+    "q229_fk_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'customer.c_nationkey->nation' AS relationship,
+        |    (SELECT count(*) FROM customer) AS n_rows,
+        |    (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |      AS n_orphans
+        |  UNION ALL SELECT 'lineitem.l_orderkey->orders',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL SELECT 'lineitem.l_partkey->part',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |  UNION ALL SELECT 'orders.o_custkey->customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)))
+        |ORDER BY relationship""".stripMargin,
 
     "q223_kl_divergence" ->
       """WITH binned AS (SELECT
