@@ -2447,6 +2447,29 @@ object WarehouseQueries {
         .orderBy("relationship")
     },
 
+    // Warehouse-health fingerprint — the relational bookend to q200's
+    // corpus dashboard: table row counts, the DECIMAL revenue checksum,
+    // the lineitem/order fanout and orders-per-customer mean — one row a
+    // scheduler diffs run-over-run to catch silent ingestion drift.
+    "q230_warehouse_health" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).agg(count(lit(1)).as("n_lineitem"),
+        decSum(col("l_extendedprice")).as("_rev"))
+      val o = Tables.orders(s, d).agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("_activeCust"))
+      val c = Tables.customer(s, d).agg(count(lit(1)).as("n_customers"))
+      val p = Tables.part(s, d).agg(count(lit(1)).as("n_parts"))
+      val sup = Tables.supplier(s, d).agg(count(lit(1)).as("n_suppliers"))
+      li.crossJoin(o).crossJoin(c).crossJoin(p).crossJoin(sup)
+        .select(col("n_lineitem"), col("n_orders"), col("n_customers"),
+          col("n_parts"), col("n_suppliers"),
+          fr(col("_rev").cast("double"), 2).as("revenue_checksum"),
+          fr(col("n_lineitem").cast("double")
+            / col("n_orders").cast("double"), 6).as("lines_per_order"),
+          fr(col("n_orders").cast("double")
+            / col("_activeCust").cast("double"), 6)
+            .as("orders_per_active_customer"))
+    },
+
     // Point-in-time-correct training-set assembly — the capstone ML
     // shape: per user, features computed STRICTLY before the day-20
     // cutoff (7-day activity, totals, DECIMAL mean value, distinct
@@ -4190,6 +4213,24 @@ object WarehouseQueries {
         |      / CAST(n * n AS DOUBLE)) / 10000.0 * 1000000.0 + 0.5)
         |      / 1000000.0 END AS roll_spread
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "q230_warehouse_health" ->
+      """SELECT
+        |  (SELECT count(*) FROM lineitem) AS n_lineitem,
+        |  (SELECT count(*) FROM orders) AS n_orders,
+        |  (SELECT count(*) FROM customer) AS n_customers,
+        |  (SELECT count(*) FROM part) AS n_parts,
+        |  (SELECT count(*) FROM supplier) AS n_suppliers,
+        |  floor(CAST((SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |    FROM lineitem) AS DOUBLE) * 100.0 + 0.5) / 100.0
+        |    AS revenue_checksum,
+        |  floor(CAST((SELECT count(*) FROM lineitem) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM orders) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS lines_per_order,
+        |  floor(CAST((SELECT count(*) FROM orders) AS DOUBLE)
+        |    / CAST((SELECT count(DISTINCT o_custkey) FROM orders)
+        |      AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS orders_per_active_customer""".stripMargin,
 
     "q226_survival_curve" ->
       """WITH u AS (SELECT user_id,
