@@ -834,6 +834,17 @@ class PlanSpec extends SparkSpec {
       s"q206 window on the cohort grid, not raw events:\n${w206.mkString("\n")}")
   }
 
+  test("q224/q226: Lorenz and survival windows stay on bounded censuses") {
+    for ((q, raw) <- Seq("q224_lorenz_curve" -> "o_custkey",
+        "q226_survival_curve" -> "user_id")) {
+      val winLines = plan(graft.queries.WarehouseQueries.defs(q)(spark, d))
+        .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+      assert(winLines.nonEmpty && winLines.forall(!_.contains(raw)),
+        s"$q: windows cumulate the census, never $raw rows:\n" +
+          winLines.mkString("\n"))
+    }
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
