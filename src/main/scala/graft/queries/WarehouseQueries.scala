@@ -2470,6 +2470,108 @@ object WarehouseQueries {
             .as("orders_per_active_customer"))
     },
 
+    // Additive seasonal decomposition (STL-lite, one fixed sweep):
+    // trend = centered 7-day mean (full windows only, exact int sums ÷
+    // 7.0), seasonality = the day-of-week mean of the detrended series
+    // (per-dow ordered folds over ≤5 values), residual = the rest. All
+    // windows ride the calendar-bounded daily grid.
+    "q231_seasonal_decompose" -> { (s, d) =>
+      val w7 = Window.partitionBy(col("event_type")).orderBy(col("_dn"))
+        .rowsBetween(-3, 3)
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(floor(decSum(col("value")).cast("double") / count(lit(1))
+          * lit(10000.0) + lit(0.5)).as("_v"))
+        .withColumn("_dn",
+          datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
+      val trended = daily
+        .withColumn("_w7n", count(lit(1)).over(w7))
+        .withColumn("_w7s", sum(col("_v")).over(w7))
+        .withColumn("_trend", when(col("_w7n") === 7,
+          col("_w7s").cast("double") / lit(7.0)))
+        .withColumn("_det", when(col("_trend").isNotNull,
+          col("_v").cast("double") - col("_trend")))
+        .withColumn("_dow", pmod(col("_dn"), lit(7)))
+      val seasonal = trended.filter(col("_det").isNotNull)
+        .groupBy(col("event_type").as("_et2"), col("_dow").as("_dow2"))
+        .agg(count(lit(1)).as("_ns"),
+          aggregate(transform(array_sort(collect_list(struct(col("_dn"),
+            col("_det")))), e => e.getField("_det")),
+            lit(0.0), (acc, x) => acc + x).as("_sdet"))
+        .withColumn("_seas", col("_sdet") / col("_ns").cast("double"))
+        .select(col("_et2"), col("_dow2"), col("_seas"))
+      trended.join(broadcast(seasonal),
+          col("event_type") === col("_et2") && col("_dow") === col("_dow2"),
+          "left")
+        .select(col("event_type"), col("day"),
+          fr(col("_v").cast("double") / lit(10000.0), 4).as("value"),
+          fr(col("_trend") / lit(10000.0), 4).as("trend"),
+          fr(col("_seas") / lit(10000.0), 4).as("seasonal"),
+          fr((col("_det") - col("_seas")) / lit(10000.0), 4).as("residual"))
+        .orderBy("event_type", "day")
+    },
+
+    // Rolling 10-day correlation between the click and view daily
+    // series: day-aligned integer values, window moment sums exact in
+    // int64, the Pearson combine per day once the window is full. The
+    // rolling twin of q190's whole-period matrix.
+    "q232_rolling_corr" -> { (s, d) =>
+      val w10 = Window.orderBy(col("day")).rowsBetween(-9, Window.currentRow)
+      val daily = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(floor(sum(when(col("event_type") === "click",
+            col("value").cast("decimal(18,4)"))).cast("double")
+          * lit(100.0) + lit(0.5)).as("_x"),
+          floor(sum(when(col("event_type") === "view",
+            col("value").cast("decimal(18,4)"))).cast("double")
+          * lit(100.0) + lit(0.5)).as("_y"))
+      daily
+        .withColumn("_n", count(lit(1)).over(w10))
+        .withColumn("_sx", sum(col("_x")).over(w10))
+        .withColumn("_sy", sum(col("_y")).over(w10))
+        .withColumn("_sxy", sum(col("_x") * col("_y")).over(w10))
+        .withColumn("_sxx", sum(col("_x") * col("_x")).over(w10))
+        .withColumn("_syy", sum(col("_y") * col("_y")).over(w10))
+        .filter(col("_n") === 10)
+        .select(col("day"),
+          fr((col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+            .cast("double")
+            / (sqrt((col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+                .cast("double"))
+              * sqrt((col("_n") * col("_syy") - col("_sy") * col("_sy"))
+                .cast("double"))), 6).as("rolling_r"))
+        .orderBy("day")
+    },
+
+    // Bot-likeness segmentation by activity-hour entropy: each user's
+    // hour-of-day distribution collapses to Shannon entropy (the
+    // char_entropy identity — integer ln arguments, per-user folds over
+    // ≤24 cells), then users bucket by entropy half-nats. Low entropy =
+    // clockwork automation, high = human-diffuse; the census is the
+    // triage table.
+    "q233_hour_entropy_segments" -> { (s, d) =>
+      val perHour = Tables.events(s, d)
+        .groupBy(col("user_id"), hour(col("ts")).as("_h"))
+        .agg(count(lit(1)).as("_c"))
+        .withColumn("_t",
+          col("_c").cast("double") * log(col("_c").cast("double")))
+      val perUser = perHour.groupBy(col("user_id"))
+        .agg(sum(col("_c")).as("_n"),
+          aggregate(transform(array_sort(collect_list(struct(col("_h"),
+            col("_t")))), e => e.getField("_t")),
+            lit(0.0), (acc, x) => acc + x).as("_s"))
+        .withColumn("_ent", log(col("_n").cast("double"))
+          - col("_s") / col("_n").cast("double"))
+      perUser
+        .withColumn("bucket", floor(col("_ent") / lit(0.5)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          fr(min(col("_ent")), 4).as("min_entropy"),
+          fr(max(col("_ent")), 4).as("max_entropy"))
+        .orderBy("bucket")
+    },
+
     // Point-in-time-correct training-set assembly — the capstone ML
     // shape: per user, features computed STRICTLY before the day-20
     // cutoff (7-day activity, totals, DECIMAL mean value, distinct
@@ -4213,6 +4315,89 @@ object WarehouseQueries {
         |      / CAST(n * n AS DOUBLE)) / 10000.0 * 1000000.0 + 0.5)
         |      / 1000000.0 END AS roll_spread
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "q231_seasonal_decompose" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 10000.0 + 0.5) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |dn AS (SELECT event_type, day, v,
+        |    CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT)
+        |      AS dn
+        |  FROM daily),
+        |tr AS (SELECT event_type, day, v, dn, dn % 7 AS dow,
+        |    CAST(count(*) OVER w7 AS BIGINT) AS w7n,
+        |    CAST(sum(v) OVER w7 AS BIGINT) AS w7s
+        |  FROM dn WINDOW w7 AS (PARTITION BY event_type ORDER BY dn
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (SELECT event_type, day, v, dn, dow,
+        |    CASE WHEN w7n = 7 THEN CAST(w7s AS DOUBLE) / 7.0 END
+        |      AS trend
+        |  FROM tr),
+        |t3 AS (SELECT *, CASE WHEN trend IS NOT NULL
+        |    THEN CAST(v AS DOUBLE) - trend END AS det
+        |  FROM t2),
+        |seas AS (SELECT event_type, dow, count(*) AS ns,
+        |    list_sum(list(det ORDER BY dn)) AS sdet
+        |  FROM t3 WHERE det IS NOT NULL GROUP BY 1, 2),
+        |s2 AS (SELECT event_type, dow,
+        |    sdet / CAST(ns AS DOUBLE) AS seasl
+        |  FROM seas)
+        |SELECT t3.event_type, t3.day,
+        |  floor(CAST(t3.v AS DOUBLE) / 10000.0 * 10000.0 + 0.5)
+        |    / 10000.0 AS value,
+        |  floor(t3.trend / 10000.0 * 10000.0 + 0.5) / 10000.0 AS trend,
+        |  floor(s2.seasl / 10000.0 * 10000.0 + 0.5) / 10000.0
+        |    AS seasonal,
+        |  floor((t3.det - s2.seasl) / 10000.0 * 10000.0 + 0.5) / 10000.0
+        |    AS residual
+        |FROM t3 LEFT JOIN s2 ON t3.event_type = s2.event_type
+        |  AND t3.dow = s2.dow
+        |ORDER BY t3.event_type, t3.day""".stripMargin,
+
+    "q232_rolling_corr" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(floor(CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+        |      * 100.0 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(CAST(sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+        |      * 100.0 + 0.5) AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1),
+        |w AS (SELECT day,
+        |    CAST(count(*) OVER ww AS BIGINT) AS n,
+        |    CAST(sum(x) OVER ww AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER ww AS BIGINT) AS sy,
+        |    CAST(sum(x * y) OVER ww AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) OVER ww AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) OVER ww AS BIGINT) AS syy
+        |  FROM daily WINDOW ww AS (ORDER BY day
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT day,
+        |  floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS rolling_r
+        |FROM w WHERE n = 10 ORDER BY day""".stripMargin,
+
+    "q233_hour_entropy_segments" ->
+      """WITH ph AS (SELECT user_id, hour(ts) AS h, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, h, c,
+        |    CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS t
+        |  FROM ph),
+        |pu AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        |    list_sum(list(t ORDER BY h)) AS s
+        |  FROM t GROUP BY user_id),
+        |e AS (SELECT user_id,
+        |    ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE) AS ent
+        |  FROM pu)
+        |SELECT CAST(floor(ent / 0.5) AS BIGINT) AS bucket,
+        |  count(*) AS n_users,
+        |  floor(min(ent) * 10000.0 + 0.5) / 10000.0 AS min_entropy,
+        |  floor(max(ent) * 10000.0 + 0.5) / 10000.0 AS max_entropy
+        |FROM e GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q230_warehouse_health" ->
       """SELECT
