@@ -2572,6 +2572,92 @@ object WarehouseQueries {
         .orderBy("bucket")
     },
 
+    // Binary-segmentation changepoint: the split of each daily series
+    // maximizing the between-segment sum of squares — the split-POINT
+    // estimator beside q152's CUSUM screen. Prefix sums are exact int64;
+    // the score combine casts them to double in one written order, and
+    // the argmax tie-breaks to the earliest split via a pinned
+    // (score DESC, day ASC) row_number.
+    "q234_changepoint_binseg" -> { (s, d) =>
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("_dn"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(floor(decSum(col("value")).cast("double") / count(lit(1))
+          * lit(10000.0) + lit(0.5)).as("_v"))
+        .withColumn("_dn",
+          datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
+        .withColumn("_k", row_number().over(wOrd).cast("long"))
+        .withColumn("_cum", sum(col("_v")).over(wCum))
+        .withColumn("_n", count(lit(1)).over(wAll))
+        .withColumn("_S", sum(col("_v")).over(wAll))
+      val scored = daily.filter(col("_k") < col("_n"))
+        .withColumn("_m1",
+          col("_cum").cast("double") / col("_k").cast("double"))
+        .withColumn("_m2", (col("_S") - col("_cum")).cast("double")
+          / (col("_n") - col("_k")).cast("double"))
+        .withColumn("_score", (col("_m1") - col("_m2"))
+          * (col("_m1") - col("_m2"))
+          * (col("_k") * (col("_n") - col("_k"))).cast("double")
+          / col("_n").cast("double"))
+      val wBest = Window.partitionBy(col("event_type"))
+        .orderBy(col("_score").desc, col("day"))
+      scored.withColumn("_rn", row_number().over(wBest))
+        .filter(col("_rn") === 1)
+        .select(col("event_type"), col("day").as("split_after_day"),
+          fr(col("_score") / lit(1.0e8), 4).as("score"),
+          fr(col("_m1") / lit(10000.0), 4).as("mean_before"),
+          fr(col("_m2") / lit(10000.0), 4).as("mean_after"))
+        .orderBy("event_type")
+    },
+
+    // Inter-event gap percentiles per type (telemetry latency triage):
+    // exact p50/p90/p99 of the µs gaps off the cumulated gap census —
+    // rank thresholds ⌈p·n⌉ in pure integers, windows over distinct gap
+    // values only (the rankedCensus substrate).
+    "q235_gap_percentiles" -> { (s, d) =>
+      val wOrd = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .withColumn("_prev", lag(unix_micros(col("ts")), 1).over(wOrd))
+        .filter(col("_prev").isNotNull)
+        .select(col("event_type"),
+          (unix_micros(col("ts")) - col("_prev")).as("_g"))
+      val census = rankedCensus(gaps, col("event_type"), col("_g"))
+        .withColumn("_k50", expr("(50 * _n + 99) div 100"))
+        .withColumn("_k90", expr("(90 * _n + 99) div 100"))
+        .withColumn("_k99", expr("(99 * _n + 99) div 100"))
+      def sel(k: String): Column =
+        max(when(col("_cum") < col(k)
+          && col("_cum") + col("_f") >= col(k), col("_v")))
+      census.groupBy(col("_key").as("event_type"))
+        .agg(max(col("_n")).as("n_gaps"),
+          fr(sel("_k50").cast("double") / lit(1000000.0), 3).as("p50_sec"),
+          fr(sel("_k90").cast("double") / lit(1000000.0), 3).as("p90_sec"),
+          fr(sel("_k99").cast("double") / lit(1000000.0), 3).as("p99_sec"))
+        .orderBy("event_type")
+    },
+
+    // Sample-ratio-mismatch guardrail for the q193 A/B split: assignment
+    // counts against the designed 50/50 via z = (n_a−n_b)/√(n_a+n_b) —
+    // the experimentation sanity check that must pass before any lift
+    // readout is trusted. |z| > 3 flags the split as broken.
+    "q236_srm_check" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id")).distinct()
+        .withColumn("_variant", pmod(col("user_id"), lit(2)))
+        .agg(sum(when(col("_variant") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("_variant") === 1, 1L).otherwise(0L)).as("n_b"))
+        .select(col("n_a"), col("n_b"),
+          fr((col("n_a") - col("n_b")).cast("double")
+            / sqrt((col("n_a") + col("n_b")).cast("double")), 4).as("z"),
+          (abs((col("n_a") - col("n_b")).cast("double")
+            / sqrt((col("n_a") + col("n_b")).cast("double"))) > 3.0)
+            .as("srm_flag"))
+    },
+
     // Point-in-time-correct training-set assembly — the capstone ML
     // shape: per user, features computed STRICTLY before the day-20
     // cutoff (7-day activity, totals, DECIMAL mean value, distinct
@@ -4315,6 +4401,87 @@ object WarehouseQueries {
         |      / CAST(n * n AS DOUBLE)) / 10000.0 * 1000000.0 + 0.5)
         |      / 1000000.0 END AS roll_spread
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "q234_changepoint_binseg" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 10000.0 + 0.5) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |dn AS (SELECT event_type, day, v,
+        |    CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT)
+        |      AS dnum
+        |  FROM daily),
+        |c AS (SELECT event_type, day, v, dnum,
+        |    CAST(row_number() OVER wo AS BIGINT) AS k,
+        |    CAST(sum(v) OVER (PARTITION BY event_type ORDER BY dnum
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(sum(v) OVER (PARTITION BY event_type) AS BIGINT) AS s
+        |  FROM dn WINDOW wo AS (PARTITION BY event_type ORDER BY dnum)),
+        |sc AS (SELECT event_type, day,
+        |    CAST(cum AS DOUBLE) / CAST(k AS DOUBLE) AS m1,
+        |    CAST(s - cum AS DOUBLE) / CAST(n - k AS DOUBLE) AS m2,
+        |    (CAST(cum AS DOUBLE) / CAST(k AS DOUBLE)
+        |      - CAST(s - cum AS DOUBLE) / CAST(n - k AS DOUBLE))
+        |    * (CAST(cum AS DOUBLE) / CAST(k AS DOUBLE)
+        |      - CAST(s - cum AS DOUBLE) / CAST(n - k AS DOUBLE))
+        |    * CAST(k * (n - k) AS DOUBLE) / CAST(n AS DOUBLE) AS score
+        |  FROM c WHERE k < n),
+        |best AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY score DESC, day) AS rn
+        |  FROM sc)
+        |SELECT event_type, day AS split_after_day,
+        |  floor(score / 1.0e8 * 10000.0 + 0.5) / 10000.0 AS score,
+        |  floor(m1 / 10000.0 * 10000.0 + 0.5) / 10000.0 AS mean_before,
+        |  floor(m2 / 10000.0 * 10000.0 + 0.5) / 10000.0 AS mean_after
+        |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q235_gap_percentiles" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY event_type ORDER BY ts, event_id) AS g
+        |  FROM events),
+        |f AS (SELECT event_type, g FROM g WHERE g IS NOT NULL),
+        |census AS (SELECT event_type, g AS v, count(*) AS f
+        |  FROM f GROUP BY 1, 2),
+        |c AS (SELECT event_type, v, f,
+        |    coalesce(CAST(sum(f) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum,
+        |    CAST(sum(f) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM census),
+        |k AS (SELECT *, (50 * n + 99) // 100 AS k50,
+        |    (90 * n + 99) // 100 AS k90, (99 * n + 99) // 100 AS k99
+        |  FROM c)
+        |SELECT event_type, max(n) AS n_gaps,
+        |  floor(CAST(max(CASE WHEN cum < k50 AND cum + f >= k50 THEN v
+        |    END) AS DOUBLE) / 1000000.0 * 1000.0 + 0.5) / 1000.0
+        |    AS p50_sec,
+        |  floor(CAST(max(CASE WHEN cum < k90 AND cum + f >= k90 THEN v
+        |    END) AS DOUBLE) / 1000000.0 * 1000.0 + 0.5) / 1000.0
+        |    AS p90_sec,
+        |  floor(CAST(max(CASE WHEN cum < k99 AND cum + f >= k99 THEN v
+        |    END) AS DOUBLE) / 1000000.0 * 1000.0 + 0.5) / 1000.0
+        |    AS p99_sec
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q236_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |g AS (SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM u)
+        |SELECT n_a, n_b,
+        |  floor(CAST(n_a - n_b AS DOUBLE)
+        |    / sqrt(CAST(n_a + n_b AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+        |    AS z,
+        |  abs(CAST(n_a - n_b AS DOUBLE)
+        |    / sqrt(CAST(n_a + n_b AS DOUBLE))) > 3.0 AS srm_flag
+        |FROM g""".stripMargin,
 
     "q231_seasonal_decompose" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
