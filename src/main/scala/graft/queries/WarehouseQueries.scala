@@ -2658,6 +2658,127 @@ object WarehouseQueries {
             .as("srm_flag"))
     },
 
+    // Standardized Pearson residuals per (type, hour) cell — the
+    // cell-level diagnostic under q162's global chi-square: which cells
+    // actually drive the dependence. Observed and marginal counts are
+    // exact ints; e = row·col/n and r = (o−e)/√e are one written double
+    // sequence per cell.
+    "q237_chisq_residuals" -> { (s, d) =>
+      val wR = Window.partitionBy(col("_t"))
+      val wC = Window.partitionBy(col("_h"))
+      val wAll = Window.partitionBy()
+      Tables.events(s, d)
+        .select(col("event_type").as("_t"), hour(col("ts")).as("_h"))
+        .groupBy(col("_t"), col("_h")).agg(count(lit(1)).as("_o"))
+        .withColumn("_rt", sum(col("_o")).over(wR))
+        .withColumn("_ct", sum(col("_o")).over(wC))
+        .withColumn("_n", sum(col("_o")).over(wAll))
+        .withColumn("_e", col("_rt").cast("double")
+          * col("_ct").cast("double") / col("_n").cast("double"))
+        .select(col("_t").as("event_type"), col("_h").as("hr"),
+          col("_o").as("observed"), fr(col("_e"), 4).as("expected"),
+          fr((col("_o").cast("double") - col("_e")) / sqrt(col("_e")), 4)
+            .as("std_residual"))
+        .orderBy("event_type", "hr")
+    },
+
+    // Welch's unequal-variance t-test: weekday vs weekend value means
+    // per type, t and the Welch-Satterthwaite df from exact integer
+    // moment sums (values cent-gridded), every double op mirrored. The
+    // two-sample location test beside KS (shape) and the z-test
+    // (proportions).
+    "q238_welch_ttest" -> { (s, d) =>
+      val grouped = Tables.events(s, d)
+        .withColumn("_we", pmod(
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")),
+          lit(7)) >= 5)
+        .withColumn("_v", floor(col("value") * lit(100.0) + lit(0.5)))
+        .groupBy(col("event_type"), col("_we"))
+        .agg(count(lit(1)).as("_n"), sum(col("_v")).as("_s"),
+          sum(col("_v") * col("_v")).as("_ss"))
+      val p = grouped.groupBy(col("event_type"))
+        .agg(max(when(!col("_we"), col("_n"))).as("_n1"),
+          max(when(!col("_we"), col("_s"))).as("_s1"),
+          max(when(!col("_we"), col("_ss"))).as("_ss1"),
+          max(when(col("_we"), col("_n"))).as("_n2"),
+          max(when(col("_we"), col("_s"))).as("_s2"),
+          max(when(col("_we"), col("_ss"))).as("_ss2"))
+      def mean(s: String, n: String) =
+        col(s).cast("double") / col(n).cast("double") / lit(100.0)
+      // sample variance over cents², then /100² to value units. The
+      // n·Σv² cross-product overflows int64 at row scale, so the combine
+      // casts the EXACT sums to double first — identical on both engines.
+      def va(ss: String, ssum: String, n: String) =
+        (col(n).cast("double") * col(ss).cast("double")
+          - col(ssum).cast("double") * col(ssum).cast("double")) /
+          (col(n) * (col(n) - 1)).cast("double") / lit(10000.0)
+      val se1 = va("_ss1", "_s1", "_n1") / col("_n1").cast("double")
+      val se2 = va("_ss2", "_s2", "_n2") / col("_n2").cast("double")
+      p.select(col("event_type"), col("_n1").as("n_weekday"),
+          col("_n2").as("n_weekend"),
+          fr(mean("_s1", "_n1"), 4).as("mean_weekday"),
+          fr(mean("_s2", "_n2"), 4).as("mean_weekend"),
+          fr((mean("_s1", "_n1") - mean("_s2", "_n2"))
+            / sqrt(se1 + se2), 4).as("t"),
+          fr((se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (col("_n1") - 1).cast("double")
+              + se2 * se2 / (col("_n2") - 1).cast("double")), 2).as("df"))
+        .orderBy("event_type")
+    },
+
+    // Min-max feature scaling audit per type: the exact integer min/max
+    // plus a checksum of the scaled column (each row's (v−min)/(max−min)
+    // gridded to 6 dp int BEFORE summing) — proves the normalize step
+    // replays bit-identically without shipping every row.
+    "q239_minmax_scaling" -> { (s, d) =>
+      val wAll = Window.partitionBy(col("event_type"))
+      Tables.events(s, d)
+        .withColumn("_v", floor(col("value") * lit(100.0) + lit(0.5)))
+        .withColumn("_min", min(col("_v")).over(wAll))
+        .withColumn("_max", max(col("_v")).over(wAll))
+        .withColumn("_sc", floor((col("_v") - col("_min")).cast("double")
+          / (col("_max") - col("_min")).cast("double")
+          * lit(1000000.0) + lit(0.5)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          fr(max(col("_min")).cast("double") / lit(100.0), 2).as("v_min"),
+          fr(max(col("_max")).cast("double") / lit(100.0), 2).as("v_max"),
+          fr(sum(col("_sc")).cast("double") / count(lit(1))
+            / lit(1000000.0), 6).as("scaled_mean"))
+        .orderBy("event_type")
+    },
+
+    // Null/NaN profile across every column of the three fact-side
+    // tables — the completeness half of data profiling next to q98's
+    // distinct censuses. One aggregate pass per table, unioned into the
+    // (table, column) report; NaN counted separately for doubles (a NaN
+    // is NOT null and silently poisons sums).
+    "q240_null_profile" -> { (s, d) =>
+      def profile(table: String, df: DataFrame): DataFrame = {
+        val total = count(lit(1))
+        val rows = df.schema.fields.map { f =>
+          val nulls = total - count(col(f.name))
+          val nans = f.dataType match {
+            case org.apache.spark.sql.types.DoubleType =>
+              sum(when(isnan(col(f.name)), 1L).otherwise(0L))
+            case _ => lit(0L)
+          }
+          struct(lit(f.name).as("column"), nulls.as("n_nulls"),
+            nans.as("n_nan"))
+        }
+        df.agg(total.as("_n"), array(rows: _*).as("_cols"))
+          .select(lit(table).as("table_name"), col("_n"),
+            explode(col("_cols")).as("_c"))
+          .select(col("table_name"), col("_c.column").as("column_name"),
+            col("_n").as("n_rows"), col("_c.n_nulls").as("n_nulls"),
+            col("_c.n_nan").as("n_nan"))
+      }
+      profile("events", Tables.events(s, d))
+        .unionByName(profile("orders", Tables.orders(s, d)))
+        .unionByName(profile("customer", Tables.customer(s, d)))
+        .orderBy("table_name", "column_name")
+    },
+
     // Point-in-time-correct training-set assembly — the capstone ML
     // shape: per user, features computed STRICTLY before the day-20
     // cutoff (7-day activity, totals, DECIMAL mean value, distinct
@@ -4401,6 +4522,153 @@ object WarehouseQueries {
         |      / CAST(n * n AS DOUBLE)) / 10000.0 * 1000000.0 + 0.5)
         |      / 1000000.0 END AS roll_spread
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "q237_chisq_residuals" ->
+      """WITH o AS (SELECT event_type AS t, hour(ts) AS h,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT t, h, o,
+        |    CAST(sum(o) OVER (PARTITION BY t) AS BIGINT) AS rt,
+        |    CAST(sum(o) OVER (PARTITION BY h) AS BIGINT) AS ct,
+        |    CAST(sum(o) OVER () AS BIGINT) AS n
+        |  FROM o),
+        |e AS (SELECT t, h, o,
+        |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS e
+        |  FROM m)
+        |SELECT t AS event_type, CAST(h AS INT) AS hr, o AS observed,
+        |  floor(e * 10000.0 + 0.5) / 10000.0 AS expected,
+        |  floor((CAST(o AS DOUBLE) - e) / sqrt(e) * 10000.0 + 0.5)
+        |    / 10000.0 AS std_residual
+        |FROM e ORDER BY event_type, hr""".stripMargin,
+
+    "q238_welch_ttest" ->
+      """WITH g AS (SELECT event_type,
+        |    (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7)
+        |      >= 5 AS we,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |m AS (SELECT event_type, we, count(*) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS ss
+        |  FROM g GROUP BY 1, 2),
+        |p AS (SELECT event_type,
+        |    max(CASE WHEN NOT we THEN n END) AS n1,
+        |    max(CASE WHEN NOT we THEN s END) AS s1,
+        |    max(CASE WHEN NOT we THEN ss END) AS ss1,
+        |    max(CASE WHEN we THEN n END) AS n2,
+        |    max(CASE WHEN we THEN s END) AS s2,
+        |    max(CASE WHEN we THEN ss END) AS ss2
+        |  FROM m GROUP BY event_type),
+        |x AS (SELECT event_type, n1, n2,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS m1,
+        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0 AS m2,
+        |    (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |      / CAST(n1 * (n1 - 1) AS DOUBLE) / 10000.0
+        |      / CAST(n1 AS DOUBLE) AS se1,
+        |    (CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        |      / CAST(n2 * (n2 - 1) AS DOUBLE) / 10000.0
+        |      / CAST(n2 AS DOUBLE) AS se2
+        |  FROM p)
+        |SELECT event_type, n1 AS n_weekday, n2 AS n_weekend,
+        |  floor(m1 * 10000.0 + 0.5) / 10000.0 AS mean_weekday,
+        |  floor(m2 * 10000.0 + 0.5) / 10000.0 AS mean_weekend,
+        |  floor((m1 - m2) / sqrt(se1 + se2) * 10000.0 + 0.5) / 10000.0
+        |    AS t,
+        |  floor((se1 + se2) * (se1 + se2)
+        |    / (se1 * se1 / CAST(n1 - 1 AS DOUBLE)
+        |      + se2 * se2 / CAST(n2 - 1 AS DOUBLE)) * 100.0 + 0.5)
+        |    / 100.0 AS df
+        |FROM x ORDER BY event_type""".stripMargin,
+
+    "q239_minmax_scaling" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |m AS (SELECT event_type, v,
+        |    CAST(min(v) OVER (PARTITION BY event_type) AS BIGINT) AS mn,
+        |    CAST(max(v) OVER (PARTITION BY event_type) AS BIGINT) AS mx
+        |  FROM v),
+        |sc AS (SELECT event_type, mn, mx,
+        |    CAST(floor(CAST(v - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS s
+        |  FROM m)
+        |SELECT event_type, count(*) AS n,
+        |  floor(CAST(max(mn) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0
+        |    AS v_min,
+        |  floor(CAST(max(mx) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0
+        |    AS v_max,
+        |  floor(CAST(sum(s) AS DOUBLE) / count(*) / 1000000.0
+        |    * 1000000.0 + 0.5) / 1000000.0 AS scaled_mean
+        |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q240_null_profile" ->
+      """WITH ev AS (SELECT 'events' AS table_name, c.column_name,
+        |    (SELECT count(*) FROM events) AS n_rows,
+        |    CASE c.column_name
+        |      WHEN 'event_id' THEN (SELECT count(*) - count(event_id)
+        |        FROM events)
+        |      WHEN 'ts' THEN (SELECT count(*) - count(ts) FROM events)
+        |      WHEN 'user_id' THEN (SELECT count(*) - count(user_id)
+        |        FROM events)
+        |      WHEN 'event_type' THEN (SELECT count(*) - count(event_type)
+        |        FROM events)
+        |      WHEN 'value' THEN (SELECT count(*) - count(value)
+        |        FROM events)
+        |      WHEN 'props' THEN (SELECT count(*) - count(props)
+        |        FROM events) END AS n_nulls,
+        |    CASE c.column_name WHEN 'value' THEN
+        |      (SELECT CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END)
+        |        AS BIGINT) FROM events) ELSE 0 END AS n_nan
+        |  FROM (SELECT unnest(['event_id','ts','user_id','event_type',
+        |    'value','props']) AS column_name) c),
+        |o AS (SELECT 'orders' AS table_name, c.column_name,
+        |    (SELECT count(*) FROM orders) AS n_rows,
+        |    CASE c.column_name
+        |      WHEN 'o_orderkey' THEN (SELECT count(*) - count(o_orderkey)
+        |        FROM orders)
+        |      WHEN 'o_custkey' THEN (SELECT count(*) - count(o_custkey)
+        |        FROM orders)
+        |      WHEN 'o_orderstatus' THEN (SELECT count(*)
+        |        - count(o_orderstatus) FROM orders)
+        |      WHEN 'o_totalprice' THEN (SELECT count(*)
+        |        - count(o_totalprice) FROM orders)
+        |      WHEN 'o_orderdate' THEN (SELECT count(*)
+        |        - count(o_orderdate) FROM orders)
+        |      WHEN 'o_orderpriority' THEN (SELECT count(*)
+        |        - count(o_orderpriority) FROM orders) END AS n_nulls,
+        |    CASE c.column_name WHEN 'o_totalprice' THEN
+        |      (SELECT CAST(sum(CASE WHEN isnan(o_totalprice)
+        |        THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
+        |      ELSE 0 END AS n_nan
+        |  FROM (SELECT unnest(['o_orderkey','o_custkey','o_orderstatus',
+        |    'o_totalprice','o_orderdate','o_orderpriority'])
+        |    AS column_name) c),
+        |cu AS (SELECT 'customer' AS table_name, c.column_name,
+        |    (SELECT count(*) FROM customer) AS n_rows,
+        |    CASE c.column_name
+        |      WHEN 'c_custkey' THEN (SELECT count(*) - count(c_custkey)
+        |        FROM customer)
+        |      WHEN 'c_name' THEN (SELECT count(*) - count(c_name)
+        |        FROM customer)
+        |      WHEN 'c_nationkey' THEN (SELECT count(*)
+        |        - count(c_nationkey) FROM customer)
+        |      WHEN 'c_acctbal' THEN (SELECT count(*) - count(c_acctbal)
+        |        FROM customer)
+        |      WHEN 'c_mktsegment' THEN (SELECT count(*)
+        |        - count(c_mktsegment) FROM customer) END AS n_nulls,
+        |    CASE c.column_name WHEN 'c_acctbal' THEN
+        |      (SELECT CAST(sum(CASE WHEN isnan(c_acctbal)
+        |        THEN 1 ELSE 0 END) AS BIGINT) FROM customer)
+        |      ELSE 0 END AS n_nan
+        |  FROM (SELECT unnest(['c_custkey','c_name','c_nationkey',
+        |    'c_acctbal','c_mktsegment']) AS column_name) c)
+        |SELECT table_name, column_name, n_rows,
+        |  CAST(n_nulls AS BIGINT) AS n_nulls, n_nan
+        |FROM (SELECT * FROM ev UNION ALL SELECT * FROM o
+        |  UNION ALL SELECT * FROM cu)
+        |ORDER BY table_name, column_name""".stripMargin,
 
     "q234_changepoint_binseg" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
