@@ -3089,6 +3089,239 @@ object WarehouseQueries {
               * sqrt((col("n_days") * col("_syy")
                 - col("_sy") * col("_sy")).cast("double"))), 6).as("r"))
         .orderBy("type_a", "type_b")
+    },
+
+    // Gini-impurity decision stump: the optimal binary hour-of-day
+    // split for predicting purchases — the one-node CART search behind
+    // every feature-importance screen. The 24-cell (hour, label) census
+    // carries exact BIGINT counts; candidate thresholds are the hours
+    // present (prefix sums over the ≤24-row census, never rows); each
+    // side's Gini 1−(pos/n)²−(neg/n)² is one identical double sequence;
+    // the winner is the fr-snapped max gain with the earliest-hour
+    // tie-break — a total order both engines replay.
+    "q241_decision_stump" -> { (s, d) =>
+      val census = Tables.events(s, d)
+        .withColumn("_h", hour(col("ts")).cast("long"))
+        .groupBy(col("_h"))
+        .agg(count(lit(1)).as("_n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("_p"))
+      val wCum = Window.orderBy(col("_h"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy()
+      def gini(pos: Column, n: Column): Column = {
+        val pp = pos.cast("double") / n.cast("double")
+        val pn = (n - pos).cast("double") / n.cast("double")
+        lit(1.0) - pp * pp - pn * pn
+      }
+      census
+        .withColumn("_nl", sum(col("_n")).over(wCum))
+        .withColumn("_pl", sum(col("_p")).over(wCum))
+        .withColumn("_nt", sum(col("_n")).over(wAll))
+        .withColumn("_pt", sum(col("_p")).over(wAll))
+        .filter(col("_nt") - col("_nl") > 0)
+        .withColumn("_gain", fr(gini(col("_pt"), col("_nt"))
+          - (col("_nl").cast("double") / col("_nt").cast("double"))
+            * gini(col("_pl"), col("_nl"))
+          - ((col("_nt") - col("_nl")).cast("double")
+            / col("_nt").cast("double"))
+            * gini(col("_pt") - col("_pl"), col("_nt") - col("_nl")), 6))
+        .select(col("_h").as("split_hour"), col("_nl").as("n_left"),
+          (col("_nt") - col("_nl")).as("n_right"),
+          fr(gini(col("_pt"), col("_nt")), 6).as("gini_parent"),
+          col("_gain").as("gain"))
+        .orderBy(col("gain").desc, col("split_hour"))
+        .limit(1)
+    },
+
+    // Per-source lexical richness: type-token ratio and hapax-legomena
+    // share — the vocabulary-health probe beside Zipf (q196) and
+    // vocabulary drift (q79). Tokens use the q35/q50 whitespace
+    // convention; everything reduces to the (source, token) count
+    // aggregate (map-side combinable, never the occurrence explode
+    // downstream), and the two ratios are the only double math.
+    "q245_lexical_richness" -> { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("_t"))
+        .filter(col("_t") =!= "")
+        .groupBy(col("source"), col("_t")).agg(count(lit(1)).as("_c"))
+      counts.groupBy(col("source"))
+        .agg(sum(col("_c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("_c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          fr(col("n_types").cast("double")
+            / col("n_tokens").cast("double"), 6).as("ttr"),
+          fr(col("n_hapax").cast("double")
+            / col("n_types").cast("double"), 6).as("hapax_ratio"))
+        .orderBy("source")
+    },
+
+    // Jensen-Shannon divergence between the weekday and weekend
+    // event-type mixes — the symmetric, bounded companion to KL (q223):
+    // both distributions from ONE (type, weekday-flag) census with the
+    // engine-neutral epoch-day dow (q204's rule), zero-count sides
+    // contribute exactly 0 by the 0·ln 0 convention, and each side's
+    // term list folds in event-type order through the q161 pattern.
+    "q246_jsd" -> { (s, d) =>
+      val cells = Tables.events(s, d)
+        .withColumn("_dw", expr(
+          "datediff(cast(ts as date), date'2024-01-01') % 7"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("_dw") < 5, 1L).otherwise(0L)).as("_cp"),
+          sum(when(col("_dw") >= 5, 1L).otherwise(0L)).as("_cq"))
+      val wAll = Window.partitionBy()
+      val t = cells
+        .withColumn("_np", sum(col("_cp")).over(wAll))
+        .withColumn("_nq", sum(col("_cq")).over(wAll))
+        .withColumn("_p", col("_cp").cast("double") / col("_np"))
+        .withColumn("_q", col("_cq").cast("double") / col("_nq"))
+        .withColumn("_tp", when(col("_cp") > 0, col("_p")
+          * log(col("_p") / ((col("_p") + col("_q")) / lit(2.0))))
+          .otherwise(lit(0.0)))
+        .withColumn("_tq", when(col("_cq") > 0, col("_q")
+          * log(col("_q") / ((col("_p") + col("_q")) / lit(2.0))))
+          .otherwise(lit(0.0)))
+      t.agg(max(col("_np")).as("n_weekday"), max(col("_nq")).as("n_weekend"),
+          aggregate(transform(array_sort(collect_list(
+            struct(col("event_type"), col("_tp")))),
+            e => e.getField("_tp")), lit(0.0), (a, x) => a + x).as("_kp"),
+          aggregate(transform(array_sort(collect_list(
+            struct(col("event_type"), col("_tq")))),
+            e => e.getField("_tq")), lit(0.0), (a, x) => a + x).as("_kq"))
+        .select(col("n_weekday"), col("n_weekend"),
+          fr((col("_kp") + col("_kq")) / lit(2.0), 6).as("jsd_nats"))
+    },
+
+    // Spearman rank correlation between daily event volume and daily
+    // exact revenue: tie-aware average ranks computed on the bounded
+    // value census as DOUBLED integers (2·cumBefore + f + 1 — the ½ in
+    // an average rank never becomes a float), joined back by value, and
+    // the Pearson combine over the doubled ranks runs entirely in exact
+    // int64 (the common 2× scale cancels in the correlation). The only
+    // keyless windows run over the per-metric censuses, bounded by
+    // distinct daily values, never rows.
+    "q242_spearman" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .withColumn("_cents",
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("_x"), sum(col("_cents")).as("_y"))
+      def ranks(vc: String): DataFrame = {
+        val w = Window.orderBy(col(vc))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        daily.groupBy(col(vc)).agg(count(lit(1)).as("_f"))
+          .withColumn("_cum", coalesce(sum(col("_f")).over(w), lit(0L)))
+          .select(col(vc),
+            (lit(2) * col("_cum") + col("_f") + lit(1)).as("_r2" + vc))
+      }
+      daily.join(ranks("_x"), Seq("_x")).join(ranks("_y"), Seq("_y"))
+        .agg(count(lit(1)).as("_n"),
+          sum(col("_r2_x")).as("_sx"), sum(col("_r2_y")).as("_sy"),
+          sum(col("_r2_x") * col("_r2_y")).as("_sxy"),
+          sum(col("_r2_x") * col("_r2_x")).as("_sxx"),
+          sum(col("_r2_y") * col("_r2_y")).as("_syy"))
+        .select(col("_n").as("n_days"),
+          fr((col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+            .cast("double")
+            / (sqrt((col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+                .cast("double"))
+              * sqrt((col("_n") * col("_syy") - col("_sy") * col("_sy"))
+                .cast("double"))), 6).as("rho"))
+    },
+
+    // Mann-Kendall monotonic-trend test on daily revenue — the
+    // distribution-free companion to the Theil-Sen slope (q179): S =
+    // Σ sign(v_j − v_i) over day pairs i<j (pair space bounded by
+    // days², never rows), tie-corrected variance n(n−1)(2n+5) −
+    // Σ t(t−1)(2t+5) all in exact int64, continuity-corrected z with
+    // the single /18 division and sqrt as the only double math.
+    "q243_mann_kendall" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .withColumn("_cents",
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(col("_cents")).as("_v"))
+      val a = daily.select(col("day").as("_d1"), col("_v").as("_v1"))
+      val b = daily.select(col("day").as("_d2"), col("_v").as("_v2"))
+      val sStat = a.join(b, col("_d1") < col("_d2"))
+        .agg(sum(when(col("_v2") > col("_v1"), 1L)
+          .when(col("_v2") < col("_v1"), -1L).otherwise(0L)).as("s_stat"))
+      val ties = daily.groupBy(col("_v")).agg(count(lit(1)).as("_t"))
+        .agg(sum(col("_t")).as("_n"),
+          sum(col("_t") * (col("_t") - 1) * (lit(2) * col("_t") + 5))
+            .as("_tt"))
+      val varS = ((col("_n") * (col("_n") - 1)
+        * (lit(2) * col("_n") + 5) - col("_tt")).cast("double")
+        / lit(18.0))
+      sStat.crossJoin(ties)
+        .select(col("_n").as("n_days"), col("s_stat"),
+          fr(varS, 4).as("var_s"),
+          fr(when(col("s_stat") > 0,
+              (col("s_stat") - 1).cast("double") / sqrt(varS))
+            .when(col("s_stat") < 0,
+              (col("s_stat") + 1).cast("double") / sqrt(varS))
+            .otherwise(lit(0.0)), 4).as("z"))
+    },
+
+    // RFM customer segmentation: per-user recency (days from last
+    // activity to the day-30 anchor), frequency (events) and monetary
+    // (exact integer dollars from cent sums). Quintile fences are exact
+    // type-1 order statistics located on each metric's census by the
+    // integer threshold cum·5 ≥ q·n — never NTILE, whose tie placement
+    // engines leave undefined; every user in a tie run lands in the
+    // same bucket on both engines. R is inverted (most recent = 5).
+    // Censuses are bounded by the day span, the activity range and the
+    // dollar domain respectively, not by user count.
+    "q244_rfm" -> { (s, d) =>
+      val anchor = lit("2024-01-31").cast("date")
+      val users = Tables.events(s, d)
+        .withColumn("_cents",
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+        .groupBy(col("user_id"))
+        .agg(datediff(anchor, max(col("ts").cast("date"))).cast("long")
+            .as("_rec"),
+          count(lit(1)).as("_freq"),
+          sum(col("_cents")).as("_cents_sum"))
+        .withColumn("_mon", expr("_cents_sum div 100"))
+      def fences(vc: String): DataFrame = {
+        val w = Window.orderBy(col(vc))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val census = users.groupBy(col(vc)).agg(count(lit(1)).as("_f"))
+        census
+          .withColumn("_cumi",
+            coalesce(sum(col("_f")).over(w), lit(0L)) + col("_f"))
+          .crossJoin(census.agg(sum(col("_f")).as("_nn")))
+          .agg(
+            min(when(col("_cumi") * 5 >= col("_nn") * 1, col(vc)))
+              .as(vc + "_t1"),
+            min(when(col("_cumi") * 5 >= col("_nn") * 2, col(vc)))
+              .as(vc + "_t2"),
+            min(when(col("_cumi") * 5 >= col("_nn") * 3, col(vc)))
+              .as(vc + "_t3"),
+            min(when(col("_cumi") * 5 >= col("_nn") * 4, col(vc)))
+              .as(vc + "_t4"))
+      }
+      def bucket(vc: String): Column =
+        lit(1) + when(col(vc) > col(vc + "_t1"), 1).otherwise(0) +
+          when(col(vc) > col(vc + "_t2"), 1).otherwise(0) +
+          when(col(vc) > col(vc + "_t3"), 1).otherwise(0) +
+          when(col(vc) > col(vc + "_t4"), 1).otherwise(0)
+      users
+        .crossJoin(fences("_rec")).crossJoin(fences("_freq"))
+        .crossJoin(fences("_mon"))
+        .withColumn("_r", lit(6) - bucket("_rec"))
+        .withColumn("_f2", bucket("_freq"))
+        .withColumn("_m", bucket("_mon"))
+        .groupBy(concat(col("_r"), col("_f2"), col("_m")).as("segment"))
+        .agg(count(lit(1)).as("n_users"),
+          fr(sum(col("_mon")).cast("double")
+            / count(lit(1)).cast("double"), 2).as("mean_monetary"),
+          fr(sum(col("_freq")).cast("double")
+            / count(lit(1)).cast("double"), 2).as("mean_frequency"))
+        .orderBy("segment")
     }
   )
 
@@ -5615,6 +5848,195 @@ object WarehouseQueries {
         |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
         |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
         |    * 1000000.0 + 0.5) / 1000000.0 AS r
-        |FROM s ORDER BY type_a, type_b""".stripMargin
+        |FROM s ORDER BY type_a, type_b""".stripMargin,
+
+    "q241_decision_stump" ->
+      """WITH census AS (SELECT CAST(extract(hour FROM ts) AS BIGINT)
+        |      AS h, count(*) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT h,
+        |    CAST(sum(n) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS nl,
+        |    CAST(sum(p) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS pl,
+        |    CAST(sum(n) OVER () AS BIGINT) AS nt,
+        |    CAST(sum(p) OVER () AS BIGINT) AS pt
+        |  FROM census),
+        |g AS (SELECT h, nl, pl, nt, pt,
+        |    1.0 - (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      - (CAST(nt - pt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (CAST(nt - pt AS DOUBLE) / CAST(nt AS DOUBLE)) AS gp,
+        |    1.0 - (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+        |      * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+        |      - (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE))
+        |      * (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE)) AS gl,
+        |    1.0 - (CAST(pt - pl AS DOUBLE) / CAST(nt - nl AS DOUBLE))
+        |      * (CAST(pt - pl AS DOUBLE) / CAST(nt - nl AS DOUBLE))
+        |      - (CAST((nt - nl) - (pt - pl) AS DOUBLE)
+        |        / CAST(nt - nl AS DOUBLE))
+        |      * (CAST((nt - nl) - (pt - pl) AS DOUBLE)
+        |        / CAST(nt - nl AS DOUBLE)) AS gr
+        |  FROM c WHERE nt - nl > 0)
+        |SELECT h AS split_hour, nl AS n_left, nt - nl AS n_right,
+        |  floor(gp * 1000000.0 + 0.5) / 1000000.0 AS gini_parent,
+        |  floor((gp - (CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE)) * gl
+        |    - (CAST(nt - nl AS DOUBLE) / CAST(nt AS DOUBLE)) * gr)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS gain
+        |FROM g ORDER BY gain DESC, split_hour LIMIT 1""".stripMargin,
+
+    "q245_lexical_richness" ->
+      """WITH t AS (SELECT source, unnest(string_split_regex(
+        |      trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, count(*) AS c FROM t
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |  floor(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS ttr,
+        |  floor(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS hapax_ratio
+        |FROM s ORDER BY source""".stripMargin,
+
+    "q246_jsd" ->
+      """WITH e AS (SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+        |      AS dw
+        |  FROM events),
+        |cells AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN dw < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cp,
+        |    CAST(sum(CASE WHEN dw >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cq
+        |  FROM e GROUP BY 1),
+        |m AS (SELECT event_type, cp, cq,
+        |    sum(cp) OVER () AS np, sum(cq) OVER () AS nq FROM cells),
+        |p AS (SELECT event_type, cp, cq, np, nq,
+        |    CAST(cp AS DOUBLE) / np AS p, CAST(cq AS DOUBLE) / nq AS q
+        |  FROM m),
+        |t AS (SELECT event_type, np, nq,
+        |    CASE WHEN cp > 0 THEN p * ln(p / ((p + q) / 2.0))
+        |      ELSE 0.0 END AS tp,
+        |    CASE WHEN cq > 0 THEN q * ln(q / ((p + q) / 2.0))
+        |      ELSE 0.0 END AS tq
+        |  FROM p)
+        |SELECT CAST(max(np) AS BIGINT) AS n_weekday,
+        |  CAST(max(nq) AS BIGINT) AS n_weekend,
+        |  floor((list_sum(list(tp ORDER BY event_type))
+        |    + list_sum(list(tq ORDER BY event_type))) / 2.0
+        |    * 1000000.0 + 0.5) / 1000000.0 AS jsd_nats
+        |FROM t""".stripMargin,
+
+    "q242_spearman" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |cx AS (SELECT x, count(*) AS f FROM daily GROUP BY 1),
+        |rx AS (SELECT x, 2 * COALESCE(sum(f) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + f + 1 AS r2x
+        |  FROM cx),
+        |cy AS (SELECT y, count(*) AS f FROM daily GROUP BY 1),
+        |ry AS (SELECT y, 2 * COALESCE(sum(f) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + f + 1 AS r2y
+        |  FROM cy),
+        |j AS (SELECT r2x, r2y FROM daily
+        |  JOIN rx ON daily.x = rx.x JOIN ry ON daily.y = ry.y),
+        |s AS (SELECT count(*) AS n, CAST(sum(r2x) AS BIGINT) AS sx,
+        |    CAST(sum(r2y) AS BIGINT) AS sy,
+        |    CAST(sum(r2x * r2y) AS BIGINT) AS sxy,
+        |    CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+        |    CAST(sum(r2y * r2y) AS BIGINT) AS syy FROM j)
+        |SELECT n AS n_days,
+        |  floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS rho
+        |FROM s""".stripMargin,
+
+    "q243_mann_kendall" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1
+        |      WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY v),
+        |u AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt FROM t)
+        |SELECT n AS n_days, s_stat,
+        |  floor(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) / 18.0
+        |    * 10000.0 + 0.5) / 10000.0 AS var_s,
+        |  floor(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |      / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE)
+        |        / 18.0)
+        |    WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |      / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE)
+        |        / 18.0)
+        |    ELSE 0.0 END * 10000.0 + 0.5) / 10000.0 AS z
+        |FROM p CROSS JOIN u""".stripMargin,
+
+    "q244_rfm" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(date_diff('day', CAST(max(ts) AS DATE),
+        |      DATE '2024-01-31') AS BIGINT) AS rec,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) // 100 AS mon
+        |  FROM events GROUP BY 1),
+        |rc AS (SELECT rec AS v, count(*) AS f FROM u GROUP BY 1),
+        |rf AS (SELECT min(CASE WHEN cumi * 5 >= nn * 1 THEN v END) AS t1,
+        |    min(CASE WHEN cumi * 5 >= nn * 2 THEN v END) AS t2,
+        |    min(CASE WHEN cumi * 5 >= nn * 3 THEN v END) AS t3,
+        |    min(CASE WHEN cumi * 5 >= nn * 4 THEN v END) AS t4
+        |  FROM (SELECT v, COALESCE(sum(f) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + f
+        |      AS cumi, sum(f) OVER () AS nn FROM rc) x),
+        |fc AS (SELECT freq AS v, count(*) AS f FROM u GROUP BY 1),
+        |ff AS (SELECT min(CASE WHEN cumi * 5 >= nn * 1 THEN v END) AS t1,
+        |    min(CASE WHEN cumi * 5 >= nn * 2 THEN v END) AS t2,
+        |    min(CASE WHEN cumi * 5 >= nn * 3 THEN v END) AS t3,
+        |    min(CASE WHEN cumi * 5 >= nn * 4 THEN v END) AS t4
+        |  FROM (SELECT v, COALESCE(sum(f) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + f
+        |      AS cumi, sum(f) OVER () AS nn FROM fc) x),
+        |mc AS (SELECT mon AS v, count(*) AS f FROM u GROUP BY 1),
+        |mf AS (SELECT min(CASE WHEN cumi * 5 >= nn * 1 THEN v END) AS t1,
+        |    min(CASE WHEN cumi * 5 >= nn * 2 THEN v END) AS t2,
+        |    min(CASE WHEN cumi * 5 >= nn * 3 THEN v END) AS t3,
+        |    min(CASE WHEN cumi * 5 >= nn * 4 THEN v END) AS t4
+        |  FROM (SELECT v, COALESCE(sum(f) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + f
+        |      AS cumi, sum(f) OVER () AS nn FROM mc) x),
+        |b AS (SELECT u.freq, u.mon,
+        |    6 - (1 + CASE WHEN rec > r.t1 THEN 1 ELSE 0 END
+        |      + CASE WHEN rec > r.t2 THEN 1 ELSE 0 END
+        |      + CASE WHEN rec > r.t3 THEN 1 ELSE 0 END
+        |      + CASE WHEN rec > r.t4 THEN 1 ELSE 0 END) AS br,
+        |    1 + CASE WHEN freq > f.t1 THEN 1 ELSE 0 END
+        |      + CASE WHEN freq > f.t2 THEN 1 ELSE 0 END
+        |      + CASE WHEN freq > f.t3 THEN 1 ELSE 0 END
+        |      + CASE WHEN freq > f.t4 THEN 1 ELSE 0 END AS bf,
+        |    1 + CASE WHEN mon > m.t1 THEN 1 ELSE 0 END
+        |      + CASE WHEN mon > m.t2 THEN 1 ELSE 0 END
+        |      + CASE WHEN mon > m.t3 THEN 1 ELSE 0 END
+        |      + CASE WHEN mon > m.t4 THEN 1 ELSE 0 END AS bm
+        |  FROM u CROSS JOIN rf r CROSS JOIN ff f CROSS JOIN mf m)
+        |SELECT concat(br, bf, bm) AS segment, count(*) AS n_users,
+        |  floor(CAST(sum(mon) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    * 100.0 + 0.5) / 100.0 AS mean_monetary,
+        |  floor(CAST(sum(freq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    * 100.0 + 0.5) / 100.0 AS mean_frequency
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
