@@ -3195,6 +3195,163 @@ object WarehouseQueries {
           fr((col("_kp") + col("_kq")) / lit(2.0), 6).as("jsd_nats"))
     },
 
+    // Bipartite degree assortativity of the supplier↔part graph: do
+    // high-degree suppliers stock high-degree parts? Pearson over the
+    // edge list's (supplier-degree, part-degree) pairs — degrees are
+    // exact counts off the distinct edge set, the join is edge-keyed
+    // (never all-pairs), and the exact int64 moment sums cast to double
+    // BEFORE the n·Σxy cross-products per the q238 overflow rule. The
+    // mixing-structure probe beside the degree power law (q198).
+    "q247_assortativity" -> { (s, d) =>
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("_s"), col("l_partkey").as("_p"))
+        .distinct()
+      val ds = edges.groupBy(col("_s")).agg(count(lit(1)).as("_degs"))
+      val dp = edges.groupBy(col("_p")).agg(count(lit(1)).as("_degp"))
+      def D(c: Column) = c.cast("double")
+      edges.join(ds, Seq("_s")).join(dp, Seq("_p"))
+        .agg(count(lit(1)).as("_m"),
+          sum(col("_degs")).as("_sx"), sum(col("_degp")).as("_sy"),
+          sum(col("_degs") * col("_degp")).as("_sxy"),
+          sum(col("_degs") * col("_degs")).as("_sxx"),
+          sum(col("_degp") * col("_degp")).as("_syy"))
+        .select(col("_m").as("n_edges"),
+          fr((D(col("_m")) * D(col("_sxy")) - D(col("_sx")) * D(col("_sy")))
+            / (sqrt(D(col("_m")) * D(col("_sxx"))
+                - D(col("_sx")) * D(col("_sx")))
+              * sqrt(D(col("_m")) * D(col("_syy"))
+                - D(col("_sy")) * D(col("_sy")))), 6).as("assortativity"))
+    },
+
+    // Wilson 95% score interval for per-type DAILY reach — the
+    // small-sample-safe CI the naive Wald interval gets wrong near 0
+    // and 1: reach = distinct (user, day) pairs with the type over all
+    // distinct active user-days (exact BIGINTs — per-user reach is
+    // degenerate at 100% in this corpus, user-days discriminate), and
+    // the score-interval algebra is one literal double sequence
+    // (z = 1.96) mirrored token-for-token in the oracle. The
+    // uncertainty companion to the A/B z-test (q193).
+    "q248_wilson_ci" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("_day", col("ts").cast("date"))
+      val total = ev.agg(countDistinct(col("user_id"), col("_day"))
+        .as("_n"))
+      val z = lit(1.96)
+      val z2 = z * z
+      ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id"), col("_day")).as("_k"))
+        .crossJoin(total)
+        .withColumn("_nd", col("_n").cast("double"))
+        .withColumn("_ph", col("_k").cast("double") / col("_nd"))
+        .withColumn("_den", lit(1.0) + z2 / col("_nd"))
+        .withColumn("_ctr",
+          (col("_ph") + z2 / (lit(2.0) * col("_nd"))) / col("_den"))
+        .withColumn("_half", z * sqrt(col("_ph") * (lit(1.0) - col("_ph"))
+          / col("_nd") + z2 / (lit(4.0) * col("_nd") * col("_nd")))
+          / col("_den"))
+        .select(col("event_type"), col("_n").as("n_users"),
+          col("_k").as("k_users"),
+          fr(col("_ph"), 6).as("p_hat"),
+          fr(col("_ctr") - col("_half"), 6).as("ci_lo"),
+          fr(col("_ctr") + col("_half"), 6).as("ci_hi"))
+        .orderBy("event_type")
+    },
+
+    // Cohen's kappa between two deterministic document-quality rules
+    // (length ≥ 400 chars vs ≥ 80 whitespace tokens) — chance-corrected
+    // agreement off the 2×2 census: po and pe are exact integer
+    // cross-products over n and n² with ONE double division each. The
+    // rater-agreement metric beside the eval family (q164–q166).
+    "q249_cohens_kappa" -> { (s, d) =>
+      val c = Tables.documents(s, d)
+        .withColumn("_a", (col("n_chars") >= 400).cast("long"))
+        .withColumn("_b", (size(split(trim(col("text")), "\\s+"))
+          .cast("long") >= 80).cast("long"))
+        .agg(count(lit(1)).as("_n"),
+          sum(when(col("_a") === 1 && col("_b") === 1, 1L).otherwise(0L))
+            .as("_n11"),
+          sum(when(col("_a") === 1 && col("_b") === 0, 1L).otherwise(0L))
+            .as("_n10"),
+          sum(when(col("_a") === 0 && col("_b") === 1, 1L).otherwise(0L))
+            .as("_n01"),
+          sum(when(col("_a") === 0 && col("_b") === 0, 1L).otherwise(0L))
+            .as("_n00"))
+      val po = (col("_n11") + col("_n00")).cast("double") /
+        col("_n").cast("double")
+      val pe = ((col("_n11") + col("_n10")) * (col("_n11") + col("_n01"))
+        + (col("_n01") + col("_n00")) * (col("_n10") + col("_n00")))
+        .cast("double") / (col("_n") * col("_n")).cast("double")
+      c.select(col("_n").as("n_docs"),
+        (col("_n11") + col("_n00")).as("n_agree"),
+        fr(po, 6).as("po"), fr(pe, 6).as("pe"),
+        fr((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+    },
+
+    // Partial autocorrelation (lags 1..3) of the daily event-value
+    // series per type, via Durbin-Levinson — the AR-order
+    // identification statistic beside the raw ACF (q167). Unlike
+    // q167's per-lag Pearson, this uses the STANDARD time-series ACF
+    // estimator (one global mean, full-series denominator), computed
+    // exactly: multiplying through by n² turns every centered moment
+    // into pure int64 sums over the 4 dp-gridded daily means (n is the
+    // calendar-bounded day count, so n²·Σxy stays far inside int64 at
+    // the gate and the 100 TB path swaps the combine to DECIMAL(38,0)
+    // per the q153 rule); the DL recursion is literal double math from
+    // those identical ratios. Everything after the daily aggregate is
+    // census-scale — bounded by types × days.
+    "q250_pacf" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(floor(decSum(col("value")).cast("double") / count(lit(1))
+          * lit(10000.0) + lit(0.5)).as("_x"))
+      val g = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"),
+          sum(col("_x") * col("_x")).as("_ss"))
+      val pairs = daily
+        .withColumn("_l1", lag(col("_x"), 1).over(w))
+        .withColumn("_l2", lag(col("_x"), 2).over(w))
+        .withColumn("_l3", lag(col("_x"), 3).over(w))
+        .select(col("event_type"), explode(array(
+          struct(lit(1).as("k"), col("_x").as("x"), col("_l1").as("y")),
+          struct(lit(2).as("k"), col("_x").as("x"), col("_l2").as("y")),
+          struct(lit(3).as("k"), col("_x").as("x"), col("_l3").as("y"))))
+          .as("p"))
+        .select(col("event_type"), col("p.k").as("_k"),
+          col("p.x").as("_xx"), col("p.y").as("_yy"))
+        .filter(col("_yy").isNotNull)
+      val lagAgg = pairs.groupBy(col("event_type"))
+        .pivot("_k", Seq(1, 2, 3))
+        .agg(sum(col("_xx") * col("_yy")).as("sxy"),
+          sum(col("_xx")).as("sx"), sum(col("_yy")).as("sy"))
+      def rk(k: Int): Column = {
+        val nd = col("_n").cast("double")
+        val sd = col("_s").cast("double")
+        ((nd * nd) * col(s"${k}_sxy").cast("double")
+          - nd * sd * (col(s"${k}_sx").cast("double")
+            + col(s"${k}_sy").cast("double"))
+          + (col("_n") - k).cast("double") * sd * sd) /
+          ((nd * nd) * col("_ss").cast("double") - nd * sd * sd)
+      }
+      g.join(lagAgg, Seq("event_type"))
+        .withColumn("_r1", rk(1)).withColumn("_r2", rk(2))
+        .withColumn("_r3", rk(3))
+        .withColumn("_p22", (col("_r2") - col("_r1") * col("_r1"))
+          / (lit(1.0) - col("_r1") * col("_r1")))
+        .withColumn("_p21", col("_r1") - col("_p22") * col("_r1"))
+        .withColumn("_p33",
+          (col("_r3") - col("_p21") * col("_r2")
+            - col("_p22") * col("_r1"))
+          / (lit(1.0) - col("_p21") * col("_r1")
+            - col("_p22") * col("_r2")))
+        .select(col("event_type"), col("_n").as("n_days"),
+          fr(col("_r1"), 6).as("acf_1"), fr(col("_r2"), 6).as("acf_2"),
+          fr(col("_r3"), 6).as("acf_3"),
+          fr(col("_r1"), 6).as("pacf_1"), fr(col("_p22"), 6).as("pacf_2"),
+          fr(col("_p33"), 6).as("pacf_3"))
+        .orderBy("event_type")
+    },
+
     // Spearman rank correlation between daily event volume and daily
     // exact revenue: tie-aware average ranks computed on the bounded
     // value census as DOUBLED integers (2·cumBefore + f + 1 — the ½ in
@@ -5933,6 +6090,155 @@ object WarehouseQueries {
         |    + list_sum(list(tq ORDER BY event_type))) / 2.0
         |    * 1000000.0 + 0.5) / 1000000.0 AS jsd_nats
         |FROM t""".stripMargin,
+
+    "q247_assortativity" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+        |  FROM lineitem),
+        |ds AS (SELECT s, count(*) AS degs FROM e GROUP BY 1),
+        |dp AS (SELECT p, count(*) AS degp FROM e GROUP BY 1),
+        |m AS (SELECT count(*) AS m,
+        |    CAST(sum(degs) AS BIGINT) AS sx,
+        |    CAST(sum(degp) AS BIGINT) AS sy,
+        |    CAST(sum(degs * degp) AS BIGINT) AS sxy,
+        |    CAST(sum(degs * degs) AS BIGINT) AS sxx,
+        |    CAST(sum(degp * degp) AS BIGINT) AS syy
+        |  FROM e JOIN ds USING (s) JOIN dp USING (p))
+        |SELECT m AS n_edges,
+        |  floor((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS assortativity
+        |FROM m""".stripMargin,
+
+    "q248_wilson_ci" ->
+      """WITH n AS (SELECT count(DISTINCT (user_id, CAST(ts AS DATE)))
+        |    AS n FROM events),
+        |k AS (SELECT event_type,
+        |    count(DISTINCT (user_id, CAST(ts AS DATE))) AS k
+        |  FROM events GROUP BY 1),
+        |x AS (SELECT event_type, n.n, k.k,
+        |    CAST(n.n AS DOUBLE) AS nd,
+        |    CAST(k.k AS DOUBLE) / CAST(n.n AS DOUBLE) AS ph
+        |  FROM k CROSS JOIN n),
+        |w AS (SELECT event_type, n, k, ph,
+        |    (ph + (1.96 * 1.96) / (2.0 * nd)) / (1.0 + (1.96 * 1.96) / nd)
+        |      AS ctr,
+        |    1.96 * sqrt(ph * (1.0 - ph) / nd
+        |      + (1.96 * 1.96) / (4.0 * nd * nd))
+        |      / (1.0 + (1.96 * 1.96) / nd) AS half
+        |  FROM x)
+        |SELECT event_type, n AS n_users, k AS k_users,
+        |  floor(ph * 1000000.0 + 0.5) / 1000000.0 AS p_hat,
+        |  floor((ctr - half) * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+        |  floor((ctr + half) * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
+        |FROM w ORDER BY event_type""".stripMargin,
+
+    "q249_cohens_kappa" ->
+      """WITH f AS (SELECT
+        |    CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 80
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |c AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00
+        |  FROM f),
+        |p AS (SELECT n, n11 + n00 AS n_agree,
+        |    CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |    CAST((n11 + n10) * (n11 + n01)
+        |      + (n01 + n00) * (n10 + n00) AS DOUBLE)
+        |      / CAST(n * n AS DOUBLE) AS pe
+        |  FROM c)
+        |SELECT n AS n_docs, n_agree,
+        |  floor(po * 1000000.0 + 0.5) / 1000000.0 AS po,
+        |  floor(pe * 1000000.0 + 0.5) / 1000000.0 AS pe,
+        |  floor((po - pe) / (1.0 - pe) * 1000000.0 + 0.5) / 1000000.0
+        |    AS kappa
+        |FROM p""".stripMargin,
+
+    "q250_pacf" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4)))
+        |      AS DOUBLE) / count(*) * 10000.0 + 0.5) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s,
+        |    CAST(sum(x * x) AS BIGINT) AS ss
+        |  FROM daily GROUP BY 1),
+        |lagged AS (SELECT event_type, x,
+        |    lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2,
+        |    lag(x, 3) OVER w AS l3
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |la AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN x * l1 END) AS BIGINT)
+        |      AS sxy1,
+        |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN x END) AS BIGINT)
+        |      AS sx1,
+        |    CAST(sum(l1) AS BIGINT) AS sy1,
+        |    CAST(sum(CASE WHEN l2 IS NOT NULL THEN x * l2 END) AS BIGINT)
+        |      AS sxy2,
+        |    CAST(sum(CASE WHEN l2 IS NOT NULL THEN x END) AS BIGINT)
+        |      AS sx2,
+        |    CAST(sum(l2) AS BIGINT) AS sy2,
+        |    CAST(sum(CASE WHEN l3 IS NOT NULL THEN x * l3 END) AS BIGINT)
+        |      AS sxy3,
+        |    CAST(sum(CASE WHEN l3 IS NOT NULL THEN x END) AS BIGINT)
+        |      AS sx3,
+        |    CAST(sum(l3) AS BIGINT) AS sy3
+        |  FROM lagged GROUP BY 1),
+        |r AS (SELECT g.event_type, g.n,
+        |    ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * CAST(sxy1 AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+        |        * (CAST(sx1 AS DOUBLE) + CAST(sy1 AS DOUBLE))
+        |      + CAST(n - 1 AS DOUBLE) * CAST(s AS DOUBLE)
+        |        * CAST(s AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * CAST(ss AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      AS r1,
+        |    ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * CAST(sxy2 AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+        |        * (CAST(sx2 AS DOUBLE) + CAST(sy2 AS DOUBLE))
+        |      + CAST(n - 2 AS DOUBLE) * CAST(s AS DOUBLE)
+        |        * CAST(s AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * CAST(ss AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      AS r2,
+        |    ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * CAST(sxy3 AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+        |        * (CAST(sx3 AS DOUBLE) + CAST(sy3 AS DOUBLE))
+        |      + CAST(n - 3 AS DOUBLE) * CAST(s AS DOUBLE)
+        |        * CAST(s AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * CAST(ss AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      AS r3
+        |  FROM g JOIN la USING (event_type)),
+        |p2 AS (SELECT event_type, n, r1, r2, r3,
+        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+        |  FROM r),
+        |p1 AS (SELECT event_type, n, r1, r2, r3, p22,
+        |    r1 - p22 * r1 AS p21
+        |  FROM p2),
+        |p3 AS (SELECT event_type, n, r1, r2, r3, p22,
+        |    (r3 - p21 * r2 - p22 * r1)
+        |      / (1.0 - p21 * r1 - p22 * r2) AS p33
+        |  FROM p1)
+        |SELECT event_type, n AS n_days,
+        |  floor(r1 * 1000000.0 + 0.5) / 1000000.0 AS acf_1,
+        |  floor(r2 * 1000000.0 + 0.5) / 1000000.0 AS acf_2,
+        |  floor(r3 * 1000000.0 + 0.5) / 1000000.0 AS acf_3,
+        |  floor(r1 * 1000000.0 + 0.5) / 1000000.0 AS pacf_1,
+        |  floor(p22 * 1000000.0 + 0.5) / 1000000.0 AS pacf_2,
+        |  floor(p33 * 1000000.0 + 0.5) / 1000000.0 AS pacf_3
+        |FROM p3 ORDER BY event_type""".stripMargin,
 
     "q242_spearman" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x,
