@@ -845,6 +845,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q241/q242/q244/q250: stat-family windows stay on bounded censuses") {
+    // q241: stump prefix sums run over the ≤24-row hour census
+    val w241 = plan(graft.queries.WarehouseQueries
+      .defs("q241_decision_stump")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(w241.nonEmpty && w241.forall(l =>
+      !l.contains("event_id") && !l.contains("user_id")),
+      s"q241 windows over the hour census, never events:\n${w241.mkString("\n")}")
+    // q242: rank windows cumulate the per-metric value censuses
+    val w242 = plan(graft.queries.WarehouseQueries
+      .defs("q242_spearman")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(w242.nonEmpty && w242.forall(l =>
+      !l.contains("event_id") && !l.contains("user_id")),
+      s"q242 rank windows over value censuses only:\n${w242.mkString("\n")}")
+    // q244: quintile-fence windows cumulate metric censuses, never users
+    val w244 = plan(graft.queries.WarehouseQueries
+      .defs("q244_rfm")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(w244.nonEmpty && w244.forall(!_.contains("user_id")),
+      s"q244 fences off censuses, never user rows:\n${w244.mkString("\n")}")
+    // q250: lag windows key on event_type over the daily grid
+    val w250 = plan(graft.queries.WarehouseQueries
+      .defs("q250_pacf")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(w250.nonEmpty && w250.forall(l =>
+      l.contains("event_type") && !l.contains("event_id")),
+      s"q250 lags run on the per-type daily series:\n${w250.mkString("\n")}")
+    // q247: degree joins are edge-keyed — never a partitioned cartesian
+    val p247 = plan(graft.queries.WarehouseQueries
+      .defs("q247_assortativity")(spark, d))
+    assert(!p247.contains("CartesianProduct"),
+      s"q247 assortativity joins stay equi-keyed:\n$p247")
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
