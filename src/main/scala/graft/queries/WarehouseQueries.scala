@@ -3352,6 +3352,107 @@ object WarehouseQueries {
         .orderBy("event_type")
     },
 
+    // "Waiting suppliers" — the TPC-H Q21 relational shape on this
+    // schema: suppliers who were the SOLE late shipper (> 30 days after
+    // the order date) on multi-supplier orders. Two layered keyed
+    // aggregates replace the classic double correlated EXISTS/NOT
+    // EXISTS: per-(order, supplier) late flags collapse map-side, the
+    // per-order supplier/late censuses join back by order key, and the
+    // blame count ranks under a (count DESC, suppkey) total order.
+    "q251_waiting_suppliers" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("_late", (col("l_shipdate") >
+          date_add(col("o_orderdate").cast("date"), 30)).cast("long"))
+      val perSupp = li.groupBy(col("l_orderkey").as("_ok"),
+          col("l_suppkey").as("_sk"))
+        .agg(max(col("_late")).as("_slate"))
+      val perOrder = perSupp.groupBy(col("_ok"))
+        .agg(count(lit(1)).as("_nsupp"), sum(col("_slate")).as("_nlate"))
+      perSupp
+        .join(perOrder, Seq("_ok"))
+        .filter(col("_nsupp") >= 2 && col("_nlate") === 1
+          && col("_slate") === 1)
+        .groupBy(col("_sk").as("s_suppkey"))
+        .agg(count(lit(1)).as("n_blamed_orders"))
+        .orderBy(col("n_blamed_orders").desc, col("s_suppkey"))
+        .limit(10)
+    },
+
+    // Jarque-Bera normality test per event type: skewness and excess
+    // kurtosis from raw power sums over integer cents — x⁴ ≤ 5.8e18
+    // stays inside int64 PER TERM and the sums accumulate as
+    // DECIMAL(38,0) (Spark) / HUGEINT (oracle), both exact, so the
+    // central-moment algebra starts from bit-identical doubles. The
+    // engines' built-in skewness()/kurtosis() disagree on bias
+    // correction (why q97 excluded them); explicit literal math
+    // sidesteps that entirely. JB = n/6·(S² + (K−3)²/4).
+    "q252_jarque_bera" -> { (s, d) =>
+      val x = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+      val dec = "decimal(38,0)"
+      val g = Tables.events(s, d)
+        .withColumn("_x", x)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_n"),
+          sum(col("_x").cast(dec)).as("_s1"),
+          sum((col("_x") * col("_x")).cast(dec)).as("_s2"),
+          sum((col("_x") * col("_x") * col("_x")).cast(dec)).as("_s3"),
+          sum((col("_x") * col("_x") * col("_x") * col("_x")).cast(dec))
+            .as("_s4"))
+      val nD = col("_n").cast("double")
+      val mu = col("_s1").cast("double") / nD
+      val m2 = col("_s2").cast("double") / nD - mu * mu
+      val m3 = col("_s3").cast("double") / nD -
+        lit(3.0) * mu * (col("_s2").cast("double") / nD) +
+        lit(2.0) * mu * mu * mu
+      val m4 = col("_s4").cast("double") / nD -
+        lit(4.0) * mu * (col("_s3").cast("double") / nD) +
+        lit(6.0) * mu * mu * (col("_s2").cast("double") / nD) -
+        lit(3.0) * mu * mu * mu * mu
+      val sk = m3 / (m2 * sqrt(m2))
+      val ku = m4 / (m2 * m2)
+      g.select(col("event_type"), col("_n").as("n"),
+          fr(sk, 6).as("skewness"), fr(ku, 6).as("kurtosis"),
+          fr(nD / lit(6.0) * (sk * sk
+            + (ku - lit(3.0)) * (ku - lit(3.0)) / lit(4.0)), 4).as("jb"))
+        .orderBy("event_type")
+    },
+
+    // Spearman footrule distance between the revenue ranking and the
+    // quantity ranking of parts — do the two business orderings agree?
+    // Ranks are row_numbers under (metric DESC, partkey) total orders —
+    // deterministic under ties on both engines; the ranking windows run
+    // over the PART aggregate (bounded by catalog size, documented as
+    // census-scale — never lineitem rows). Footrule Σ|r₁−r₂| and the
+    // no-ties Spearman on the two permutations are exact int64.
+    "q253_rank_footrule" -> { (s, d) =>
+      val parts = Tables.lineitem(s, d)
+        .withColumn("_cents",
+          floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+            .cast("long"))
+        .withColumn("_q100",
+          floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast("long"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("_cents")).as("_rev"), sum(col("_q100")).as("_qty"))
+      val r = parts
+        .withColumn("_r1", row_number().over(
+          Window.orderBy(col("_rev").desc, col("l_partkey"))).cast("long"))
+        .withColumn("_r2", row_number().over(
+          Window.orderBy(col("_qty").desc, col("l_partkey"))).cast("long"))
+      r.agg(count(lit(1)).as("_n"),
+          sum(abs(col("_r1") - col("_r2"))).as("_fr"),
+          sum((col("_r1") - col("_r2")) * (col("_r1") - col("_r2")))
+            .as("_d2"))
+        .select(col("_n").as("n_parts"), col("_fr").as("footrule"),
+          fr(col("_fr").cast("double") * lit(2.0)
+            / (col("_n") * col("_n")).cast("double"), 6)
+            .as("footrule_norm"),
+          fr(lit(1.0) - lit(6.0) * col("_d2").cast("double")
+            / (col("_n") * (col("_n") * col("_n") - 1)).cast("double"), 6)
+            .as("spearman_rho"))
+    },
+
     // Spearman rank correlation between daily event volume and daily
     // exact revenue: tie-aware average ranks computed on the bounded
     // value census as DOUBLED integers (2·cumBefore + f + 1 — the ½ in
@@ -6239,6 +6340,79 @@ object WarehouseQueries {
         |  floor(p22 * 1000000.0 + 0.5) / 1000000.0 AS pacf_2,
         |  floor(p33 * 1000000.0 + 0.5) / 1000000.0 AS pacf_3
         |FROM p3 ORDER BY event_type""".stripMargin,
+
+    "q251_waiting_suppliers" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey,
+        |    CASE WHEN l_shipdate > CAST(o_orderdate AS DATE)
+        |      + INTERVAL 30 DAY THEN 1 ELSE 0 END AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ps AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |    CAST(max(late) AS BIGINT) AS slate
+        |  FROM li GROUP BY 1, 2),
+        |po AS (SELECT ok, count(*) AS nsupp,
+        |    CAST(sum(slate) AS BIGINT) AS nlate
+        |  FROM ps GROUP BY 1)
+        |SELECT sk AS s_suppkey, count(*) AS n_blamed_orders
+        |FROM ps JOIN po USING (ok)
+        |WHERE nsupp >= 2 AND nlate = 1 AND slate = 1
+        |GROUP BY 1
+        |ORDER BY n_blamed_orders DESC, s_suppkey LIMIT 10""".stripMargin,
+
+    "q252_jarque_bera" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+        |  FROM events),
+        |g AS (SELECT event_type, count(*) AS n,
+        |    sum(x) AS s1, sum(x * x) AS s2, sum(x * x * x) AS s3,
+        |    sum(x * x * x * x) AS s4
+        |  FROM v GROUP BY 1),
+        |m AS (SELECT event_type, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+        |  FROM g),
+        |c AS (SELECT event_type, n, mu,
+        |    e2 - mu * mu AS m2,
+        |    e3 - 3.0 * mu * e2 + 2.0 * mu * mu * mu AS m3,
+        |    e4 - 4.0 * mu * e3 + 6.0 * mu * mu * e2
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM m),
+        |k AS (SELECT event_type, n,
+        |    m3 / (m2 * sqrt(m2)) AS sk, m4 / (m2 * m2) AS ku
+        |  FROM c)
+        |SELECT event_type, n,
+        |  floor(sk * 1000000.0 + 0.5) / 1000000.0 AS skewness,
+        |  floor(ku * 1000000.0 + 0.5) / 1000000.0 AS kurtosis,
+        |  floor(CAST(n AS DOUBLE) / 6.0 * (sk * sk
+        |    + (ku - 3.0) * (ku - 3.0) / 4.0) * 10000.0 + 0.5) / 10000.0
+        |    AS jb
+        |FROM k ORDER BY event_type""".stripMargin,
+
+    "q253_rank_footrule" ->
+      """WITH parts AS (SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS rev,
+        |    CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT l_partkey,
+        |    CAST(row_number() OVER (ORDER BY rev DESC, l_partkey)
+        |      AS BIGINT) AS r1,
+        |    CAST(row_number() OVER (ORDER BY qty DESC, l_partkey)
+        |      AS BIGINT) AS r2
+        |  FROM parts),
+        |s AS (SELECT count(*) AS n,
+        |    CAST(sum(abs(r1 - r2)) AS BIGINT) AS fr,
+        |    CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS d2
+        |  FROM r)
+        |SELECT n AS n_parts, fr AS footrule,
+        |  floor(CAST(fr AS DOUBLE) * 2.0 / CAST(n * n AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS footrule_norm,
+        |  floor((1.0 - 6.0 * CAST(d2 AS DOUBLE)
+        |    / CAST(n * (n * n - 1) AS DOUBLE)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS spearman_rho
+        |FROM s""".stripMargin,
 
     "q242_spearman" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x,
