@@ -3300,42 +3300,7 @@ object WarehouseQueries {
     // those identical ratios. Everything after the daily aggregate is
     // census-scale — bounded by types × days.
     "q250_pacf" -> { (s, d) =>
-      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-        .agg(floor(decSum(col("value")).cast("double") / count(lit(1))
-          * lit(10000.0) + lit(0.5)).as("_x"))
-      val g = daily.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"),
-          sum(col("_x") * col("_x")).as("_ss"))
-      val pairs = daily
-        .withColumn("_l1", lag(col("_x"), 1).over(w))
-        .withColumn("_l2", lag(col("_x"), 2).over(w))
-        .withColumn("_l3", lag(col("_x"), 3).over(w))
-        .select(col("event_type"), explode(array(
-          struct(lit(1).as("k"), col("_x").as("x"), col("_l1").as("y")),
-          struct(lit(2).as("k"), col("_x").as("x"), col("_l2").as("y")),
-          struct(lit(3).as("k"), col("_x").as("x"), col("_l3").as("y"))))
-          .as("p"))
-        .select(col("event_type"), col("p.k").as("_k"),
-          col("p.x").as("_xx"), col("p.y").as("_yy"))
-        .filter(col("_yy").isNotNull)
-      val lagAgg = pairs.groupBy(col("event_type"))
-        .pivot("_k", Seq(1, 2, 3))
-        .agg(sum(col("_xx") * col("_yy")).as("sxy"),
-          sum(col("_xx")).as("sx"), sum(col("_yy")).as("sy"))
-      def rk(k: Int): Column = {
-        val nd = col("_n").cast("double")
-        val sd = col("_s").cast("double")
-        ((nd * nd) * col(s"${k}_sxy").cast("double")
-          - nd * sd * (col(s"${k}_sx").cast("double")
-            + col(s"${k}_sy").cast("double"))
-          + (col("_n") - k).cast("double") * sd * sd) /
-          ((nd * nd) * col("_ss").cast("double") - nd * sd * sd)
-      }
-      g.join(lagAgg, Seq("event_type"))
-        .withColumn("_r1", rk(1)).withColumn("_r2", rk(2))
-        .withColumn("_r3", rk(3))
+      acf123(s, d)
         .withColumn("_p22", (col("_r2") - col("_r1") * col("_r1"))
           / (lit(1.0) - col("_r1") * col("_r1")))
         .withColumn("_p21", col("_r1") - col("_p22") * col("_r1"))
@@ -3451,6 +3416,76 @@ object WarehouseQueries {
           fr(lit(1.0) - lit(6.0) * col("_d2").cast("double")
             / (col("_n") * (col("_n") * col("_n") - 1)).cast("double"), 6)
             .as("spearman_rho"))
+    },
+
+    // Geometric mean retail price per brand — the right average for
+    // multiplicative quantities like prices: exp of the mean log over
+    // the (brand, cents) census, each census row contributing
+    // f·ln(cents/100) with the term list folded in cents order (the
+    // q161 rule — a bare double SUM of logs would drift with
+    // aggregation order), one exp per brand at the end.
+    "q254_geomean_price" -> { (s, d) =>
+      val census = Tables.part(s, d)
+        .withColumn("_c",
+          floor(col("p_retailprice") * lit(100.0) + lit(0.5)).cast("long"))
+        .groupBy(col("p_brand"), col("_c"))
+        .agg(count(lit(1)).as("_f"))
+        .withColumn("_t", col("_f").cast("double")
+          * log(col("_c").cast("double") / lit(100.0)))
+      census.groupBy(col("p_brand"))
+        .agg(sum(col("_f")).as("n_parts"),
+          aggregate(transform(array_sort(collect_list(
+            struct(col("_c"), col("_t")))), e => e.getField("_t")),
+            lit(0.0), (a, x) => a + x).as("_sl"))
+        .select(col("p_brand"), col("n_parts"),
+          fr(exp(col("_sl") / col("n_parts").cast("double")), 4)
+            .as("geo_mean_price"))
+        .orderBy("p_brand")
+    },
+
+    // Herfindahl-Hirschman revenue concentration by nation + the
+    // effective number of markets 1/HHI — the antitrust-style
+    // concentration scalar beside Gini (q137) and Lorenz (q224).
+    // Revenue is an exact DECIMAL census per nation (≤ 25 rows);
+    // shares and their squares fold in nation order per the q161 rule.
+    "q255_hhi" -> { (s, d) =>
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(decSum(col("o_totalprice")).as("_rev"))
+      val wAll = Window.partitionBy()
+      val t = rev
+        .withColumn("_tot", sum(col("_rev")).over(wAll))
+        .withColumn("_sh", col("_rev").cast("double")
+          / col("_tot").cast("double"))
+        .withColumn("_t", col("_sh") * col("_sh"))
+      t.agg(count(lit(1)).as("n_nations"),
+          aggregate(transform(array_sort(collect_list(
+            struct(col("n_name"), col("_t")))), e => e.getField("_t")),
+            lit(0.0), (a, x) => a + x).as("_hhi"))
+        .select(col("n_nations"), fr(col("_hhi"), 6).as("hhi"),
+          fr(lit(1.0) / col("_hhi"), 4).as("effective_n"))
+    },
+
+    // Ljung-Box portmanteau whiteness test at lags 1..3 on the daily
+    // series — the standard "is there ANY autocorrelation" gate run
+    // before trusting q103's regressions or q168's smoothing: Q =
+    // n(n+2)·Σ r_k²/(n−k) over the same exact-ACF base as q250
+    // (shared `acf123` helper — identical doubles by construction).
+    "q256_ljung_box" -> { (s, d) =>
+      val nD = col("_n").cast("double")
+      acf123(s, d)
+        .select(col("event_type"), col("_n").as("n_days"),
+          fr(nD * (nD + lit(2.0))
+            * (col("_r1") * col("_r1") / (nD - lit(1.0))
+              + col("_r2") * col("_r2") / (nD - lit(2.0))
+              + col("_r3") * col("_r3") / (nD - lit(3.0))), 4)
+            .as("q_lb"),
+          lit(3L).as("dof"))
+        .orderBy("event_type")
     },
 
     // Spearman rank correlation between daily event volume and daily
@@ -3610,6 +3645,53 @@ object WarehouseQueries {
     * return division is the identical int→double cast and divide on both
     * engines.
     */
+  /** Shared base for q250 (PACF) and q256 (Ljung-Box): the standard
+    * centered autocorrelation estimator at lags 1..3 of the per-type
+    * daily mean-value series, made exact by multiplying every centered
+    * moment through by n² — pure int64 sums over the 4 dp-gridded daily
+    * means; the final ratios are the only doubles, computed from
+    * bit-identical integers on both engines. One row per event_type:
+    * `_n` plus unsnapped `_r1`/`_r2`/`_r3`.
+    */
+  private def acf123(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(floor(decSum(col("value")).cast("double") / count(lit(1))
+        * lit(10000.0) + lit(0.5)).as("_x"))
+    val g = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"),
+        sum(col("_x") * col("_x")).as("_ss"))
+    val pairs = daily
+      .withColumn("_l1", lag(col("_x"), 1).over(w))
+      .withColumn("_l2", lag(col("_x"), 2).over(w))
+      .withColumn("_l3", lag(col("_x"), 3).over(w))
+      .select(col("event_type"), explode(array(
+        struct(lit(1).as("k"), col("_x").as("x"), col("_l1").as("y")),
+        struct(lit(2).as("k"), col("_x").as("x"), col("_l2").as("y")),
+        struct(lit(3).as("k"), col("_x").as("x"), col("_l3").as("y"))))
+        .as("p"))
+      .select(col("event_type"), col("p.k").as("_k"),
+        col("p.x").as("_xx"), col("p.y").as("_yy"))
+      .filter(col("_yy").isNotNull)
+    val lagAgg = pairs.groupBy(col("event_type"))
+      .pivot("_k", Seq(1, 2, 3))
+      .agg(sum(col("_xx") * col("_yy")).as("sxy"),
+        sum(col("_xx")).as("sx"), sum(col("_yy")).as("sy"))
+    def rk(k: Int): Column = {
+      val nd = col("_n").cast("double")
+      val sd = col("_s").cast("double")
+      ((nd * nd) * col(s"${k}_sxy").cast("double")
+        - nd * sd * (col(s"${k}_sx").cast("double")
+          + col(s"${k}_sy").cast("double"))
+        + (col("_n") - k).cast("double") * sd * sd) /
+        ((nd * nd) * col("_ss").cast("double") - nd * sd * sd)
+    }
+    g.join(lagAgg, Seq("event_type"))
+      .withColumn("_r1", rk(1)).withColumn("_r2", rk(2))
+      .withColumn("_r3", rk(3))
+  }
+
   private def dailyReturns(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
     Tables.events(s, d)
@@ -6413,6 +6495,105 @@ object WarehouseQueries {
         |    / CAST(n * (n * n - 1) AS DOUBLE)) * 1000000.0 + 0.5)
         |    / 1000000.0 AS spearman_rho
         |FROM s""".stripMargin,
+
+    "q254_geomean_price" ->
+      """WITH census AS (SELECT p_brand,
+        |    CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS c,
+        |    count(*) AS f
+        |  FROM part GROUP BY 1, 2),
+        |t AS (SELECT p_brand, c,
+        |    CAST(f AS DOUBLE) * ln(CAST(c AS DOUBLE) / 100.0) AS t, f
+        |  FROM census),
+        |g AS (SELECT p_brand, CAST(sum(f) AS BIGINT) AS n_parts,
+        |    list_sum(list(t ORDER BY c)) AS sl
+        |  FROM t GROUP BY 1)
+        |SELECT p_brand, n_parts,
+        |  floor(exp(sl / CAST(n_parts AS DOUBLE)) * 10000.0 + 0.5)
+        |    / 10000.0 AS geo_mean_price
+        |FROM g ORDER BY p_brand""".stripMargin,
+
+    "q255_hhi" ->
+      """WITH rev AS (SELECT n_name,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |t AS (SELECT n_name,
+        |    CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE) AS sh
+        |  FROM rev),
+        |g AS (SELECT count(*) AS n_nations,
+        |    list_sum(list(sh * sh ORDER BY n_name)) AS hhi
+        |  FROM t)
+        |SELECT n_nations,
+        |  floor(hhi * 1000000.0 + 0.5) / 1000000.0 AS hhi,
+        |  floor(1.0 / hhi * 10000.0 + 0.5) / 10000.0 AS effective_n
+        |FROM g""".stripMargin,
+
+    "q256_ljung_box" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4)))
+        |      AS DOUBLE) / count(*) * 10000.0 + 0.5) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s,
+        |    CAST(sum(x * x) AS BIGINT) AS ss
+        |  FROM daily GROUP BY 1),
+        |lagged AS (SELECT event_type, x,
+        |    lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2,
+        |    lag(x, 3) OVER w AS l3
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |la AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN x * l1 END) AS BIGINT)
+        |      AS sxy1,
+        |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN x END) AS BIGINT)
+        |      AS sx1,
+        |    CAST(sum(l1) AS BIGINT) AS sy1,
+        |    CAST(sum(CASE WHEN l2 IS NOT NULL THEN x * l2 END) AS BIGINT)
+        |      AS sxy2,
+        |    CAST(sum(CASE WHEN l2 IS NOT NULL THEN x END) AS BIGINT)
+        |      AS sx2,
+        |    CAST(sum(l2) AS BIGINT) AS sy2,
+        |    CAST(sum(CASE WHEN l3 IS NOT NULL THEN x * l3 END) AS BIGINT)
+        |      AS sxy3,
+        |    CAST(sum(CASE WHEN l3 IS NOT NULL THEN x END) AS BIGINT)
+        |      AS sx3,
+        |    CAST(sum(l3) AS BIGINT) AS sy3
+        |  FROM lagged GROUP BY 1),
+        |r AS (SELECT g.event_type, g.n,
+        |    ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * CAST(sxy1 AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+        |        * (CAST(sx1 AS DOUBLE) + CAST(sy1 AS DOUBLE))
+        |      + CAST(n - 1 AS DOUBLE) * CAST(s AS DOUBLE)
+        |        * CAST(s AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * CAST(ss AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      AS r1,
+        |    ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * CAST(sxy2 AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+        |        * (CAST(sx2 AS DOUBLE) + CAST(sy2 AS DOUBLE))
+        |      + CAST(n - 2 AS DOUBLE) * CAST(s AS DOUBLE)
+        |        * CAST(s AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * CAST(ss AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      AS r2,
+        |    ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * CAST(sxy3 AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+        |        * (CAST(sx3 AS DOUBLE) + CAST(sy3 AS DOUBLE))
+        |      + CAST(n - 3 AS DOUBLE) * CAST(s AS DOUBLE)
+        |        * CAST(s AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * CAST(ss AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      AS r3
+        |  FROM g JOIN la USING (event_type))
+        |SELECT event_type, n AS n_days,
+        |  floor(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+        |    * (r1 * r1 / (CAST(n AS DOUBLE) - 1.0)
+        |      + r2 * r2 / (CAST(n AS DOUBLE) - 2.0)
+        |      + r3 * r3 / (CAST(n AS DOUBLE) - 3.0))
+        |    * 10000.0 + 0.5) / 10000.0 AS q_lb,
+        |  CAST(3 AS BIGINT) AS dof
+        |FROM r ORDER BY event_type""".stripMargin,
 
     "q242_spearman" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x,
