@@ -3470,6 +3470,68 @@ object WarehouseQueries {
           fr(lit(1.0) / col("_hhi"), 4).as("effective_n"))
     },
 
+    // Theil index of per-user activity inequality — the entropy-based
+    // decomposable inequality measure beside Gini (q137) and HHI
+    // (q255): T = Σ (x/X)·ln(x·n/X) over the count-of-counts census
+    // (bounded by distinct activity levels, never users), terms folded
+    // in count order per the q161 rule; every input to the double math
+    // is an exact BIGINT.
+    "q257_theil" -> { (s, d) =>
+      val census = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("_x"))
+        .groupBy(col("_x")).agg(count(lit(1)).as("_f"))
+      val wAll = Window.partitionBy()
+      val t = census
+        .withColumn("_n", sum(col("_f")).over(wAll))
+        .withColumn("_tot", sum(col("_f") * col("_x")).over(wAll))
+        .withColumn("_t", col("_f").cast("double")
+          * (col("_x").cast("double") / col("_tot").cast("double"))
+          * log(col("_x").cast("double") * col("_n").cast("double")
+            / col("_tot").cast("double")))
+      t.agg(max(col("_n")).as("n_users"),
+          max(col("_tot")).as("total_events"),
+          aggregate(transform(array_sort(collect_list(
+            struct(col("_x"), col("_t")))), e => e.getField("_t")),
+            lit(0.0), (a, x) => a + x).as("_th"))
+        .select(col("n_users"), col("total_events"),
+          fr(col("_th"), 6).as("theil"))
+    },
+
+    // Kendall tau-b between daily event volume and daily revenue — the
+    // pair-sign rank correlation beside Spearman (q242), preferred at
+    // small n and heavy ties: concordant/discordant pair counts over
+    // the days² pair space (calendar-bounded), tie corrections n1/n2
+    // from the per-metric censuses, everything integer until the final
+    // sqrt denominator.
+    "q258_kendall_tau" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .withColumn("_cents",
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("_x"), sum(col("_cents")).as("_y"))
+      val a = daily.select(col("day").as("_d1"), col("_x").as("_x1"),
+        col("_y").as("_y1"))
+      val b = daily.select(col("day").as("_d2"), col("_x").as("_x2"),
+        col("_y").as("_y2"))
+      val cd = a.join(b, col("_d1") < col("_d2"))
+        .withColumn("_p", (col("_x2") - col("_x1"))
+          * (col("_y2") - col("_y1")))
+        .agg(sum(when(col("_p") > 0, 1L).otherwise(0L)).as("_c"),
+          sum(when(col("_p") < 0, 1L).otherwise(0L)).as("_dd"))
+      def tiePairs(vc: String): DataFrame =
+        daily.groupBy(col(vc)).agg(count(lit(1)).as("_f"))
+          .agg(sum(expr("(_f * (_f - 1)) div 2")).as(vc + "_ties"),
+            sum(col("_f")).as(vc + "_n"))
+      cd.crossJoin(tiePairs("_x")).crossJoin(tiePairs("_y"))
+        .withColumn("_n0", expr("(_x_n * (_x_n - 1)) div 2"))
+        .select(col("_x_n").as("n_days"), col("_c").as("concordant"),
+          col("_dd").as("discordant"),
+          fr((col("_c") - col("_dd")).cast("double")
+            / sqrt((col("_n0") - col("_x_ties")).cast("double")
+              * (col("_n0") - col("_y_ties")).cast("double")), 6)
+            .as("tau_b"))
+    },
+
     // Ljung-Box portmanteau whiteness test at lags 1..3 on the daily
     // series — the standard "is there ANY autocorrelation" gate run
     // before trusting q103's regressions or q168's smoothing: Q =
@@ -6529,6 +6591,45 @@ object WarehouseQueries {
         |  floor(hhi * 1000000.0 + 0.5) / 1000000.0 AS hhi,
         |  floor(1.0 / hhi * 10000.0 + 0.5) / 10000.0 AS effective_n
         |FROM g""".stripMargin,
+
+    "q257_theil" ->
+      """WITH u AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+        |c AS (SELECT x, count(*) AS f FROM u GROUP BY 1),
+        |m AS (SELECT x, f, sum(f) OVER () AS n,
+        |    sum(f * x) OVER () AS tot FROM c),
+        |t AS (SELECT x, n, tot,
+        |    CAST(f AS DOUBLE) * (CAST(x AS DOUBLE) / CAST(tot AS DOUBLE))
+        |      * ln(CAST(x AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / CAST(tot AS DOUBLE)) AS t
+        |  FROM m)
+        |SELECT CAST(max(n) AS BIGINT) AS n_users,
+        |  CAST(max(tot) AS BIGINT) AS total_events,
+        |  floor(list_sum(list(t ORDER BY x)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS theil
+        |FROM t""".stripMargin,
+
+    "q258_kendall_tau" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |cd AS (SELECT
+        |    CAST(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |tx AS (SELECT CAST(sum((f * (f - 1)) // 2) AS BIGINT) AS xt,
+        |    CAST(sum(f) AS BIGINT) AS n
+        |  FROM (SELECT x, count(*) AS f FROM daily GROUP BY 1) g),
+        |ty AS (SELECT CAST(sum((f * (f - 1)) // 2) AS BIGINT) AS yt
+        |  FROM (SELECT y, count(*) AS f FROM daily GROUP BY 1) g)
+        |SELECT n AS n_days, c AS concordant, d AS discordant,
+        |  floor(CAST(c - d AS DOUBLE)
+        |    / sqrt(CAST((n * (n - 1)) // 2 - xt AS DOUBLE)
+        |      * CAST((n * (n - 1)) // 2 - yt AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS tau_b
+        |FROM cd CROSS JOIN tx CROSS JOIN ty""".stripMargin,
 
     "q256_ljung_box" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
