@@ -3346,13 +3346,15 @@ object WarehouseQueries {
     },
 
     // Jarque-Bera normality test per event type: skewness and excess
-    // kurtosis from raw power sums over integer cents — x⁴ ≤ 5.8e18
-    // stays inside int64 PER TERM and the sums accumulate as
-    // DECIMAL(38,0) (Spark) / HUGEINT (oracle), both exact, so the
-    // central-moment algebra starts from bit-identical doubles. The
-    // engines' built-in skewness()/kurtosis() disagree on bias
-    // correction (why q97 excluded them); explicit literal math
-    // sidesteps that entirely. JB = n/6·(S² + (K−3)²/4).
+    // kurtosis from raw power sums over integer cents. x² and x³ fit
+    // int64 per term; x⁴ does NOT (56021⁴ ≈ 9.9e18 overflowed the
+    // sf0.1 gate), so the fourth power squares the int64 square in
+    // DECIMAL(19,0)×DECIMAL(19,0) (Spark) / HUGEINT (oracle) — every
+    // sum exact, so the central-moment algebra starts from
+    // bit-identical doubles. The engines' built-in skewness()/
+    // kurtosis() disagree on bias correction (why q97 excluded them);
+    // explicit literal math sidesteps that entirely.
+    // JB = n/6·(S² + (K−3)²/4).
     "q252_jarque_bera" -> { (s, d) =>
       val x = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
       val dec = "decimal(38,0)"
@@ -3363,8 +3365,8 @@ object WarehouseQueries {
           sum(col("_x").cast(dec)).as("_s1"),
           sum((col("_x") * col("_x")).cast(dec)).as("_s2"),
           sum((col("_x") * col("_x") * col("_x")).cast(dec)).as("_s3"),
-          sum((col("_x") * col("_x") * col("_x") * col("_x")).cast(dec))
-            .as("_s4"))
+          sum((col("_x") * col("_x")).cast("decimal(19,0)")
+            * (col("_x") * col("_x")).cast("decimal(19,0)")).as("_s4"))
       val nD = col("_n").cast("double")
       val mu = col("_s1").cast("double") / nD
       val m2 = col("_s2").cast("double") / nD - mu * mu
@@ -6508,7 +6510,7 @@ object WarehouseQueries {
         |  FROM events),
         |g AS (SELECT event_type, count(*) AS n,
         |    sum(x) AS s1, sum(x * x) AS s2, sum(x * x * x) AS s3,
-        |    sum(x * x * x * x) AS s4
+        |    sum(CAST(x * x AS HUGEINT) * (x * x)) AS s4
         |  FROM v GROUP BY 1),
         |m AS (SELECT event_type, n,
         |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
