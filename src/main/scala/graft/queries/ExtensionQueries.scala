@@ -41,6 +41,32 @@ object ExtensionQueries {
     call_function("cosine_sim", a, b)
   }
 
+  /** Shared ranking layer for the retrieval-metric family (q259-q261):
+    * exact cosine of each of 20 query vectors (vec_id < 20) against the
+    * disjoint candidate pool (vec_id >= 20), fr-gridded at 4 decimals so
+    * both engines rank identical doubles, (sim DESC, cid) total order,
+    * binary same-label relevance. The query side is tiny by construction
+    * (an evaluation set), so at scale it broadcasts and the candidate
+    * scan streams once per metric.
+    */
+  private def rankedRetrieval(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("label").as("qlab"),
+        col("emb").as("qe"))
+    val c = emb.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("cid"), col("label").as("clab"),
+        col("emb").as("ce"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    q.join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        fr(cosineFast(s, col("qe"), col("ce")), 4).as("sim"),
+        when(col("clab") === col("qlab"), 1L).otherwise(0L).as("_rel"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup census by content hash (md5 — same hex on both engines).
     "q31_exact_dedup" -> { (s, d) =>
@@ -153,6 +179,78 @@ object ExtensionQueries {
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .orderBy("qid", "rn")
+    },
+
+    // Retrieval-quality metrics (q259-q261): the evaluation side of the
+    // ANN family (q39/q43/q45/q83) — given a ranked retrieval run, how
+    // good IS it? The run under test is the exact-cosine ranking of the
+    // candidate pool (vec_id >= 20) for each of 20 query vectors, with
+    // same-label membership as the graded-relevance judgment. The ranking
+    // layer (`rankedRetrieval` below) is identical across the three
+    // queries; each metric then reduces the ranked list differently.
+    // Logarithmic discounts use NATURAL log (nDCG is invariant to the log
+    // base — it cancels in DCG/IDCG — so 1/ln(rn+1) terms avoid any
+    // cross-engine log2 disagreement), and every float sum folds in rank
+    // order per the q161 rule. At 100 TB the query side stays a broadcast
+    // (evaluation sets are small by construction) and the per-qid ranking
+    // is the same partial-rank shape q39 uses — no global sort.
+    "q259_ndcg" -> { (s, d) =>
+      val r = rankedRetrieval(s, d)
+      val pool = r.groupBy(col("qid")).agg(sum(col("_rel")).as("n_rel"))
+      val dcg = r.filter(col("rn") <= 10)
+        .withColumn("_t", when(col("_rel") === 1L,
+          lit(1.0) / log(col("rn").cast("double") + lit(1.0)))
+          .otherwise(lit(0.0)))
+        .groupBy(col("qid"))
+        .agg(aggregate(transform(array_sort(collect_list(
+          struct(col("rn"), col("_t")))), e => e.getField("_t")),
+          lit(0.0), (a, x) => a + x).as("_dcg"))
+      pool.join(dcg, Seq("qid"))
+        .withColumn("_idcg", aggregate(
+          sequence(lit(1), least(col("n_rel"), lit(10L)).cast("int")),
+          lit(0.0),
+          (a, x) => a + lit(1.0) / log(x.cast("double") + lit(1.0))))
+        .select(col("qid"), col("n_rel"), fr(col("_dcg"), 6).as("dcg10"),
+          when(col("_idcg") > 0,
+            fr(col("_dcg") / col("_idcg"), 6)).as("ndcg10"))
+        .orderBy("qid")
+    },
+
+    // Mean-reciprocal-rank ingredients: the rank of the FIRST relevant
+    // result per query (deterministic under the shared ranking's total
+    // order) and its reciprocal.
+    "q260_mrr" -> { (s, d) =>
+      rankedRetrieval(s, d)
+        .groupBy(col("qid"))
+        .agg(min(when(col("_rel") === 1L, col("rn"))).as("first_rel_rank"))
+        .select(col("qid"), col("first_rel_rank"),
+          fr(lit(1.0) / col("first_rel_rank").cast("double"), 6).as("rr"))
+        .orderBy("qid")
+    },
+
+    // Average precision at 20: Σ rel_i · (cumRel_i / i) over the top-20,
+    // normalized by min(R, 20). cumRel is an integer window sum in rank
+    // order; each precision term is one double division from exact ints;
+    // the term list folds in rank order.
+    "q261_avg_precision" -> { (s, d) =>
+      val r = rankedRetrieval(s, d)
+      val pool = r.groupBy(col("qid")).agg(sum(col("_rel")).as("n_rel"))
+      val wCum = Window.partitionBy(col("qid")).orderBy(col("rn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ap = r.filter(col("rn") <= 20)
+        .withColumn("_cum", sum(col("_rel")).over(wCum))
+        .withColumn("_t", when(col("_rel") === 1L,
+          col("_cum").cast("double") / col("rn").cast("double"))
+          .otherwise(lit(0.0)))
+        .groupBy(col("qid"))
+        .agg(aggregate(transform(array_sort(collect_list(
+          struct(col("rn"), col("_t")))), e => e.getField("_t")),
+          lit(0.0), (a, x) => a + x).as("_ap"))
+      pool.join(ap, Seq("qid"))
+        .select(col("qid"), col("n_rel"),
+          fr(col("_ap") / least(col("n_rel"), lit(20L)).cast("double"), 6)
+            .as("ap20"))
+        .orderBy("qid")
     },
 
     // Heuristic language identification over documents (stopword-vote +
@@ -1711,6 +1809,87 @@ object ExtensionQueries {
         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
         |      FROM s)
         |SELECT qid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // q259-q261 share the ranked-retrieval CTE (cosine fr-gridded at 4
+    // decimals, (sim DESC, cid) order, same-label relevance); discounts
+    // in natural log and every float sum list-folded in rank order.
+    "q259_ndcg" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS rel,
+        |    floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) * 10000.0 + 0.5) / 10000.0
+        |      AS sim
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id >= 20
+        |  WHERE a.vec_id < 20),
+        |r AS (SELECT qid, cid, rel, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid)
+        |      AS rn FROM s),
+        |pool AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS n_rel
+        |  FROM r GROUP BY 1),
+        |d AS (SELECT qid,
+        |    list_sum(list(CASE WHEN rel = 1
+        |      THEN 1.0 / ln(CAST(rn AS DOUBLE) + 1.0) ELSE 0.0 END
+        |      ORDER BY rn)) AS dcg
+        |  FROM r WHERE rn <= 10 GROUP BY 1),
+        |i AS (SELECT qid,
+        |    list_sum(list_transform(
+        |      generate_series(1, CAST(least(n_rel, 10) AS INT)),
+        |      x -> 1.0 / ln(CAST(x AS DOUBLE) + 1.0))) AS idcg
+        |  FROM pool)
+        |SELECT pool.qid, pool.n_rel,
+        |  floor(d.dcg * 1000000.0 + 0.5) / 1000000.0 AS dcg10,
+        |  CASE WHEN i.idcg > 0 THEN
+        |    floor(d.dcg / i.idcg * 1000000.0 + 0.5) / 1000000.0 END
+        |    AS ndcg10
+        |FROM pool JOIN d ON d.qid = pool.qid JOIN i ON i.qid = pool.qid
+        |ORDER BY pool.qid""".stripMargin,
+
+    "q260_mrr" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS rel,
+        |    floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) * 10000.0 + 0.5) / 10000.0
+        |      AS sim
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id >= 20
+        |  WHERE a.vec_id < 20),
+        |r AS (SELECT qid, rel, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid)
+        |      AS rn FROM s)
+        |SELECT qid,
+        |  CAST(min(CASE WHEN rel = 1 THEN rn END) AS BIGINT)
+        |    AS first_rel_rank,
+        |  floor(1.0 / CAST(min(CASE WHEN rel = 1 THEN rn END) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS rr
+        |FROM r GROUP BY 1 ORDER BY qid""".stripMargin,
+
+    "q261_avg_precision" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS rel,
+        |    floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) * 10000.0 + 0.5) / 10000.0
+        |      AS sim
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id >= 20
+        |  WHERE a.vec_id < 20),
+        |r AS (SELECT qid, rel, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid)
+        |      AS rn FROM s),
+        |pool AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS n_rel
+        |  FROM r GROUP BY 1),
+        |c AS (SELECT qid, rel, rn,
+        |    sum(rel) OVER (PARTITION BY qid ORDER BY rn) AS cum
+        |  FROM r WHERE rn <= 20),
+        |a AS (SELECT qid,
+        |    list_sum(list(CASE WHEN rel = 1
+        |      THEN CAST(cum AS DOUBLE) / CAST(rn AS DOUBLE) ELSE 0.0 END
+        |      ORDER BY rn)) AS ap
+        |  FROM c GROUP BY 1)
+        |SELECT pool.qid, pool.n_rel,
+        |  floor(a.ap / CAST(least(pool.n_rel, 20) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS ap20
+        |FROM pool JOIN a ON a.qid = pool.qid ORDER BY pool.qid""".stripMargin,
 
     // transitive closure by recursive CTE: `reach` propagates every label
     // along edges until fixpoint (UNION dedups), min per node = the
