@@ -3679,6 +3679,151 @@ object WarehouseQueries {
           fr(sum(col("_freq")).cast("double")
             / count(lit(1)).cast("double"), 2).as("mean_frequency"))
         .orderBy("segment")
+    },
+
+    // Mann-Whitney U rank-sum test: do 'click' and 'view' event values
+    // come from the same distribution? Tie-aware average ranks over the
+    // POOLED cents census as DOUBLED integers (2·cumBefore + f + 1, the
+    // q242 device — the ½ of an average rank never becomes a float), so
+    // the rank sum R, the U statistic, and its null mean all stay in
+    // exact int64 at 2× scale; the tie-corrected variance n₁n₂/12·
+    // [(N+1) − Σ(t³−t)/N(N−1)] is assembled in double from exact integer
+    // sums only at the end. No continuity correction (documented). The
+    // keyless cumulation runs over the value census — bounded by the
+    // cents grid, never rows.
+    "q262_mann_whitney" -> { (s, d) =>
+      val two = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+            .as("_x"))
+      val census = two.groupBy(col("_x")).agg(count(lit(1)).as("_f"))
+      val wAsc = Window.orderBy(col("_x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val g = census
+        .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
+        .select(col("_x"),
+          (lit(2) * col("_cum") + col("_f") + lit(1)).as("_r2"),
+          (col("_f") * col("_f") * col("_f") - col("_f")).as("_t3"))
+      val perGroup = two.groupBy(col("event_type"), col("_x"))
+        .agg(count(lit(1)).as("_fg"))
+        .join(g.select(col("_x"), col("_r2")), Seq("_x"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("_fg")).as("_n"),
+          sum(col("_fg") * col("_r2")).as("_R2"))
+      val wide = perGroup.agg(
+        sum(when(col("event_type") === "click", col("_n"))).as("_n1"),
+        sum(when(col("event_type") === "view", col("_n"))).as("_n2"),
+        sum(when(col("event_type") === "click", col("_R2"))).as("_R2c"))
+      val ties = g.agg(sum(col("_t3")).as("_T"))
+      val nD = (col("_n1") + col("_n2")).cast("double")
+      val u2 = col("_R2c") - col("_n1") * (col("_n1") + lit(1))
+      val sigma = sqrt(
+        (col("_n1") * col("_n2")).cast("double") / lit(12.0)
+          * ((nD + lit(1.0)) - col("_T").cast("double")
+            / (nD * (nD - lit(1.0)))))
+      wide.crossJoin(ties)
+        .select(col("_n1").as("n_click"), col("_n2").as("n_view"),
+          fr(u2.cast("double") / lit(2.0), 1).as("u_click"),
+          fr((u2.cast("double")
+            - (col("_n1") * col("_n2")).cast("double"))
+            / (lit(2.0) * sigma), 6).as("z"))
+    },
+
+    // Kruskal-Wallis H across all five event types — the k-group
+    // generalization of q262 (and the rank-based analog of a one-way
+    // ANOVA): H = 12/(N(N+1))·Σ R_j²/n_j − 3(N+1) over the same
+    // doubled-integer pooled ranks (R_j² computed in double from the
+    // exact int64 doubled rank sums — the 2² rescale divides out
+    // explicitly), per-group terms folded in event_type order, and the
+    // tie-correction divisor 1 − Σ(t³−t)/(N³−N) from exact integer
+    // census sums.
+    "q263_kruskal_wallis" -> { (s, d) =>
+      val rows = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+            .as("_x"))
+      val census = rows.groupBy(col("_x")).agg(count(lit(1)).as("_f"))
+      val wAsc = Window.orderBy(col("_x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val g = census
+        .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
+        .select(col("_x"),
+          (lit(2) * col("_cum") + col("_f") + lit(1)).as("_r2"),
+          (col("_f") * col("_f") * col("_f") - col("_f")).as("_t3"))
+      val perGroup = rows.groupBy(col("event_type"), col("_x"))
+        .agg(count(lit(1)).as("_fg"))
+        .join(g.select(col("_x"), col("_r2")), Seq("_x"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("_fg")).as("_n"),
+          sum(col("_fg") * col("_r2")).as("_R2"))
+        .withColumn("_term",
+          col("_R2").cast("double") * col("_R2").cast("double")
+            / (lit(4.0) * col("_n").cast("double")))
+      val agg = perGroup.agg(
+        sum(col("_n")).as("_N"), count(lit(1)).as("n_groups"),
+        aggregate(transform(array_sort(collect_list(
+          struct(col("event_type"), col("_term")))),
+          e => e.getField("_term")), lit(0.0), (a, x) => a + x)
+          .as("_sumterm"))
+      val ties = g.agg(sum(col("_t3")).as("_T"))
+      val nD = col("_N").cast("double")
+      val h = lit(12.0) / (nD * (nD + lit(1.0))) * col("_sumterm") -
+        lit(3.0) * (nD + lit(1.0))
+      val corr = lit(1.0) - col("_T").cast("double") /
+        (nD * nD * nD - nD)
+      agg.crossJoin(ties)
+        .select(col("_N").as("n_total"), col("n_groups"),
+          (col("n_groups") - lit(1)).as("dof"),
+          fr(h, 6).as("h"), fr(h / corr, 6).as("h_tie_corrected"))
+    },
+
+    // Brown-Forsythe Levene test: are the five event types' value
+    // variances equal? One-way ANOVA F on |cents − group median| — the
+    // robust median-centered variant. Group centers are the LOWER
+    // medians (rank ⌈n/2⌉, documented — an exact census order statistic,
+    // no even-n interpolation to disagree on), deviations are exact
+    // int64, per-group Σz/Σz² are exact int64, and the between/within
+    // sum-of-squares assembly runs in double from those integers with
+    // the 5 per-group terms folded in event_type order.
+    "q264_levene" -> { (s, d) =>
+      val rows = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+            .as("_x"))
+      val med = rankedCensus(rows, col("event_type"), col("_x"))
+        .withColumn("_k", expr("(_n + 1) div 2"))
+        .filter(col("_cum") < col("_k")
+          && col("_cum") + col("_f") >= col("_k"))
+        .select(col("_key").as("event_type"), col("_v").as("_med"))
+      val z = rows.join(med, Seq("event_type"))
+        .select(col("event_type"), abs(col("_x") - col("_med")).as("_z"))
+      val perGroup = z.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_n"), sum(col("_z")).as("_s"),
+          sum(col("_z") * col("_z")).as("_q"))
+        .withColumn("_between",
+          col("_s").cast("double") * col("_s").cast("double")
+            / col("_n").cast("double"))
+        .withColumn("_within",
+          col("_q").cast("double") - col("_between"))
+      def fold(termCol: String): Column =
+        aggregate(transform(array_sort(collect_list(
+          struct(col("event_type"), col(termCol)))),
+          e => e.getField(termCol)), lit(0.0), (a, x) => a + x)
+      perGroup.agg(
+          sum(col("_n")).as("_N"), count(lit(1)).as("n_groups"),
+          sum(col("_s")).as("_S"),
+          fold("_between").as("_sb"), fold("_within").as("_ssw"))
+        .select(col("_N").as("n_total"), col("n_groups"),
+          (col("n_groups") - lit(1)).as("dof1"),
+          (col("_N") - col("n_groups")).as("dof2"),
+          fr(((col("_sb")
+            - col("_S").cast("double") * col("_S").cast("double")
+              / col("_N").cast("double"))
+            / (col("n_groups") - lit(1)).cast("double"))
+            / (col("_ssw")
+              / (col("_N") - col("n_groups")).cast("double")), 6)
+            .as("f_bf"))
     }
   )
 
@@ -6801,6 +6946,112 @@ object WarehouseQueries {
         |    * 100.0 + 0.5) / 100.0 AS mean_monetary,
         |  floor(CAST(sum(freq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    * 100.0 + 0.5) / 100.0 AS mean_frequency
-        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q262_mann_whitney" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |c AS (SELECT x, count(*) AS f FROM v GROUP BY 1),
+        |g AS (SELECT x,
+        |    2 * coalesce(sum(f) OVER (ORDER BY x ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + f + 1 AS r2,
+        |    f * f * f - f AS t3
+        |  FROM c),
+        |pg AS (SELECT event_type, CAST(sum(fg) AS BIGINT) AS n,
+        |    CAST(sum(fg * r2) AS BIGINT) AS rr
+        |  FROM (SELECT event_type, x, count(*) AS fg FROM v GROUP BY 1, 2)
+        |    p JOIN g USING (x) GROUP BY 1),
+        |w AS (SELECT
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN n END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN n END) AS BIGINT)
+        |      AS n2,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN rr END) AS BIGINT)
+        |      AS r2c
+        |  FROM pg),
+        |t AS (SELECT CAST(sum(t3) AS BIGINT) AS tt FROM g)
+        |SELECT n1 AS n_click, n2 AS n_view,
+        |  floor(CAST(r2c - n1 * (n1 + 1) AS DOUBLE) / 2.0 * 10.0 + 0.5)
+        |    / 10.0 AS u_click,
+        |  floor((CAST(r2c - n1 * (n1 + 1) AS DOUBLE)
+        |      - CAST(n1 * n2 AS DOUBLE))
+        |    / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+        |      * ((CAST(n1 + n2 AS DOUBLE) + 1.0) - CAST(tt AS DOUBLE)
+        |        / (CAST(n1 + n2 AS DOUBLE)
+        |          * (CAST(n1 + n2 AS DOUBLE) - 1.0)))))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS z
+        |FROM w CROSS JOIN t""".stripMargin,
+
+    "q263_kruskal_wallis" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x FROM events),
+        |c AS (SELECT x, count(*) AS f FROM v GROUP BY 1),
+        |g AS (SELECT x,
+        |    2 * coalesce(sum(f) OVER (ORDER BY x ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + f + 1 AS r2,
+        |    f * f * f - f AS t3
+        |  FROM c),
+        |pg AS (SELECT event_type, CAST(sum(fg) AS BIGINT) AS n,
+        |    CAST(sum(fg * r2) AS BIGINT) AS rr
+        |  FROM (SELECT event_type, x, count(*) AS fg FROM v GROUP BY 1, 2)
+        |    p JOIN g USING (x) GROUP BY 1),
+        |pt AS (SELECT event_type, n,
+        |    CAST(rr AS DOUBLE) * CAST(rr AS DOUBLE)
+        |      / (4.0 * CAST(n AS DOUBLE)) AS term
+        |  FROM pg),
+        |agg AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    list_sum(list(term ORDER BY event_type)) AS st
+        |  FROM pt),
+        |t AS (SELECT CAST(sum(t3) AS BIGINT) AS tt FROM g)
+        |SELECT nn AS n_total, k AS n_groups, k - 1 AS dof,
+        |  floor((12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+        |      * st - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS h,
+        |  floor((12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+        |      * st - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
+        |    / (1.0 - CAST(tt AS DOUBLE)
+        |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |        * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS h_tie_corrected
+        |FROM agg CROSS JOIN t""".stripMargin,
+
+    "q264_levene" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x FROM events),
+        |c AS (SELECT event_type, x, count(*) AS f FROM v GROUP BY 1, 2),
+        |cc AS (SELECT event_type, x, f,
+        |    coalesce(sum(f) OVER (PARTITION BY event_type ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum,
+        |    sum(f) OVER (PARTITION BY event_type) AS n
+        |  FROM c),
+        |med AS (SELECT event_type, x AS med FROM cc
+        |  WHERE cum < (n + 1) // 2 AND cum + f >= (n + 1) // 2),
+        |z AS (SELECT v.event_type, abs(v.x - med.med) AS zz
+        |  FROM v JOIN med ON v.event_type = med.event_type),
+        |pg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(zz) AS BIGINT) AS s,
+        |    CAST(sum(zz * zz) AS BIGINT) AS q
+        |  FROM z GROUP BY 1),
+        |pt AS (SELECT event_type, n, s, q,
+        |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS between_t,
+        |    CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS within_t
+        |  FROM pg),
+        |agg AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS k, CAST(sum(s) AS BIGINT) AS s,
+        |    list_sum(list(between_t ORDER BY event_type)) AS sb,
+        |    list_sum(list(within_t ORDER BY event_type)) AS ssw
+        |  FROM pt)
+        |SELECT nn AS n_total, k AS n_groups, k - 1 AS dof1,
+        |  nn - k AS dof2,
+        |  floor(((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+        |    / (ssw / CAST(nn - k AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS f_bf
+        |FROM agg""".stripMargin
   )
 }
