@@ -3824,6 +3824,148 @@ object WarehouseQueries {
             / (col("_ssw")
               / (col("_N") - col("n_groups")).cast("double")), 6)
             .as("f_bf"))
+    },
+
+    // Sortino ratio + Calmar ratio per event type — the downside-risk
+    // companions to Sharpe (q169), on the same 6 dp integer daily-return
+    // base: downside deviation from Σ min(r,0)² (exact int64 — the µ²
+    // products stay under 3e15 for the ±10-winsorized returns), and the
+    // drawdown leg measured on the ADDITIVE cumulative-return path
+    // (documented: cumsum of integer micro-returns, running peak, both
+    // windows in day order — every intermediate is exact int64, so the
+    // max drawdown is bit-identical by construction, unlike a compounded
+    // wealth product which would need an ordered float fold).
+    "q265_sortino_calmar" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val path = dailyReturns(s, d)
+        .withColumn("_cum", sum(col("_r")).over(w))
+        .withColumn("_peak", max(col("_cum")).over(w))
+        .withColumn("_down",
+          when(col("_r") < 0, col("_r") * col("_r")).otherwise(lit(0L)))
+      path.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_ret"), sum(col("_r")).as("_s"),
+          sum(col("_down")).as("_sd"),
+          max(col("_peak") - col("_cum")).as("_mdd"))
+        .select(col("event_type"), col("n_ret"),
+          fr(col("_s").cast("double") / col("n_ret") / lit(1000000.0), 6)
+            .as("mean_ret"),
+          fr(sqrt(col("_sd").cast("double") / col("n_ret")) /
+            lit(1000000.0), 6).as("downside_dev"),
+          when(col("_sd") > 0,
+            fr((col("_s").cast("double") / col("n_ret"))
+              / sqrt(col("_sd").cast("double") / col("n_ret")), 6))
+            .as("sortino"),
+          fr(col("_mdd").cast("double") / lit(1000000.0), 6).as("max_dd"),
+          when(col("_mdd") > 0,
+            fr(col("_s").cast("double") / col("n_ret")
+              / col("_mdd").cast("double"), 6)).as("calmar"))
+        .orderBy("event_type")
+    },
+
+    // Lo-MacKinlay variance ratio VR(5) per event type: the
+    // random-walk diagnostic — Var of overlapping 5-day return sums
+    // over 5× the 1-day variance (VR≈1 under a random walk, >1 momentum,
+    // <1 mean reversion). The 5-day sums are exact int64 window sums in
+    // day order (full 5-day frames only); both variances are unbiased
+    // sample variances from integer power sums via the n·Σx²−(Σx)²
+    // identity, doubles only in the final ratios.
+    "q266_variance_ratio" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val w5 = w.rowsBetween(-4, 0)
+      val r = dailyReturns(s, d)
+        .withColumn("_x5", sum(col("_r")).over(w5))
+        .withColumn("_c5", count(lit(1)).over(w5))
+      val oneDay = r.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_n"), sum(col("_r")).as("_s"),
+          sum(col("_r") * col("_r")).as("_ss"))
+      val fiveDay = r.filter(col("_c5") === 5)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_m"), sum(col("_x5")).as("_s5"),
+          sum(col("_x5") * col("_x5")).as("_ss5"))
+      def sampleVar(n: Column, s: Column, ss: Column): Column =
+        (n * ss - s * s).cast("double") /
+          (n * (n - lit(1))).cast("double") / lit(1.0e12)
+      val v1 = sampleVar(col("_n"), col("_s"), col("_ss"))
+      val v5 = sampleVar(col("_m"), col("_s5"), col("_ss5"))
+      oneDay.join(fiveDay, Seq("event_type"))
+        .select(col("event_type"), col("_n").as("n_ret"),
+          col("_m").as("n_overlap"),
+          fr(v1, 8).as("var_1d"), fr(v5, 8).as("var_5d"),
+          fr(v5 / (lit(5.0) * v1), 6).as("vr5"))
+        .orderBy("event_type")
+    },
+
+    // Amihud illiquidity per event type: mean over days of
+    // |daily return| / daily dollar volume, scaled ×1e6 for a readable
+    // magnitude — the price-impact-per-dollar proxy. Return is the
+    // exact 6 dp integer from `dailyReturns`; volume is the exact cents
+    // sum; each day's term is one double division, and the 30-term mean
+    // folds in day order per the q161 rule.
+    "q267_amihud" -> { (s, d) =>
+      val vol = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+          .as("_vol"))
+      dailyReturns(s, d).join(vol, Seq("event_type", "day"))
+        .filter(col("_vol") > 0)
+        .withColumn("_t",
+          abs(col("_r")).cast("double") / lit(1000000.0)
+            / (col("_vol").cast("double") / lit(100.0)) * lit(1000000.0))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          aggregate(transform(array_sort(collect_list(
+            struct(col("day"), col("_t")))), e => e.getField("_t")),
+            lit(0.0), (a, x) => a + x).as("_sum"))
+        .select(col("event_type"), col("n_days"),
+          fr(col("_sum") / col("n_days").cast("double"), 6)
+            .as("amihud_x1e6"))
+        .orderBy("event_type")
+    },
+
+    // Garman-Klass and Parkinson range-based volatility per event type:
+    // each day is an OHLC bar of the type's value ticks in cents (open/
+    // close under the (ts, event_id) total order, the q18 device), and
+    // the estimators need only log-ratios of exact integers — identical
+    // doubles on both engines. The 2ln2−1 and 4ln2 constants are spelled
+    // as decimal literals in BOTH engines (a runtime ln(2) could differ
+    // in the last ulp between libm builds). GK per-day terms are
+    // non-negative by construction (|ln C/O| ≤ ln H/L); day terms fold
+    // in day order; zero-cent lows are excluded (documented guard).
+    "q268_garman_klass" -> { (s, d) =>
+      val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+      val bars = Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          cents.as("_c"))
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(min_by(col("_c"), struct(col("ts"), col("event_id")))
+            .as("_o"),
+          max(col("_c")).as("_h"), min(col("_c")).as("_l"),
+          max_by(col("_c"), struct(col("ts"), col("event_id")))
+            .as("_cl"))
+        .filter(col("_l") > 0)
+      val lnHL = log(col("_h").cast("double") / col("_l").cast("double"))
+      val lnCO = log(col("_cl").cast("double") / col("_o").cast("double"))
+      val gkT = lit(0.5) * lnHL * lnHL -
+        lit(0.3862943611198906) * lnCO * lnCO
+      val parkT = lnHL * lnHL / lit(2.772588722239781)
+      bars
+        .withColumn("_gk", gkT).withColumn("_pk", parkT)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          aggregate(transform(array_sort(collect_list(
+            struct(col("day"), col("_gk")))), e => e.getField("_gk")),
+            lit(0.0), (a, x) => a + x).as("_sgk"),
+          aggregate(transform(array_sort(collect_list(
+            struct(col("day"), col("_pk")))), e => e.getField("_pk")),
+            lit(0.0), (a, x) => a + x).as("_spk"))
+        .select(col("event_type"), col("n_days"),
+          fr(col("_sgk") / col("n_days").cast("double"), 6).as("gk_var"),
+          fr(sqrt(col("_sgk") / col("n_days").cast("double")), 6)
+            .as("gk_vol"),
+          fr(sqrt(col("_spk") / col("n_days").cast("double")), 6)
+            .as("parkinson_vol"))
+        .orderBy("event_type")
     }
   )
 
@@ -7052,6 +7194,153 @@ object WarehouseQueries {
         |      / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
         |    / (ssw / CAST(nn - k AS DOUBLE))
         |    * 1000000.0 + 0.5) / 1000000.0 AS f_bf
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    "q265_sortino_calmar" ->
+      """WITH r AS (SELECT event_type, day,
+        |    CAST(floor(least(greatest(
+        |      CAST(x AS DOUBLE) / CAST(lag(x) OVER w AS DOUBLE) - 1.0,
+        |      -10.0), 10.0) * 1000000.0 + 0.5) AS BIGINT) AS ri,
+        |    lag(x) OVER w AS p
+        |  FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+        |      CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |        / count(*) * 10000.0 + 0.5) AS BIGINT) AS x
+        |    FROM events GROUP BY 1, 2)
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |rr AS (SELECT event_type, day, ri FROM r
+        |  WHERE p IS NOT NULL AND p <> 0),
+        |p1 AS (SELECT event_type, day, ri,
+        |    sum(ri) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rr),
+        |p2 AS (SELECT event_type, ri, cum,
+        |    max(cum) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM p1),
+        |g AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(ri) AS BIGINT) AS s,
+        |    CAST(sum(CASE WHEN ri < 0 THEN ri * ri ELSE 0 END) AS BIGINT)
+        |      AS sd,
+        |    CAST(max(peak - cum) AS BIGINT) AS mdd
+        |  FROM p2 GROUP BY 1)
+        |SELECT event_type, n AS n_ret,
+        |  floor(CAST(s AS DOUBLE) / n / 1000000.0 * 1000000.0 + 0.5)
+        |    / 1000000.0 AS mean_ret,
+        |  floor(sqrt(CAST(sd AS DOUBLE) / n) / 1000000.0
+        |    * 1000000.0 + 0.5) / 1000000.0 AS downside_dev,
+        |  CASE WHEN sd > 0 THEN
+        |    floor((CAST(s AS DOUBLE) / n) / sqrt(CAST(sd AS DOUBLE) / n)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS sortino,
+        |  floor(CAST(mdd AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5)
+        |    / 1000000.0 AS max_dd,
+        |  CASE WHEN mdd > 0 THEN
+        |    floor(CAST(s AS DOUBLE) / n / CAST(mdd AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS calmar
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q266_variance_ratio" ->
+      """WITH r AS (SELECT event_type, day,
+        |    CAST(floor(least(greatest(
+        |      CAST(x AS DOUBLE) / CAST(lag(x) OVER w AS DOUBLE) - 1.0,
+        |      -10.0), 10.0) * 1000000.0 + 0.5) AS BIGINT) AS ri,
+        |    lag(x) OVER w AS p
+        |  FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+        |      CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |        / count(*) * 10000.0 + 0.5) AS BIGINT) AS x
+        |    FROM events GROUP BY 1, 2)
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |rr AS (SELECT event_type, day, ri FROM r
+        |  WHERE p IS NOT NULL AND p <> 0),
+        |x5 AS (SELECT event_type,
+        |    CAST(sum(ri) OVER w5 AS BIGINT) AS x5,
+        |    count(*) OVER w5 AS c5
+        |  FROM rr WINDOW w5 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+        |one AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(ri) AS BIGINT) AS s,
+        |    CAST(sum(ri * ri) AS BIGINT) AS ss
+        |  FROM rr GROUP BY 1),
+        |five AS (SELECT event_type, count(*) AS m,
+        |    CAST(sum(x5) AS BIGINT) AS s5,
+        |    CAST(sum(x5 * x5) AS BIGINT) AS ss5
+        |  FROM x5 WHERE c5 = 5 GROUP BY 1)
+        |SELECT one.event_type, n AS n_ret, m AS n_overlap,
+        |  floor(CAST(n * ss - s * s AS DOUBLE)
+        |    / CAST(n * (n - 1) AS DOUBLE) / 1.0e12
+        |    * 100000000.0 + 0.5) / 100000000.0 AS var_1d,
+        |  floor(CAST(m * ss5 - s5 * s5 AS DOUBLE)
+        |    / CAST(m * (m - 1) AS DOUBLE) / 1.0e12
+        |    * 100000000.0 + 0.5) / 100000000.0 AS var_5d,
+        |  floor((CAST(m * ss5 - s5 * s5 AS DOUBLE)
+        |      / CAST(m * (m - 1) AS DOUBLE) / 1.0e12)
+        |    / (5.0 * (CAST(n * ss - s * s AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE) / 1.0e12))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS vr5
+        |FROM one JOIN five ON one.event_type = five.event_type
+        |ORDER BY one.event_type""".stripMargin,
+
+    "q267_amihud" ->
+      """WITH r AS (SELECT event_type, day,
+        |    CAST(floor(least(greatest(
+        |      CAST(x AS DOUBLE) / CAST(lag(x) OVER w AS DOUBLE) - 1.0,
+        |      -10.0), 10.0) * 1000000.0 + 0.5) AS BIGINT) AS ri,
+        |    lag(x) OVER w AS p
+        |  FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+        |      CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |        / count(*) * 10000.0 + 0.5) AS BIGINT) AS x
+        |    FROM events GROUP BY 1, 2)
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |rr AS (SELECT event_type, day, ri FROM r
+        |  WHERE p IS NOT NULL AND p <> 0),
+        |vol AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS vol
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT rr.event_type, rr.day,
+        |    CAST(abs(ri) AS DOUBLE) / 1000000.0
+        |      / (CAST(vol AS DOUBLE) / 100.0) * 1000000.0 AS t
+        |  FROM rr JOIN vol ON rr.event_type = vol.event_type
+        |    AND rr.day = vol.day
+        |  WHERE vol > 0)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  floor(list_sum(list(t ORDER BY day))
+        |    / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS amihud_x1e6
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q268_garman_klass" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS rna,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts DESC, event_id DESC) AS rnd
+        |  FROM events),
+        |bars AS (SELECT event_type, day,
+        |    max(CASE WHEN rna = 1 THEN c END) AS o,
+        |    max(c) AS h, min(c) AS l,
+        |    max(CASE WHEN rnd = 1 THEN c END) AS cl
+        |  FROM b GROUP BY 1, 2 HAVING min(c) > 0),
+        |t AS (SELECT event_type, day,
+        |    0.5 * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))
+        |        * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))
+        |      - 0.3862943611198906
+        |        * ln(CAST(cl AS DOUBLE) / CAST(o AS DOUBLE))
+        |        * ln(CAST(cl AS DOUBLE) / CAST(o AS DOUBLE)) AS gk,
+        |    ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))
+        |      * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))
+        |      / 2.772588722239781 AS pk
+        |  FROM bars)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  floor(list_sum(list(gk ORDER BY day))
+        |    / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS gk_var,
+        |  floor(sqrt(list_sum(list(gk ORDER BY day))
+        |    / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |    AS gk_vol,
+        |  floor(sqrt(list_sum(list(pk ORDER BY day))
+        |    / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |    AS parkinson_vol
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
