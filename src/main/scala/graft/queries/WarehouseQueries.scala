@@ -3798,32 +3798,7 @@ object WarehouseQueries {
         .select(col("_key").as("event_type"), col("_v").as("_med"))
       val z = rows.join(med, Seq("event_type"))
         .select(col("event_type"), abs(col("_x") - col("_med")).as("_z"))
-      val perGroup = z.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("_n"), sum(col("_z")).as("_s"),
-          sum(col("_z") * col("_z")).as("_q"))
-        .withColumn("_between",
-          col("_s").cast("double") * col("_s").cast("double")
-            / col("_n").cast("double"))
-        .withColumn("_within",
-          col("_q").cast("double") - col("_between"))
-      def fold(termCol: String): Column =
-        aggregate(transform(array_sort(collect_list(
-          struct(col("event_type"), col(termCol)))),
-          e => e.getField(termCol)), lit(0.0), (a, x) => a + x)
-      perGroup.agg(
-          sum(col("_n")).as("_N"), count(lit(1)).as("n_groups"),
-          sum(col("_s")).as("_S"),
-          fold("_between").as("_sb"), fold("_within").as("_ssw"))
-        .select(col("_N").as("n_total"), col("n_groups"),
-          (col("n_groups") - lit(1)).as("dof1"),
-          (col("_N") - col("n_groups")).as("dof2"),
-          fr(((col("_sb")
-            - col("_S").cast("double") * col("_S").cast("double")
-              / col("_N").cast("double"))
-            / (col("n_groups") - lit(1)).cast("double"))
-            / (col("_ssw")
-              / (col("_N") - col("n_groups")).cast("double")), 6)
-            .as("f_bf"))
+      onewayF(z, "f_bf")
     },
 
     // Sortino ratio + Calmar ratio per event type — the downside-risk
@@ -3966,8 +3941,165 @@ object WarehouseQueries {
           fr(sqrt(col("_spk") / col("n_days").cast("double")), 6)
             .as("parkinson_vol"))
         .orderBy("event_type")
+    },
+
+    // Local clustering coefficient per node over the q118 co-activity
+    // graph: 2·triangles/(deg·(deg−1)) — the per-node closure density
+    // that the global triangle census (q118) and degree assortativity
+    // (q247) bracket. Reuses `Graph.triangleCount` (degree-oriented
+    // wedge join — no hub blowup) plus a degree count on the deduped
+    // undirected edge set; top-30 under the (coefficient DESC, node)
+    // total order on the fr-gridded ratio.
+    "q269_local_clustering" -> { (s, d) =>
+      val act = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("h"))
+        .distinct()
+      val edges = act
+        .join(act.select(col("user_id").as("v"), col("event_type"),
+          col("h")), Seq("event_type", "h"))
+        .filter(col("user_id") < col("v"))
+        .select(col("user_id").as("src"), col("v").as("dst"))
+        .distinct()
+      val tri = graft.operators.Graph.triangleCount(edges)
+      val deg = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      deg.join(tri, Seq("node"), "left")
+        .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+        .filter(col("degree") >= 2)
+        .select(col("node"), col("degree"), col("n_triangles"),
+          fr(lit(2.0) * col("n_triangles").cast("double")
+            / (col("degree") * (col("degree") - lit(1))).cast("double"),
+            6).as("clustering"))
+        .orderBy(col("clustering").desc, col("node"))
+        .limit(30)
+    },
+
+    // Durbin-Watson serial-correlation statistic on the residuals of the
+    // per-type daily-revenue linear trend — the classic "are the trend
+    // residuals white?" companion to Ljung-Box (q256, which tests the
+    // raw series): slope/intercept from exact int64 normal-equation
+    // sums over (t, cents), residuals the identical double expression
+    // on both engines, and the two residual sums (Σ(eₜ−eₜ₋₁)², Σeₜ²)
+    // folded in day order per the q161 rule.
+    "q270_durbin_watson" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+          .as("_y"))
+        .withColumn("_t", row_number().over(w).cast("long"))
+      val co = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_n"), sum(col("_t")).as("_st"),
+          sum(col("_t") * col("_t")).as("_stt"), sum(col("_y")).as("_sy"),
+          sum(col("_t") * col("_y")).as("_sty"))
+        .withColumn("_b",
+          (col("_n") * col("_sty") - col("_st") * col("_sy"))
+            .cast("double")
+            / (col("_n") * col("_stt") - col("_st") * col("_st"))
+              .cast("double"))
+        .withColumn("_a",
+          (col("_sy").cast("double") - col("_b") * col("_st")
+            .cast("double")) / col("_n").cast("double"))
+      val e = daily
+        .join(co.select(col("event_type"), col("_a"), col("_b")),
+          Seq("event_type"))
+        .withColumn("_e", col("_y").cast("double") - col("_a")
+          - col("_b") * col("_t").cast("double"))
+        .withColumn("_ep", lag(col("_e"), 1).over(w))
+        .withColumn("_d2", when(col("_ep").isNotNull,
+          (col("_e") - col("_ep")) * (col("_e") - col("_ep")))
+          .otherwise(lit(0.0)))
+        .withColumn("_e2", col("_e") * col("_e"))
+      def fold(termCol: String): Column =
+        aggregate(transform(array_sort(collect_list(
+          struct(col("day"), col(termCol)))),
+          x => x.getField(termCol)), lit(0.0), (a, x) => a + x)
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          fold("_d2").as("_num"), fold("_e2").as("_den"))
+        .select(col("event_type"), col("n_days"),
+          fr(col("_num") / col("_den"), 6).as("dw"))
+        .orderBy("event_type")
+    },
+
+    // Grubbs max-outlier statistic per event type: G = max(|x − x̄|)/s
+    // over the cents values — the single-most-extreme-point screen
+    // beside the z-score stream filter (q120) and IQR fences (q172).
+    // Every moment is an exact int64 power sum (the n·Σx² product is
+    // the same deliberate int64 expression on both engines); mean, s,
+    // and both one-sided G's are assembled in double at the end.
+    "q271_grubbs" -> { (s, d) =>
+      val g = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+            .as("_x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"),
+          sum(col("_x") * col("_x")).as("_ss"),
+          min(col("_x")).as("_min"), max(col("_x")).as("_max"))
+      val mean = col("_s").cast("double") / col("_n").cast("double")
+      val sd = sqrt((col("_n") * col("_ss") - col("_s") * col("_s"))
+        .cast("double")
+        / (col("_n") * (col("_n") - lit(1))).cast("double"))
+      g.select(col("event_type"), col("_n").as("n_obs"),
+          fr(mean / lit(100.0), 4).as("mean_value"),
+          fr(sd / lit(100.0), 4).as("sd_value"),
+          fr((col("_max").cast("double") - mean) / sd, 6).as("g_max"),
+          fr((mean - col("_min").cast("double")) / sd, 6).as("g_min"),
+          fr(greatest((col("_max").cast("double") - mean) / sd,
+            (mean - col("_min").cast("double")) / sd), 6).as("g"))
+        .orderBy("event_type")
+    },
+
+    // Classic one-way ANOVA across the five event types on raw cents —
+    // the equal-means F that generalizes Welch's two-group t (q238),
+    // sharing the exact-integer F assembly with the Brown-Forsythe
+    // variance test (q264) via `onewayF`.
+    "q272_anova_f" -> { (s, d) =>
+      onewayF(Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+            .as("_z")), "f")
     }
   )
+
+  /** One-way ANOVA F assembly shared by q264 (Brown-Forsythe, on
+    * median-centered absolute deviations) and q272 (classic, on raw
+    * cents): input is (event_type, _z) rows with _z an exact int64;
+    * per-group Σz/Σz² stay exact, and the between/within sum-of-squares
+    * assembly runs in double from those integers with the per-group
+    * terms folded in event_type order (q161 rule).
+    */
+  private def onewayF(z: DataFrame, outName: String): DataFrame = {
+    val perGroup = z.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("_n"), sum(col("_z")).as("_s"),
+        sum(col("_z") * col("_z")).as("_q"))
+      .withColumn("_between",
+        col("_s").cast("double") * col("_s").cast("double")
+          / col("_n").cast("double"))
+      .withColumn("_within",
+        col("_q").cast("double") - col("_between"))
+    def fold(termCol: String): Column =
+      aggregate(transform(array_sort(collect_list(
+        struct(col("event_type"), col(termCol)))),
+        e => e.getField(termCol)), lit(0.0), (a, x) => a + x)
+    perGroup.agg(
+        sum(col("_n")).as("_N"), count(lit(1)).as("n_groups"),
+        sum(col("_s")).as("_S"),
+        fold("_between").as("_sb"), fold("_within").as("_ssw"))
+      .select(col("_N").as("n_total"), col("n_groups"),
+        (col("n_groups") - lit(1)).as("dof1"),
+        (col("_N") - col("n_groups")).as("dof2"),
+        fr(((col("_sb")
+          - col("_S").cast("double") * col("_S").cast("double")
+            / col("_N").cast("double"))
+          / (col("n_groups") - lit(1)).cast("double"))
+          / (col("_ssw")
+            / (col("_N") - col("n_groups")).cast("double")), 6)
+          .as(outName))
+  }
 
   /** Cumulated (key, value, freq) census — the shared substrate of every
     * order-statistic query (q170/q171/q172/q177/q181 and the q136/q160
@@ -7341,6 +7473,128 @@ object WarehouseQueries {
         |  floor(sqrt(list_sum(list(pk ORDER BY day))
         |    / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
         |    AS parkinson_vol
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q269_local_clustering" ->
+      """WITH act AS (SELECT DISTINCT user_id, event_type,
+        |    date_trunc('minute', CAST(ts AS TIMESTAMP)) AS h FROM events),
+        |e AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        |  FROM act a JOIN act b ON a.event_type = b.event_type
+        |    AND a.h = b.h AND a.user_id < b.user_id),
+        |tri AS (SELECT e1.u AS p, e1.v AS q, e2.v AS r
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (SELECT unnest([p, q, r]) AS node FROM tri),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM corners GROUP BY 1),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        |  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1)
+        |SELECT deg.node, degree, coalesce(n_triangles, 0) AS n_triangles,
+        |  floor(2.0 * CAST(coalesce(n_triangles, 0) AS DOUBLE)
+        |    / CAST(degree * (degree - 1) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS clustering
+        |FROM deg LEFT JOIN tc ON tc.node = deg.node
+        |WHERE degree >= 2
+        |ORDER BY clustering DESC, deg.node LIMIT 30""".stripMargin,
+
+    "q270_durbin_watson" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS y,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(ts AS DATE)) AS BIGINT) AS t
+        |  FROM events GROUP BY 1, 2),
+        |co AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(t) AS BIGINT) AS st,
+        |    CAST(sum(t * t) AS BIGINT) AS stt,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(t * y) AS BIGINT) AS sty
+        |  FROM daily GROUP BY 1),
+        |cb AS (SELECT event_type, n, st, sy,
+        |    CAST(n * sty - st * sy AS DOUBLE)
+        |      / CAST(n * stt - st * st AS DOUBLE) AS b
+        |  FROM co),
+        |ca AS (SELECT event_type, b,
+        |    (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS a
+        |  FROM cb),
+        |e AS (SELECT daily.event_type, day,
+        |    CAST(y AS DOUBLE) - a - b * CAST(t AS DOUBLE) AS e
+        |  FROM daily JOIN ca ON daily.event_type = ca.event_type),
+        |l AS (SELECT event_type, day, e,
+        |    lag(e) OVER (PARTITION BY event_type ORDER BY day) AS ep
+        |  FROM e),
+        |t2 AS (SELECT event_type, day,
+        |    CASE WHEN ep IS NOT NULL THEN (e - ep) * (e - ep)
+        |      ELSE 0.0 END AS d2,
+        |    e * e AS e2
+        |  FROM l)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  floor(list_sum(list(d2 ORDER BY day))
+        |    / list_sum(list(e2 ORDER BY day))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS dw
+        |FROM t2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q271_grubbs" ->
+      """WITH g AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s,
+        |    CAST(sum(x * x) AS BIGINT) AS ss,
+        |    CAST(min(x) AS BIGINT) AS mn, CAST(max(x) AS BIGINT) AS mx
+        |  FROM (SELECT event_type,
+        |      CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+        |    FROM events) GROUP BY 1)
+        |SELECT event_type, n AS n_obs,
+        |  floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+        |    * 10000.0 + 0.5) / 10000.0 AS mean_value,
+        |  floor(sqrt(CAST(n * ss - s * s AS DOUBLE)
+        |    / CAST(n * (n - 1) AS DOUBLE)) / 100.0
+        |    * 10000.0 + 0.5) / 10000.0 AS sd_value,
+        |  floor((CAST(mx AS DOUBLE) - CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE))
+        |    / sqrt(CAST(n * ss - s * s AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS g_max,
+        |  floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(mn AS DOUBLE))
+        |    / sqrt(CAST(n * ss - s * s AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS g_min,
+        |  floor(greatest(
+        |    (CAST(mx AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt(CAST(n * ss - s * s AS DOUBLE)
+        |        / CAST(n * (n - 1) AS DOUBLE)),
+        |    (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - CAST(mn AS DOUBLE))
+        |      / sqrt(CAST(n * ss - s * s AS DOUBLE)
+        |        / CAST(n * (n - 1) AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS g
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q272_anova_f" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS z FROM events),
+        |pg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(z) AS BIGINT) AS s,
+        |    CAST(sum(z * z) AS BIGINT) AS q
+        |  FROM v GROUP BY 1),
+        |pt AS (SELECT event_type, n, s, q,
+        |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS between_t,
+        |    CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS within_t
+        |  FROM pg),
+        |agg AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS k, CAST(sum(s) AS BIGINT) AS s,
+        |    list_sum(list(between_t ORDER BY event_type)) AS sb,
+        |    list_sum(list(within_t ORDER BY event_type)) AS ssw
+        |  FROM pt)
+        |SELECT nn AS n_total, k AS n_groups, k - 1 AS dof1,
+        |  nn - k AS dof2,
+        |  floor(((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+        |    / (ssw / CAST(nn - k AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS f
+        |FROM agg""".stripMargin
   )
 }
