@@ -880,6 +880,46 @@ class PlanSpec extends SparkSpec {
       s"q247 assortativity joins stay equi-keyed:\n$p247")
   }
 
+  test("q259-q272: retrieval/rank-test/risk families keep scale-safe shapes") {
+    // q259: the query side broadcasts — a nested-loop join is fine (the
+    // eval set is tiny by construction) but never a partitioned cartesian
+    val p259 = plan(graft.queries.ExtensionQueries
+      .defs("q259_ndcg")(spark, d))
+    assert(!p259.contains("CartesianProduct"),
+      s"q259 ranking join must broadcast the query side:\n$p259")
+    // q262/q263: pooled rank windows cumulate the value census, never rows
+    for (q <- Seq("q262_mann_whitney", "q263_kruskal_wallis")) {
+      val w = plan(graft.queries.WarehouseQueries.defs(q)(spark, d))
+        .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+      assert(w.nonEmpty && w.forall(l =>
+        !l.contains("event_id") && !l.contains("user_id")),
+        s"$q rank windows over the cents census only:\n${w.mkString("\n")}")
+    }
+    // q264/q272: the only windows are the median census cumulation (q264)
+    // — never over raw event rows
+    val w264 = plan(graft.queries.WarehouseQueries
+      .defs("q264_levene")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(w264.nonEmpty && w264.forall(l =>
+      !l.contains("event_id") && !l.contains("user_id")),
+      s"q264 median windows over the census only:\n${w264.mkString("\n")}")
+    // q265/q266/q270: path/frame windows key on event_type over the
+    // bounded daily grid
+    for (q <- Seq("q265_sortino_calmar", "q266_variance_ratio",
+        "q270_durbin_watson")) {
+      val w = plan(graft.queries.WarehouseQueries.defs(q)(spark, d))
+        .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+      assert(w.nonEmpty && w.forall(l =>
+        l.contains("event_type") && !l.contains("event_id")),
+        s"$q windows run per-type on the daily series:\n${w.mkString("\n")}")
+    }
+    // q269: triangle wedges and degree joins stay equi-keyed
+    val p269 = plan(graft.queries.WarehouseQueries
+      .defs("q269_local_clustering")(spark, d))
+    assert(!p269.contains("CartesianProduct"),
+      s"q269 clustering joins stay equi-keyed:\n$p269")
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
