@@ -4,7 +4,7 @@ import graft.core.Tables
 import graft.queries.QueryUtils.{decSum, fr}
 import graft.functions.VectorFunctions
 import graft.operators.{Dedup, Similarity, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -251,6 +251,99 @@ object ExtensionQueries {
           fr(col("_ap") / least(col("n_rel"), lit(20L)).cast("double"), 6)
             .as("ap20"))
         .orderBy("qid")
+    },
+
+    // Heaps'-law vocabulary-growth curve over the corpus in doc_id order:
+    // cumulative distinct BIGRAMS (the synthetic corpus has ~31 unigrams,
+    // so bigrams give the curve room to grow) vs cumulative token-pair
+    // count, checkpointed every 50 docs. A bigram's first occurrence is
+    // min(doc_id) — one groupBy, no expanding re-scan — so the cumulative
+    // vocab is a window cumsum of per-doc first-occurrence counts over
+    // the DOC census (bounded by corpus size, never token rows).
+    // Everything stays integer: no float parity surface at all.
+    "q273_heaps_law" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("_toks"))
+        .withColumn("_ntok", size(col("_toks")))
+      val bigrams = docs.filter(col("_ntok") >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), col("_ntok") - lit(2)),
+            i => concat(element_at(col("_toks"), i + lit(1)), lit(" "),
+              element_at(col("_toks"), i + lit(2))))).as("_bg"))
+      val newPerDoc = bigrams.groupBy(col("_bg"))
+        .agg(min(col("doc_id")).as("_fd"))
+        .groupBy(col("_fd").as("doc_id"))
+        .agg(count(lit(1)).as("_new"))
+      val wDoc = Window.orderBy(col("doc_id"))
+      val wCum = wDoc.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      docs.select(col("doc_id"),
+          greatest(col("_ntok") - lit(1), lit(0)).cast("long").as("_nbig"))
+        .join(newPerDoc, Seq("doc_id"), "left")
+        .withColumn("_new", coalesce(col("_new"), lit(0L)))
+        .withColumn("_rank", row_number().over(wDoc).cast("long"))
+        .withColumn("cum_bigrams", sum(col("_nbig")).over(wCum))
+        .withColumn("cum_vocab", sum(col("_new")).over(wCum))
+        .filter(col("_rank") % 50 === 0)
+        .select(col("_rank").as("n_docs"), col("cum_bigrams"),
+          col("cum_vocab"))
+        .orderBy("n_docs")
+    },
+
+    // Burrows' delta stylometric distance between sources: z-scores of
+    // the top-15 corpus tokens' relative frequencies across the 20
+    // sources (population moments over the source axis, folded in source
+    // order), then Delta(a,b) = mean |z_a − z_b| over the terms, folded
+    // in term order. Every relation is census-bounded (terms × sources);
+    // tokens with zero variance across sources are excluded BEFORE the
+    // sqrt on both engines (identical census → identical filter).
+    "q274_burrows_delta" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("_t"))
+        .filter(col("_t") =!= "")
+      val wTop = Window.orderBy(col("_c").desc, col("_t"))
+      val top = toks.groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+        .withColumn("_rn", row_number().over(wTop))
+        .filter(col("_rn") <= 15).select(col("_t"))
+      val bySource = toks.groupBy(col("source"), col("_t"))
+        .agg(count(lit(1)).as("_n"))
+      val totals = toks.groupBy(col("source"))
+        .agg(count(lit(1)).as("_tot"))
+      val grid = top.crossJoin(totals)
+        .join(bySource, Seq("source", "_t"), "left")
+        .withColumn("_f", coalesce(col("_n"), lit(0L)).cast("double")
+          / col("_tot").cast("double"))
+      def fold(termCol: Column): Column =
+        aggregate(transform(array_sort(collect_list(
+          struct(col("source"), termCol.as("_v")))),
+          e => e.getField("_v")), lit(0.0), (a, x) => a + x)
+      val stats = grid.groupBy(col("_t"))
+        .agg(count(lit(1)).as("_k"), fold(col("_f")).as("_sf"),
+          fold(col("_f") * col("_f")).as("_sff"))
+        .withColumn("_mu", col("_sf") / col("_k").cast("double"))
+        .withColumn("_var", col("_sff") / col("_k").cast("double")
+          - col("_mu") * col("_mu"))
+        .filter(col("_var") > 0)
+        .withColumn("_sigma", sqrt(col("_var")))
+      val z = grid.join(stats.select(col("_t"), col("_mu"),
+          col("_sigma")), Seq("_t"))
+        .select(col("_t"), col("source"),
+          ((col("_f") - col("_mu")) / col("_sigma")).as("_z"))
+      val pairs = z.select(col("_t"), col("source").as("source_a"),
+          col("_z").as("_za"))
+        .join(z.select(col("_t"), col("source").as("source_b"),
+          col("_z").as("_zb")), Seq("_t"))
+        .filter(col("source_a") < col("source_b"))
+      val foldT = aggregate(transform(array_sort(collect_list(
+        struct(col("_t"), abs(col("_za") - col("_zb")).as("_v")))),
+        e => e.getField("_v")), lit(0.0), (a, x) => a + x)
+      pairs.groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_terms"), foldT.as("_sd"))
+        .select(col("source_a"), col("source_b"), col("n_terms"),
+          fr(col("_sd") / col("n_terms").cast("double"), 6).as("delta"))
+        .orderBy("source_a", "source_b")
     },
 
     // Heuristic language identification over documents (stopword-vote +
@@ -1890,6 +1983,62 @@ object ExtensionQueries {
         |  floor(a.ap / CAST(least(pool.n_rel, 20) AS DOUBLE)
         |    * 1000000.0 + 0.5) / 1000000.0 AS ap20
         |FROM pool JOIN a ON a.qid = pool.qid ORDER BY pool.qid""".stripMargin,
+
+    "q273_heaps_law" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |np AS (SELECT fd AS doc_id, count(*) AS nw
+        |  FROM (SELECT bg, min(doc_id) AS fd FROM b GROUP BY 1)
+        |  GROUP BY 1),
+        |curve AS (SELECT t.doc_id,
+        |    greatest(len(toks) - 1, 0) AS nbig, coalesce(nw, 0) AS nw
+        |  FROM t LEFT JOIN np ON np.doc_id = t.doc_id),
+        |c2 AS (SELECT row_number() OVER (ORDER BY doc_id) AS r,
+        |    sum(nbig) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cb,
+        |    sum(nw) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cv
+        |  FROM curve)
+        |SELECT CAST(r AS BIGINT) AS n_docs, CAST(cb AS BIGINT)
+        |    AS cum_bigrams, CAST(cv AS BIGINT) AS cum_vocab
+        |FROM c2 WHERE r % 50 = 0 ORDER BY n_docs""".stripMargin,
+
+    "q274_burrows_delta" ->
+      """WITH toks AS (SELECT source, t FROM (SELECT source,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents) WHERE t <> ''),
+        |top AS (SELECT t FROM (SELECT t, count(*) AS c,
+        |    row_number() OVER (ORDER BY count(*) DESC, t) AS rn
+        |  FROM toks GROUP BY t) WHERE rn <= 15),
+        |bys AS (SELECT source, t, count(*) AS n FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT source, count(*) AS tt FROM toks GROUP BY 1),
+        |grid AS (SELECT tot.source, top.t,
+        |    CAST(coalesce(n, 0) AS DOUBLE) / CAST(tt AS DOUBLE) AS f
+        |  FROM top CROSS JOIN tot
+        |  LEFT JOIN bys ON bys.source = tot.source AND bys.t = top.t),
+        |st AS (SELECT t, count(*) AS k,
+        |    list_sum(list(f ORDER BY source)) AS sf,
+        |    list_sum(list(f * f ORDER BY source)) AS sff
+        |  FROM grid GROUP BY 1),
+        |st2 AS (SELECT t,
+        |    sf / CAST(k AS DOUBLE) AS mu,
+        |    sff / CAST(k AS DOUBLE)
+        |      - (sf / CAST(k AS DOUBLE)) * (sf / CAST(k AS DOUBLE)) AS v
+        |  FROM st),
+        |z AS (SELECT grid.t, source, (f - mu) / sqrt(v) AS z
+        |  FROM grid JOIN st2 ON st2.t = grid.t WHERE v > 0),
+        |pairs AS (SELECT a.t, a.source AS source_a, b.source AS source_b,
+        |    abs(a.z - b.z) AS dz
+        |  FROM z a JOIN z b ON a.t = b.t AND a.source < b.source)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_terms,
+        |  floor(list_sum(list(dz ORDER BY t)) / CAST(count(*) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS delta
+        |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // transitive closure by recursive CTE: `reach` propagates every label
     // along edges until fixpoint (UNION dedups), min per node = the

@@ -4062,6 +4062,204 @@ object WarehouseQueries {
         .select(col("event_type"),
           floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
             .as("_z")), "f")
+    },
+
+    // Important-stock screen (TPC-H Q11 shape, on the tables we have):
+    // per-nation part inventory value from exact DECIMAL revenue sums,
+    // kept only where the part exceeds 2× ITS nation's mean part value —
+    // the group-aggregate-vs-group-total HAVING pattern, with an
+    // ADAPTIVE threshold (a fixed fraction-of-total goes empty as the
+    // catalog widens; a mean multiple is scale-free). The nation
+    // total/count is a window over the (nation, part) aggregate —
+    // bounded by the catalog, never line items — and the threshold
+    // compare is the identical double expression on both engines.
+    "q275_important_stock" -> { (s, d) =>
+      val v = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("l_partkey"))
+        .agg(decSum(col("l_extendedprice"), 18, 2).as("_val"))
+      val wN = Window.partitionBy(col("n_name"))
+      v.withColumn("_tot", sum(col("_val")).over(wN))
+        .withColumn("_cnt", count(lit(1)).over(wN))
+        .filter(col("_val").cast("double")
+          > lit(2.0) * col("_tot").cast("double")
+            / col("_cnt").cast("double"))
+        .select(col("n_name"), col("l_partkey"),
+          fr(col("_val").cast("double"), 2).as("stock_value"))
+        .orderBy(col("stock_value").desc, col("n_name"), col("l_partkey"))
+        .limit(100)
+    },
+
+    // Minimum-cost supplier per part (TPC-H Q2 shape): the per-(part,
+    // supplier) unit price is a ratio of exact DECIMAL sums fr-gridded
+    // at 4 decimals, the per-part argmin is a row_number under the
+    // (unit_price, suppkey) total order on the catalog-bounded pair
+    // aggregate, and the result joins back to supplier/nation for the
+    // procurement view — top-100 cheapest opportunities under a full
+    // total order.
+    "q276_min_cost_supplier" -> { (s, d) =>
+      val unit = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(decSum(col("l_extendedprice"), 18, 2).as("_p"),
+          decSum(col("l_quantity")).as("_q"))
+        .filter(col("_q") > 0)
+        .withColumn("_unit",
+          fr(col("_p").cast("double") / col("_q").cast("double"), 4))
+      val wP = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("_unit"), col("l_suppkey"))
+      unit.withColumn("_rn", row_number().over(wP))
+        .filter(col("_rn") === 1)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .select(col("l_partkey"), col("l_suppkey"), col("n_name"),
+          col("_unit").as("unit_price"))
+        .orderBy(col("unit_price"), col("l_partkey"))
+        .limit(100)
+    },
+
+    // ARCH-effect screen: Ljung-Box on SQUARED daily returns — q256
+    // asks "is the series autocorrelated?", this asks "is its VOLATILITY
+    // autocorrelated?" (the volatility-clustering stylized fact). x = r²
+    // stays int64 (µ² ≤ 1e14) but its own squares and lag products need
+    // the q252 decimal device — (a)₁₉ × (b)₁₉ products accumulate as
+    // DECIMAL(38,0) (Spark) / HUGEINT (oracle), both exact, so the
+    // centered-ACF algebra starts from identical doubles.
+    "q277_arch_effect" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val d19 = "decimal(19,0)"
+      val sq = dailyReturns(s, d)
+        .withColumn("_x", col("_r") * col("_r"))
+        .withColumn("_l1", lag(col("_x"), 1).over(w))
+        .withColumn("_l2", lag(col("_x"), 2).over(w))
+        .withColumn("_l3", lag(col("_x"), 3).over(w))
+      def lagSums(k: Int): Seq[Column] = Seq(
+        sum(when(col(s"_l$k").isNotNull,
+          col("_x").cast(d19) * col(s"_l$k").cast(d19))).as(s"_sxy$k"),
+        sum(when(col(s"_l$k").isNotNull, col("_x"))).as(s"_sx$k"),
+        sum(col(s"_l$k")).as(s"_sy$k"))
+      val aggs = Seq(sum(col("_x")).as("_s"),
+        sum(col("_x").cast(d19) * col("_x").cast(d19)).as("_ss")) ++
+        lagSums(1) ++ lagSums(2) ++ lagSums(3)
+      val g = sq.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_n"), aggs: _*)
+      val nD = col("_n").cast("double")
+      val sD = col("_s").cast("double")
+      def rk(k: Int): Column =
+        ((nD * nD) * col(s"_sxy$k").cast("double")
+          - nD * sD * (col(s"_sx$k").cast("double")
+            + col(s"_sy$k").cast("double"))
+          + (col("_n") - lit(k)).cast("double") * sD * sD) /
+          ((nD * nD) * col("_ss").cast("double") - nD * sD * sD)
+      val (r1, r2, r3) = (rk(1), rk(2), rk(3))
+      g.select(col("event_type"), col("_n").as("n_days"),
+          fr(r1, 6).as("r1_sq"),
+          fr(nD * (nD + lit(2.0))
+            * (r1 * r1 / (nD - lit(1.0)) + r2 * r2 / (nD - lit(2.0))
+              + r3 * r3 / (nD - lit(3.0))), 4).as("q_lb_sq"),
+          lit(3L).as("dof"))
+        .orderBy("event_type")
+    },
+
+    // Underwater (drawdown-spell) census per event type on the q265
+    // additive cumulative-return path: how MANY drawdown spells, how
+    // long is the longest, and what share of days are spent below the
+    // running peak. Consecutive under-peak days group by the classic
+    // rank-difference islands device (both row_numbers in day order over
+    // the per-type daily series); every quantity is an exact integer.
+    "q278_underwater_duration" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wCum = w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val wU = Window.partitionBy(col("event_type"), col("_under"))
+        .orderBy(col("day"))
+      val path = dailyReturns(s, d)
+        .withColumn("_cum", sum(col("_r")).over(wCum))
+        .withColumn("_peak", max(col("_cum")).over(wCum))
+        .withColumn("_under", (col("_cum") < col("_peak")).cast("int"))
+        .withColumn("_grp",
+          row_number().over(w) - row_number().over(wU))
+      val totals = path.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"))
+      val spells = path.filter(col("_under") === 1)
+        .groupBy(col("event_type"), col("_grp"))
+        .agg(count(lit(1)).as("_len"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("_len")).as("underwater_days"),
+          count(lit(1)).as("n_spells"), max(col("_len")).as("longest_spell"))
+      totals.join(spells, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_days"),
+          coalesce(col("underwater_days"), lit(0L)).as("underwater_days"),
+          coalesce(col("n_spells"), lit(0L)).as("n_spells"),
+          coalesce(col("longest_spell"), lit(0L)).as("longest_spell"))
+        .orderBy("event_type")
+    },
+
+    // Cornish-Fisher modified VaR(95) per event type — the
+    // moment-adjusted quantile that corrects q170's historical VaR for
+    // skew and fat tails: z_cf = z + (z²−1)S/6 + (z³−3z)K/24 −
+    // (2z³−5z)S²/36 with z the 5% normal quantile as a DECIMAL LITERAL
+    // on both engines (no runtime inverse-CDF to disagree on). Return
+    // moments: Σr/Σr² exact int64, Σr³/Σr⁴ through the q252 decimal
+    // device (r³ up to 1e21 exceeds int64); central-moment algebra is
+    // the identical literal double expression on both sides.
+    "q279_cornish_fisher" -> { (s, d) =>
+      val d19 = "decimal(19,0)"
+      val g = dailyReturns(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_n"), sum(col("_r")).as("_s1"),
+          sum(col("_r") * col("_r")).as("_s2"),
+          sum((col("_r") * col("_r")).cast(d19) * col("_r").cast(d19))
+            .as("_s3"),
+          sum((col("_r") * col("_r")).cast(d19)
+            * (col("_r") * col("_r")).cast(d19)).as("_s4"))
+      val nD = col("_n").cast("double")
+      val mu = col("_s1").cast("double") / nD
+      val m2 = col("_s2").cast("double") / nD - mu * mu
+      val m3 = col("_s3").cast("double") / nD -
+        lit(3.0) * mu * (col("_s2").cast("double") / nD) +
+        lit(2.0) * mu * mu * mu
+      val m4 = col("_s4").cast("double") / nD -
+        lit(4.0) * mu * (col("_s3").cast("double") / nD) +
+        lit(6.0) * mu * mu * (col("_s2").cast("double") / nD) -
+        lit(3.0) * mu * mu * mu * mu
+      val sk = m3 / (m2 * sqrt(m2))
+      val ek = m4 / (m2 * m2) - lit(3.0)
+      val z = lit(-1.6448536269514722)
+      val zcf = z + (z * z - lit(1.0)) * sk / lit(6.0) +
+        (z * z * z - lit(3.0) * z) * ek / lit(24.0) -
+        (lit(2.0) * z * z * z - lit(5.0) * z) * sk * sk / lit(36.0)
+      g.select(col("event_type"), col("_n").as("n_ret"),
+          fr(sk, 6).as("skew"), fr(ek, 6).as("excess_kurtosis"),
+          fr(zcf, 6).as("z_cf"),
+          fr((mu + zcf * sqrt(m2)) / lit(-1000000.0), 6).as("mvar95"))
+        .orderBy("event_type")
+    },
+
+    // Order-to-ship lead-time percentiles per order priority: exact
+    // p50/p90/p99 day counts read off the cumulated (priority, days)
+    // census — the operational SLA view of the orders/lineitem join.
+    // Rank fences are ceil(q·n) as pure integer arithmetic; everything
+    // stays int64 (the rank windows cumulate the census, never line
+    // items).
+    "q280_lead_time_percentiles" -> { (s, d) =>
+      val j = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("_days"))
+      val census = rankedCensus(j, col("o_orderpriority"), col("_days"))
+        .withColumn("_k50", expr("(_n + 1) div 2"))
+        .withColumn("_k90", expr("(9 * _n + 9) div 10"))
+        .withColumn("_k99", expr("(99 * _n + 99) div 100"))
+      def fence(k: String): Column =
+        max(when(col("_cum") < col(k)
+          && col("_cum") + col("_f") >= col(k), col("_v")))
+      census.groupBy(col("_key").as("o_orderpriority"))
+        .agg(max(col("_n")).as("n_lines"),
+          fence("_k50").as("p50_days"), fence("_k90").as("p90_days"),
+          fence("_k99").as("p99_days"), max(col("_v")).as("max_days"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -7595,6 +7793,240 @@ object WarehouseQueries {
         |      / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
         |    / (ssw / CAST(nn - k AS DOUBLE))
         |    * 1000000.0 + 0.5) / 1000000.0 AS f
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    "q275_important_stock" ->
+      """WITH v AS (SELECT n_name, l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |w AS (SELECT n_name, l_partkey, val,
+        |    sum(val) OVER (PARTITION BY n_name) AS tot,
+        |    count(*) OVER (PARTITION BY n_name) AS cnt
+        |  FROM v)
+        |SELECT n_name, l_partkey,
+        |  floor(CAST(val AS DOUBLE) * 100.0 + 0.5) / 100.0
+        |    AS stock_value
+        |FROM w
+        |WHERE CAST(val AS DOUBLE)
+        |  > 2.0 * CAST(tot AS DOUBLE) / CAST(cnt AS DOUBLE)
+        |ORDER BY stock_value DESC, n_name, l_partkey LIMIT 100"""
+        .stripMargin,
+
+    "q276_min_cost_supplier" ->
+      """WITH unit AS (SELECT l_partkey, l_suppkey,
+        |    floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |        AS DOUBLE)
+        |      / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |      * 10000.0 + 0.5) / 10000.0 AS u
+        |  FROM lineitem GROUP BY 1, 2
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 0),
+        |best AS (SELECT l_partkey, l_suppkey, u,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY u, l_suppkey) AS rn
+        |  FROM unit)
+        |SELECT l_partkey, l_suppkey, n_name, u AS unit_price
+        |FROM best
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE rn = 1
+        |ORDER BY unit_price, l_partkey LIMIT 100""".stripMargin,
+
+    "q277_arch_effect" ->
+      """WITH r AS (SELECT event_type, day,
+        |    CAST(floor(least(greatest(
+        |      CAST(x AS DOUBLE) / CAST(lag(x) OVER w AS DOUBLE) - 1.0,
+        |      -10.0), 10.0) * 1000000.0 + 0.5) AS BIGINT) AS ri,
+        |    lag(x) OVER w AS p
+        |  FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+        |      CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |        / count(*) * 10000.0 + 0.5) AS BIGINT) AS x
+        |    FROM events GROUP BY 1, 2)
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |sq AS (SELECT event_type, day, ri * ri AS x,
+        |    lag(ri * ri, 1) OVER w2 AS l1,
+        |    lag(ri * ri, 2) OVER w2 AS l2,
+        |    lag(ri * ri, 3) OVER w2 AS l3
+        |  FROM r WHERE p IS NOT NULL AND p <> 0
+        |  WINDOW w2 AS (PARTITION BY event_type ORDER BY day)),
+        |g AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s,
+        |    sum(CAST(x AS HUGEINT) * x) AS ss,
+        |    sum(CASE WHEN l1 IS NOT NULL
+        |      THEN CAST(x AS HUGEINT) * l1 END) AS sxy1,
+        |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN x END) AS BIGINT)
+        |      AS sx1,
+        |    CAST(sum(l1) AS BIGINT) AS sy1,
+        |    sum(CASE WHEN l2 IS NOT NULL
+        |      THEN CAST(x AS HUGEINT) * l2 END) AS sxy2,
+        |    CAST(sum(CASE WHEN l2 IS NOT NULL THEN x END) AS BIGINT)
+        |      AS sx2,
+        |    CAST(sum(l2) AS BIGINT) AS sy2,
+        |    sum(CASE WHEN l3 IS NOT NULL
+        |      THEN CAST(x AS HUGEINT) * l3 END) AS sxy3,
+        |    CAST(sum(CASE WHEN l3 IS NOT NULL THEN x END) AS BIGINT)
+        |      AS sx3,
+        |    CAST(sum(l3) AS BIGINT) AS sy3
+        |  FROM sq GROUP BY 1),
+        |k AS (SELECT event_type, n,
+        |    ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |        * CAST(sxy1 AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+        |        * (CAST(sx1 AS DOUBLE) + CAST(sy1 AS DOUBLE))
+        |      + CAST(n - 1 AS DOUBLE) * CAST(s AS DOUBLE)
+        |        * CAST(s AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |        * CAST(ss AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      AS r1,
+        |    ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |        * CAST(sxy2 AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+        |        * (CAST(sx2 AS DOUBLE) + CAST(sy2 AS DOUBLE))
+        |      + CAST(n - 2 AS DOUBLE) * CAST(s AS DOUBLE)
+        |        * CAST(s AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |        * CAST(ss AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      AS r2,
+        |    ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |        * CAST(sxy3 AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+        |        * (CAST(sx3 AS DOUBLE) + CAST(sy3 AS DOUBLE))
+        |      + CAST(n - 3 AS DOUBLE) * CAST(s AS DOUBLE)
+        |        * CAST(s AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |        * CAST(ss AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      AS r3
+        |  FROM g)
+        |SELECT event_type, n AS n_days,
+        |  floor(r1 * 1000000.0 + 0.5) / 1000000.0 AS r1_sq,
+        |  floor(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+        |    * (r1 * r1 / (CAST(n AS DOUBLE) - 1.0)
+        |      + r2 * r2 / (CAST(n AS DOUBLE) - 2.0)
+        |      + r3 * r3 / (CAST(n AS DOUBLE) - 3.0))
+        |    * 10000.0 + 0.5) / 10000.0 AS q_lb_sq,
+        |  CAST(3 AS BIGINT) AS dof
+        |FROM k ORDER BY event_type""".stripMargin,
+
+    "q278_underwater_duration" ->
+      """WITH r AS (SELECT event_type, day,
+        |    CAST(floor(least(greatest(
+        |      CAST(x AS DOUBLE) / CAST(lag(x) OVER w AS DOUBLE) - 1.0,
+        |      -10.0), 10.0) * 1000000.0 + 0.5) AS BIGINT) AS ri,
+        |    lag(x) OVER w AS p
+        |  FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+        |      CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |        / count(*) * 10000.0 + 0.5) AS BIGINT) AS x
+        |    FROM events GROUP BY 1, 2)
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |rr AS (SELECT event_type, day, ri FROM r
+        |  WHERE p IS NOT NULL AND p <> 0),
+        |p1 AS (SELECT event_type, day,
+        |    sum(ri) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rr),
+        |p2 AS (SELECT event_type, day, cum,
+        |    max(cum) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM p1),
+        |p3 AS (SELECT event_type, day,
+        |    CASE WHEN cum < peak THEN 1 ELSE 0 END AS und,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      - row_number() OVER (PARTITION BY event_type,
+        |        CASE WHEN cum < peak THEN 1 ELSE 0 END ORDER BY day)
+        |      AS grp
+        |  FROM p2),
+        |tot AS (SELECT event_type, count(*) AS n_days FROM p3 GROUP BY 1),
+        |sp AS (SELECT event_type,
+        |    CAST(sum(len) AS BIGINT) AS underwater_days,
+        |    CAST(count(*) AS BIGINT) AS n_spells,
+        |    CAST(max(len) AS BIGINT) AS longest_spell
+        |  FROM (SELECT event_type, grp, count(*) AS len FROM p3
+        |    WHERE und = 1 GROUP BY 1, 2) GROUP BY 1)
+        |SELECT tot.event_type, n_days,
+        |  coalesce(underwater_days, 0) AS underwater_days,
+        |  coalesce(n_spells, 0) AS n_spells,
+        |  coalesce(longest_spell, 0) AS longest_spell
+        |FROM tot LEFT JOIN sp ON sp.event_type = tot.event_type
+        |ORDER BY tot.event_type""".stripMargin,
+
+    "q279_cornish_fisher" ->
+      """WITH r AS (SELECT event_type, day,
+        |    CAST(floor(least(greatest(
+        |      CAST(x AS DOUBLE) / CAST(lag(x) OVER w AS DOUBLE) - 1.0,
+        |      -10.0), 10.0) * 1000000.0 + 0.5) AS BIGINT) AS ri,
+        |    lag(x) OVER w AS p
+        |  FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+        |      CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |        / count(*) * 10000.0 + 0.5) AS BIGINT) AS x
+        |    FROM events GROUP BY 1, 2)
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |rr AS (SELECT event_type, ri FROM r
+        |  WHERE p IS NOT NULL AND p <> 0),
+        |g AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(ri) AS BIGINT) AS s1,
+        |    CAST(sum(ri * ri) AS BIGINT) AS s2,
+        |    sum(CAST(ri * ri AS HUGEINT) * ri) AS s3,
+        |    sum(CAST(ri * ri AS HUGEINT) * (ri * ri)) AS s4
+        |  FROM rr GROUP BY 1),
+        |m AS (SELECT event_type, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS a2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS a3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS a4
+        |  FROM g),
+        |c AS (SELECT event_type, n, mu,
+        |    a2 - mu * mu AS m2,
+        |    a3 - 3.0 * mu * a2 + 2.0 * mu * mu * mu AS m3,
+        |    a4 - 4.0 * mu * a3 + 6.0 * mu * mu * a2
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM m),
+        |k AS (SELECT event_type, n, mu, m2,
+        |    m3 / (m2 * sqrt(m2)) AS sk,
+        |    m4 / (m2 * m2) - 3.0 AS ek
+        |  FROM c),
+        |zc AS (SELECT CAST(-1.6448536269514722 AS DOUBLE) AS zq),
+        |z AS (SELECT event_type, n, mu, m2, sk, ek,
+        |    zq + (zq * zq - 1.0) * sk / 6.0
+        |      + (zq * zq * zq - 3.0 * zq) * ek / 24.0
+        |      - (2.0 * zq * zq * zq - 5.0 * zq) * sk * sk / 36.0 AS zcf
+        |  FROM k CROSS JOIN zc)
+        |SELECT event_type, n AS n_ret,
+        |  floor(sk * 1000000.0 + 0.5) / 1000000.0 AS skew,
+        |  floor(ek * 1000000.0 + 0.5) / 1000000.0 AS excess_kurtosis,
+        |  floor(zcf * 1000000.0 + 0.5) / 1000000.0 AS z_cf,
+        |  floor((mu + zcf * sqrt(m2)) / -1000000.0 * 1000000.0 + 0.5)
+        |    / 1000000.0 AS mvar95
+        |FROM z ORDER BY event_type""".stripMargin,
+
+    "q280_lead_time_percentiles" ->
+      """WITH j AS (SELECT o_orderpriority,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |c AS (SELECT o_orderpriority, days, count(*) AS f
+        |  FROM j GROUP BY 1, 2),
+        |cc AS (SELECT o_orderpriority, days, f,
+        |    coalesce(sum(f) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY days ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS cum,
+        |    sum(f) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM c)
+        |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_lines,
+        |  CAST(max(CASE WHEN cum < (n + 1) // 2
+        |    AND cum + f >= (n + 1) // 2 THEN days END) AS BIGINT)
+        |    AS p50_days,
+        |  CAST(max(CASE WHEN cum < (9 * n + 9) // 10
+        |    AND cum + f >= (9 * n + 9) // 10 THEN days END) AS BIGINT)
+        |    AS p90_days,
+        |  CAST(max(CASE WHEN cum < (99 * n + 99) // 100
+        |    AND cum + f >= (99 * n + 99) // 100 THEN days END) AS BIGINT)
+        |    AS p99_days,
+        |  CAST(max(days) AS BIGINT) AS max_days
+        |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
