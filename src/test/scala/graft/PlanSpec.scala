@@ -920,6 +920,39 @@ class PlanSpec extends SparkSpec {
       s"q269 clustering joins stay equi-keyed:\n$p269")
   }
 
+  test("q273-q280: corpus/TPC-H/risk families keep scale-safe shapes") {
+    // q273: growth-curve windows cumulate the DOC census, never bigrams
+    val w273 = plan(graft.queries.ExtensionQueries
+      .defs("q273_heaps_law")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(w273.nonEmpty && w273.forall(!_.contains("_bg")),
+      s"q273 cumsum over docs, never bigram rows:\n${w273.mkString("\n")}")
+    // q275/q276: ranking windows run on catalog-bounded aggregates,
+    // never raw line items
+    for (q <- Seq("q275_important_stock", "q276_min_cost_supplier")) {
+      val w = plan(graft.queries.WarehouseQueries.defs(q)(spark, d))
+        .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+      assert(w.nonEmpty && w.forall(l =>
+        !l.contains("l_extendedprice") && !l.contains("l_linenumber")),
+        s"$q windows post-aggregate only:\n${w.mkString("\n")}")
+    }
+    // q277/q278: return-path windows key on event_type over daily series
+    for (q <- Seq("q277_arch_effect", "q278_underwater_duration")) {
+      val w = plan(graft.queries.WarehouseQueries.defs(q)(spark, d))
+        .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+      assert(w.nonEmpty && w.forall(l =>
+        l.contains("event_type") && !l.contains("event_id")),
+        s"$q windows run per-type on the daily grid:\n${w.mkString("\n")}")
+    }
+    // q280: percentile fences cumulate the (priority, days) census only
+    val w280 = plan(graft.queries.WarehouseQueries
+      .defs("q280_lead_time_percentiles")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(w280.nonEmpty && w280.forall(!_.contains("l_orderkey")),
+      s"q280 windows over the day census, never line items:\n" +
+        w280.mkString("\n"))
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
