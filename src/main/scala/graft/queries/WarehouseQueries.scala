@@ -4260,6 +4260,173 @@ object WarehouseQueries {
           fence("_k50").as("p50_days"), fence("_k90").as("p90_days"),
           fence("_k99").as("p99_days"), max(col("_v")).as("max_days"))
         .orderBy("o_orderpriority")
+    },
+
+    // Kendall's coefficient of concordance W: do the five event types
+    // agree on WHICH days are big? Each type ranks the 30 days by daily
+    // revenue (tie-aware doubled census ranks, the q242 device); the
+    // doubled rank-sum mean m(n+1) is an exact integer, so the spread
+    // S = Σ(R₂ − m(n+1))² and the tie terms are exact int64 end to end
+    // — one double division produces W. The m-judges generalization of
+    // the pairwise rank correlations (q242/q258).
+    "q281_kendall_w" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .withColumn("_c",
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(col("_c")).as("_y"))
+      val wAsc = Window.partitionBy(col("event_type")).orderBy(col("_y"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val census = daily.groupBy(col("event_type"), col("_y"))
+        .agg(count(lit(1)).as("_f"))
+        .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
+        .withColumn("_r2", lit(2) * col("_cum") + col("_f") + lit(1))
+      val ranked = daily.join(census, Seq("event_type", "_y"))
+      val ties = census.groupBy(col("event_type"))
+        .agg(sum(col("_f") * col("_f") * col("_f") - col("_f")).as("_t"))
+        .agg(sum(col("_t")).as("_T"), count(lit(1)).as("_m"))
+      val perDay = ranked.groupBy(col("day"))
+        .agg(sum(col("_r2")).as("_R2"))
+      val spread = perDay.agg(count(lit(1)).as("_nd"),
+        sum(col("_R2")).as("_sum"), sum(col("_R2") * col("_R2")).as("_ss"))
+      spread.crossJoin(ties)
+        .withColumn("_s2",
+          col("_ss") - expr("(_sum * _sum) div _nd"))
+        .select(col("_nd").as("n_days"), col("_m").as("n_judges"),
+          fr((lit(3.0) * col("_s2").cast("double"))
+            / ((col("_m") * col("_m")).cast("double")
+              * (col("_nd") * col("_nd") * col("_nd") - col("_nd"))
+                .cast("double")
+              - (col("_m") * col("_T")).cast("double")), 6).as("w"))
+    },
+
+    // McNemar marginal-homogeneity test over two document-quality
+    // screens (char-density ≥ 400 vs mean token length ≥ 5): does one
+    // rule systematically flag MORE docs than the other? Where q249's
+    // kappa scores agreement, McNemar tests the disagreement asymmetry
+    // — χ² = (b−c)²/(b+c) over the discordant cells, with the
+    // continuity-corrected variant beside it; the 2×2 census is exact
+    // integers, two double divisions at the end.
+    "q282_mcnemar" -> { (s, d) =>
+      val g = Tables.documents(s, d)
+        .withColumn("_a", (col("n_chars") >= 400).cast("long"))
+        .withColumn("_toks", split(trim(col("text")), "\\s+"))
+        .withColumn("_b",
+          (size(col("_toks")).cast("long") * 5L <=
+            length(concat_ws("", col("_toks")))).cast("long"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("_a") === 1 && col("_b") === 0, 1L)
+            .otherwise(0L)).as("_bb"),
+          sum(when(col("_a") === 0 && col("_b") === 1, 1L)
+            .otherwise(0L)).as("_cc"))
+      val diff = (col("_bb") - col("_cc"))
+      g.select(col("n_docs"), col("_bb").as("a_only"),
+          col("_cc").as("b_only"),
+          fr((diff * diff).cast("double")
+            / (col("_bb") + col("_cc")).cast("double"), 6).as("chi2"),
+          fr(((abs(diff) - lit(1)) * (abs(diff) - lit(1))).cast("double")
+            / (col("_bb") + col("_cc")).cast("double"), 6)
+            .as("chi2_corrected"))
+    },
+
+    // Forecast-evaluation metrics per event type: MASE of the naive-1
+    // forecast scaled by the seasonal-naive-7 baseline, plus sMAPE of
+    // naive-1 — the standard "is your forecast beating the calendar?"
+    // scoreboard. Absolute errors are exact int64 cents; MASE needs no
+    // float fold at all; the sMAPE terms (one double division per day)
+    // fold in day order.
+    "q283_mase_smape" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val daily = Tables.events(s, d)
+        .withColumn("_c",
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(col("_c")).as("_y"))
+        .withColumn("_l1", lag(col("_y"), 1).over(w))
+        .withColumn("_l7", lag(col("_y"), 7).over(w))
+      val terms = daily
+        .withColumn("_e1", when(col("_l1").isNotNull,
+          abs(col("_y") - col("_l1"))))
+        .withColumn("_e7", when(col("_l7").isNotNull,
+          abs(col("_y") - col("_l7"))))
+        .withColumn("_sm", when(col("_l1").isNotNull,
+          lit(2.0) * abs(col("_y") - col("_l1")).cast("double")
+            / (col("_y") + col("_l1")).cast("double")))
+      terms.groupBy(col("event_type"))
+        .agg(count(col("_e1")).as("_n1"), sum(col("_e1")).as("_s1"),
+          count(col("_e7")).as("_n7"), sum(col("_e7")).as("_s7"),
+          aggregate(transform(array_sort(collect_list(when(
+            col("_sm").isNotNull,
+            struct(col("day"), col("_sm").as("_v"))))),
+            e => e.getField("_v")), lit(0.0), (a, x) => a + x).as("_ss"))
+        .select(col("event_type"), col("_n1").as("n_naive1"),
+          col("_n7").as("n_naive7"),
+          fr(col("_s1").cast("double") / col("_n1").cast("double")
+            / lit(100.0), 4).as("mae_naive1"),
+          fr(col("_s7").cast("double") / col("_n7").cast("double")
+            / lit(100.0), 4).as("mae_naive7"),
+          fr((col("_s1").cast("double") / col("_n1").cast("double"))
+            / (col("_s7").cast("double") / col("_n7").cast("double")), 6)
+            .as("mase"),
+          fr(col("_ss") / col("_n1").cast("double"), 6).as("smape_naive1"))
+        .orderBy("event_type")
+    },
+
+    // Cook's distance on the per-type daily-revenue trend fit — WHICH
+    // days bend the regression line? Shares q270's exact
+    // normal-equation fit; leverage h_t = 1/n + (t−t̄)²/Sxx is pure
+    // rational arithmetic from integer sums, s² folds the squared
+    // residuals in day order, and the top-3 influential days per type
+    // come out under the (D DESC, day) total order on the fr-gridded
+    // statistic.
+    "q284_cooks_distance" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+          .as("_y"))
+        .withColumn("_t", row_number().over(w).cast("long"))
+      val co = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_n"), sum(col("_t")).as("_st"),
+          sum(col("_t") * col("_t")).as("_stt"), sum(col("_y")).as("_sy"),
+          sum(col("_t") * col("_y")).as("_sty"))
+        .withColumn("_b",
+          (col("_n") * col("_sty") - col("_st") * col("_sy"))
+            .cast("double")
+            / (col("_n") * col("_stt") - col("_st") * col("_st"))
+              .cast("double"))
+        .withColumn("_a",
+          (col("_sy").cast("double") - col("_b") * col("_st")
+            .cast("double")) / col("_n").cast("double"))
+      val e = daily
+        .join(co, Seq("event_type"))
+        .withColumn("_e", col("_y").cast("double") - col("_a")
+          - col("_b") * col("_t").cast("double"))
+        .withColumn("_h", lit(1.0) / col("_n").cast("double")
+          + (col("_t").cast("double")
+            - col("_st").cast("double") / col("_n").cast("double"))
+            * (col("_t").cast("double")
+              - col("_st").cast("double") / col("_n").cast("double"))
+            / (col("_stt").cast("double")
+              - col("_st").cast("double") * col("_st").cast("double")
+                / col("_n").cast("double")))
+      val s2 = e.groupBy(col("event_type"))
+        .agg((aggregate(transform(array_sort(collect_list(
+          struct(col("day"), (col("_e") * col("_e")).as("_v")))),
+          x => x.getField("_v")), lit(0.0), (a, x) => a + x)
+          / (max(col("_n")) - lit(2)).cast("double")).as("_s2"))
+      val wTop = Window.partitionBy(col("event_type"))
+        .orderBy(col("cook_d").desc, col("day"))
+      e.join(s2, Seq("event_type"))
+        .withColumn("cook_d",
+          fr(col("_e") * col("_e") * col("_h")
+            / (lit(2.0) * col("_s2")
+              * (lit(1.0) - col("_h")) * (lit(1.0) - col("_h"))), 6))
+        .withColumn("_rn", row_number().over(wTop))
+        .filter(col("_rn") <= 3)
+        .select(col("event_type"), col("day"),
+          col("_rn").cast("long").as("rank"), col("cook_d"))
+        .orderBy("event_type", "rank")
     }
   )
 
@@ -8027,6 +8194,142 @@ object WarehouseQueries {
         |    AND cum + f >= (99 * n + 99) // 100 THEN days END) AS BIGINT)
         |    AS p99_days,
         |  CAST(max(days) AS BIGINT) AS max_days
-        |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q281_kendall_w" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, y, count(*) AS f
+        |  FROM daily GROUP BY 1, 2),
+        |cc AS (SELECT event_type, y, f,
+        |    coalesce(sum(f) OVER (PARTITION BY event_type ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum
+        |  FROM c),
+        |r AS (SELECT event_type, y, 2 * cum + f + 1 AS r2 FROM cc),
+        |ranked AS (SELECT daily.event_type, day, r2
+        |  FROM daily JOIN r ON daily.event_type = r.event_type
+        |    AND daily.y = r.y),
+        |tj AS (SELECT event_type, sum(f * f * f - f) AS t3
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(t3) AS BIGINT) AS tt,
+        |    CAST(count(*) AS BIGINT) AS m FROM tj),
+        |pd AS (SELECT day, CAST(sum(r2) AS BIGINT) AS rr
+        |  FROM ranked GROUP BY 1),
+        |sp AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(rr) AS BIGINT) AS s,
+        |    CAST(sum(rr * rr) AS BIGINT) AS ss FROM pd)
+        |SELECT nd AS n_days, m AS n_judges,
+        |  floor(3.0 * CAST(ss - (s * s) // nd AS DOUBLE)
+        |    / (CAST(m * m AS DOUBLE) * CAST(nd * nd * nd - nd AS DOUBLE)
+        |      - CAST(m * tt AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS w
+        |FROM sp CROSS JOIN t""".stripMargin,
+
+    "q282_mcnemar" ->
+      """WITH t AS (SELECT n_chars,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |f AS (SELECT
+        |    CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN 5 * len(toks) <=
+        |      list_sum(list_transform(toks, x -> length(x)))
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM t),
+        |g AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS bb,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cc
+        |  FROM f)
+        |SELECT n_docs, bb AS a_only, cc AS b_only,
+        |  floor(CAST((bb - cc) * (bb - cc) AS DOUBLE)
+        |    / CAST(bb + cc AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS chi2,
+        |  floor(CAST((abs(bb - cc) - 1) * (abs(bb - cc) - 1) AS DOUBLE)
+        |    / CAST(bb + cc AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS chi2_corrected
+        |FROM g""".stripMargin,
+
+    "q283_mase_smape" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, y,
+        |    lag(y, 1) OVER w AS l1, lag(y, 7) OVER w AS l7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |t AS (SELECT event_type, day,
+        |    CASE WHEN l1 IS NOT NULL THEN abs(y - l1) END AS e1,
+        |    CASE WHEN l7 IS NOT NULL THEN abs(y - l7) END AS e7,
+        |    CASE WHEN l1 IS NOT NULL THEN
+        |      2.0 * CAST(abs(y - l1) AS DOUBLE)
+        |        / CAST(y + l1 AS DOUBLE) END AS sm
+        |  FROM l)
+        |SELECT event_type,
+        |  CAST(count(e1) AS BIGINT) AS n_naive1,
+        |  CAST(count(e7) AS BIGINT) AS n_naive7,
+        |  floor(CAST(sum(e1) AS DOUBLE) / CAST(count(e1) AS DOUBLE)
+        |    / 100.0 * 10000.0 + 0.5) / 10000.0 AS mae_naive1,
+        |  floor(CAST(sum(e7) AS DOUBLE) / CAST(count(e7) AS DOUBLE)
+        |    / 100.0 * 10000.0 + 0.5) / 10000.0 AS mae_naive7,
+        |  floor((CAST(sum(e1) AS DOUBLE) / CAST(count(e1) AS DOUBLE))
+        |    / (CAST(sum(e7) AS DOUBLE) / CAST(count(e7) AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS mase,
+        |  floor(list_sum(list(sm ORDER BY day)
+        |      FILTER (WHERE sm IS NOT NULL))
+        |    / CAST(count(e1) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS smape_naive1
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q284_cooks_distance" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS y,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(ts AS DATE)) AS BIGINT) AS t
+        |  FROM events GROUP BY 1, 2),
+        |co AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(t) AS BIGINT) AS st,
+        |    CAST(sum(t * t) AS BIGINT) AS stt,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(t * y) AS BIGINT) AS sty
+        |  FROM daily GROUP BY 1),
+        |cb AS (SELECT event_type, n, st, stt, sy,
+        |    CAST(n * sty - st * sy AS DOUBLE)
+        |      / CAST(n * stt - st * st AS DOUBLE) AS b
+        |  FROM co),
+        |ca AS (SELECT event_type, n, st, stt, b,
+        |    (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS a
+        |  FROM cb),
+        |e AS (SELECT daily.event_type, day,
+        |    CAST(y AS DOUBLE) - a - b * CAST(t AS DOUBLE) AS e,
+        |    1.0 / CAST(n AS DOUBLE)
+        |      + (CAST(t AS DOUBLE) - CAST(st AS DOUBLE)
+        |          / CAST(n AS DOUBLE))
+        |        * (CAST(t AS DOUBLE) - CAST(st AS DOUBLE)
+        |          / CAST(n AS DOUBLE))
+        |        / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)
+        |          * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) AS h,
+        |    n
+        |  FROM daily JOIN ca ON daily.event_type = ca.event_type),
+        |s2 AS (SELECT event_type,
+        |    list_sum(list(e * e ORDER BY day))
+        |      / CAST(max(n) - 2 AS DOUBLE) AS s2
+        |  FROM e GROUP BY 1),
+        |k AS (SELECT e.event_type, day,
+        |    floor(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS cook_d
+        |  FROM e JOIN s2 ON s2.event_type = e.event_type),
+        |r AS (SELECT event_type, day, cook_d,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cook_d DESC, day) AS rn
+        |  FROM k)
+        |SELECT event_type, day, CAST(rn AS BIGINT) AS rank, cook_d
+        |FROM r WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin
   )
 }
