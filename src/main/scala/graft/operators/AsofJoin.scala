@@ -51,12 +51,22 @@ object AsofJoin {
     *                 the key so the same last-seen carry yields the
     *                 earliest at-or-after row; the merge-scan, seed pass
     *                 and state size are direction-agnostic.
+    * @param toleranceSec pandas-merge_asof-style match window: when set,
+    *                 a carried right row older (backward) / newer
+    *                 (forward) than the left row by MORE than this many
+    *                 seconds attaches as null instead. Implemented by
+    *                 carrying the right row's event time through the
+    *                 union struct (and therefore through the
+    *                 cross-partition seeds unchanged) and comparing at
+    *                 microsecond precision in the emit — the scan shape,
+    *                 state size and seed protocol are untouched.
     */
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            leftTs: String, rightTs: String,
            pickCols: Seq[String],
            crossPartition: Boolean = false,
-           direction: String = "backward"): DataFrame = {
+           direction: String = "backward",
+           toleranceSec: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val leftFields = left.schema.fields.toSeq
@@ -71,8 +81,12 @@ object AsofJoin {
         StructField("_ts", TimestampType),
         StructField("_side", IntegerType, nullable = false),
         StructField("_left", StructType(leftFields), nullable = true),
+        // the right payload always carries its own event time as a final
+        // `_rts` field (stripped on emit) so the tolerance check — and
+        // the seed carry across partitions — need no extra plumbing
         StructField("_right", StructType(
-          pickCols.map(c => right.schema(c))), nullable = true)))
+          pickCols.map(c => right.schema(c)) :+
+            StructField("_rts", TimestampType)), nullable = true)))
 
     val l = left.select(
       keyCols.map(col) ++ Seq(
@@ -85,7 +99,8 @@ object AsofJoin {
         col(rightTs).cast(TimestampType).as("_ts"),
         lit(0).as("_side"), // right sorts BEFORE left at equal ts (<=)
         lit(null).cast(unionSchema("_left").dataType).as("_left"),
-        struct(pickCols.map(col): _*).as("_right")): _*)
+        struct((pickCols.map(col) :+
+          col(rightTs).cast(TimestampType).as("_rts")): _*).as("_right")): _*)
 
     // at equal ts the right side (_side = 0) must be SEEN first in scan
     // order so the match is inclusive — ascending _side does that under
@@ -131,9 +146,24 @@ object AsofJoin {
           Iterator.empty
         } else {
           val leftRow = row.getStruct(n + 2)
+          val withinTol = lastRight != null && (toleranceSec match {
+            case None => true
+            case Some(tol) =>
+              val lts = row.getTimestamp(n)
+              val rts = lastRight.getTimestamp(pickCols.length)
+              lts != null && rts != null && {
+                def us(t: java.sql.Timestamp): Long = {
+                  val i = t.toInstant
+                  i.getEpochSecond * 1000000L + i.getNano / 1000L
+                }
+                val diff = if (direction == "backward") us(lts) - us(rts)
+                  else us(rts) - us(lts)
+                diff <= tol * 1000000L
+              }
+          })
           val attached =
-            if (lastRight == null) pickCols.map(_ => null)
-            else lastRight.toSeq
+            if (!withinTol) pickCols.map(_ => null)
+            else lastRight.toSeq.dropRight(1) // strip _rts
           Iterator.single(new GenericRowWithSchema(
             (leftRow.toSeq ++ attached).toArray, outSchema): Row)
         }

@@ -503,6 +503,32 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Near-dup CLUSTER-SIZE census over the q49 component graph: how is
+    // duplicate mass distributed — many pairs, or a few giant blobs? The
+    // count-of-counts census (one row per distinct cluster size) is the
+    // corpus-health view a dedup pipeline reports before deciding its
+    // canonical-keep policy; singleton clusters are unique docs. All
+    // integer; bounded by distinct sizes, never docs.
+    "q286_dedup_cluster_sizes" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 200)
+        .select(col("doc_id"),
+          array_distinct(split(trim(col("text")), "\\s+")).as("ws"))
+      val a = docs.select(col("doc_id").as("da"), col("ws").as("wa"))
+      val b = docs.select(col("doc_id").as("db"), col("ws").as("wb"))
+      val pairs = a.join(b, col("da") < col("db"))
+        .filter(size(array_intersect(col("wa"), col("wb"))).cast("double")
+          / size(array_union(col("wa"), col("wb"))) >= 0.94)
+        .select(col("da"), col("db"))
+      Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
+          pairs, "da", "db")
+        .groupBy(col("component")).agg(count(lit(1)).as("_sz"))
+        .groupBy(col("_sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("docs_in_size",
+          col("cluster_size") * col("n_clusters"))
+        .orderBy("cluster_size")
+    },
+
     // Global vocabulary top-k (token-frequency census): the map-side-
     // combine shape every corpus statistics job needs — hot tokens collapse
     // inside scan tasks, top-k plans as TakeOrderedAndProject.
@@ -2058,6 +2084,27 @@ object ExtensionQueries {
         |  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id)
         |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS component
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q286_dedup_cluster_sizes" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS ws
+        |      FROM documents WHERE doc_id <= 200),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(length(list_intersect(a.ws, b.ws)) AS DOUBLE)
+        |        / length(list_distinct(list_concat(a.ws, b.ws))) >= 0.94),
+        |edges AS (SELECT da AS s, db AS d FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+        |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+        |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+        |  FROM comp GROUP BY 1)
+        |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sz * count(*) AS BIGINT) AS docs_in_size
+        |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q50_vocab_topk" ->
       """SELECT t AS token, count(*) AS cnt

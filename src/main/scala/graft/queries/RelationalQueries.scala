@@ -445,6 +445,30 @@ object RelationalQueries {
           first(col("v_masked"), ignoreNulls = true).over(wRun).as("first_v"),
           last(col("v_masked"), ignoreNulls = true).over(wRun).as("ffill_v"))
         .orderBy("user_id", "ts", "event_id")
+    },
+
+    // Tolerance-bounded as-of join (pandas merge_asof `tolerance`
+    // parity): for each click, the user's latest purchase at-or-before
+    // it — but only within ONE HOUR; a staler purchase attaches as null
+    // instead of silently matching. Runs through the AsofJoin merge-scan
+    // operator (the 100 TB path: one combined shuffle, single-row state,
+    // the right row's event time rides inside the carried struct so the
+    // window check is free); the oracle replays the window with a
+    // correlated range-bounded max.
+    "q285_asof_tolerance" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("buy_ts"))
+      graft.operators.AsofJoin.asof(clicks, buys, Seq("user_id"),
+          leftTs = "ts", rightTs = "buy_ts",
+          pickCols = Seq("buy_ts"),
+          toleranceSec = Some(3600L))
+        .select(col("event_id"),
+          col("asof_buy_ts").cast("timestamp_ntz").as("buy_within_1h"))
+        .orderBy("event_id")
+        .limit(500)
     }
   )
 
@@ -719,6 +743,15 @@ object RelationalQueries {
         |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v_masked
         |  FROM events WHERE user_id % 199 = 0)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, ts, event_id""".stripMargin
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q285_asof_tolerance" ->
+      """SELECT e.event_id,
+        |  (SELECT max(p.ts) FROM events p
+        |   WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+        |     AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 1 HOUR)
+        |    AS buy_within_1h
+        |FROM events e WHERE e.event_type = 'click'
+        |ORDER BY e.event_id LIMIT 500""".stripMargin
   )
 }

@@ -180,6 +180,42 @@ class CrossPartitionSpec extends SparkSpec {
       "range-partitioned scan must equal the single-task-per-key scan")
   }
 
+  test("as-of tolerance nulls stale matches identically in both layouts") {
+    import graft.operators.AsofJoin
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // quotes at t0 and t0+100min on the hot key; events march forward a
+    // minute apart, so with a 10-minute tolerance exactly events 0..10
+    // and 100..110 match — including one boundary-exact case (diff ==
+    // tolerance must MATCH, mirroring pandas' closed interval)
+    val events = (0 until 200)
+      .map(i => (1L, ts(t0 + i * 60000000L), s"e$i"))
+      .toDF("user_id", "ts", "name")
+    val quotes = Seq(
+      (1L, ts(t0), 100.0),
+      (1L, ts(t0 + 100L * 60000000L), 200.0)
+    ).toDF("user_id", "qts", "price")
+    def matched(crossPartition: Boolean): Seq[(String, Option[Any])] = {
+      val adaptive = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try AsofJoin.asof(events, quotes, Seq("user_id"), "ts", "qts",
+          Seq("price"), crossPartition = crossPartition,
+          toleranceSec = Some(600L))
+        .orderBy("name").collect()
+        .map(r => (r.getString(r.fieldIndex("name")),
+          Option(r.get(r.fieldIndex("asof_price"))))).toSeq
+      finally spark.conf.set("spark.sql.adaptive.enabled", adaptive)
+    }
+    val hash = matched(crossPartition = false)
+    val expectMatched = (0 to 10).map(i => s"e$i").toSet ++
+      (100 to 110).map(i => s"e$i").toSet
+    assert(hash.filter(_._2.isDefined).map(_._1).toSet == expectMatched,
+      s"10-min tolerance must keep exactly the fresh matches: $hash")
+    assert(matched(crossPartition = true) == hash,
+      "tolerance must behave identically under the range layout")
+  }
+
   test("two-phase stratified top-k matches the single-window form under a dominant stratum") {
     import graft.operators.TextAnalysis
     val spark2 = spark
