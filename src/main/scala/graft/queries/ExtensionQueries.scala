@@ -529,6 +529,48 @@ object ExtensionQueries {
         .orderBy("cluster_size")
     },
 
+    // BM25 document ranking for a fixed 3-term query ("hash join dup" —
+    // two common terms plus the rare planted-dup marker, so idf actually
+    // discriminates): the Lucene-form idf ln((N−df+0.5)/(df+0.5)+1) and
+    // the k1=1.2/b=0.75 saturation, all double math from exact integer
+    // tf/df/length censuses, per-doc term scores folded in term order,
+    // top-20 under the (score DESC, doc_id) total order. Complements the
+    // raw inverted index (q106) and tf-idf (q64) with the ranking
+    // function production retrieval actually ships.
+    "q287_bm25_topk" -> { (s, d) =>
+      val qTerms = Seq("hash", "join", "dup")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("_t"))
+        .filter(col("_t") =!= "")
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("_len"))
+      val stats = dl.agg(count(lit(1)).as("_N"),
+        sum(col("_len")).as("_totlen"))
+      val tf = toks.filter(col("_t").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("_t")).agg(count(lit(1)).as("_tf"))
+      val dfreq = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+      val terms = tf.join(dfreq, Seq("_t")).join(dl, Seq("doc_id"))
+        .crossJoin(stats)
+        .withColumn("_idf", log(
+          (col("_N").cast("double") - col("_df").cast("double")
+            + lit(0.5)) / (col("_df").cast("double") + lit(0.5))
+            + lit(1.0)))
+        .withColumn("_score", col("_idf")
+          * (col("_tf").cast("double") * lit(2.2))
+          / (col("_tf").cast("double") + lit(1.2) * (lit(0.25)
+            + lit(0.75) * col("_len").cast("double")
+              / (col("_totlen").cast("double")
+                / col("_N").cast("double")))))
+      terms.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          aggregate(transform(array_sort(collect_list(
+            struct(col("_t"), col("_score").as("_v")))),
+            e => e.getField("_v")), lit(0.0), (a, x) => a + x).as("_s"))
+        .select(col("doc_id"), col("n_terms"), fr(col("_s"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // Global vocabulary top-k (token-frequency census): the map-side-
     // combine shape every corpus statistics job needs — hot tokens collapse
     // inside scan tasks, top-k plans as TakeOrderedAndProject.
@@ -2105,6 +2147,32 @@ object ExtensionQueries {
         |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
         |  CAST(sz * count(*) AS BIGINT) AS docs_in_size
         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q287_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, t FROM (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents) WHERE t <> ''),
+        |dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(sum(len) AS BIGINT) AS totlen FROM dl),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+        |  WHERE t IN ('hash', 'join', 'dup') GROUP BY 1, 2),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |terms AS (SELECT tf.doc_id, tf.t,
+        |    ln((CAST(nn AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |      / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |    * (CAST(tf AS DOUBLE) * 2.2)
+        |    / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+        |      + 0.75 * CAST(len AS DOUBLE)
+        |        / (CAST(totlen AS DOUBLE) / CAST(nn AS DOUBLE))))
+        |      AS score
+        |  FROM tf JOIN df ON df.t = tf.t
+        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  floor(list_sum(list(score ORDER BY t)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS score
+        |FROM terms GROUP BY 1
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q50_vocab_topk" ->
       """SELECT t AS token, count(*) AS cnt

@@ -4427,6 +4427,46 @@ object WarehouseQueries {
         .select(col("event_type"), col("day"),
           col("_rn").cast("long").as("rank"), col("cook_d"))
         .orderBy("event_type", "rank")
+    },
+
+    // Two-sample Anderson-Darling statistic, click vs view values — the
+    // tail-sensitive companion to Kolmogorov-Smirnov (q143, which only
+    // sees the single largest ECDF gap): A² = 1/(nm) Σ f·(M(n+m) −
+    // nB)²/(B(n+m−B)) over the POOLED cents census (the standard
+    // ties-aware computing form), B/M the inclusive pooled/click
+    // cumulative counts. Every count is exact int64; the squared
+    // deviation is one deterministic double square of an exact ≤2^53
+    // integer; census terms fold in value order.
+    "q288_anderson_darling" -> { (s, d) =>
+      val two = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select((col("event_type") === "click").cast("long").as("_isc"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+            .as("_x"))
+      val census = two.groupBy(col("_x"))
+        .agg(count(lit(1)).as("_f"), sum(col("_isc")).as("_fc"))
+      val wAsc = Window.orderBy(col("_x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = census
+        .withColumn("_B", sum(col("_f")).over(wAsc))
+        .withColumn("_M", sum(col("_fc")).over(wAsc))
+      val tot = two.agg(sum(col("_isc")).as("_n"),
+        count(lit(1)).as("_NM"))
+      val t = c.crossJoin(tot)
+        .filter(col("_B") < col("_NM"))
+        .withColumn("_diff",
+          (col("_M") * col("_NM") - col("_n") * col("_B")).cast("double"))
+        .withColumn("_t", col("_f").cast("double")
+          * col("_diff") * col("_diff")
+          / (col("_B") * (col("_NM") - col("_B"))).cast("double"))
+      t.agg(max(col("_n")).as("_n2"), max(col("_NM")).as("_NM2"),
+          aggregate(transform(array_sort(collect_list(
+            struct(col("_x"), col("_t").as("_v")))),
+            e => e.getField("_v")), lit(0.0), (a, x) => a + x).as("_sum"))
+        .select(col("_n2").as("n_click"),
+          (col("_NM2") - col("_n2")).as("n_view"),
+          fr(col("_sum") / (col("_n2").cast("double")
+            * (col("_NM2") - col("_n2")).cast("double")), 6).as("a2"))
     }
   )
 
@@ -8330,6 +8370,35 @@ object WarehouseQueries {
         |      ORDER BY cook_d DESC, day) AS rn
         |  FROM k)
         |SELECT event_type, day, CAST(rn AS BIGINT) AS rank, cook_d
-        |FROM r WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin
+        |FROM r WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "q288_anderson_darling" ->
+      """WITH v AS (SELECT
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isc,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |c AS (SELECT x, count(*) AS f, CAST(sum(isc) AS BIGINT) AS fc
+        |  FROM v GROUP BY 1),
+        |cc AS (SELECT x, f,
+        |    sum(f) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS b,
+        |    sum(fc) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS m
+        |  FROM c),
+        |tot AS (SELECT CAST(sum(isc) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS nm FROM v),
+        |t AS (SELECT x,
+        |    CAST(f AS DOUBLE)
+        |      * CAST(m * nm - n * b AS DOUBLE)
+        |      * CAST(m * nm - n * b AS DOUBLE)
+        |      / CAST(b * (nm - b) AS DOUBLE) AS t,
+        |    n, nm
+        |  FROM cc CROSS JOIN tot WHERE b < nm)
+        |SELECT max(n) AS n_click, max(nm) - max(n) AS n_view,
+        |  floor(list_sum(list(t ORDER BY x))
+        |    / (CAST(max(n) AS DOUBLE)
+        |      * CAST(max(nm) - max(n) AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS a2
+        |FROM t""".stripMargin
   )
 }
