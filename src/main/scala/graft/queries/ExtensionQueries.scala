@@ -529,6 +529,37 @@ object ExtensionQueries {
         .orderBy("cluster_size")
     },
 
+    // Connected-component census of the q118 co-activity graph: how
+    // fragmented is the user graph — one giant component or many
+    // islands? Components via the pointer-jumping operator (lineage-
+    // truncated, the q49 machinery) seeded with EVERY active user, so
+    // isolated users count as singleton components; the giant-component
+    // share is the standard percolation health scalar. All integer but
+    // the one share division.
+    "q290_graph_components" -> { (s, d) =>
+      val act = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("h"))
+        .distinct()
+      val edges = act
+        .join(act.select(col("user_id").as("v"), col("event_type"),
+          col("h")), Seq("event_type", "h"))
+        .filter(col("user_id") < col("v"))
+        .select(col("user_id").as("src"), col("v").as("dst"))
+        .distinct()
+      val nodes = Tables.events(s, d).select(col("user_id")).distinct()
+      val sizes = Dedup.connectedComponents(nodes, "user_id",
+          edges, "src", "dst")
+        .groupBy(col("component")).agg(count(lit(1)).as("_sz"))
+      sizes.agg(sum(col("_sz")).as("n_nodes"),
+          count(lit(1)).as("n_components"),
+          max(col("_sz")).as("giant_size"),
+          sum(when(col("_sz") === 1, 1L).otherwise(0L)).as("n_isolated"))
+        .withColumn("giant_share",
+          fr(col("giant_size").cast("double")
+            / col("n_nodes").cast("double"), 6))
+    },
+
     // BM25 document ranking for a fixed 3-term query ("hash join dup" —
     // two common terms plus the rare planted-dup marker, so idf actually
     // discriminates): the Lucene-form idf ln((N−df+0.5)/(df+0.5)+1) and
@@ -2147,6 +2178,32 @@ object ExtensionQueries {
         |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
         |  CAST(sz * count(*) AS BIGINT) AS docs_in_size
         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q290_graph_components" ->
+      """WITH RECURSIVE
+        |act AS (SELECT DISTINCT user_id, event_type,
+        |    date_trunc('minute', CAST(ts AS TIMESTAMP)) AS h FROM events),
+        |e AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        |  FROM act a JOIN act b ON a.event_type = b.event_type
+        |    AND a.h = b.h AND a.user_id < b.user_id),
+        |edges AS (SELECT u AS s, v AS d FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |nodes AS (SELECT DISTINCT user_id FROM events),
+        |reach(id, comp) AS (
+        |  SELECT user_id, user_id FROM nodes
+        |  UNION
+        |  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+        |cmp AS (SELECT id, min(comp) AS c FROM reach GROUP BY id),
+        |sz AS (SELECT c, CAST(count(*) AS BIGINT) AS sz
+        |  FROM cmp GROUP BY 1)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_nodes,
+        |  CAST(count(*) AS BIGINT) AS n_components,
+        |  CAST(max(sz) AS BIGINT) AS giant_size,
+        |  CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_isolated,
+        |  floor(CAST(max(sz) AS DOUBLE) / CAST(sum(sz) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS giant_share
+        |FROM sz""".stripMargin,
 
     "q287_bm25_topk" ->
       """WITH toks AS (SELECT doc_id, t FROM (SELECT doc_id,

@@ -4467,6 +4467,123 @@ object WarehouseQueries {
           (col("_NM2") - col("_n2")).as("n_view"),
           fr(col("_sum") / (col("_n2").cast("double")
             * (col("_NM2") - col("_n2")).cast("double")), 6).as("a2"))
+    },
+
+    // Brand-switching matrix: each order's dominant part brand (max
+    // total quantity, ties to the lexicographically smallest brand — a
+    // census argmax, deterministic on both engines), customers' orders
+    // sequenced by (orderdate, orderkey), and the (prev → next) brand
+    // transition census — the retail loyalty view of the q122 Markov
+    // shape, on the relational star instead of the event stream. Top-20
+    // transitions under a full total order; all integer.
+    "q289_brand_switching" -> { (s, d) =>
+      val wDom = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("_qty").desc, col("p_brand"))
+      val orderBrand = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .withColumn("_q100",
+          floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast("long"))
+        .groupBy(col("l_orderkey"), col("p_brand"))
+        .agg(sum(col("_q100")).as("_qty"))
+        .withColumn("_rn", row_number().over(wDom))
+        .filter(col("_rn") === 1)
+        .select(col("l_orderkey"), col("p_brand").as("_dom"))
+      val wSeq = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val seq = Tables.orders(s, d)
+        .join(orderBrand, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("_prev", lag(col("_dom"), 1).over(wSeq))
+        .filter(col("_prev").isNotNull)
+      seq.groupBy(col("_prev").as("brand_from"),
+          col("_dom").as("brand_to"))
+        .agg(count(lit(1)).as("n_switches"))
+        .orderBy(col("n_switches").desc, col("brand_from"),
+          col("brand_to"))
+        .limit(20)
+    },
+
+    // Tukey-HSD-style pairwise contrasts after the q272 ANOVA: the q
+    // statistic (mean_i − mean_j)/√(MSW/2·(1/nᵢ+1/nⱼ)) for all ten type
+    // pairs — which groups actually differ once the omnibus F fires.
+    // Per-group moments are exact int64; MSW folds the five within-group
+    // terms in type order; the pair frame is the 5×5 self-join of the
+    // tiny aggregate.
+    "q291_tukey_hsd" -> { (s, d) =>
+      val g = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+            .as("_z"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_n"), sum(col("_z")).as("_s"),
+          sum(col("_z") * col("_z")).as("_q"))
+        .withColumn("_within",
+          col("_q").cast("double") - col("_s").cast("double")
+            * col("_s").cast("double") / col("_n").cast("double"))
+      val msw = g.agg(sum(col("_n")).as("_N"),
+          count(lit(1)).as("_k"),
+          aggregate(transform(array_sort(collect_list(
+            struct(col("event_type"), col("_within")))),
+            e => e.getField("_within")), lit(0.0), (a, x) => a + x)
+            .as("_ssw"))
+        .select((col("_ssw") / (col("_N") - col("_k")).cast("double"))
+          .as("_msw"))
+      val a = g.select(col("event_type").as("type_a"),
+        col("_n").as("_na"), col("_s").as("_sa"))
+      val b = g.select(col("event_type").as("type_b"),
+        col("_n").as("_nb"), col("_s").as("_sb"))
+      val meanA = col("_sa").cast("double") / col("_na").cast("double")
+      val meanB = col("_sb").cast("double") / col("_nb").cast("double")
+      a.join(b, col("type_a") < col("type_b")).crossJoin(msw)
+        .select(col("type_a"), col("type_b"),
+          fr((meanA - meanB) / lit(100.0), 4).as("mean_diff"),
+          fr((meanA - meanB) / sqrt(col("_msw") / lit(2.0)
+            * (lit(1.0) / col("_na").cast("double")
+              + lit(1.0) / col("_nb").cast("double"))), 6).as("q_stat"))
+        .orderBy("type_a", "type_b")
+    },
+
+    // Process-capability indices per event type: Cp = (USL−LSL)/6σ and
+    // Cpk = min(USL−μ, μ−LSL)/3σ, with the spec limits set at the
+    // POOLED distribution's exact p1/p99 census order statistics
+    // (ceil(q·n) fences — integer arithmetic) — the SPC view of which
+    // event types' value spreads fit the corpus-wide band. Moments from
+    // exact int64 power sums, doubles only in the final ratios.
+    "q292_cpk" -> { (s, d) =>
+      val rows = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+            .as("_x"))
+      val wAsc = Window.orderBy(col("_x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pooled = rows.groupBy(col("_x")).agg(count(lit(1)).as("_f"))
+        .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
+        .withColumn("_n", sum(col("_f")).over(Window.partitionBy()))
+      val limits = pooled
+        .withColumn("_k1", expr("(_n + 99) div 100"))
+        .withColumn("_k99", expr("(99 * _n + 99) div 100"))
+        .agg(max(when(col("_cum") < col("_k1")
+            && col("_cum") + col("_f") >= col("_k1"), col("_x")))
+            .as("_lsl"),
+          max(when(col("_cum") < col("_k99")
+            && col("_cum") + col("_f") >= col("_k99"), col("_x")))
+            .as("_usl"))
+      val g = rows.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_gn"), sum(col("_x")).as("_gs"),
+          sum(col("_x") * col("_x")).as("_gq"))
+      val mu = col("_gs").cast("double") / col("_gn").cast("double")
+      val sd = sqrt((col("_gn") * col("_gq") - col("_gs") * col("_gs"))
+        .cast("double")
+        / (col("_gn") * (col("_gn") - lit(1))).cast("double"))
+      g.crossJoin(limits)
+        .select(col("event_type"), col("_gn").as("n_obs"),
+          fr(col("_lsl").cast("double") / lit(100.0), 2).as("lsl"),
+          fr(col("_usl").cast("double") / lit(100.0), 2).as("usl"),
+          fr((col("_usl") - col("_lsl")).cast("double")
+            / (lit(6.0) * sd), 6).as("cp"),
+          fr(least(col("_usl").cast("double") - mu,
+            mu - col("_lsl").cast("double"))
+            / (lit(3.0) * sd), 6).as("cpk"))
+        .orderBy("event_type")
     }
   )
 
@@ -8399,6 +8516,92 @@ object WarehouseQueries {
         |    / (CAST(max(n) AS DOUBLE)
         |      * CAST(max(nm) - max(n) AS DOUBLE))
         |    * 1000000.0 + 0.5) / 1000000.0 AS a2
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    "q289_brand_switching" ->
+      """WITH ob AS (SELECT l_orderkey, p_brand,
+        |    CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |dom AS (SELECT l_orderkey, p_brand AS dom FROM (
+        |    SELECT l_orderkey, p_brand,
+        |      row_number() OVER (PARTITION BY l_orderkey
+        |        ORDER BY qty DESC, p_brand) AS rn
+        |    FROM ob) WHERE rn = 1),
+        |seq AS (SELECT o_custkey, dom,
+        |    lag(dom) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders JOIN dom ON o_orderkey = dom.l_orderkey)
+        |SELECT prev AS brand_from, dom AS brand_to,
+        |  CAST(count(*) AS BIGINT) AS n_switches
+        |FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+        |ORDER BY n_switches DESC, brand_from, brand_to LIMIT 20"""
+        .stripMargin,
+
+    "q291_tukey_hsd" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(z) AS BIGINT) AS s, CAST(sum(z * z) AS BIGINT) AS q
+        |  FROM (SELECT event_type,
+        |      CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS z
+        |    FROM events) GROUP BY 1),
+        |w AS (SELECT event_type, n, s, q,
+        |    CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS within FROM g),
+        |m AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    list_sum(list(within ORDER BY event_type)) AS ssw FROM w),
+        |msw AS (SELECT ssw / CAST(nn - k AS DOUBLE) AS msw FROM m)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  floor((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |      - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) / 100.0
+        |    * 10000.0 + 0.5) / 10000.0 AS mean_diff,
+        |  floor((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |      - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |    / sqrt(msw / 2.0 * (1.0 / CAST(a.n AS DOUBLE)
+        |      + 1.0 / CAST(b.n AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS q_stat
+        |FROM w a JOIN w b ON a.event_type < b.event_type CROSS JOIN msw
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q292_cpk" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x FROM events),
+        |c AS (SELECT x, count(*) AS f FROM v GROUP BY 1),
+        |cc AS (SELECT x, f,
+        |    coalesce(sum(f) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cum,
+        |    sum(f) OVER () AS n
+        |  FROM c),
+        |lim AS (SELECT
+        |    CAST(max(CASE WHEN cum < (n + 99) // 100
+        |      AND cum + f >= (n + 99) // 100 THEN x END) AS BIGINT)
+        |      AS lsl,
+        |    CAST(max(CASE WHEN cum < (99 * n + 99) // 100
+        |      AND cum + f >= (99 * n + 99) // 100 THEN x END) AS BIGINT)
+        |      AS usl
+        |  FROM cc),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS gn,
+        |    CAST(sum(x) AS BIGINT) AS gs,
+        |    CAST(sum(x * x) AS BIGINT) AS gq
+        |  FROM v GROUP BY 1)
+        |SELECT event_type, gn AS n_obs,
+        |  floor(CAST(lsl AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0
+        |    AS lsl,
+        |  floor(CAST(usl AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0
+        |    AS usl,
+        |  floor(CAST(usl - lsl AS DOUBLE)
+        |    / (6.0 * sqrt(CAST(gn * gq - gs * gs AS DOUBLE)
+        |      / CAST(gn * (gn - 1) AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS cp,
+        |  floor(least(
+        |      CAST(usl AS DOUBLE) - CAST(gs AS DOUBLE)
+        |        / CAST(gn AS DOUBLE),
+        |      CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)
+        |        - CAST(lsl AS DOUBLE))
+        |    / (3.0 * sqrt(CAST(gn * gq - gs * gs AS DOUBLE)
+        |      / CAST(gn * (gn - 1) AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS cpk
+        |FROM g CROSS JOIN lim ORDER BY event_type""".stripMargin
   )
 }
