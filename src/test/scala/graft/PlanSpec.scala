@@ -953,6 +953,33 @@ class PlanSpec extends SparkSpec {
         w280.mkString("\n"))
   }
 
+  test("q281-q292: concordance/forecast/SPC families keep scale-safe shapes") {
+    // q281/q288/q292: rank/ECDF/fence windows cumulate value censuses,
+    // never event rows
+    for (q <- Seq("q281_kendall_w", "q288_anderson_darling", "q292_cpk")) {
+      val w = plan(graft.queries.WarehouseQueries.defs(q)(spark, d))
+        .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+      assert(w.nonEmpty && w.forall(l =>
+        !l.contains("event_id") && !l.contains("user_id")),
+        s"$q windows over censuses only:\n${w.mkString("\n")}")
+    }
+    // q283/q284: lag/trend windows key on event_type over the daily grid
+    for (q <- Seq("q283_mase_smape", "q284_cooks_distance")) {
+      val w = plan(graft.queries.WarehouseQueries.defs(q)(spark, d))
+        .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+      assert(w.nonEmpty && w.forall(l =>
+        l.contains("event_type") && !l.contains("event_id")),
+        s"$q windows run per-type on the daily grid:\n${w.mkString("\n")}")
+    }
+    // q289: argmax/sequence windows run on the (order, brand) aggregate
+    // and the per-customer order sequence — never on line items
+    val w289 = plan(graft.queries.WarehouseQueries
+      .defs("q289_brand_switching")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(w289.nonEmpty && w289.forall(!_.contains("l_linenumber")),
+      s"q289 windows post-aggregate only:\n${w289.mkString("\n")}")
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
