@@ -4584,6 +4584,152 @@ object WarehouseQueries {
             mu - col("_lsl").cast("double"))
             / (lit(3.0) * sd), 6).as("cpk"))
         .orderBy("event_type")
+    },
+
+    // Holt-Winters ADDITIVE-SEASONAL smoothing (period 7, α=.3 β=.2
+    // γ=.3) per event type — q192's level+trend recursion extended with
+    // the rotating weekly-seasonal queue. The whole recursion is ONE
+    // ordered fold over the day-sorted array with a 9-slot double-array
+    // state [level, trend, s₁..s₇]; both engines replay literally the
+    // same arithmetic in the same order (DuckDB's list_reduce pads the
+    // inputs to the state type; Spark's aggregate folds the raw
+    // doubles), so the final state is bit-identical before rounding.
+    "q293_holt_winters" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg((floor(decSum(col("value")).cast("double") / count(lit(1))
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("_v"))
+      val arr = daily.groupBy(col("event_type"))
+        .agg(transform(array_sort(collect_list(
+          struct(col("day"), col("_v")))), e => e.getField("_v"))
+          .as("_a"))
+        .filter(size(col("_a")) >= 3)
+      def nl(a: Column, x: Column): Column =
+        lit(0.3) * (x - element_at(a, 3)) +
+          lit(0.7) * (element_at(a, 1) + element_at(a, 2))
+      val folded = arr
+        .withColumn("_init", array((Seq(
+          element_at(col("_a"), 1),
+          element_at(col("_a"), 2) - element_at(col("_a"), 1)) ++
+          Seq.fill(7)(lit(0.0))): _*))
+        .withColumn("_st", aggregate(
+          slice(col("_a"), lit(3), size(col("_a")) - lit(2)), col("_init"),
+          (a, x) => array(
+            nl(a, x),
+            lit(0.2) * (nl(a, x) - element_at(a, 1)) +
+              lit(0.8) * element_at(a, 2),
+            element_at(a, 4), element_at(a, 5), element_at(a, 6),
+            element_at(a, 7), element_at(a, 8), element_at(a, 9),
+            lit(0.3) * (x - nl(a, x)) + lit(0.7) * element_at(a, 3))))
+      folded.select(col("event_type"),
+          size(col("_a")).cast("long").as("n_days"),
+          fr(element_at(col("_st"), 1), 6).as("level"),
+          fr(element_at(col("_st"), 2), 6).as("trend"),
+          fr(element_at(col("_st"), 1) + element_at(col("_st"), 2)
+            + element_at(col("_st"), 3), 6).as("forecast_next"))
+        .orderBy("event_type")
+    },
+
+    // Price elasticity per brand: the OLS slope of ln(total quantity) on
+    // ln(unit price) across the brand's parts — the textbook log-log
+    // demand regression, on (brand, part) aggregates bounded by the
+    // catalog. Unit price and quantity are ratios/sums of exact DECIMALs
+    // fr-gridded before the logs, and the four regression sums fold in
+    // partkey order per the q161 rule.
+    "q294_price_elasticity" -> { (s, d) =>
+      val pp = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("l_partkey"))
+        .agg(decSum(col("l_extendedprice"), 18, 2).as("_rev"),
+          decSum(col("l_quantity")).as("_qty"))
+        .filter(col("_qty") > 0)
+        .withColumn("_x", log(fr(col("_rev").cast("double")
+          / col("_qty").cast("double"), 4)))
+        .withColumn("_y", log(col("_qty").cast("double")))
+      def fold(termCol: Column): Column =
+        aggregate(transform(array_sort(collect_list(
+          struct(col("l_partkey"), termCol.as("_t")))),
+          e => e.getField("_t")), lit(0.0), (a, x) => a + x)
+      pp.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          fold(col("_x")).as("_sx"), fold(col("_y")).as("_sy"),
+          fold(col("_x") * col("_y")).as("_sxy"),
+          fold(col("_x") * col("_x")).as("_sxx"))
+        .select(col("p_brand"), col("n_parts"),
+          fr((col("n_parts").cast("double") * col("_sxy")
+            - col("_sx") * col("_sy"))
+            / (col("n_parts").cast("double") * col("_sxx")
+              - col("_sx") * col("_sx")), 6).as("elasticity"))
+        .orderBy("p_brand")
+    },
+
+    // Wilson-lower-bound ranking of brand return rates — the standard
+    // "sort by the confidence interval's pessimistic edge, not the raw
+    // rate" leaderboard (small-n brands can't fluke to the top). Return
+    // counts are exact integers; the z=1.96 constant is cast to double
+    // once on both engines; ranked under the (lb DESC, brand) total
+    // order on the fr-gridded bound.
+    "q295_wilson_ranking" -> { (s, d) =>
+      val g = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("_n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("_r"))
+      val z = lit(1.96)
+      val nD = col("_n").cast("double")
+      val p = col("_r").cast("double") / nD
+      val lb = (p + z * z / (lit(2.0) * nD)
+        - z * sqrt(p * (lit(1.0) - p) / nD
+          + z * z / (lit(4.0) * nD * nD))) /
+        (lit(1.0) + z * z / nD)
+      val ranked = g.select(col("p_brand"), col("_n").as("n_lines"),
+        col("_r").as("n_returned"), fr(p, 6).as("return_rate"),
+        fr(lb, 6).as("wilson_lb"))
+      ranked.withColumn("rank", row_number().over(
+          Window.orderBy(col("wilson_lb").desc, col("p_brand")))
+          .cast("long"))
+        .orderBy("rank")
+    },
+
+    // Partial correlation of daily click vs purchase volumes CONTROLLING
+    // for total activity — does the click↔purchase co-movement survive
+    // once "busy day" is partialed out? The three Pearson r's come from
+    // exact int64 count sums over the 30-day grid; the partial-r combine
+    // is the identical literal double expression on both engines.
+    "q296_partial_corr" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("_x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("_y"),
+          count(lit(1)).as("_z"))
+      val g = daily.agg(count(lit(1)).as("_n"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_z")).as("_sz"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"),
+        sum(col("_z") * col("_z")).as("_szz"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_z")).as("_sxz"),
+        sum(col("_y") * col("_z")).as("_syz"))
+      def r(sab: Column, sa: Column, sb: Column,
+            saa: Column, sbb: Column): Column =
+        (col("_n") * sab - sa * sb).cast("double") /
+          (sqrt((col("_n") * saa - sa * sa).cast("double"))
+            * sqrt((col("_n") * sbb - sb * sb).cast("double")))
+      val rxy = r(col("_sxy"), col("_sx"), col("_sy"),
+        col("_sxx"), col("_syy"))
+      val rxz = r(col("_sxz"), col("_sx"), col("_sz"),
+        col("_sxx"), col("_szz"))
+      val ryz = r(col("_syz"), col("_sy"), col("_sz"),
+        col("_syy"), col("_szz"))
+      g.select(col("_n").as("n_days"), fr(rxy, 6).as("r_click_buy"),
+          fr(rxz, 6).as("r_click_total"), fr(ryz, 6).as("r_buy_total"),
+          fr((rxy - rxz * ryz) /
+            sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6)
+            .as("partial_r"))
     }
   )
 
@@ -8602,6 +8748,122 @@ object WarehouseQueries {
         |    / (3.0 * sqrt(CAST(gn * gq - gs * gs AS DOUBLE)
         |      / CAST(gn * (gn - 1) AS DOUBLE)))
         |    * 1000000.0 + 0.5) / 1000000.0 AS cpk
-        |FROM g CROSS JOIN lim ORDER BY event_type""".stripMargin
+        |FROM g CROSS JOIN lim ORDER BY event_type""".stripMargin,
+
+    "q293_holt_winters" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 1000000.0 + 0.5) / 1000000.0 AS v
+        |  FROM events GROUP BY 1, 2),
+        |arr AS (SELECT event_type, list(v ORDER BY day) AS vs
+        |  FROM daily GROUP BY event_type),
+        |f AS (SELECT event_type, len(vs) AS n_days,
+        |    list_reduce(
+        |      list_prepend([vs[1], vs[2] - vs[1], 0.0, 0.0, 0.0, 0.0,
+        |          0.0, 0.0, 0.0],
+        |        list_transform(vs[3:], v -> [v, 0.0, 0.0, 0.0, 0.0,
+        |          0.0, 0.0, 0.0, 0.0])),
+        |      (a, x) -> [
+        |        0.3 * (x[1] - a[3]) + 0.7 * (a[1] + a[2]),
+        |        0.2 * ((0.3 * (x[1] - a[3]) + 0.7 * (a[1] + a[2]))
+        |          - a[1]) + 0.8 * a[2],
+        |        a[4], a[5], a[6], a[7], a[8], a[9],
+        |        0.3 * (x[1] - (0.3 * (x[1] - a[3])
+        |          + 0.7 * (a[1] + a[2]))) + 0.7 * a[3]
+        |      ]) AS st
+        |  FROM arr WHERE len(vs) >= 3)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  floor(st[1] * 1000000.0 + 0.5) / 1000000.0 AS level,
+        |  floor(st[2] * 1000000.0 + 0.5) / 1000000.0 AS trend,
+        |  floor((st[1] + st[2] + st[3]) * 1000000.0 + 0.5) / 1000000.0
+        |    AS forecast_next
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    "q294_price_elasticity" ->
+      """WITH pp AS (SELECT p_brand, l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 0),
+        |t AS (SELECT p_brand, l_partkey,
+        |    ln(floor(CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE)
+        |      * 10000.0 + 0.5) / 10000.0) AS x,
+        |    ln(CAST(qty AS DOUBLE)) AS y
+        |  FROM pp)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |  floor((CAST(count(*) AS DOUBLE)
+        |      * list_sum(list(x * y ORDER BY l_partkey))
+        |    - list_sum(list(x ORDER BY l_partkey))
+        |      * list_sum(list(y ORDER BY l_partkey)))
+        |   / (CAST(count(*) AS DOUBLE)
+        |      * list_sum(list(x * x ORDER BY l_partkey))
+        |    - list_sum(list(x ORDER BY l_partkey))
+        |      * list_sum(list(x ORDER BY l_partkey)))
+        |   * 1000000.0 + 0.5) / 1000000.0 AS elasticity
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q295_wilson_ranking" ->
+      """WITH g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+        |zc AS (SELECT CAST(1.96 AS DOUBLE) AS z),
+        |w AS (SELECT p_brand, n, r,
+        |    CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + z * z / (2.0 * CAST(n AS DOUBLE))
+        |      - z * sqrt(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE)
+        |        + z * z / (4.0 * CAST(n AS DOUBLE)
+        |          * CAST(n AS DOUBLE))))
+        |    / (1.0 + z * z / CAST(n AS DOUBLE)) AS lb
+        |  FROM g CROSS JOIN zc)
+        |SELECT p_brand, n AS n_lines, r AS n_returned,
+        |  floor(p * 1000000.0 + 0.5) / 1000000.0 AS return_rate,
+        |  floor(lb * 1000000.0 + 0.5) / 1000000.0 AS wilson_lb,
+        |  CAST(row_number() OVER (
+        |    ORDER BY floor(lb * 1000000.0 + 0.5) / 1000000.0 DESC,
+        |      p_brand) AS BIGINT) AS rank
+        |FROM w ORDER BY rank""".stripMargin,
+
+    "q296_partial_corr" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS y,
+        |    CAST(count(*) AS BIGINT) AS z
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(z) AS BIGINT) AS sz,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(z * z) AS BIGINT) AS szz,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * z) AS BIGINT) AS sxz,
+        |    CAST(sum(y * z) AS BIGINT) AS syz
+        |  FROM daily),
+        |r AS (SELECT n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rxy,
+        |    CAST(n * sxz - sx * sz AS DOUBLE)
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS rxz,
+        |    CAST(n * syz - sy * sz AS DOUBLE)
+        |      / (sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+        |        * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS ryz
+        |  FROM g)
+        |SELECT n AS n_days,
+        |  floor(rxy * 1000000.0 + 0.5) / 1000000.0 AS r_click_buy,
+        |  floor(rxz * 1000000.0 + 0.5) / 1000000.0 AS r_click_total,
+        |  floor(ryz * 1000000.0 + 0.5) / 1000000.0 AS r_buy_total,
+        |  floor((rxy - rxz * ryz)
+        |    / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS partial_r
+        |FROM r""".stripMargin
   )
 }
