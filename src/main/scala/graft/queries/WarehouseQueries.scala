@@ -4730,6 +4730,127 @@ object WarehouseQueries {
           fr((rxy - rxz * ryz) /
             sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6)
             .as("partial_r"))
+    },
+
+    // Overdispersion screen per event type: the Fano factor (variance/
+    // mean) of per-user event counts plus the χ² dispersion statistic
+    // Σ(x−x̄)²/x̄ = (nΣx²−S²)/S with dof n−1 — "is user activity
+    // Poisson, or do heavy users make it clumpy?" (the gate before
+    // trusting any Poisson-rate model on this data). Counts and power
+    // sums exact int64; two double divisions at the end.
+    "q297_overdispersion" -> { (s, d) =>
+      val g = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("_x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"),
+          sum(col("_x") * col("_x")).as("_ss"))
+      val nD = col("_n").cast("double")
+      val mean = col("_s").cast("double") / nD
+      val varP = (col("_n") * col("_ss") - col("_s") * col("_s"))
+        .cast("double") / (col("_n") * (col("_n") - lit(1)))
+        .cast("double")
+      g.select(col("event_type"), col("_n").as("n_users"),
+          fr(mean, 4).as("mean_events"),
+          fr(varP / mean, 6).as("fano"),
+          fr((col("_n") * col("_ss") - col("_s") * col("_s"))
+            .cast("double") / col("_s").cast("double"), 4)
+            .as("chi2_dispersion"),
+          (col("_n") - lit(1)).as("dof"))
+        .orderBy("event_type")
+    },
+
+    // Ruzicka (weighted Jaccard) similarity between source token
+    // distributions: Σ min(fₐ, f_b) / Σ max(fₐ, f_b) over the shared
+    // vocabulary grid — the count-weighted set overlap beside the
+    // probability-space JSD (q246). The (source × token) grid is
+    // census-bounded; sums are exact int64; top-10 most similar pairs
+    // under the (similarity DESC, pair) total order.
+    "q298_ruzicka_similarity" -> { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("_t"))
+        .filter(col("_t") =!= "")
+        .groupBy(col("source"), col("_t")).agg(count(lit(1)).as("_n"))
+      val vocab = counts.select(col("_t")).distinct()
+      val srcs = counts.select(col("source")).distinct()
+      val grid = vocab.crossJoin(srcs)
+        .join(counts, Seq("source", "_t"), "left")
+        .withColumn("_n", coalesce(col("_n"), lit(0L)))
+      val a = grid.select(col("_t"), col("source").as("source_a"),
+        col("_n").as("_na"))
+      val b = grid.select(col("_t"), col("source").as("source_b"),
+        col("_n").as("_nb"))
+      a.join(b, Seq("_t")).filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(sum(least(col("_na"), col("_nb"))).as("_min"),
+          sum(greatest(col("_na"), col("_nb"))).as("_max"))
+        .select(col("source_a"), col("source_b"),
+          fr(col("_min").cast("double") / col("_max").cast("double"), 6)
+            .as("ruzicka"))
+        .orderBy(col("ruzicka").desc, col("source_a"), col("source_b"))
+        .limit(10)
+    },
+
+    // Odds ratio + relative risk of purchasing given clicking on
+    // USER-DAYS (per-user reach is ~100% over the month — the 2×2 only
+    // discriminates at day granularity): OR = ad/bc, RR =
+    // [a/(a+b)]/[c/(c+d)], and the Woolf log-OR standard error
+    // √(1/a+1/b+1/c+1/d) — the epidemiology-style effect size beside
+    // the chi-square independence test (q162). All four cells exact
+    // integers.
+    "q299_odds_ratio" -> { (s, d) =>
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"), col("ts").cast("date").as("_day"))
+        .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("_c"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("_p"))
+      val g = users.agg(
+        sum(when(col("_c") === 1 && col("_p") === 1, 1L).otherwise(0L))
+          .as("_a"),
+        sum(when(col("_c") === 1 && col("_p") === 0, 1L).otherwise(0L))
+          .as("_b"),
+        sum(when(col("_c") === 0 && col("_p") === 1, 1L).otherwise(0L))
+          .as("_cc"),
+        sum(when(col("_c") === 0 && col("_p") === 0, 1L).otherwise(0L))
+          .as("_d"))
+      val (aD, bD, cD, dD) = (col("_a").cast("double"),
+        col("_b").cast("double"), col("_cc").cast("double"),
+        col("_d").cast("double"))
+      g.select(col("_a").as("both"), col("_b").as("click_only"),
+          col("_cc").as("buy_only"), col("_d").as("neither"),
+          fr((aD * dD) / (bD * cD), 6).as("odds_ratio"),
+          fr((aD / (aD + bD)) / (cD / (cD + dD)), 6)
+            .as("relative_risk"),
+          fr(sqrt(lit(1.0) / aD + lit(1.0) / bD + lit(1.0) / cD
+            + lit(1.0) / dD), 6).as("se_log_or"))
+    },
+
+    // Order-level SLA attainment per priority: an order counts as fully
+    // shipped only at its LAST line's ship date (max lag — the q280
+    // percentiles are line-level; this is the order-level contract
+    // view). Share of orders fully shipped within 30/60/90 days, exact
+    // integer counts, three double divisions per priority.
+    "q300_order_sla" -> { (s, d) =>
+      val lag = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(max(datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date"))).cast("long").as("_lag"))
+      lag.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("_lag") <= 30, 1L).otherwise(0L)).as("_w30"),
+          sum(when(col("_lag") <= 60, 1L).otherwise(0L)).as("_w60"),
+          sum(when(col("_lag") <= 90, 1L).otherwise(0L)).as("_w90"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          fr(col("_w30").cast("double")
+            / col("n_orders").cast("double"), 6).as("sla_30d"),
+          fr(col("_w60").cast("double")
+            / col("n_orders").cast("double"), 6).as("sla_60d"),
+          fr(col("_w90").cast("double")
+            / col("n_orders").cast("double"), 6).as("sla_90d"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -8864,6 +8985,91 @@ object WarehouseQueries {
         |  floor((rxy - rxz * ryz)
         |    / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
         |    * 1000000.0 + 0.5) / 1000000.0 AS partial_r
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    "q297_overdispersion" ->
+      """WITH u AS (SELECT event_type, user_id, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s,
+        |    CAST(sum(x * x) AS BIGINT) AS ss
+        |  FROM u GROUP BY 1)
+        |SELECT event_type, n AS n_users,
+        |  floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS mean_events,
+        |  floor(CAST(n * ss - s * s AS DOUBLE)
+        |    / CAST(n * (n - 1) AS DOUBLE)
+        |    / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS fano,
+        |  floor(CAST(n * ss - s * s AS DOUBLE) / CAST(s AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS chi2_dispersion,
+        |  n - 1 AS dof
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q298_ruzicka_similarity" ->
+      """WITH counts AS (SELECT source, t, count(*) AS n
+        |  FROM (SELECT source,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents) WHERE t <> '' GROUP BY 1, 2),
+        |grid AS (SELECT s.source, v.t, coalesce(n, 0) AS n
+        |  FROM (SELECT DISTINCT t FROM counts) v
+        |  CROSS JOIN (SELECT DISTINCT source FROM counts) s
+        |  LEFT JOIN counts c ON c.source = s.source AND c.t = v.t)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  floor(CAST(sum(least(a.n, b.n)) AS DOUBLE)
+        |    / CAST(sum(greatest(a.n, b.n)) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS ruzicka
+        |FROM grid a JOIN grid b ON a.t = b.t AND a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY ruzicka DESC, source_a, source_b LIMIT 10"""
+        .stripMargin,
+
+    "q299_odds_ratio" ->
+      """WITH u AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS p
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT
+        |    CAST(sum(CASE WHEN c = 1 AND p = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN c = 1 AND p = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN c = 0 AND p = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cc,
+        |    CAST(sum(CASE WHEN c = 0 AND p = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM u)
+        |SELECT a AS both, b AS click_only, cc AS buy_only, d AS neither,
+        |  floor((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+        |    / (CAST(b AS DOUBLE) * CAST(cc AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS odds_ratio,
+        |  floor((CAST(a AS DOUBLE) / (CAST(a AS DOUBLE)
+        |      + CAST(b AS DOUBLE)))
+        |    / (CAST(cc AS DOUBLE) / (CAST(cc AS DOUBLE)
+        |      + CAST(d AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS relative_risk,
+        |  floor(sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+        |    + 1.0 / CAST(cc AS DOUBLE) + 1.0 / CAST(d AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS se_log_or
+        |FROM g""".stripMargin,
+
+    "q300_order_sla" ->
+      """WITH lag AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(max(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE))) AS BIGINT) AS lag
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  floor(CAST(sum(CASE WHEN lag <= 30 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS sla_30d,
+        |  floor(CAST(sum(CASE WHEN lag <= 60 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS sla_60d,
+        |  floor(CAST(sum(CASE WHEN lag <= 90 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS sla_90d
+        |FROM lag GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
