@@ -980,6 +980,30 @@ class PlanSpec extends SparkSpec {
       s"q289 windows post-aggregate only:\n${w289.mkString("\n")}")
   }
 
+  test("q293-q300: smoothing/elasticity/SLA families keep scale-safe shapes") {
+    // q293: the HW recursion is ONE fold over per-type day arrays — the
+    // plan must contain no window at all (no per-row state pass)
+    val p293 = plan(graft.queries.WarehouseQueries
+      .defs("q293_holt_winters")(spark, d))
+    assert(!p293.contains("windowspecdefinition"),
+      s"q293 folds arrays, no window pass:\n$p293")
+    // q295: the leaderboard window ranks the 25-brand aggregate only
+    val w295 = plan(graft.queries.WarehouseQueries
+      .defs("q295_wilson_ranking")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(w295.nonEmpty && w295.forall(!_.contains("l_linenumber")),
+      s"q295 ranks the brand aggregate, not line items:\n" +
+        w295.mkString("\n"))
+    // q294/q297/q299/q300: pure aggregate pipelines — no window touches
+    // raw rows (they should plan without any windowspecdefinition)
+    for (q <- Seq("q294_price_elasticity", "q297_overdispersion",
+        "q299_odds_ratio", "q300_order_sla")) {
+      val p = plan(graft.queries.WarehouseQueries.defs(q)(spark, d))
+      assert(!p.contains("windowspecdefinition"),
+        s"$q is aggregate-only, no window expected:\n$p")
+    }
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
