@@ -171,6 +171,39 @@ object AsofJoin {
     }(Encoders.row(outSchema))
   }
 
+  /** pandas merge_asof `direction='nearest'` parity: for each left row,
+    * the right row minimizing |rightTs − leftTs| within the same key,
+    * ties resolved BACKWARD (the earlier right row — pandas' rule).
+    * Composed from the two directional merge-scans joined back on a
+    * caller-supplied unique left id (`leftIdCol`): each scan stays the
+    * streaming one-shuffle single-row-state shape, and the chooser is a
+    * plain projection — no partition buffering, no lookahead state.
+    * `toleranceSec` bounds the winning match like the directional form.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  leftIdCol: String, leftTs: String, rightTs: String,
+                  pickCols: Seq[String],
+                  toleranceSec: Option[Long] = None): DataFrame = {
+    val pick = (pickCols :+ rightTs).distinct
+    val back = asof(left, right, keyCols, leftTs, rightTs, pick,
+      direction = "backward", toleranceSec = toleranceSec)
+    val fwd = asof(left, right, keyCols, leftTs, rightTs, pick,
+        direction = "forward", toleranceSec = toleranceSec)
+      .select((col(leftIdCol).as("_fid") +:
+        pick.map(c => col(s"asof_$c").as(s"_f_$c"))): _*)
+    val joined = back.join(fwd, col(leftIdCol) === col("_fid"), "left")
+    val bTs = col(s"asof_$rightTs")
+    val fTs = col(s"_f_$rightTs")
+    // backward wins on ties (<=): lts−bts <= fts−lts, all µs-exact
+    val useBack = bTs.isNotNull && (fTs.isNull ||
+      unix_micros(col(leftTs)) - unix_micros(bTs) <=
+        unix_micros(fTs) - unix_micros(col(leftTs)))
+    val out = left.columns.map(col).toSeq ++ pickCols.map(c =>
+      when(useBack, col(s"asof_$c")).otherwise(col(s"_f_$c"))
+        .as(s"asof_$c"))
+    joined.select(out: _*)
+  }
+
   /** One fixed-size metadata job over the pinned layout + a driver prefix
     * fold: each partition emits one row per key-run — (pid, key, last
     * right payload in the run, or null) — and the driver walks each key's

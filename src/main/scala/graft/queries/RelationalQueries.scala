@@ -469,6 +469,28 @@ object RelationalQueries {
           col("asof_buy_ts").cast("timestamp_ntz").as("buy_within_1h"))
         .orderBy("event_id")
         .limit(500)
+    },
+
+    // Nearest-direction as-of (pandas merge_asof direction='nearest'):
+    // the purchase CLOSEST in time to each click — before or after —
+    // within ±1 hour, ties to the earlier row (pandas' backward
+    // preference). Runs through AsofJoin.asofNearest: the two
+    // directional merge-scans joined back on event_id, chooser a plain
+    // µs-exact projection; the oracle replays it with a correlated
+    // min-|diff| pick under the same tie order.
+    "q301_asof_nearest" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("buy_ts"))
+      graft.operators.AsofJoin.asofNearest(clicks, buys, Seq("user_id"),
+          leftIdCol = "event_id", leftTs = "ts", rightTs = "buy_ts",
+          pickCols = Seq("buy_ts"), toleranceSec = Some(3600L))
+        .select(col("event_id"),
+          col("asof_buy_ts").cast("timestamp_ntz").as("nearest_buy_1h"))
+        .orderBy("event_id")
+        .limit(500)
     }
   )
 
@@ -751,6 +773,16 @@ object RelationalQueries {
         |   WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
         |     AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 1 HOUR)
         |    AS buy_within_1h
+        |FROM events e WHERE e.event_type = 'click'
+        |ORDER BY e.event_id LIMIT 500""".stripMargin,
+
+    "q301_asof_nearest" ->
+      """SELECT e.event_id,
+        |  (SELECT p.ts FROM events p
+        |   WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+        |     AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 3600000000
+        |   ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)), p.ts
+        |   LIMIT 1) AS nearest_buy_1h
         |FROM events e WHERE e.event_type = 'click'
         |ORDER BY e.event_id LIMIT 500""".stripMargin
   )

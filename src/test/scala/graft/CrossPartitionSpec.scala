@@ -216,6 +216,39 @@ class CrossPartitionSpec extends SparkSpec {
       "tolerance must behave identically under the range layout")
   }
 
+  test("as-of nearest picks the closer side, backward on ties") {
+    import graft.operators.AsofJoin
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val events = (0 until 200)
+      .map(i => (i.toLong, 1L, ts(t0 + i * 60000000L)))
+      .toDF("eid", "user_id", "ts")
+    val quotes = Seq(
+      (1L, ts(t0), 100.0),
+      (1L, ts(t0 + 100L * 60000000L), 200.0)
+    ).toDF("user_id", "qts", "price")
+    val got = AsofJoin.asofNearest(events, quotes, Seq("user_id"),
+        leftIdCol = "eid", leftTs = "ts", rightTs = "qts",
+        pickCols = Seq("price"), toleranceSec = Some(600L))
+      .orderBy("eid").collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(r.fieldIndex("asof_price"))))).toSeq
+    for ((eid, p) <- got) {
+      val expect: Option[Any] =
+        if (eid <= 10) Some(100.0)
+        else if (eid >= 90 && eid <= 110) Some(200.0)
+        else None
+      assert(p == expect, s"event $eid: got $p, want $expect")
+    }
+    // no tolerance: tie at the exact midpoint (minute 50) goes BACKWARD
+    val tie = AsofJoin.asofNearest(events, quotes, Seq("user_id"),
+        "eid", "ts", "qts", Seq("price"))
+      .filter($"eid" === 50L).collect()
+    assert(tie.head.get(tie.head.fieldIndex("asof_price")) == 100.0,
+      "midpoint tie must resolve backward (pandas rule)")
+  }
+
   test("two-phase stratified top-k matches the single-window form under a dominant stratum") {
     import graft.operators.TextAnalysis
     val spark2 = spark
