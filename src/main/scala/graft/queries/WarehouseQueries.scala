@@ -4851,6 +4851,76 @@ object WarehouseQueries {
           fr(col("_w90").cast("double")
             / col("n_orders").cast("double"), 6).as("sla_90d"))
         .orderBy("o_orderpriority")
+    },
+
+    // Promotion revenue share per ship month (TPC-H Q14 shape): the
+    // conditional-aggregation share — discounted revenue is gridded to
+    // exact cents PER LINE (one double multiply + floor, identical on
+    // both engines), so the monthly share is a ratio of exact int64
+    // sums. 84 months of output; one scan, map-side combined.
+    "q302_promo_share" -> { (s, d) =>
+      val revCents = floor(col("l_extendedprice")
+        * (lit(1.0) - col("l_discount")) * lit(100.0) + lit(0.5))
+        .cast("long")
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .withColumn("_rc", revCents)
+        .groupBy(date_trunc("month", col("l_shipdate"))
+          .cast("timestamp_ntz").as("ship_month"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("p_type") === "PROMO", col("_rc"))
+            .otherwise(0L)).as("_promo"),
+          sum(col("_rc")).as("_total"))
+        .select(col("ship_month"), col("n_lines"),
+          fr(lit(100.0) * col("_promo").cast("double")
+            / col("_total").cast("double"), 4).as("promo_share_pct"))
+        .orderBy("ship_month")
+    },
+
+    // Customer order-count distribution (TPC-H Q13 shape): LEFT join so
+    // zero-order customers land in the 0 bucket, then the count-of-
+    // counts histogram — the classic "how engaged is the customer base"
+    // distribution. All integer.
+    "q303_cust_order_histogram" -> { (s, d) =>
+      val perCust = Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+      perCust.groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_customers").desc, col("n_orders"))
+    },
+
+    // User lifespan census: active span (last − first active day) and
+    // distinct active days per user, with exact p50/p90 span order
+    // statistics off the cumulated span census plus exact int64 means —
+    // the engagement-window profile beside survival (q226) and growth
+    // accounting (q214).
+    "q304_user_lifespan" -> { (s, d) =>
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(datediff(max(col("ts").cast("date")),
+            min(col("ts").cast("date"))).cast("long").as("_span"),
+          countDistinct(col("ts").cast("date")).as("_days"))
+      val census = rankedCensus(users, lit(1), col("_span"))
+        .withColumn("_k50", expr("(_n + 1) div 2"))
+        .withColumn("_k90", expr("(9 * _n + 9) div 10"))
+      def fence(k: String): Column =
+        max(when(col("_cum") < col(k)
+          && col("_cum") + col("_f") >= col(k), col("_v")))
+      val pct = census.agg(max(col("_n")).as("n_users"),
+        fence("_k50").as("p50_span_days"),
+        fence("_k90").as("p90_span_days"))
+      val means = users.agg(sum(col("_span")).as("_ss"),
+        sum(col("_days")).as("_sd"), count(lit(1)).as("_nu"))
+      pct.crossJoin(means)
+        .select(col("n_users"), col("p50_span_days"),
+          col("p90_span_days"),
+          fr(col("_ss").cast("double") / col("_nu").cast("double"), 4)
+            .as("mean_span_days"),
+          fr(col("_sd").cast("double") / col("_nu").cast("double"), 4)
+            .as("mean_active_days"))
     }
   )
 
@@ -9070,6 +9140,60 @@ object WarehouseQueries {
         |  floor(CAST(sum(CASE WHEN lag <= 90 THEN 1 ELSE 0 END)
         |      AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    * 1000000.0 + 0.5) / 1000000.0 AS sla_90d
-        |FROM lag GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lag GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q302_promo_share" ->
+      """WITH t AS (SELECT
+        |    CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+        |      AS ship_month,
+        |    p_type,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+        |      + 0.5) AS BIGINT) AS rc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT ship_month, CAST(count(*) AS BIGINT) AS n_lines,
+        |  floor(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rc
+        |      ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(rc) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS promo_share_pct
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q303_cust_order_histogram" ->
+      """WITH pc AS (SELECT c_custkey,
+        |    CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM pc GROUP BY 1
+        |ORDER BY n_customers DESC, n_orders""".stripMargin,
+
+    "q304_user_lifespan" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(date_diff('day', min(CAST(ts AS DATE)),
+        |      max(CAST(ts AS DATE))) AS BIGINT) AS span,
+        |    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT span, count(*) AS f FROM u GROUP BY 1),
+        |cc AS (SELECT span, f,
+        |    coalesce(sum(f) OVER (ORDER BY span ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cum,
+        |    sum(f) OVER () AS n
+        |  FROM c),
+        |pct AS (SELECT CAST(max(n) AS BIGINT) AS n_users,
+        |    CAST(max(CASE WHEN cum < (n + 1) // 2
+        |      AND cum + f >= (n + 1) // 2 THEN span END) AS BIGINT)
+        |      AS p50_span_days,
+        |    CAST(max(CASE WHEN cum < (9 * n + 9) // 10
+        |      AND cum + f >= (9 * n + 9) // 10 THEN span END) AS BIGINT)
+        |      AS p90_span_days
+        |  FROM cc),
+        |m AS (SELECT CAST(sum(span) AS BIGINT) AS ss,
+        |    CAST(sum(days) AS BIGINT) AS sd,
+        |    CAST(count(*) AS BIGINT) AS nu FROM u)
+        |SELECT n_users, p50_span_days, p90_span_days,
+        |  floor(CAST(ss AS DOUBLE) / CAST(nu AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS mean_span_days,
+        |  floor(CAST(sd AS DOUBLE) / CAST(nu AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS mean_active_days
+        |FROM pct CROSS JOIN m""".stripMargin
   )
 }
