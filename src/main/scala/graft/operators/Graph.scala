@@ -156,4 +156,59 @@ object Graph {
       .orderBy(col("common_neighbors").desc, col("a"), col("b"))
       .limit(k)
   }
+
+  /** k-core: the maximal subgraph in which every node keeps degree ≥ k,
+    * by synchronous iterative peeling — each round drops ALL nodes whose
+    * current degree is < k at once, then re-filters the edge list to
+    * surviving endpoints. Returns (node, core_degree) for the converged
+    * core.
+    *
+    * Scale shape: a round is one degree aggregate plus two node-keyed
+    * semi-join-shaped filters — hash-partitioned on node ids, no windows,
+    * no cartesian. The only driver sync per round is the scalar survivor
+    * count (the convergence test: peeling is monotone, so an unchanged
+    * count means an unchanged set). Lineage is truncated with the same
+    * eager localCheckpoint pattern as `pageRankFixedPoint` every
+    * `checkpointInterval` rounds, so plan size stays bounded however deep
+    * the peel goes; degeneracy-ordered corpora converge in O(peel-depth)
+    * rounds, each a fraction of the previous edge volume.
+    */
+  def kCore(edges: DataFrame, k: Int, srcCol: String = "src",
+            dstCol: String = "dst", maxRounds: Int = 100,
+            checkpointInterval: Int = 4): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, "k, maxRounds >= 1")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    var cur = und
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
+    var survivors = -1L
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      val keep = cur.select(col("a").as("n"))
+        .unionAll(cur.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("n"))
+      val kept = keep.count()
+      if (kept == survivors) done = true
+      else {
+        survivors = kept
+        cur = cur.join(keep.withColumnRenamed("n", "a"), "a")
+          .join(keep.withColumnRenamed("n", "b"), "b")
+          .select(col("a"), col("b"))
+        if (checkpointInterval > 0 && round % checkpointInterval == 0) {
+          cur = cur.localCheckpoint(true)
+          prevCkpt.foreach(_.unpersist(false))
+          prevCkpt = Dedup.checkpointRdd(cur)
+        }
+      }
+    }
+    cur.select(col("a").as("node")).unionAll(cur.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_degree"))
+      .filter(col("core_degree") >= k)
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.core.Tables
 import graft.queries.QueryUtils.{decSum, fr}
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1751,6 +1751,30 @@ object ExtensionQueries {
         .filter(col("dl") <= 5)
         .select(col("a"), col("b"), col("dl"), col("lev"))
         .orderBy("a", "b")
+    },
+
+    // 2-core of the q290 co-activity graph (Graph.kCore): iteratively
+    // peel degree-<2 nodes until the maximal subgraph where everyone
+    // keeps ≥2 co-activity partners remains — the standard prefilter
+    // before community/triangle analytics (degree-1 tendrils can't be in
+    // any cycle). Synchronous peeling converges in peel-depth rounds;
+    // the oracle replays the identical simultaneous-removal rounds
+    // unrolled (8 covers the gate's depth with margin — extra rounds
+    // past convergence are no-ops on both engines).
+    "q309_kcore" -> { (s, d) =>
+      val act = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("h"))
+        .distinct()
+      val edges = act
+        .join(act.select(col("user_id").as("v"), col("event_type"),
+          col("h")), Seq("event_type", "h"))
+        .filter(col("user_id") < col("v"))
+        .select(col("user_id").as("src"), col("v").as("dst"))
+        .distinct()
+      Graph.kCore(edges, 2)
+        .select(col("node").as("user_id"), col("core_degree"))
+        .orderBy("user_id")
     }
   )
 
@@ -3503,8 +3527,39 @@ object ExtensionQueries {
         |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
         |FROM n a JOIN n b ON a.p_name < b.p_name
         |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 5
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+
+    "q309_kcore" -> kCoreUnrolledSql(k = 2, rounds = 8)
   )
+
+  /** q309 oracle: the synchronous peel unrolled — round i drops every
+    * node whose degree in e(i-1) is < k, then keeps only edges between
+    * survivors. `rounds` must cover the gate data's peel depth; rounds
+    * past convergence are no-ops, so overshooting is safe (and cheap —
+    * the edge set has stopped shrinking).
+    */
+  private def kCoreUnrolledSql(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT n FROM (SELECT n, count(*) AS dg
+         |    FROM (SELECT a AS n FROM e${i - 1}
+         |      UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1)
+         |  WHERE dg >= $k),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+         |  WHERE a IN (SELECT n FROM s$i) AND b IN (SELECT n FROM s$i)),"""
+        .stripMargin
+    }.mkString("\n")
+    s"""WITH act AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+       |    date_trunc('minute', ts) AS h FROM events),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.user_id AS a, b.user_id AS b
+       |  FROM act a JOIN act b ON a.event_type = b.event_type
+       |    AND a.h = b.h AND a.user_id < b.user_id),
+       |$peels
+       |core AS (SELECT n, count(*) AS dg
+       |  FROM (SELECT a AS n FROM e$rounds
+       |    UNION ALL SELECT b FROM e$rounds) GROUP BY 1)
+       |SELECT n AS user_id, CAST(dg AS BIGINT) AS core_degree
+       |FROM core WHERE dg >= $k ORDER BY user_id""".stripMargin
+  }
 
   /** Shared oracle prefix for q112/q113: the full PQ training replay —
     * the q81 snapped-Lloyd kmeans replay with `sub` as one more grouping

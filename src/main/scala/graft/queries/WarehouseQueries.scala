@@ -4923,6 +4923,210 @@ object WarehouseQueries {
             .as("mean_span_days"),
           fr(col("_sd").cast("double") / col("_nu").cast("double"), 4)
             .as("mean_active_days"))
+    },
+
+    // Hampel filter: robust outlier detection on the per-type daily
+    // series via a ±3-day rolling window's median and MAD — the robust
+    // sibling of the z-score screen (q120), immune to the outliers it
+    // hunts. Window values are 4 dp-gridded int64; median and MAD use
+    // the lower-median convention (element (m+1) div 2 of the sorted
+    // window) so every order statistic is an exact integer on both
+    // engines; the single 3·1.4826 = 4.4478 Gaussian-consistency
+    // threshold is written as one literal so both engines compare the
+    // identical double product. The rolling frame is a bounded 7 rows
+    // per day — scan-shaped at any scale.
+    "q305_hampel_filter" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-3, 3)
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(floor(decSum(col("value")).cast("double") / count(lit(1))
+          * lit(10000.0) + lit(0.5)).cast("long").as("_x"))
+        .withColumn("_w", array_sort(collect_list(col("_x")).over(w)))
+        .withColumn("_med", expr("element_at(_w, cast((size(_w) + 1) div 2 as int))"))
+        .withColumn("_devs", array_sort(
+          transform(col("_w"), v => abs(v - col("_med")))))
+        .withColumn("_mad",
+          expr("element_at(_devs, cast((size(_devs) + 1) div 2 as int))"))
+        .withColumn("_dev", abs(col("_x") - col("_med")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("_dev").cast("double")
+            > lit(4.4478) * col("_mad").cast("double"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          fr(max(col("_dev")).cast("double") / lit(10000.0), 4)
+            .as("max_abs_dev"))
+        .orderBy("event_type")
+    },
+
+    // Permutation entropy (Bandt-Pompe, order 3): the ordinal-pattern
+    // complexity of the per-type daily series — how predictable is the
+    // day-over-day shape, the model-free cousin of ACF (q167) and
+    // burstiness (q153). Each consecutive triple of 4 dp-gridded ints
+    // maps to one of 27 tie-aware comparison codes (3 three-way signs,
+    // base-3); pattern counts are exact ints and the Shannon fold runs
+    // in pattern-code order (q161 rule), normalized by ln 6 — the 6
+    // tie-free patterns of order 3.
+    "q306_permutation_entropy" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      def sgn(a: Column, b: Column): Column =
+        when(a > b, 2L).when(a === b, 1L).otherwise(0L)
+      val pat = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(floor(decSum(col("value")).cast("double") / count(lit(1))
+          * lit(10000.0) + lit(0.5)).cast("long").as("_x2"))
+        .withColumn("_x0", lag(col("_x2"), 2).over(w))
+        .withColumn("_x1", lag(col("_x2"), 1).over(w))
+        .filter(col("_x0").isNotNull)
+        .withColumn("_p", sgn(col("_x1"), col("_x0")) * 9
+          + sgn(col("_x2"), col("_x1")) * 3 + sgn(col("_x2"), col("_x0")))
+        .groupBy(col("event_type"), col("_p"))
+        .agg(count(lit(1)).as("_np"))
+      val tn = pat.groupBy(col("event_type")).agg(sum(col("_np")).as("_n"))
+      pat.join(tn, Seq("event_type"))
+        .withColumn("_term",
+          -(col("_np").cast("double") / col("_n").cast("double"))
+            * log(col("_np").cast("double") / col("_n").cast("double")))
+        .groupBy(col("event_type"))
+        .agg(max(col("_n")).as("n_triples"), count(lit(1)).as("n_patterns"),
+          aggregate(transform(array_sort(collect_list(
+            struct(col("_p"), col("_term")))), e => e.getField("_term")),
+            lit(0.0), (a, x) => a + x).as("_h"))
+        .select(col("event_type"), col("n_triples"), col("n_patterns"),
+          fr(col("_h"), 6).as("perm_entropy"),
+          fr(col("_h") / log(lit(6.0)), 6).as("norm_entropy"))
+        .orderBy("event_type")
+    },
+
+    // Cochran's Q: do the k event types occur with equal probability
+    // within user-day blocks? The repeated-measures extension of
+    // McNemar (q282) to k binary treatments — blocks are user-days
+    // (user-level reach saturates at 100%), x_bj = "type j occurred
+    // that user-day". Q = (k-1)·Σ_j(kC_j - N)² / (k·(kΣR - ΣR²)) keeps
+    // every sum exact int64 (column/row totals ≤ user-days; the squared
+    // deviations ≤ ~1e12); the single division is the only double. Two
+    // scans of the distinct (user, day, type) triples — scan-shaped,
+    // fixed-size aggregates only.
+    "q307_cochran_q" -> { (s, d) =>
+      val x = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"),
+          col("event_type")).distinct()
+      val kdf = x.agg(countDistinct(col("event_type")).as("_k"))
+      val rsum = x.groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("_r"))
+        .agg(count(lit(1)).as("_nb"), sum(col("_r")).as("_n"),
+          sum(col("_r") * col("_r")).as("_rr"))
+      val csum = x.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_c"))
+        .crossJoin(kdf).crossJoin(rsum)
+        .agg(sum((col("_k") * col("_c") - col("_n"))
+          * (col("_k") * col("_c") - col("_n"))).as("_devsq"))
+      kdf.crossJoin(rsum).crossJoin(csum)
+        .select(col("_k").as("k_treatments"), col("_nb").as("n_blocks"),
+          (col("_k") - lit(1)).as("dof"),
+          fr((col("_k") - lit(1)).cast("double") * col("_devsq")
+            .cast("double")
+            / (col("_k").cast("double")
+              * (col("_k") * col("_n") - col("_rr")).cast("double")), 6)
+            .as("q_stat"))
+    },
+
+    // Croston's method: intermittent-demand forecasting over the sparse
+    // per-part daily demand series — the forecasting shape warehouses
+    // actually need for slow movers, where Holt (q192) on the raw
+    // (mostly-zero) series is biased. Demand sizes and inter-demand
+    // gaps each get an α=0.2 EWMA over NONZERO demand days only (the
+    // q168 fold, exact ints in, identical IEEE sequence on both
+    // engines); the forecast per period is their ratio. Per-part
+    // ordered lists are bounded by that part's demand days — the fold
+    // never sees the calendar grid.
+    "q308_croston" -> { (s, d) =>
+      val wp = Window.partitionBy(col("l_partkey")).orderBy(col("day"))
+      def ewma(c: Column): Column = {
+        val vs = transform(array_sort(c), e => e.getField("_v"))
+        aggregate(
+          slice(vs, lit(2), greatest(size(vs) - 1, lit(0))),
+          element_at(vs, 1),
+          (acc, x) => lit(0.2) * x + lit(0.8) * acc)
+      }
+      Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_shipdate").as("day"))
+        .agg((decSum(col("l_quantity")) * lit(10000))
+          .cast("long").as("_q"))
+        .withColumn("_gap",
+          datediff(col("day"), lag(col("day"), 1).over(wp)).cast("long"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_demands"),
+          ewma(collect_list(struct(col("day"),
+            col("_q").cast("double").as("_v")))).as("_z"),
+          ewma(collect_list(when(col("_gap").isNotNull,
+            struct(col("day"), col("_gap").cast("double").as("_v")))))
+            .as("_p"))
+        .filter(col("n_demands") >= 2)
+        .select(col("l_partkey"), col("n_demands"),
+          fr(col("_z") / lit(10000.0), 6).as("z_smooth"),
+          fr(col("_p"), 6).as("p_smooth"),
+          fr(col("_z") / lit(10000.0) / col("_p"), 6)
+            .as("croston_forecast"))
+        .orderBy("l_partkey")
+    },
+
+    // Two-group log-rank test on time-to-first-purchase: do the A/B
+    // arms (user_id parity, the q193 split) convert at the same rate?
+    // The hypothesis-test companion to the Kaplan-Meier curve (q226):
+    // at each distinct conversion day, observed arm-1 conversions vs
+    // the at-risk-proportional expectation, with the hypergeometric
+    // variance. At-risk counts come from a reverse-cumulative census
+    // over distinct times (never a per-user correlated scan); E and V
+    // terms fold in time order (q161 rule). Censoring: users who never
+    // purchase are censored at their last active day.
+    "q310_logrank" -> { (s, d) =>
+      val su = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts").cast("date")).as("_d0"),
+          max(col("ts").cast("date")).as("_dmax"),
+          min(when(col("event_type") === "purchase",
+            col("ts").cast("date"))).as("_dp"))
+        .select((col("user_id") % 2).as("_arm"),
+          when(col("_dp").isNotNull, datediff(col("_dp"), col("_d0")))
+            .otherwise(datediff(col("_dmax"), col("_d0")))
+            .cast("long").as("_t"),
+          when(col("_dp").isNotNull, 1L).otherwise(0L).as("_death"))
+      val census = su.groupBy(col("_t"))
+        .agg(count(lit(1)).as("_f"),
+          sum(when(col("_arm") === 1, 1L).otherwise(0L)).as("_f1"),
+          sum(col("_death")).as("_dt"),
+          sum(when(col("_arm") === 1, col("_death")).otherwise(0L))
+            .as("_d1t"))
+      val wDesc = Window.orderBy(col("_t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val atrisk = census
+        .withColumn("_nt", sum(col("_f")).over(wDesc))
+        .withColumn("_n1t", sum(col("_f1")).over(wDesc))
+        .filter(col("_dt") > 0)
+      val terms = atrisk
+        .withColumn("_e1", col("_dt").cast("double")
+          * col("_n1t").cast("double") / col("_nt").cast("double"))
+        .withColumn("_v", when(col("_nt") > 1,
+          col("_dt").cast("double")
+            * (col("_n1t").cast("double") / col("_nt").cast("double"))
+            * (lit(1.0) - col("_n1t").cast("double")
+              / col("_nt").cast("double"))
+            * ((col("_nt") - col("_dt")).cast("double")
+              / (col("_nt") - lit(1)).cast("double"))).otherwise(lit(0.0)))
+      def fold(c: String): Column =
+        aggregate(transform(array_sort(collect_list(
+          struct(col("_t"), col(c)))), e => e.getField(c)),
+          lit(0.0), (a, x) => a + x)
+      val nu = su.agg(count(lit(1)).as("n_users"))
+      terms.agg(sum(col("_dt")).as("n_events"), sum(col("_d1t")).as("o1"),
+          fold("_e1").as("_se"), fold("_v").as("_sv"))
+        .crossJoin(nu)
+        .select(col("n_users"), col("n_events"), col("o1"),
+          fr(col("_se"), 6).as("e1"),
+          fr((col("o1").cast("double") - col("_se"))
+            * (col("o1").cast("double") - col("_se")) / col("_sv"), 6)
+            .as("logrank_chi2"))
     }
   )
 
@@ -9196,6 +9400,150 @@ object WarehouseQueries {
         |    * 10000.0 + 0.5) / 10000.0 AS mean_span_days,
         |  floor(CAST(sd AS DOUBLE) / CAST(nu AS DOUBLE)
         |    * 10000.0 + 0.5) / 10000.0 AS mean_active_days
-        |FROM pct CROSS JOIN m""".stripMargin
+        |FROM pct CROSS JOIN m""".stripMargin,
+
+    "q305_hampel_filter" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 10000.0 + 0.5) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, x,
+        |    list_sort(list(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS win
+        |  FROM daily),
+        |h AS (SELECT event_type, day, x,
+        |    win[(len(win) + 1) // 2] AS med,
+        |    list_sort(list_transform(win,
+        |      v -> abs(v - win[(len(win) + 1) // 2]))) AS devs
+        |  FROM w),
+        |f AS (SELECT event_type, x, med,
+        |    devs[(len(devs) + 1) // 2] AS mad,
+        |    abs(x - med) AS dev
+        |  FROM h)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(CASE WHEN CAST(dev AS DOUBLE) >
+        |    4.4478 * CAST(mad AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  floor(CAST(max(dev) AS DOUBLE) / 10000.0 * 10000.0 + 0.5)
+        |    / 10000.0 AS max_abs_dev
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q306_permutation_entropy" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 10000.0 + 0.5) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tri AS (SELECT event_type,
+        |    lag(x, 2) OVER w AS x0, lag(x, 1) OVER w AS x1, x AS x2
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |pat AS (SELECT event_type,
+        |    (CASE WHEN x1 > x0 THEN 2 WHEN x1 = x0 THEN 1 ELSE 0 END) * 9
+        |    + (CASE WHEN x2 > x1 THEN 2 WHEN x2 = x1 THEN 1 ELSE 0 END) * 3
+        |    + (CASE WHEN x2 > x0 THEN 2 WHEN x2 = x0 THEN 1 ELSE 0 END)
+        |      AS p
+        |  FROM tri WHERE x0 IS NOT NULL),
+        |cnt AS (SELECT event_type, p, CAST(count(*) AS BIGINT) AS np
+        |  FROM pat GROUP BY 1, 2),
+        |tn AS (SELECT event_type, CAST(sum(np) AS BIGINT) AS n
+        |  FROM cnt GROUP BY 1),
+        |terms AS (SELECT c.event_type, c.p,
+        |    - (CAST(c.np AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |      * ln(CAST(c.np AS DOUBLE) / CAST(t.n AS DOUBLE)) AS term
+        |  FROM cnt c JOIN tn t USING (event_type))
+        |SELECT tr.event_type, CAST(max(t.n) AS BIGINT) AS n_triples,
+        |  CAST(count(*) AS BIGINT) AS n_patterns,
+        |  floor(list_sum(list(term ORDER BY p)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS perm_entropy,
+        |  floor(list_sum(list(term ORDER BY p)) / ln(6.0) * 1000000.0
+        |    + 0.5) / 1000000.0 AS norm_entropy
+        |FROM terms tr JOIN tn t ON tr.event_type = t.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q307_cochran_q" ->
+      """WITH x AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+        |    event_type FROM events),
+        |k AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+        |  FROM events),
+        |rs AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(r) AS BIGINT) AS n, CAST(sum(r * r) AS BIGINT) AS rr
+        |  FROM (SELECT user_id, day, CAST(count(*) AS BIGINT) AS r
+        |    FROM x GROUP BY 1, 2)),
+        |cs AS (SELECT CAST(sum((k.k * c.c - r.n) * (k.k * c.c - r.n))
+        |      AS BIGINT) AS devsq
+        |  FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+        |    FROM x GROUP BY 1) c CROSS JOIN k CROSS JOIN rs r)
+        |SELECT k.k AS k_treatments, r.nb AS n_blocks, k.k - 1 AS dof,
+        |  floor(CAST(k.k - 1 AS DOUBLE) * CAST(c.devsq AS DOUBLE)
+        |    / (CAST(k.k AS DOUBLE) * CAST(k.k * r.n - r.rr AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS q_stat
+        |FROM k CROSS JOIN rs r CROSS JOIN cs c""".stripMargin,
+
+    "q308_croston" ->
+      """WITH dem AS (SELECT l_partkey, l_shipdate AS day,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) * 10000
+        |      AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |g AS (SELECT l_partkey, day, q,
+        |    date_diff('day',
+        |      lag(day) OVER (PARTITION BY l_partkey ORDER BY day), day)
+        |      AS gap
+        |  FROM dem),
+        |f AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_demands,
+        |    list_reduce(list(CAST(q AS DOUBLE) ORDER BY day),
+        |      (a, b) -> 0.2 * b + 0.8 * a) AS z,
+        |    list_reduce(list(CAST(gap AS DOUBLE) ORDER BY day)
+        |        FILTER (WHERE gap IS NOT NULL),
+        |      (a, b) -> 0.2 * b + 0.8 * a) AS p
+        |  FROM g GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT l_partkey, n_demands,
+        |  floor(z / 10000.0 * 1000000.0 + 0.5) / 1000000.0 AS z_smooth,
+        |  floor(p * 1000000.0 + 0.5) / 1000000.0 AS p_smooth,
+        |  floor(z / 10000.0 / p * 1000000.0 + 0.5) / 1000000.0
+        |    AS croston_forecast
+        |FROM f ORDER BY l_partkey""".stripMargin,
+
+    "q310_logrank" ->
+      """WITH s AS (SELECT user_id % 2 AS arm,
+        |    CAST(CASE WHEN dp IS NOT NULL THEN date_diff('day', d0, dp)
+        |      ELSE date_diff('day', d0, dmax) END AS BIGINT) AS t,
+        |    CAST(CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |      AS death
+        |  FROM (SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+        |      max(CAST(ts AS DATE)) AS dmax,
+        |      min(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(ts AS DATE) END) AS dp
+        |    FROM events GROUP BY 1)),
+        |census AS (SELECT t, CAST(count(*) AS BIGINT) AS f,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f1,
+        |    CAST(sum(death) AS BIGINT) AS dt,
+        |    CAST(sum(CASE WHEN arm = 1 THEN death ELSE 0 END) AS BIGINT)
+        |      AS d1t
+        |  FROM s GROUP BY 1),
+        |atrisk AS (SELECT t, dt, d1t,
+        |    sum(f) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS nt,
+        |    sum(f1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS n1t
+        |  FROM census),
+        |terms AS (SELECT t, dt, d1t,
+        |    CAST(dt AS DOUBLE) * CAST(n1t AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      AS e1,
+        |    CASE WHEN nt > 1 THEN CAST(dt AS DOUBLE)
+        |      * (CAST(n1t AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (1.0 - CAST(n1t AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE))
+        |      ELSE 0.0 END AS v
+        |  FROM atrisk WHERE dt > 0),
+        |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM s)
+        |SELECT n_users, CAST(sum(dt) AS BIGINT) AS n_events,
+        |  CAST(sum(d1t) AS BIGINT) AS o1,
+        |  floor(list_sum(list(e1 ORDER BY t)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS e1,
+        |  floor((CAST(sum(d1t) AS DOUBLE) - list_sum(list(e1 ORDER BY t)))
+        |    * (CAST(sum(d1t) AS DOUBLE) - list_sum(list(e1 ORDER BY t)))
+        |    / list_sum(list(v ORDER BY t)) * 1000000.0 + 0.5) / 1000000.0
+        |    AS logrank_chi2
+        |FROM terms CROSS JOIN nu GROUP BY n_users""".stripMargin
   )
 }

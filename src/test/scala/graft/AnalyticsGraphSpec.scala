@@ -236,4 +236,30 @@ class AnalyticsGraphSpec extends SparkSpec {
     assert(r.getAs[Long]("edit_dist") == 3L)
     assert(math.abs(r.getAs[Double]("edit_sim") - (1.0 - 3.0 / 7)) < 1e-12)
   }
+
+  test("kCore: triangle survives a two-round tendril peel; 3-core empty") {
+    // triangle {1,2,3} with a path tendril 3-4-5: round 1 peels 5
+    // (degree 1), round 2 peels the now-exposed 4 — a genuinely
+    // multi-round peel, not a single filter
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val core = Graph.kCore(edges, 2).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(core == Seq((1L, 2L), (2L, 2L), (3L, 2L)),
+      s"2-core must be exactly the triangle at degree 2: $core")
+    assert(Graph.kCore(edges, 3).count() == 0L,
+      "no node keeps 3 neighbors once peeling cascades")
+  }
+
+  test("kCore: deep path peel stays plan-bounded via checkpoints") {
+    // a 21-node path peels from both ends, one layer per round (~10
+    // rounds): with interval 4 the converged frame must be rooted in a
+    // localCheckpoint snapshot, not 10 rounds of join lineage
+    val path = (0L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    val core = Graph.kCore(path, 2, checkpointInterval = 4)
+    assert(core.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }.nonEmpty, "frame must be rooted in a localCheckpoint snapshot")
+    assert(core.count() == 0L, "a path has no 2-core")
+  }
 }
