@@ -1004,6 +1004,48 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q305-q310: robust-stats/forecast/survival families keep scale-safe shapes") {
+    // q305/q306: rolling/lag windows run per event_type on the daily
+    // grid (30 rows/type), never over raw event rows
+    for (q <- Seq("q305_hampel_filter", "q306_permutation_entropy")) {
+      val w = plan(graft.queries.WarehouseQueries.defs(q)(spark, d))
+        .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+      assert(w.nonEmpty && w.forall(l =>
+        l.contains("event_type") && !l.contains("event_id")),
+        s"$q windows run per-type on the daily grid:\n${w.mkString("\n")}")
+    }
+    // q307: fixed-size integer aggregates only — no window anywhere
+    val p307 = plan(graft.queries.WarehouseQueries
+      .defs("q307_cochran_q")(spark, d))
+    assert(!p307.contains("windowspecdefinition"),
+      s"q307 is aggregate-only, no window expected:\n$p307")
+    // q308: the gap window keys on l_partkey over per-part demand days,
+    // never on line items
+    val w308 = plan(graft.queries.WarehouseQueries
+      .defs("q308_croston")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(w308.nonEmpty && w308.forall(l =>
+      l.contains("l_partkey") && !l.contains("l_linenumber")),
+      s"q308 windows key on part over demand days:\n${w308.mkString("\n")}")
+    // q310: the reverse-cumulative at-risk window runs over the distinct-
+    // time census (≤31 rows), never over per-user or per-event rows
+    val w310 = plan(graft.queries.WarehouseQueries
+      .defs("q310_logrank")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(w310.nonEmpty && w310.forall(l =>
+      !l.contains("user_id") && !l.contains("event_id")),
+      s"q310 windows over the time census only:\n${w310.mkString("\n")}")
+    // q309: every peel round is keyed joins + aggregates — the converged
+    // core frame must contain no cartesian and no window
+    val p309 = plan(graft.queries.ExtensionQueries
+      .defs("q309_kcore")(spark, d))
+    assert(!p309.contains("CartesianProduct") &&
+      !p309.contains("BroadcastNestedLoopJoin"),
+      s"q309 kCore must stay keyed-join shaped:\n$p309")
+    assert(!p309.contains("windowspecdefinition"),
+      s"q309 kCore needs no window:\n$p309")
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
