@@ -211,4 +211,52 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("core_degree"))
       .filter(col("core_degree") >= k)
   }
+
+  /** Synchronous label propagation (community detection): every node
+    * starts as its own community; each round ALL nodes simultaneously
+    * adopt their neighbors' most frequent label, ties to the smallest
+    * label — fully deterministic, so a SQL oracle can replay the rounds
+    * exactly (the usual async/random-order LPA is not). Nodes with no
+    * neighbors keep their own label. Returns (node, community) after
+    * `rounds` rounds.
+    *
+    * Scale shape: a round is one neighbor-label join + a two-level hash
+    * aggregate — the (count desc, label asc) argmax is `min(struct(-c,
+    * lab))`, scalar-only so the partial aggregate collapses votes
+    * map-side (the pqAssign rule), never a per-node sort window. Lineage
+    * truncates on the pageRank checkpoint pattern.
+    */
+  def labelPropagation(nodes: DataFrame, nodeCol: String,
+                       edges: DataFrame, srcCol: String = "src",
+                       dstCol: String = "dst", rounds: Int = 3,
+                       checkpointInterval: Int = 8): DataFrame = {
+    require(rounds >= 1, "rounds >= 1")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+    val n = nodes.select(col(nodeCol).as("u"))
+    var labels = n.withColumn("lab", col("u"))
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
+    for (i <- 1 to rounds) {
+      val votes = sym
+        .join(labels.withColumnRenamed("u", "v"), "v")
+        .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(min(struct(-col("c"), col("lab"))).as("_m"))
+        .select(col("u"), col("_m.lab").as("_new"))
+      labels = n.join(votes, Seq("u"), "left")
+        .select(col("u"), coalesce(col("_new"), col("u")).as("lab"))
+      if (checkpointInterval > 0 && i % checkpointInterval == 0 &&
+          i < rounds) {
+        labels = labels.localCheckpoint(true)
+        prevCkpt.foreach(_.unpersist(false))
+        prevCkpt = Dedup.checkpointRdd(labels)
+      }
+    }
+    labels.select(col("u").as("node"), col("lab").as("community"))
+  }
 }

@@ -1775,6 +1775,31 @@ object ExtensionQueries {
       Graph.kCore(edges, 2)
         .select(col("node").as("user_id"), col("core_degree"))
         .orderBy("user_id")
+    },
+
+    // Community detection via 3 rounds of deterministic synchronous
+    // label propagation (Graph.labelPropagation) over the q290
+    // co-activity graph: every node adopts its neighbors' most frequent
+    // label, ties to the smallest — a replayable variant of LPA (the
+    // usual random-order async walk can't have a SQL oracle). The
+    // per-node community assignment is the output; the argmax is a
+    // scalar-only min(struct(-count, label)) hash aggregate per round,
+    // never a sort window.
+    "q314_label_propagation" -> { (s, d) =>
+      val act = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("h"))
+        .distinct()
+      val edges = act
+        .join(act.select(col("user_id").as("v"), col("event_type"),
+          col("h")), Seq("event_type", "h"))
+        .filter(col("user_id") < col("v"))
+        .select(col("user_id").as("src"), col("v").as("dst"))
+        .distinct()
+      val nodes = Tables.events(s, d).select(col("user_id")).distinct()
+      Graph.labelPropagation(nodes, "user_id", edges, rounds = 3)
+        .select(col("node").as("user_id"), col("community"))
+        .orderBy("user_id")
     }
   )
 
@@ -3529,8 +3554,43 @@ object ExtensionQueries {
         |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 5
         |ORDER BY a, b""".stripMargin,
 
-    "q309_kcore" -> kCoreUnrolledSql(k = 2, rounds = 8)
+    "q309_kcore" -> kCoreUnrolledSql(k = 2, rounds = 8),
+
+    "q314_label_propagation" -> lpaUnrolledSql(rounds = 3)
   )
+
+  /** q314 oracle: the synchronous LPA rounds unrolled — each round every
+    * node simultaneously takes its neighbors' (count desc, label asc)
+    * argmax label from the PREVIOUS round's frame; isolated nodes keep
+    * their own. QUALIFY keeps the max-count labels, min() breaks ties.
+    */
+  private def lpaUnrolledSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT n.u, coalesce(v.lab, n.u) AS lab
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT u, min(lab) AS lab FROM (
+         |      SELECT s.u, l.lab, count(*) AS c
+         |      FROM sym s JOIN l${i - 1} l ON s.v = l.u
+         |      GROUP BY s.u, l.lab
+         |      QUALIFY c = max(c) OVER (PARTITION BY s.u))
+         |    GROUP BY u) v ON n.u = v.u),"""
+        .stripMargin
+    }.mkString("\n")
+    s"""WITH act AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+       |    date_trunc('minute', ts) AS h FROM events),
+       |e AS MATERIALIZED (SELECT DISTINCT a.user_id AS a, b.user_id AS b
+       |  FROM act a JOIN act b ON a.event_type = b.event_type
+       |    AND a.h = b.h AND a.user_id < b.user_id),
+       |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM e
+       |  UNION ALL SELECT b, a FROM e),
+       |nodes AS MATERIALIZED (SELECT DISTINCT user_id AS u FROM events),
+       |l0 AS MATERIALIZED (SELECT u, u AS lab FROM nodes),
+       |$steps
+       |sel AS (SELECT u, lab FROM l$rounds)
+       |SELECT u AS user_id, CAST(lab AS BIGINT) AS community
+       |FROM sel ORDER BY user_id""".stripMargin
+  }
 
   /** q309 oracle: the synchronous peel unrolled — round i drops every
     * node whose degree in e(i-1) is < k, then keeps only edges between

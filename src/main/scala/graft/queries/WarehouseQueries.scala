@@ -5127,6 +5127,178 @@ object WarehouseQueries {
           fr((col("o1").cast("double") - col("_se"))
             * (col("o1").cast("double") - col("_se")) / col("_sv"), 6)
             .as("logrank_chi2"))
+    },
+
+    // Turning-point randomness test per event type: count strict local
+    // extrema of the daily series and compare with the i.i.d.
+    // expectation E[T] = 2(n-2)/3, Var[T] = (16n-29)/90 — the
+    // peak/trough complement to the sign-based runs test (q222). Counts
+    // are exact ints off lag/lead over the bounded daily grid; the z is
+    // the only double math.
+    "q311_turning_points" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(floor(decSum(col("value")).cast("double") / count(lit(1))
+          * lit(10000.0) + lit(0.5)).cast("long").as("_x"))
+        .withColumn("_xp", lag(col("_x"), 1).over(w))
+        .withColumn("_xn", lead(col("_x"), 1).over(w))
+        .filter(col("_xp").isNotNull && col("_xn").isNotNull)
+        .groupBy(col("event_type"))
+        .agg((count(lit(1)) + lit(2)).as("_n"),
+          sum(when((col("_x") > col("_xp") && col("_x") > col("_xn"))
+            || (col("_x") < col("_xp") && col("_x") < col("_xn")), 1L)
+            .otherwise(0L)).as("_t"))
+        .select(col("event_type"), col("_n").as("n_days"),
+          col("_t").as("turning_points"),
+          fr(lit(2.0) * (col("_n") - lit(2)).cast("double") / lit(3.0), 4)
+            .as("expected_tp"),
+          fr((col("_t").cast("double")
+            - lit(2.0) * (col("_n") - lit(2)).cast("double") / lit(3.0))
+            / sqrt((lit(16.0) * col("_n").cast("double") - lit(29.0))
+              / lit(90.0)), 4).as("z"))
+        .orderBy("event_type")
+    },
+
+    // Gumbel fit on weekly block maxima (extreme value theory): method-
+    // of-moments location/scale from the exact integer maxima of the
+    // daily grid, plus the 99% return level — the tail-risk view beside
+    // historical VaR (q170), which never extrapolates past the sample.
+    // γ and √6/π enter as single literals so both engines multiply the
+    // identical constants; sqrt is IEEE-correctly-rounded, so the only
+    // libm risk is absorbed by the 4 dp grid.
+    "q312_gumbel_maxima" -> { (s, d) =>
+      val c6pi = lit(0.7796968012336761)  // sqrt(6)/pi
+      val gamma = lit(0.5772156649015329) // Euler-Mascheroni
+      val q99 = lit(4.600149226776579)    // -ln(-ln 0.99)
+      val mom = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(floor(decSum(col("value")).cast("double") / count(lit(1))
+          * lit(10000.0) + lit(0.5)).cast("long").as("_x"))
+        .groupBy(col("event_type"),
+          floor(datediff(col("day"), lit("2024-01-01").cast("date"))
+            / lit(7)).cast("long").as("_w"))
+        .agg(max(col("_x")).as("_m"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_nb"), sum(col("_m")).as("_s"),
+          sum(col("_m") * col("_m")).as("_ss"))
+      val fit = mom
+        .withColumn("_mean", col("_s").cast("double")
+          / col("_nb").cast("double") / lit(10000.0))
+        .withColumn("_sd", sqrt((col("_nb") * col("_ss")
+          - col("_s") * col("_s")).cast("double")
+          / (col("_nb") * (col("_nb") - 1)).cast("double")) / lit(10000.0))
+      fit.select(col("event_type"), col("_nb").as("n_blocks"),
+          fr(col("_mean") - gamma * (col("_sd") * c6pi), 4)
+            .as("gumbel_mu"),
+          fr(col("_sd") * c6pi, 4).as("gumbel_beta"),
+          fr(col("_mean") - gamma * (col("_sd") * c6pi)
+            + col("_sd") * c6pi * q99, 4).as("ret_level_p99"))
+        .orderBy("event_type")
+    },
+
+    // Record-day census per event type: strict running-maximum days of
+    // the daily series vs the i.i.d. expectation H_n (records in a
+    // random permutation) — "is the metric still setting highs at the
+    // rate chance predicts, or trending?" The harmonic sum folds over
+    // sequence(1..n) in index order on both engines.
+    "q313_record_days" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(floor(decSum(col("value")).cast("double") / count(lit(1))
+          * lit(10000.0) + lit(0.5)).cast("long").as("_x"))
+        .withColumn("_pm", max(col("_x")).over(w))
+        .withColumn("_rec",
+          col("_pm").isNull || col("_x") > col("_pm"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("_rec"), 1L).otherwise(0L)).as("n_records"),
+          max(when(col("_rec"), col("day"))).as("last_record_day"))
+        .withColumn("expected_records",
+          fr(aggregate(transform(sequence(lit(1), col("n_days").cast("int")),
+            i => lit(1.0) / i.cast("double")), lit(0.0), (a, x) => a + x),
+            6))
+        .select(col("event_type"), col("n_days"), col("n_records"),
+          col("expected_records"), col("last_record_day"))
+        .orderBy("event_type")
+    },
+
+    // Weibull reliability fit on time-to-first-purchase (t = days + 1 so
+    // day-one converters stay in the log domain): Bernard median ranks
+    // F_i = (i - 0.3)/(n + 0.4) over the cumulated census, then the
+    // Weibull-plot OLS of ln(-ln(1-F)) on ln t gives shape k and scale
+    // λ = exp(-b/k) — the parametric companion to the nonparametric
+    // KM/log-rank pair (q226/q310). Regression sums fold in t order
+    // over the bounded distinct-time census.
+    "q315_weibull_fit" -> { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts").cast("date")).as("_d0"),
+          min(when(col("event_type") === "purchase",
+            col("ts").cast("date"))).as("_dp"))
+        .filter(col("_dp").isNotNull)
+        .select((datediff(col("_dp"), col("_d0")) + lit(1))
+          .cast("long").as("_t"))
+      val wAsc = Window.orderBy(col("_t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cc = u.groupBy(col("_t")).agg(count(lit(1)).as("_f"))
+        .withColumn("_i", sum(col("_f")).over(wAsc))
+        .withColumn("_n", sum(col("_f")).over(
+          Window.orderBy(col("_t"))
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+      val pts = cc
+        .withColumn("_lx", log(col("_t").cast("double")))
+        .withColumn("_ly", log(-log(lit(1.0)
+          - (col("_i").cast("double") - lit(0.3))
+            / (col("_n").cast("double") + lit(0.4)))))
+      def fold(c: Column): Column =
+        aggregate(transform(array_sort(collect_list(
+          struct(col("_t"), c.as("_v")))), e => e.getField("_v")),
+          lit(0.0), (a, x) => a + x)
+      val sums = pts.agg(count(lit(1)).as("_m"), max(col("_n")).as("_nu"),
+        fold(col("_lx")).as("_sx"), fold(col("_ly")).as("_sy"),
+        fold(col("_lx") * col("_ly")).as("_sxy"),
+        fold(col("_lx") * col("_lx")).as("_sxx"))
+      sums
+        .withColumn("_k", (col("_m").cast("double") * col("_sxy")
+          - col("_sx") * col("_sy"))
+          / (col("_m").cast("double") * col("_sxx")
+            - col("_sx") * col("_sx")))
+        .withColumn("_b", (col("_sy") - col("_k") * col("_sx"))
+          / col("_m").cast("double"))
+        .select(col("_nu").as("n_users"), col("_m").as("n_points"),
+          fr(col("_k"), 4).as("weibull_shape"),
+          fr(exp(-col("_b") / col("_k")), 4).as("weibull_scale"))
+    },
+
+    // Backlog aging snapshot: orders placed by 1997-06-30 with any line
+    // still unshipped at that date, bucketed by order age × priority
+    // with exact cent totals — the point-in-time WIP census beside the
+    // blame view (q251) and the SLA contract view (q300). One semi-join
+    // (EXISTS) against the late lines, then pure aggregates.
+    "q316_backlog_aging" -> { (s, d) =>
+      val snap = lit("1997-06-30").cast("date")
+      val late = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > snap)
+        .select(col("l_orderkey"))
+      val open = Tables.orders(s, d)
+        .filter(col("o_orderdate") <= snap)
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .withColumn("_age", datediff(snap, col("o_orderdate")))
+      open
+        .withColumn("bucket",
+          when(col("_age") <= 30, "a_0_30")
+            .when(col("_age") <= 90, "b_31_90")
+            .when(col("_age") <= 180, "c_91_180")
+            .otherwise("d_180_plus"))
+        .groupBy(col("o_orderpriority"), col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+            .cast("long")).as("value_cents"))
+        .orderBy("o_orderpriority", "bucket")
     }
   )
 
@@ -9544,6 +9716,131 @@ object WarehouseQueries {
         |    * (CAST(sum(d1t) AS DOUBLE) - list_sum(list(e1 ORDER BY t)))
         |    / list_sum(list(v ORDER BY t)) * 1000000.0 + 0.5) / 1000000.0
         |    AS logrank_chi2
-        |FROM terms CROSS JOIN nu GROUP BY n_users""".stripMargin
+        |FROM terms CROSS JOIN nu GROUP BY n_users""".stripMargin,
+
+    "q311_turning_points" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 10000.0 + 0.5) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tri AS (SELECT event_type, lag(x, 1) OVER w AS xp, x,
+        |    lead(x, 1) OVER w AS xn
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |tp AS (SELECT event_type, CAST(count(*) AS BIGINT) + 2 AS n,
+        |    CAST(sum(CASE WHEN (x > xp AND x > xn) OR (x < xp AND x < xn)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS t
+        |  FROM tri WHERE xp IS NOT NULL AND xn IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n AS n_days, t AS turning_points,
+        |  floor(2.0 * CAST(n - 2 AS DOUBLE) / 3.0 * 10000.0 + 0.5)
+        |    / 10000.0 AS expected_tp,
+        |  floor((CAST(t AS DOUBLE) - 2.0 * CAST(n - 2 AS DOUBLE) / 3.0)
+        |    / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)
+        |    * 10000.0 + 0.5) / 10000.0 AS z
+        |FROM tp ORDER BY event_type""".stripMargin,
+
+    "q312_gumbel_maxima" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 10000.0 + 0.5) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |wk AS (SELECT event_type,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01', day) / 7)
+        |      AS BIGINT) AS w, CAST(max(x) AS BIGINT) AS m
+        |  FROM daily GROUP BY 1, 2),
+        |mom AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(m) AS BIGINT) AS s, CAST(sum(m * m) AS BIGINT) AS ss
+        |  FROM wk GROUP BY 1),
+        |fit AS (SELECT event_type, nb,
+        |    CAST(s AS DOUBLE) / CAST(nb AS DOUBLE) / 10000.0 AS mean,
+        |    sqrt(CAST(nb * ss - s * s AS DOUBLE)
+        |      / CAST(nb * (nb - 1) AS DOUBLE)) / 10000.0 AS sd
+        |  FROM mom)
+        |SELECT event_type, nb AS n_blocks,
+        |  floor((mean - 0.5772156649015329 * (sd * 0.7796968012336761))
+        |    * 10000.0 + 0.5) / 10000.0 AS gumbel_mu,
+        |  floor(sd * 0.7796968012336761 * 10000.0 + 0.5) / 10000.0
+        |    AS gumbel_beta,
+        |  floor((mean - 0.5772156649015329 * (sd * 0.7796968012336761)
+        |    + sd * 0.7796968012336761 * 4.600149226776579)
+        |    * 10000.0 + 0.5) / 10000.0 AS ret_level_p99
+        |FROM fit ORDER BY event_type""".stripMargin,
+
+    "q313_record_days" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 10000.0 + 0.5) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, x,
+        |    max(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prevmax
+        |  FROM daily),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN prevmax IS NULL OR x > prevmax
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS recs,
+        |    max(CASE WHEN prevmax IS NULL OR x > prevmax THEN day END)
+        |      AS last_rec
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n AS n_days, recs AS n_records,
+        |  floor(list_sum(list_transform(generate_series(1, CAST(n AS INT)),
+        |    i -> 1.0 / CAST(i AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0
+        |    AS expected_records,
+        |  last_rec AS last_record_day
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    "q315_weibull_fit" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(date_diff('day', min(CAST(ts AS DATE)),
+        |      min(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(ts AS DATE) END)) + 1 AS BIGINT) AS t
+        |  FROM events GROUP BY 1
+        |  HAVING min(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(ts AS DATE) END) IS NOT NULL),
+        |c AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM u GROUP BY 1),
+        |cc AS (SELECT t, f,
+        |    sum(f) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS i,
+        |    sum(f) OVER () AS n
+        |  FROM c),
+        |pts AS (SELECT t, ln(CAST(t AS DOUBLE)) AS lx,
+        |    ln(-ln(1.0 - (CAST(i AS DOUBLE) - 0.3)
+        |      / (CAST(n AS DOUBLE) + 0.4))) AS ly
+        |  FROM cc),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |    list_sum(list(lx ORDER BY t)) AS sx,
+        |    list_sum(list(ly ORDER BY t)) AS sy,
+        |    list_sum(list(lx * ly ORDER BY t)) AS sxy,
+        |    list_sum(list(lx * lx ORDER BY t)) AS sxx
+        |  FROM pts),
+        |n0 AS (SELECT CAST(max(n) AS BIGINT) AS n_users FROM cc),
+        |fit AS (SELECT n_users, m,
+        |    (CAST(m AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(m AS DOUBLE) * sxx - sx * sx) AS k,
+        |    (sy - (CAST(m AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(m AS DOUBLE) * sxx - sx * sx) * sx)
+        |      / CAST(m AS DOUBLE) AS b
+        |  FROM s CROSS JOIN n0)
+        |SELECT n_users, m AS n_points,
+        |  floor(k * 10000.0 + 0.5) / 10000.0 AS weibull_shape,
+        |  floor(exp(-b / k) * 10000.0 + 0.5) / 10000.0 AS weibull_scale
+        |FROM fit""".stripMargin,
+
+    "q316_backlog_aging" ->
+      """WITH open_o AS (SELECT o_orderpriority,
+        |    date_diff('day', o_orderdate, DATE '1997-06-30') AS age,
+        |    o_totalprice
+        |  FROM orders
+        |  WHERE o_orderdate <= DATE '1997-06-30'
+        |    AND EXISTS (SELECT 1 FROM lineitem
+        |      WHERE l_orderkey = o_orderkey
+        |        AND l_shipdate > DATE '1997-06-30'))
+        |SELECT o_orderpriority,
+        |  CASE WHEN age <= 30 THEN 'a_0_30' WHEN age <= 90 THEN 'b_31_90'
+        |    WHEN age <= 180 THEN 'c_91_180' ELSE 'd_180_plus' END
+        |    AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS value_cents
+        |FROM open_o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

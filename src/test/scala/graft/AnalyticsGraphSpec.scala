@@ -251,6 +251,20 @@ class AnalyticsGraphSpec extends SparkSpec {
       "no node keeps 3 neighbors once peeling cascades")
   }
 
+  test("labelPropagation: bridged triangles split, isolated keeps own label") {
+    // two triangles joined by a bridge 3-4, plus isolated node 7: three
+    // deterministic sync rounds settle each triangle on its own minimum
+    // label (hand-traced: ties at round 1 pull toward the smaller ids,
+    // the bridge never overcomes the triangle majority)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val nodes = (1L to 7L).toDF("n")
+    val got = Graph.labelPropagation(nodes, "n", edges, rounds = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 3L), (5L, 3L),
+      (6L, 3L), (7L, 7L)), s"hand-traced LPA mismatch: $got")
+  }
+
   test("kCore: deep path peel stays plan-bounded via checkpoints") {
     // a 21-node path peels from both ends, one layer per round (~10
     // rounds): with interval 4 the converged frame must be rooted in a

@@ -1046,6 +1046,40 @@ class PlanSpec extends SparkSpec {
       s"q309 kCore needs no window:\n$p309")
   }
 
+  test("q311-q316: EVT/records/LPA/backlog families keep scale-safe shapes") {
+    // q311/q313: lag-lead / running-max windows run per event_type on
+    // the daily grid, never over raw events
+    for (q <- Seq("q311_turning_points", "q313_record_days")) {
+      val w = plan(graft.queries.WarehouseQueries.defs(q)(spark, d))
+        .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+      assert(w.nonEmpty && w.forall(l =>
+        l.contains("event_type") && !l.contains("event_id")),
+        s"$q windows run per-type on the daily grid:\n${w.mkString("\n")}")
+    }
+    // q312/q316: pure aggregate pipelines — no window anywhere
+    for (q <- Seq("q312_gumbel_maxima", "q316_backlog_aging")) {
+      val p = plan(graft.queries.WarehouseQueries.defs(q)(spark, d))
+      assert(!p.contains("windowspecdefinition"),
+        s"$q is aggregate-only, no window expected:\n$p")
+    }
+    // q315: median-rank windows run over the distinct-time census only
+    val w315 = plan(graft.queries.WarehouseQueries
+      .defs("q315_weibull_fit")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(w315.nonEmpty && w315.forall(l =>
+      !l.contains("user_id") && !l.contains("event_id")),
+      s"q315 windows over the time census only:\n${w315.mkString("\n")}")
+    // q314: every LPA round is keyed joins + two-level hash aggregates —
+    // no window (the argmax is min(struct)), no cartesian
+    val p314 = plan(graft.queries.ExtensionQueries
+      .defs("q314_label_propagation")(spark, d))
+    assert(!p314.contains("CartesianProduct") &&
+      !p314.contains("BroadcastNestedLoopJoin"),
+      s"q314 LPA must stay keyed-join shaped:\n$p314")
+    assert(!p314.contains("windowspecdefinition"),
+      s"q314 LPA argmax is a hash aggregate, no window:\n$p314")
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
