@@ -377,6 +377,15 @@ object Bench {
     val json =
       f"""{"metric":"etl_pipeline_sec","value":$pipelineSec%.3f,"unit":"sec","pipeline_runs":${faithfulRuns.map(s => f"$s%.3f").mkString("[", ",", "]")},"pipeline_spread":$spread%.2f,"pipeline_discarded":$disc,"contamination":$cont,"correct_mode_sec":$correctSec%.3f,"gc_ms_per_run":${gcPerRun.mkString("[", ",", "]")},"heap_high_water_mb":${heapHighWater / 1048576},"heap_max_mb":${maxHeap / 1048576},"input_rows":$inputRows,"exports":${result.exports.map(_.rows).mkString("[", ",", "]")},"query_errors":$errs,"query_medians":$meds,"queries":$qs,"sf":"$sfDir","alarms":$alarmJson,"etl_pipeline_sec":$pipelineSec%.3f}"""
     println(json)
+    // the driver's stdout capture keeps only the LAST 2000 chars, which
+    // truncates the 300-entry queries map's line into unparseable JSON
+    // (r07/r08 both recorded an empty parsed block). A second, compact
+    // line with every scalar field but no per-query map fits whole inside
+    // any tail window, so a last-line parse succeeds; consumers that want
+    // per-query times read benchOut, which holds the full line.
+    val compact =
+      f"""{"metric":"etl_pipeline_sec","value":$pipelineSec%.3f,"unit":"sec","compact":true,"full_json":"$benchOut","pipeline_runs":${faithfulRuns.map(s => f"$s%.3f").mkString("[", ",", "]")},"pipeline_spread":$spread%.2f,"correct_mode_sec":$correctSec%.3f,"input_rows":$inputRows,"n_queries":${allQueryTimes.size},"query_sec_total":${allQueryTimes.map(_._2).sum}%.1f,"query_errors":$errs,"alarms":$alarmJson,"sf":"$sfDir","etl_pipeline_sec":$pipelineSec%.3f}"""
+    println(compact)
     // the whole line, un-truncatable: the driver (and next round's alarm
     // comparison) read it from here
     try Files.writeString(java.nio.file.Paths.get(benchOut), json + "\n")
