@@ -259,4 +259,61 @@ object Graph {
     }
     labels.select(col("u").as("node"), col("lab").as("community"))
   }
+
+  /** k-truss: the maximal subgraph in which every edge participates in
+    * ≥ k−2 triangles, by synchronous support peeling — each round drops
+    * ALL under-supported edges at once and recomputes. The edge-cohesion
+    * sibling of the node-degree k-core: a k-core can be held together by
+    * hub stars, a k-truss demands actual triangle density. Returns the
+    * surviving (a, b, support) edges, id-ordered a < b.
+    *
+    * Scale shape: support is the triangle wedge join (the q118
+    * machinery) — two keyed equi-joins through the symmetrized adjacency,
+    * then an edge-keyed count; a round adds one inner join back to the
+    * edge list. Driver sync per round is the scalar surviving-edge count;
+    * lineage truncates on the shared localCheckpoint pattern.
+    */
+  def kTruss(edges: DataFrame, k: Int, srcCol: String = "src",
+             dstCol: String = "dst", maxRounds: Int = 100,
+             checkpointInterval: Int = 4): DataFrame = {
+    require(k >= 3 && maxRounds >= 1, "k >= 3, maxRounds >= 1")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    def support(cur: DataFrame): DataFrame = {
+      val sym = cur.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(cur.select(col("b").as("u"), col("a").as("v")))
+      cur
+        .join(sym.select(col("u").as("a"), col("v").as("w")), Seq("a"))
+        .join(sym.select(col("u").as("b"), col("v").as("w")), Seq("b", "w"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    var cur = und
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
+    var edgesLeft = -1L
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      val strong = support(cur).filter(col("support") >= k - 2)
+        .select(col("a"), col("b"))
+      val n = strong.count()
+      if (n == edgesLeft) done = true
+      else {
+        edgesLeft = n
+        cur = cur.join(strong, Seq("a", "b"))
+        if (checkpointInterval > 0 && round % checkpointInterval == 0) {
+          cur = cur.localCheckpoint(true)
+          prevCkpt.foreach(_.unpersist(false))
+          prevCkpt = Dedup.checkpointRdd(cur)
+        }
+      }
+    }
+    cur.join(support(cur), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .filter(col("support") >= k - 2)
+  }
 }

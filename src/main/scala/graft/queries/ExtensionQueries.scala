@@ -1800,6 +1800,29 @@ object ExtensionQueries {
       Graph.labelPropagation(nodes, "user_id", edges, rounds = 3)
         .select(col("node").as("user_id"), col("community"))
         .orderBy("user_id")
+    },
+
+    // 3-truss of the co-activity graph (Graph.kTruss): every surviving
+    // edge sits in ≥1 triangle AMONG surviving edges — edge-cohesion
+    // peeling, the stricter sibling of node-degree k-core (q309): a hub
+    // star survives a 2-core but no truss. Support is the q118 wedge
+    // join; the oracle replays the synchronous support-peel rounds
+    // unrolled (4 covers the gate depth; extra rounds are no-ops).
+    "q320_ktruss" -> { (s, d) =>
+      val act = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("h"))
+        .distinct()
+      val edges = act
+        .join(act.select(col("user_id").as("v"), col("event_type"),
+          col("h")), Seq("event_type", "h"))
+        .filter(col("user_id") < col("v"))
+        .select(col("user_id").as("src"), col("v").as("dst"))
+        .distinct()
+      Graph.kTruss(edges, 3)
+        .select(col("a").as("user_a"), col("b").as("user_b"),
+          col("support"))
+        .orderBy("user_a", "user_b")
     }
   )
 
@@ -3556,8 +3579,46 @@ object ExtensionQueries {
 
     "q309_kcore" -> kCoreUnrolledSql(k = 2, rounds = 8),
 
-    "q314_label_propagation" -> lpaUnrolledSql(rounds = 3)
+    "q314_label_propagation" -> lpaUnrolledSql(rounds = 3),
+
+    "q320_ktruss" -> kTrussUnrolledSql(k = 3, rounds = 4)
   )
+
+  /** q320 oracle: synchronous support peeling unrolled — round i keeps
+    * only edges whose common-neighbor count within e(i-1) is ≥ k−2
+    * (the inner join against the support table drops support-0 edges by
+    * construction). The final select recomputes support on the converged
+    * edge set.
+    */
+  private def kTrussUnrolledSql(k: Int, rounds: Int): String = {
+    def supSql(i: Int): String =
+      s"""sym$i AS MATERIALIZED (SELECT a AS u, b AS v FROM e$i
+         |  UNION ALL SELECT b, a FROM e$i),
+         |sup$i AS MATERIALIZED (SELECT e.a, e.b, count(*) AS sup
+         |  FROM e$i e JOIN sym$i x ON x.u = e.a
+         |  JOIN sym$i y ON y.u = e.b AND y.v = x.v
+         |  GROUP BY e.a, e.b),""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      supSql(i - 1) + "\n" +
+      s"""e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN sup${i - 1} s ON s.a = e.a AND s.b = e.b
+         |    AND s.sup >= ${k - 2}),""".stripMargin
+    }.mkString("\n")
+    s"""WITH act AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+       |    date_trunc('minute', ts) AS h FROM events),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.user_id AS a, b.user_id AS b
+       |  FROM act a JOIN act b ON a.event_type = b.event_type
+       |    AND a.h = b.h AND a.user_id < b.user_id),
+       |$steps
+       |${supSql(rounds)}
+       |fin AS (SELECT 1 AS _one)
+       |SELECT e.a AS user_a, e.b AS user_b,
+       |  CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+       |FROM e$rounds e LEFT JOIN sup$rounds s
+       |  ON s.a = e.a AND s.b = e.b
+       |WHERE coalesce(s.sup, 0) >= ${k - 2}
+       |ORDER BY user_a, user_b""".stripMargin
+  }
 
   /** q314 oracle: the synchronous LPA rounds unrolled — each round every
     * node simultaneously takes its neighbors' (count desc, label asc)

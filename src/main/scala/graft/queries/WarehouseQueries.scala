@@ -5299,6 +5299,125 @@ object WarehouseQueries {
           sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
             .cast("long")).as("value_cents"))
         .orderBy("o_orderpriority", "bucket")
+    },
+
+    // Schuster periodogram per event type: spectral power of the daily
+    // series at candidate periods 2..15 days, reporting the dominant
+    // period — the frequency-domain seasonality detector beside the
+    // time-domain ACF (q167) and STL (q231) views (it finds the weekly
+    // cycle q178 assumes). cos/sin values snap to a 1e-12 grid before
+    // use so a last-ulp libm difference can't reorder the argmax; the
+    // centered series is exact rationals, folds run in day-index order,
+    // and the peak pick is a scalar min(struct(-power, p)) aggregate.
+    "q317_periodogram" -> { (s, d) =>
+      val wt = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wAll = Window.partitionBy(col("event_type"))
+      def snap12(c: Column): Column =
+        floor(c * lit(1000000000000.0) + lit(0.5)) / lit(1000000000000.0)
+      val idx = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(floor(decSum(col("value")).cast("double") / count(lit(1))
+          * lit(10000.0) + lit(0.5)).cast("long").as("_x"))
+        .withColumn("_t", row_number().over(wt).cast("long"))
+        .withColumn("_n", count(lit(1)).over(wAll))
+        .withColumn("_s", sum(col("_x")).over(wAll))
+        .withColumn("_c", (col("_n") * col("_x") - col("_s"))
+          .cast("double") / col("_n").cast("double"))
+      val theta = (lit(2.0) * lit(math.Pi) * col("_t").cast("double")
+        / col("_p").cast("double"))
+      val terms = idx
+        .withColumn("_p", explode(sequence(lit(2), lit(15))))
+        .withColumn("_ct", col("_c") * snap12(cos(theta)))
+        .withColumn("_st", col("_c") * snap12(sin(theta)))
+      def fold(c: Column): Column =
+        aggregate(transform(array_sort(collect_list(
+          struct(col("_t"), c.as("_v")))), e => e.getField("_v")),
+          lit(0.0), (a, x) => a + x)
+      terms.groupBy(col("event_type"), col("_p"))
+        .agg(max(col("_n")).as("_nn"),
+          fold(col("_ct")).as("_sc"), fold(col("_st")).as("_ss"))
+        .withColumn("_pw", lit(2.0) / col("_nn").cast("double")
+          * (col("_sc") * col("_sc") + col("_ss") * col("_ss"))
+          / lit(100000000.0))
+        .groupBy(col("event_type"))
+        .agg(max(col("_nn")).as("n_days"),
+          min(struct((-col("_pw")).as("np"), col("_p").as("p"),
+            col("_pw").as("pw"))).as("_m"))
+        .select(col("event_type"), col("n_days"),
+          col("_m.p").cast("long").as("peak_period"),
+          fr(col("_m.pw"), 4).as("peak_power"))
+        .orderBy("event_type")
+    },
+
+    // Jonckheere-Terpstra ordered-alternative trend test: is event value
+    // stochastically increasing across the 5 event types in their fixed
+    // (alphabetical) order? J = Σ_{g<h} U_gh via per-group value-census
+    // joins on the shared distinct-cents grid — never a row-level pair
+    // join; ties add ½ (J is kept doubled so everything stays int64).
+    // The z uses the classic no-ties moments, documented as the normal
+    // approximation. Distinct from Mann-Kendall (time trend, q243) and
+    // Kruskal-Wallis (unordered groups, q263).
+    "q318_jonckheere" -> { (s, d) =>
+      val c = Tables.events(s, d)
+        .select(col("event_type").as("_g"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+            .as("_x"))
+        .groupBy(col("_g"), col("_x")).agg(count(lit(1)).as("_f"))
+      val grid = c.select(col("_g")).distinct()
+        .crossJoin(c.select(col("_x")).distinct())
+        .join(c, Seq("_g", "_x"), "left")
+        .withColumn("_f", coalesce(col("_f"), lit(0L)))
+      val wb = Window.partitionBy(col("_g")).orderBy(col("_x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = grid
+        .withColumn("_below", coalesce(sum(col("_f")).over(wb), lit(0L)))
+      val u = cum.as("a")
+        .join(cum.as("b"),
+          col("a._x") === col("b._x") && col("a._g") < col("b._g"))
+        .agg(sum(col("b._f")
+          * (lit(2) * col("a._below") + col("a._f"))).as("_j2"))
+      val m = c.groupBy(col("_g")).agg(sum(col("_f")).as("_n"))
+        .agg(sum(col("_n")).as("_nt"), sum(col("_n") * col("_n")).as("_sn2"),
+          sum(col("_n") * col("_n") * (lit(2) * col("_n") + lit(3)))
+            .as("_sn23"))
+      u.crossJoin(m)
+        .select(col("_nt").as("n_total"), col("_j2").as("j_doubled"),
+          fr((col("_nt") * col("_nt") - col("_sn2")).cast("double")
+            / lit(4.0), 4).as("e_j"),
+          fr((col("_j2").cast("double") / lit(2.0)
+            - (col("_nt") * col("_nt") - col("_sn2")).cast("double")
+              / lit(4.0))
+            / sqrt((col("_nt").cast("double") * col("_nt")
+              * (lit(2) * col("_nt") + lit(3))
+              - col("_sn23").cast("double")) / lit(72.0)), 4).as("z"))
+    },
+
+    // Safety stock + reorder point per part (lead time 7 days, 95%
+    // service level): the operational consumer of the demand statistics
+    // Croston (q308) smooths — ROP = μ_d·L + z·σ_d·√L from exact int64
+    // demand-day sums, z and √7 as shared literals. Per-part fixed-size
+    // aggregates; the bounded HAVING keeps σ defined.
+    "q319_safety_stock" -> { (s, d) =>
+      val z95 = lit(1.6448536269514722)
+      val sqL = lit(2.6457513110645907) // sqrt(7)
+      val st = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_shipdate").as("day"))
+        .agg((decSum(col("l_quantity")) * lit(10000)).cast("long").as("_q"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("_nd"), sum(col("_q")).as("_s"),
+          sum(col("_q") * col("_q")).as("_ss"))
+        .filter(col("_nd") >= 2)
+      val sd = (sqrt((col("_nd") * col("_ss") - col("_s") * col("_s"))
+        .cast("double")
+        / (col("_nd") * (col("_nd") - 1)).cast("double")) / lit(10000.0))
+      val mean = (col("_s").cast("double") / col("_nd").cast("double")
+        / lit(10000.0))
+      st.select(col("l_partkey"), col("_nd").as("n_demand_days"),
+          fr(mean, 4).as("mean_daily_qty"),
+          fr(sd, 4).as("sd_daily_qty"),
+          fr(z95 * sd * sqL, 4).as("safety_stock"),
+          fr(mean * lit(7.0) + z95 * sd * sqL, 4).as("reorder_point"))
+        .orderBy("l_partkey")
     }
   )
 
@@ -9841,6 +9960,97 @@ object WarehouseQueries {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
         |    AS BIGINT) AS value_cents
-        |FROM open_o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM open_o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q317_periodogram" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 10000.0 + 0.5) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, x,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS t,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS s
+        |  FROM daily),
+        |cx AS (SELECT event_type, t, n,
+        |    CAST(n * x - s AS DOUBLE) / CAST(n AS DOUBLE) AS c
+        |  FROM idx),
+        |terms AS (SELECT event_type, p.p, t, n,
+        |    c * (floor(cos(2.0 * pi() * CAST(t AS DOUBLE)
+        |      / CAST(p.p AS DOUBLE)) * 1000000000000.0 + 0.5)
+        |      / 1000000000000.0) AS ct,
+        |    c * (floor(sin(2.0 * pi() * CAST(t AS DOUBLE)
+        |      / CAST(p.p AS DOUBLE)) * 1000000000000.0 + 0.5)
+        |      / 1000000000000.0) AS st
+        |  FROM cx CROSS JOIN
+        |    (SELECT unnest(generate_series(2, 15)) AS p) p),
+        |pw AS (SELECT event_type, p, CAST(max(n) AS BIGINT) AS n,
+        |    2.0 / CAST(max(n) AS DOUBLE)
+        |      * (list_sum(list(ct ORDER BY t))
+        |          * list_sum(list(ct ORDER BY t))
+        |        + list_sum(list(st ORDER BY t))
+        |          * list_sum(list(st ORDER BY t)))
+        |      / 100000000.0 AS power
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT event_type, n AS n_days, CAST(p AS BIGINT) AS peak_period,
+        |  floor(power * 10000.0 + 0.5) / 10000.0 AS peak_power
+        |FROM pw
+        |QUALIFY row_number() OVER (PARTITION BY event_type
+        |  ORDER BY power DESC, p) = 1
+        |ORDER BY event_type""".stripMargin,
+
+    "q318_jonckheere" ->
+      """WITH c AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS f
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT gs.g, xs.x, coalesce(c.f, 0) AS f
+        |  FROM (SELECT DISTINCT g FROM c) gs
+        |  CROSS JOIN (SELECT DISTINCT x FROM c) xs
+        |  LEFT JOIN c ON c.g = gs.g AND c.x = xs.x),
+        |cum AS (SELECT g, x, f,
+        |    coalesce(sum(f) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below
+        |  FROM grid),
+        |u AS (SELECT CAST(sum(b.f * (2 * a.below + a.f)) AS BIGINT) AS j2
+        |  FROM cum a JOIN cum b ON a.x = b.x AND a.g < b.g),
+        |m AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(n * n) AS BIGINT) AS sn2,
+        |    CAST(sum(n * n * (2 * n + 3)) AS BIGINT) AS sn23
+        |  FROM (SELECT g, CAST(sum(f) AS BIGINT) AS n FROM c GROUP BY 1))
+        |SELECT nt AS n_total, j2 AS j_doubled,
+        |  floor(CAST(nt * nt - sn2 AS DOUBLE) / 4.0 * 10000.0 + 0.5)
+        |    / 10000.0 AS e_j,
+        |  floor((CAST(j2 AS DOUBLE) / 2.0
+        |    - CAST(nt * nt - sn2 AS DOUBLE) / 4.0)
+        |    / sqrt((CAST(nt AS DOUBLE) * nt * (2 * nt + 3)
+        |      - CAST(sn23 AS DOUBLE)) / 72.0) * 10000.0 + 0.5) / 10000.0
+        |    AS z
+        |FROM u CROSS JOIN m""".stripMargin,
+
+    "q319_safety_stock" ->
+      """WITH st AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(q) AS BIGINT) AS s, CAST(sum(q * q) AS BIGINT) AS ss
+        |  FROM (SELECT l_partkey, l_shipdate AS day,
+        |      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) * 10000
+        |        AS BIGINT) AS q
+        |    FROM lineitem GROUP BY 1, 2)
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |zc AS (SELECT CAST(1.6448536269514722 AS DOUBLE) AS z,
+        |    CAST(2.6457513110645907 AS DOUBLE) AS sql_),
+        |f AS (SELECT l_partkey, nd,
+        |    CAST(s AS DOUBLE) / CAST(nd AS DOUBLE) / 10000.0 AS mean,
+        |    sqrt(CAST(nd * ss - s * s AS DOUBLE)
+        |      / CAST(nd * (nd - 1) AS DOUBLE)) / 10000.0 AS sd
+        |  FROM st)
+        |SELECT l_partkey, nd AS n_demand_days,
+        |  floor(mean * 10000.0 + 0.5) / 10000.0 AS mean_daily_qty,
+        |  floor(sd * 10000.0 + 0.5) / 10000.0 AS sd_daily_qty,
+        |  floor(z * sd * sql_ * 10000.0 + 0.5) / 10000.0 AS safety_stock,
+        |  floor((mean * 7.0 + z * sd * sql_) * 10000.0 + 0.5) / 10000.0
+        |    AS reorder_point
+        |FROM f CROSS JOIN zc ORDER BY l_partkey""".stripMargin
   )
 }

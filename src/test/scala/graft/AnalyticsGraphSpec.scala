@@ -265,6 +265,21 @@ class AnalyticsGraphSpec extends SparkSpec {
       (6L, 3L), (7L, 7L)), s"hand-traced LPA mismatch: $got")
   }
 
+  test("kTruss: diamond supports survive at k=3, cascade to empty at k=4") {
+    // diamond 1-2-3-4 with chord (1,3): the chord sits in both triangles
+    // (support 2), every rim edge in one. 3-truss keeps all five; the
+    // 4-truss peel removes the rim (support 1 < 2) in round 1, which
+    // strands the chord at support 0 in round 2 — a genuine cascade
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("src", "dst")
+    val t3 = Graph.kTruss(edges, 3).orderBy("a", "b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(t3 == Seq((1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 1L),
+      (2L, 3L, 1L), (3L, 4L, 1L)), s"3-truss supports mismatch: $t3")
+    assert(Graph.kTruss(edges, 4).count() == 0L,
+      "the 4-truss peel must cascade through the chord to empty")
+  }
+
   test("kCore: deep path peel stays plan-bounded via checkpoints") {
     // a 21-node path peels from both ends, one layer per round (~10
     // rounds): with interval 4 the converged frame must be rooted in a

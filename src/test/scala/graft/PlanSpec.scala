@@ -1080,6 +1080,39 @@ class PlanSpec extends SparkSpec {
       s"q314 LPA argmax is a hash aggregate, no window:\n$p314")
   }
 
+  test("q317-q320: periodogram/JT/safety-stock/truss keep scale-safe shapes") {
+    // q317: index/centering windows key on event_type over the daily
+    // grid; the argmax is min(struct), not a ranking window over events
+    val w317 = plan(graft.queries.WarehouseQueries
+      .defs("q317_periodogram")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(w317.nonEmpty && w317.forall(l =>
+      l.contains("event_type") && !l.contains("event_id")),
+      s"q317 windows run per-type on the daily grid:\n${w317.mkString("\n")}")
+    // q318: the census cumulative keys on the group over the value grid,
+    // never over event rows
+    val w318 = plan(graft.queries.WarehouseQueries
+      .defs("q318_jonckheere")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(w318.nonEmpty && w318.forall(l =>
+      !l.contains("event_id") && !l.contains("user_id")),
+      s"q318 windows over the value census only:\n${w318.mkString("\n")}")
+    // q319: pure per-part aggregates — no window
+    val p319 = plan(graft.queries.WarehouseQueries
+      .defs("q319_safety_stock")(spark, d))
+    assert(!p319.contains("windowspecdefinition"),
+      s"q319 is aggregate-only, no window expected:\n$p319")
+    // q320: support peeling is wedge equi-joins + counts — no cartesian,
+    // no window
+    val p320 = plan(graft.queries.ExtensionQueries
+      .defs("q320_ktruss")(spark, d))
+    assert(!p320.contains("CartesianProduct") &&
+      !p320.contains("BroadcastNestedLoopJoin"),
+      s"q320 kTruss must stay keyed-join shaped:\n$p320")
+    assert(!p320.contains("windowspecdefinition"),
+      s"q320 kTruss needs no window:\n$p320")
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
