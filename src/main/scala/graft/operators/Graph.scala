@@ -182,12 +182,16 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      // cached: every pre-checkpoint round's action replays the chain
+      // back to here — the cache stops the replay at the edge set
+      // instead of the raw scan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cur = und
     var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     var survivors = -1L
     var round = 0
     var done = false
-    while (!done && round < maxRounds) {
+    try while (!done && round < maxRounds) {
       round += 1
       val keep = cur.select(col("a").as("n"))
         .unionAll(cur.select(col("b").as("n")))
@@ -206,6 +210,15 @@ object Graph {
           prevCkpt = Dedup.checkpointRdd(cur)
         }
       }
+    }
+    finally {
+      // materialize the converged edge set before dropping the cache so
+      // the caller's action reads it directly instead of replaying the
+      // peel from the scan
+      cur = cur.localCheckpoint(true)
+      prevCkpt.foreach(_.unpersist(false))
+      und.unpersist(false)
+      ()
     }
     cur.select(col("a").as("node")).unionAll(cur.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("core_degree"))
@@ -238,10 +251,14 @@ object Graph {
       .distinct()
     val sym = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      // both sides of every round's join replay from these caches, not
+      // from the raw scans
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = nodes.select(col(nodeCol).as("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = n.withColumn("lab", col("u"))
     var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
-    for (i <- 1 to rounds) {
+    try for (i <- 1 to rounds) {
       val votes = sym
         .join(labels.withColumnRenamed("u", "v"), "v")
         .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("c"))
@@ -256,6 +273,15 @@ object Graph {
         prevCkpt.foreach(_.unpersist(false))
         prevCkpt = Dedup.checkpointRdd(labels)
       }
+    }
+    finally {
+      // the returned frame must not depend on the caches after an
+      // action, so materialize it before releasing them
+      labels = labels.localCheckpoint(true)
+      prevCkpt.foreach(_.unpersist(false))
+      sym.unpersist(false)
+      n.unpersist(false)
+      ()
     }
     labels.select(col("u").as("node"), col("lab").as("community"))
   }
@@ -282,6 +308,9 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      // cached for the same reason as kCore's base: pre-checkpoint
+      // rounds replay to the cached edge set, not the raw scan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def support(cur: DataFrame): DataFrame = {
       val sym = cur.select(col("a").as("u"), col("b").as("v"))
         .unionAll(cur.select(col("b").as("u"), col("a").as("v")))
@@ -295,7 +324,7 @@ object Graph {
     var edgesLeft = -1L
     var round = 0
     var done = false
-    while (!done && round < maxRounds) {
+    try while (!done && round < maxRounds) {
       round += 1
       val strong = support(cur).filter(col("support") >= k - 2)
         .select(col("a"), col("b"))
@@ -310,6 +339,14 @@ object Graph {
           prevCkpt = Dedup.checkpointRdd(cur)
         }
       }
+    }
+    finally {
+      // same materialize-then-release as kCore: the final support pass
+      // below reads the converged edges twice
+      cur = cur.localCheckpoint(true)
+      prevCkpt.foreach(_.unpersist(false))
+      und.unpersist(false)
+      ()
     }
     cur.join(support(cur), Seq("a", "b"), "left")
       .select(col("a"), col("b"),
