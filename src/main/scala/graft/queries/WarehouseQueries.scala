@@ -5418,6 +5418,62 @@ object WarehouseQueries {
           fr(z95 * sd * sqL, 4).as("safety_stock"),
           fr(mean * lit(7.0) + z95 * sd * sqL, 4).as("reorder_point"))
         .orderBy("l_partkey")
+    },
+
+    // Large-volume customers, TPC-H Q18 shape: orders whose total line
+    // quantity exceeds 2.5× the mean order quantity (adaptive — a fixed
+    // Q18-style constant returns nothing or everything as the catalog
+    // scales), joined back to orders and customer, top-100 under a
+    // total order. The grouped-HAVING-against-a-scalar + join-back
+    // signature completes the Q1/Q13/Q14/Q21 family; quantities and the
+    // threshold come from exact int64 sums.
+    "q321_large_orders" -> { (s, d) =>
+      val oq = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(decSum(col("l_quantity")).cast("long").as("total_qty"))
+      val thr = oq.agg(sum(col("total_qty")).as("_sq"),
+        count(lit(1)).as("_no"))
+      oq.crossJoin(thr)
+        .filter(col("total_qty").cast("double")
+          > lit(2.5) * (col("_sq").cast("double") / col("_no")
+            .cast("double")))
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+            .as("price_cents"),
+          col("total_qty"))
+        .orderBy(col("price_cents").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // Dormant high-balance prospects per nation, TPC-H Q22 shape:
+    // customers with an account balance above the average POSITIVE
+    // balance and no order since 2000 (left-anti join on the recency
+    // window — the catalog's last 20 months), censused per nation: the
+    // scalar-subquery + anti-join signature. Balances in exact cents;
+    // the single threshold division is the only double.
+    "q322_dormant_customers" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .withColumn("_cents",
+          floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long"))
+      val thr = cust.filter(col("_cents") > 0)
+        .agg(sum(col("_cents")).as("_sb"), count(lit(1)).as("_nb"))
+      cust.crossJoin(thr)
+        .filter(col("_cents").cast("double")
+          > col("_sb").cast("double") / col("_nb").cast("double"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("date")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(col("_cents")).as("balance_cents"))
+        .orderBy("n_name")
     }
   )
 
@@ -10051,6 +10107,39 @@ object WarehouseQueries {
         |  floor(z * sd * sql_ * 10000.0 + 0.5) / 10000.0 AS safety_stock,
         |  floor((mean * 7.0 + z * sd * sql_) * 10000.0 + 0.5) / 10000.0
         |    AS reorder_point
-        |FROM f CROSS JOIN zc ORDER BY l_partkey""".stripMargin
+        |FROM f CROSS JOIN zc ORDER BY l_partkey""".stripMargin,
+
+    "q321_large_orders" ->
+      """WITH oq AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS BIGINT)
+        |      AS total_qty
+        |  FROM lineitem GROUP BY 1),
+        |thr AS (SELECT CAST(sum(total_qty) AS BIGINT) AS sq,
+        |    CAST(count(*) AS BIGINT) AS no_ FROM oq)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+        |    AS price_cents,
+        |  total_qty
+        |FROM oq CROSS JOIN thr
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE CAST(total_qty AS DOUBLE)
+        |  > 2.5 * (CAST(sq AS DOUBLE) / CAST(no_ AS DOUBLE))
+        |ORDER BY price_cents DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q322_dormant_customers" ->
+      """WITH cust AS (SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM customer),
+        |thr AS (SELECT CAST(sum(cents) AS BIGINT) AS sb,
+        |    CAST(count(*) AS BIGINT) AS nb FROM cust WHERE cents > 0)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs,
+        |  CAST(sum(cents) AS BIGINT) AS balance_cents
+        |FROM cust CROSS JOIN thr
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(cents AS DOUBLE) > CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= DATE '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -275,4 +275,40 @@ class CrossPartitionSpec extends SparkSpec {
         s"subBuckets=$b diverges from the single-window reference")
     docs.unpersist()
   }
+
+  test("iterative graph ops are invariant under input partitioning") {
+    import spark.implicits._
+    // a deterministic 60-node graph with tendrils, triangles and hubs:
+    // ring + chords + pendant paths, shuffled edge directions
+    val k6 = for { a <- 61L to 66L; b <- 61L to 66L if a < b } yield (a, b)
+    val edges = ((0L until 60L).map(i => (i, (i + 1) % 60)) ++
+      (0L until 60L by 3L).map(i => (i, (i + 7) % 60)) ++
+      (0L until 20L).map(i => (60L + i, i * 3 % 60)) ++
+      k6 ++ Seq((17L, 4L), (4L, 29L), (29L, 17L)))
+      .map { case (a, b) => if ((a * 31 + b) % 2 == 0) (a, b) else (b, a) }
+      .toDF("src", "dst")
+    val nodes = (0L until 80L).toDF("n")
+    def layouts(df: DataFrame): Seq[DataFrame] =
+      Seq(df.repartition(1), df.repartition(13, col("src")),
+        df.orderBy(col("dst")))
+    def canonKC(df: DataFrame) = df.orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    def canonKT(df: DataFrame) = df.orderBy("a", "b")
+      .as[(Long, Long, Long)].collect().toSeq
+    val kcRef = canonKC(graft.operators.Graph.kCore(edges, 3))
+    val ktRef = canonKT(graft.operators.Graph.kTruss(edges, 3))
+    val lpRef = canonKC(graft.operators.Graph
+      .labelPropagation(nodes, "n", edges, rounds = 3))
+    assert(kcRef.nonEmpty && ktRef.nonEmpty, "fixture must be non-trivial")
+    for (e <- layouts(edges)) {
+      assert(canonKC(graft.operators.Graph.kCore(e, 3)) == kcRef,
+        "kCore must not depend on the edge layout")
+      assert(canonKT(graft.operators.Graph.kTruss(e, 3)) == ktRef,
+        "kTruss must not depend on the edge layout")
+      assert(canonKC(graft.operators.Graph
+        .labelPropagation(nodes.repartition(7), "n", e, rounds = 3))
+        == lpRef,
+        "labelPropagation must not depend on any input layout")
+    }
+  }
 }
