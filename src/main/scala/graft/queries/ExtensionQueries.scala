@@ -1823,6 +1823,43 @@ object ExtensionQueries {
         .select(col("a").as("user_a"), col("b").as("user_b"),
           col("support"))
         .orderBy("user_a", "user_b")
+    },
+
+    // Katz centrality, 3-term truncation: Σ_{k≤3} β^k · (#length-k walks
+    // ending at the node) with β=0.1 — the attenuated-walk centrality
+    // beside damped-random-walk PageRank (q104) and geodesic closeness
+    // (q207). Walk counts are exact int64 (three chained neighbor-sum
+    // aggregates, each one keyed join + hash agg); β powers are literal
+    // products so both engines combine identical doubles. Truncation is
+    // the scale story: the infinite Katz series needs a linear solve,
+    // the k-term form is k scan-shaped rounds.
+    "q323_katz_centrality" -> { (s, d) =>
+      val act = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("h"))
+        .distinct()
+      val e = act
+        .join(act.select(col("user_id").as("v"), col("event_type"),
+          col("h")), Seq("event_type", "h"))
+        .filter(col("user_id") < col("v"))
+        .select(col("user_id").as("a"), col("v").as("b"))
+        .distinct()
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val p1 = sym.groupBy(col("u")).agg(count(lit(1)).as("_c1"))
+      val p2 = sym.join(p1.withColumnRenamed("u", "v"), Seq("v"))
+        .groupBy(col("u")).agg(sum(col("_c1")).as("_c2"))
+      val p3 = sym.join(p2.withColumnRenamed("u", "v"), Seq("v"))
+        .groupBy(col("u")).agg(sum(col("_c2")).as("_c3"))
+      p1.join(p2, Seq("u"), "left").join(p3, Seq("u"), "left")
+        .select(col("u").as("user_id"), col("_c1").as("degree"),
+          fr(lit(0.1) * col("_c1").cast("double")
+            + lit(0.1) * lit(0.1)
+              * coalesce(col("_c2"), lit(0L)).cast("double")
+            + lit(0.1) * lit(0.1) * lit(0.1)
+              * coalesce(col("_c3"), lit(0L)).cast("double"), 6)
+            .as("katz"))
+        .orderBy("user_id")
     }
   )
 
@@ -3581,7 +3618,30 @@ object ExtensionQueries {
 
     "q314_label_propagation" -> lpaUnrolledSql(rounds = 3),
 
-    "q320_ktruss" -> kTrussUnrolledSql(k = 3, rounds = 4)
+    "q320_ktruss" -> kTrussUnrolledSql(k = 3, rounds = 4),
+
+    "q323_katz_centrality" ->
+      """WITH act AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+        |    date_trunc('minute', ts) AS h FROM events),
+        |e AS MATERIALIZED (SELECT DISTINCT a.user_id AS a, b.user_id AS b
+        |  FROM act a JOIN act b ON a.event_type = b.event_type
+        |    AND a.h = b.h AND a.user_id < b.user_id),
+        |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM e
+        |  UNION ALL SELECT b, a FROM e),
+        |p1 AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS c
+        |  FROM sym GROUP BY 1),
+        |p2 AS MATERIALIZED (SELECT s.u, CAST(sum(p.c) AS BIGINT) AS c
+        |  FROM sym s JOIN p1 p ON s.v = p.u GROUP BY 1),
+        |p3 AS MATERIALIZED (SELECT s.u, CAST(sum(p.c) AS BIGINT) AS c
+        |  FROM sym s JOIN p2 p ON s.v = p.u GROUP BY 1)
+        |SELECT p1.u AS user_id, p1.c AS degree,
+        |  floor((0.1 * CAST(p1.c AS DOUBLE)
+        |    + 0.1 * 0.1 * CAST(coalesce(p2.c, 0) AS DOUBLE)
+        |    + 0.1 * 0.1 * 0.1 * CAST(coalesce(p3.c, 0) AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS katz
+        |FROM p1 LEFT JOIN p2 ON p1.u = p2.u
+        |LEFT JOIN p3 ON p1.u = p3.u
+        |ORDER BY user_id""".stripMargin
   )
 
   /** q320 oracle: synchronous support peeling unrolled — round i keeps

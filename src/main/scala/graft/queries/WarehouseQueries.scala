@@ -5358,38 +5358,10 @@ object WarehouseQueries {
     // approximation. Distinct from Mann-Kendall (time trend, q243) and
     // Kruskal-Wallis (unordered groups, q263).
     "q318_jonckheere" -> { (s, d) =>
-      val c = Tables.events(s, d)
+      jonckheereZ(Tables.events(s, d)
         .select(col("event_type").as("_g"),
           floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
-            .as("_x"))
-        .groupBy(col("_g"), col("_x")).agg(count(lit(1)).as("_f"))
-      val grid = c.select(col("_g")).distinct()
-        .crossJoin(c.select(col("_x")).distinct())
-        .join(c, Seq("_g", "_x"), "left")
-        .withColumn("_f", coalesce(col("_f"), lit(0L)))
-      val wb = Window.partitionBy(col("_g")).orderBy(col("_x"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cum = grid
-        .withColumn("_below", coalesce(sum(col("_f")).over(wb), lit(0L)))
-      val u = cum.as("a")
-        .join(cum.as("b"),
-          col("a._x") === col("b._x") && col("a._g") < col("b._g"))
-        .agg(sum(col("b._f")
-          * (lit(2) * col("a._below") + col("a._f"))).as("_j2"))
-      val m = c.groupBy(col("_g")).agg(sum(col("_f")).as("_n"))
-        .agg(sum(col("_n")).as("_nt"), sum(col("_n") * col("_n")).as("_sn2"),
-          sum(col("_n") * col("_n") * (lit(2) * col("_n") + lit(3)))
-            .as("_sn23"))
-      u.crossJoin(m)
-        .select(col("_nt").as("n_total"), col("_j2").as("j_doubled"),
-          fr((col("_nt") * col("_nt") - col("_sn2")).cast("double")
-            / lit(4.0), 4).as("e_j"),
-          fr((col("_j2").cast("double") / lit(2.0)
-            - (col("_nt") * col("_nt") - col("_sn2")).cast("double")
-              / lit(4.0))
-            / sqrt((col("_nt").cast("double") * col("_nt")
-              * (lit(2) * col("_nt") + lit(3))
-              - col("_sn23").cast("double")) / lit(72.0)), 4).as("z"))
+            .as("_x")))
     },
 
     // Safety stock + reorder point per part (lead time 7 days, 95%
@@ -5474,6 +5446,58 @@ object WarehouseQueries {
         .agg(count(lit(1)).as("n_custs"),
           sum(col("_cents")).as("balance_cents"))
         .orderBy("n_name")
+    },
+
+    // Capture-recapture population estimate (Chapman's bias-corrected
+    // Lincoln-Petersen): estimate the total user population from two
+    // disjoint 3-hour activity samples and their overlap — the ecology
+    // estimator data teams reuse to size dedup coverage and hidden
+    // populations. Sampled beside the known truth so the output
+    // demonstrates estimator quality (145.4 vs 150 at sf0.01, 1498.6 vs
+    // 1500 at sf0.1). All counts exact; the estimate and SE are the
+    // only doubles.
+    "q324_capture_recapture" -> { (s, d) =>
+      def window(from: String, to: String) =
+        Tables.events(s, d)
+          .filter(col("ts") >= lit(from).cast("timestamp")
+            && col("ts") < lit(to).cast("timestamp"))
+          .select(col("user_id")).distinct()
+      val w1 = window("2024-01-10 09:00:00", "2024-01-10 12:00:00")
+      val w2 = window("2024-01-20 15:00:00", "2024-01-20 18:00:00")
+      val m = w1.agg(count(lit(1)).as("n1"))
+        .crossJoin(w2.agg(count(lit(1)).as("n2")))
+        .crossJoin(w1.join(w2, Seq("user_id"))
+          .agg(count(lit(1)).as("m12")))
+        .crossJoin(Tables.events(s, d)
+          .agg(countDistinct(col("user_id")).as("true_users")))
+      m.select(col("n1"), col("n2"), col("m12"), col("true_users"),
+        fr(((col("n1") + lit(1)) * (col("n2") + lit(1))).cast("double")
+          / (col("m12") + lit(1)).cast("double") - lit(1.0), 4)
+          .as("chapman_estimate"),
+        fr(sqrt(((col("n1") + lit(1)) * (col("n2") + lit(1)))
+          .cast("double")
+          * ((col("n1") - col("m12")) * (col("n2") - col("m12")))
+            .cast("double")
+          / ((col("m12") + lit(1)).cast("double")
+            * (col("m12") + lit(1)).cast("double")
+            * (col("m12") + lit(2)).cast("double"))), 4).as("se"))
+    },
+
+    // Wilcoxon signed-rank test: did per-user activity change between
+    // week 1 and week 2? The PAIRED nonparametric test beside unpaired
+    // Mann-Whitney (q262) — zero diffs drop, |diff| ties take average
+    // ranks off the cumulated census (kept doubled so every rank sum
+    // stays int64), and the normal approximation carries the exact tie
+    // correction Σ(t³−t)/48.
+    "q325_wilcoxon_signed_rank" -> { (s, d) =>
+      wilcoxonSignedRank(Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg((sum(when(col("ts").cast("date")
+            .between(lit("2024-01-01"), lit("2024-01-07")), 1L)
+            .otherwise(0L))
+          - sum(when(col("ts").cast("date")
+            .between(lit("2024-01-08"), lit("2024-01-14")), 1L)
+            .otherwise(0L))).as("_d")))
     }
   )
 
@@ -5599,6 +5623,73 @@ object WarehouseQueries {
         floor(least(greatest(
           col("_x").cast("double") / col("_p").cast("double") - lit(1.0),
           lit(-10.0)), lit(10.0)) * lit(1000000.0) + lit(0.5)).as("_r"))
+  }
+
+
+  /** q318 core, extracted so the property suite can drive it against a
+    * naive O(n²) pairwise reference on adversarial tie fixtures: input
+    * is (_g: group in its a-priori order, _x: exact long value) rows.
+    * U_gh sums run over per-group value censuses joined on the shared
+    * value grid — no row-level pair join; ties contribute ½ by keeping
+    * J doubled in int64. The z is the classic no-ties normal moment
+    * pair (documented approximation under ties).
+    */
+  private[graft] def jonckheereZ(v: DataFrame): DataFrame = {
+    val c = v.groupBy(col("_g"), col("_x")).agg(count(lit(1)).as("_f"))
+    val grid = c.select(col("_g")).distinct()
+      .crossJoin(c.select(col("_x")).distinct())
+      .join(c, Seq("_g", "_x"), "left")
+      .withColumn("_f", coalesce(col("_f"), lit(0L)))
+    val wb = Window.partitionBy(col("_g")).orderBy(col("_x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grid
+      .withColumn("_below", coalesce(sum(col("_f")).over(wb), lit(0L)))
+    val u = cum.as("a")
+      .join(cum.as("b"),
+        col("a._x") === col("b._x") && col("a._g") < col("b._g"))
+      .agg(sum(col("b._f")
+        * (lit(2) * col("a._below") + col("a._f"))).as("_j2"))
+    val m = c.groupBy(col("_g")).agg(sum(col("_f")).as("_n"))
+      .agg(sum(col("_n")).as("_nt"), sum(col("_n") * col("_n")).as("_sn2"),
+        sum(col("_n") * col("_n") * (lit(2) * col("_n") + lit(3)))
+          .as("_sn23"))
+    u.crossJoin(m)
+      .select(col("_nt").as("n_total"), col("_j2").as("j_doubled"),
+        fr((col("_nt") * col("_nt") - col("_sn2")).cast("double")
+          / lit(4.0), 4).as("e_j"),
+        fr((col("_j2").cast("double") / lit(2.0)
+          - (col("_nt") * col("_nt") - col("_sn2")).cast("double")
+            / lit(4.0))
+          / sqrt((col("_nt").cast("double") * col("_nt")
+            * (lit(2) * col("_nt") + lit(3))
+            - col("_sn23").cast("double")) / lit(72.0)), 4).as("z"))
+  }
+
+  /** q325 core, extracted for the property suite: input is one (_d:
+    * long) diff per pair; zero diffs drop here. Average |d|-ranks come
+    * off the cumulated census doubled (2·below + f + 1), so W⁺ stays an
+    * exact int64; the normal z carries the Σ(t³−t)/48 tie correction.
+    */
+  private[graft] def wilcoxonSignedRank(diffs: DataFrame): DataFrame = {
+    val u = diffs.filter(col("_d") =!= 0)
+    val nz = u.groupBy(abs(col("_d")).as("_ad"))
+      .agg(count(lit(1)).as("_f"),
+        sum(when(col("_d") > 0, 1L).otherwise(0L)).as("_fp"))
+    val wb = Window.orderBy(col("_ad"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = nz.withColumn("_below",
+      coalesce(sum(col("_f")).over(wb), lit(0L)))
+    c.agg(sum(col("_f")).as("_n"),
+        sum(col("_fp") * (lit(2) * col("_below") + col("_f") + lit(1)))
+          .as("_w2"),
+        sum(col("_f") * col("_f") * col("_f") - col("_f")).as("_t3"))
+      .select(col("_n").as("n_nonzero"),
+        col("_w2").as("w_plus_doubled"),
+        fr((col("_w2").cast("double")
+          - (col("_n") * (col("_n") + lit(1))).cast("double") / lit(2.0))
+          / (lit(2.0) * sqrt((col("_n") * (col("_n") + lit(1))
+            * (lit(2) * col("_n") + lit(1))).cast("double") / lit(24.0)
+            - col("_t3").cast("double") / lit(48.0))), 4).as("z"))
   }
 
   val sql: Map[String, String] = Map(
@@ -10140,6 +10231,56 @@ object WarehouseQueries {
         |WHERE CAST(cents AS DOUBLE) > CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= DATE '2000-01-01')
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q324_capture_recapture" ->
+      """WITH w1 AS (SELECT DISTINCT user_id FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-10 09:00:00'
+        |    AND ts < TIMESTAMP '2024-01-10 12:00:00'),
+        |w2 AS (SELECT DISTINCT user_id FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-20 15:00:00'
+        |    AND ts < TIMESTAMP '2024-01-20 18:00:00'),
+        |m AS (SELECT CAST((SELECT count(*) FROM w1) AS BIGINT) AS n1,
+        |    CAST((SELECT count(*) FROM w2) AS BIGINT) AS n2,
+        |    CAST((SELECT count(*) FROM w1 JOIN w2 USING (user_id))
+        |      AS BIGINT) AS m12,
+        |    CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
+        |      AS true_users)
+        |SELECT n1, n2, m12, true_users,
+        |  floor((CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
+        |    / CAST(m12 + 1 AS DOUBLE) - 1.0) * 10000.0 + 0.5) / 10000.0
+        |    AS chapman_estimate,
+        |  floor(sqrt(CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
+        |    * CAST((n1 - m12) * (n2 - m12) AS DOUBLE)
+        |    / (CAST(m12 + 1 AS DOUBLE) * CAST(m12 + 1 AS DOUBLE)
+        |      * CAST(m12 + 2 AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
+        |    AS se
+        |FROM m""".stripMargin,
+
+    "q325_wilcoxon_signed_rank" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) BETWEEN DATE '2024-01-01'
+        |      AND DATE '2024-01-07' THEN 1 ELSE 0 END) AS BIGINT)
+        |    - CAST(sum(CASE WHEN CAST(ts AS DATE) BETWEEN
+        |      DATE '2024-01-08' AND DATE '2024-01-14' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM events GROUP BY 1),
+        |nz AS (SELECT abs(d) AS ad, CAST(count(*) AS BIGINT) AS f,
+        |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp
+        |  FROM u WHERE d <> 0 GROUP BY 1),
+        |c AS (SELECT ad, f, fp,
+        |    coalesce(sum(f) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM nz),
+        |agg AS (SELECT CAST(sum(f) AS BIGINT) AS n,
+        |    CAST(sum(fp * (2 * below + f + 1)) AS BIGINT) AS w2,
+        |    CAST(sum(f * f * f - f) AS BIGINT) AS tie3
+        |  FROM c)
+        |SELECT n AS n_nonzero, w2 AS w_plus_doubled,
+        |  floor((CAST(w2 AS DOUBLE) - CAST(n * (n + 1) AS DOUBLE) / 2.0)
+        |    / (2.0 * sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE)
+        |      / 24.0 - CAST(tie3 AS DOUBLE) / 48.0)) * 10000.0 + 0.5)
+        |    / 10000.0 AS z
+        |FROM agg""".stripMargin
   )
 }

@@ -1113,6 +1113,37 @@ class PlanSpec extends SparkSpec {
       s"q320 kTruss needs no window:\n$p320")
   }
 
+  test("q321-q325: TPC-H shapes, Katz and paired tests keep scale-safe shapes") {
+    // q321/q322/q324: scalar-threshold joins + aggregates — no window
+    for (q <- Seq("q321_large_orders", "q322_dormant_customers",
+        "q324_capture_recapture")) {
+      val p = plan(graft.queries.WarehouseQueries.defs(q)(spark, d))
+      assert(!p.contains("windowspecdefinition"),
+        s"$q is aggregate/join-only, no window expected:\n$p")
+    }
+    // q322: the dormancy check must plan as an anti join, not a filtered
+    // outer join
+    val p322 = plan(graft.queries.WarehouseQueries
+      .defs("q322_dormant_customers")(spark, d))
+    assert(p322.contains("LeftAnti"), s"q322 needs an anti join:\n$p322")
+    // q323: three chained keyed joins + hash aggs — no cartesian beyond
+    // the intended scalar cross joins, no window
+    val p323 = plan(graft.queries.ExtensionQueries
+      .defs("q323_katz_centrality")(spark, d))
+    assert(!p323.contains("windowspecdefinition"),
+      s"q323 walk counts need no window:\n$p323")
+    // q318/q325 (shared cores): censuses only — windows never key on
+    // raw event/user ids
+    for ((q, o) <- Seq("q318_jonckheere" -> "WarehouseQueries",
+        "q325_wilcoxon_signed_rank" -> "WarehouseQueries")) {
+      val w = plan(graft.queries.WarehouseQueries.defs(q)(spark, d))
+        .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+      assert(w.nonEmpty && w.forall(l =>
+        !l.contains("event_id") && !l.contains("user_id")),
+        s"$q windows over censuses only:\n${w.mkString("\n")}")
+    }
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._

@@ -681,4 +681,54 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.plans.DamerauLevenshtein
       .distance("CA".getBytes, "ABC".getBytes) == 2)
   }
+
+  test("Jonckheere J equals the naive pairwise count on tie-heavy fixtures") {
+    // the census-join computes J without ever forming pairs — only a
+    // literal O(n²) pair loop can catch a shared indexing error (the
+    // oracle replays the same census algorithm)
+    val caseGen = for {
+      nGroups <- Gen.chooseNum(2, 5)
+      n <- Gen.chooseNum(4, 120)
+      distinctVals <- Gen.chooseNum(1, 8) // few values => massive ties
+    } yield (nGroups, n, distinctVals)
+    for (((nGroups, n, distinctVals), i) <- samples(caseGen, 6).zipWithIndex) {
+      val rnd = new scala.util.Random(9100L + i)
+      val rows = (0 until n).map(j =>
+        ("g" + (j % nGroups), (rnd.nextInt(distinctVals) + j % nGroups).toLong))
+      val got = graft.queries.WarehouseQueries
+        .jonckheereZ(rows.toDF("_g", "_x")).head()
+      // naive doubled-J: 2 per strictly-less pair across ordered groups,
+      // 1 per tie
+      val want = (for {
+        (ga, xa) <- rows; (gb, xb) <- rows
+        if ga < gb
+      } yield if (xa < xb) 2L else if (xa == xb) 1L else 0L).sum
+      assert(got.getAs[Long]("j_doubled") == want,
+        s"case $i: got ${got.getAs[Long]("j_doubled")} want $want")
+      assert(got.getAs[Long]("n_total") == n.toLong, s"case $i n")
+    }
+  }
+
+  test("signed-rank W+ equals driver-side average ranks on tie-heavy diffs") {
+    val caseGen = for {
+      n <- Gen.chooseNum(3, 150)
+      spread <- Gen.chooseNum(1, 6) // small => heavy |d| ties and zeros
+    } yield (n, spread)
+    for (((n, spread), i) <- samples(caseGen, 6).zipWithIndex) {
+      val rnd = new scala.util.Random(9200L + i)
+      val diffs = (0 until n).map(_ => (rnd.nextInt(2 * spread + 1) - spread).toLong)
+      val got = graft.queries.WarehouseQueries
+        .wilcoxonSignedRank(diffs.toDF("_d")).head()
+      val nz = diffs.filter(_ != 0)
+      // driver-side average ranks of |d| (doubled to stay integral)
+      val sorted = nz.map(math.abs).sorted
+      val rank2 = sorted.zipWithIndex.groupBy(_._1).map { case (v, g) =>
+        v -> g.map { case (_, idx) => (idx + 1) * 2L }.sum / g.size
+      }
+      val want = nz.filter(_ > 0).map(d => rank2(math.abs(d))).sum
+      assert(got.getAs[Long]("w_plus_doubled") == want,
+        s"case $i: got ${got.getAs[Long]("w_plus_doubled")} want $want")
+      assert(got.getAs[Long]("n_nonzero") == nz.length.toLong, s"case $i n")
+    }
+  }
 }
