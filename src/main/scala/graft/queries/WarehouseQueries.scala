@@ -5498,6 +5498,90 @@ object WarehouseQueries {
           - sum(when(col("ts").cast("date")
             .between(lit("2024-01-08"), lit("2024-01-14")), 1L)
             .otherwise(0L))).as("_d")))
+    },
+
+    // Hill tail-index estimator on order values: γ̂ = (1/k)Σ ln(x_i /
+    // x_(k+1)) over the k = ⌊n/20⌋ largest observations, located by
+    // cumulating the value census from the top (the q170 VaR device) —
+    // the peaks-over-threshold EVT companion to the block-maxima Gumbel
+    // fit (q312). Exact cents everywhere; the log fold runs in value
+    // order over the bounded top-k census.
+    "q326_hill_tail" -> { (s, d) =>
+      val c = Tables.orders(s, d)
+        .select(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+          .cast("long").as("_x"))
+        .groupBy(col("_x")).agg(count(lit(1)).as("_f"))
+      val k0 = c.agg(sum(col("_f")).as("_n"))
+        .withColumn("_k", expr("_n div 20"))
+      val wDesc = Window.orderBy(col("_x").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cc = c.withColumn("_above",
+          coalesce(sum(col("_f")).over(wDesc), lit(0L)))
+        .crossJoin(k0)
+      val thr = cc
+        .filter(col("_above") + col("_f") >= col("_k") + 1
+          && col("_above") < col("_k") + 1)
+        .agg(max(col("_x")).as("_xk1"))
+      val topk = cc.filter(col("_above") < col("_k"))
+        .withColumn("_fk", least(col("_f"), col("_k") - col("_above")))
+        .crossJoin(thr)
+        .withColumn("_term", col("_fk").cast("double")
+          * log(col("_x").cast("double") / col("_xk1").cast("double")))
+      topk
+        .agg(max(col("_n")).as("n_orders"), sum(col("_fk")).as("k_tail"),
+          max(col("_xk1")).as("threshold_cents"),
+          aggregate(transform(array_sort(collect_list(
+            struct(col("_x"), col("_term")))), e => e.getField("_term")),
+            lit(0.0), (a, x) => a + x).as("_sl"))
+        .select(col("n_orders"), col("k_tail"), col("threshold_cents"),
+          fr(col("_sl") / col("k_tail").cast("double"), 4)
+            .as("hill_gamma"),
+          fr(col("k_tail").cast("double") / col("_sl"), 4)
+            .as("tail_alpha"))
+    },
+
+    // Mood's median test: do the k event types share one median? Count
+    // per-type observations above the exact grand median (census fence,
+    // the q17 device) and chi-square them against the pooled
+    // above-share — the coarser, outlier-immune cousin of
+    // Kruskal-Wallis (q263). All counts exact; per-group chi terms fold
+    // in type order (q161 rule).
+    "q327_mood_median" -> { (s, d) =>
+      val v = Tables.events(s, d)
+        .select(col("event_type").as("_g"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+            .as("_x"))
+      val wAsc = Window.orderBy(col("_x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val med = v.groupBy(col("_x")).agg(count(lit(1)).as("_f"))
+        .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
+        .withColumn("_n", sum(col("_f")).over(
+          Window.orderBy(col("_x")).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .agg(max(when(col("_cum") < expr("(_n + 1) div 2")
+          && col("_cum") + col("_f") >= expr("(_n + 1) div 2"),
+          col("_x"))).as("_m"))
+      val cnt = v.crossJoin(med)
+        .groupBy(col("_g"))
+        .agg(count(lit(1)).as("_gn"),
+          sum(when(col("_x") > col("_m"), 1L).otherwise(0L)).as("_a"),
+          max(col("_m")).as("_m"))
+      val tot = cnt.agg(sum(col("_gn")).as("_nt"), sum(col("_a")).as("_at"))
+      val terms = cnt.crossJoin(tot)
+        .withColumn("_e", col("_gn").cast("double")
+          * col("_at").cast("double") / col("_nt").cast("double"))
+        .withColumn("_t", (col("_a").cast("double") - col("_e"))
+          * (col("_a").cast("double") - col("_e"))
+          / (col("_e") * (lit(1.0) - col("_at").cast("double")
+            / col("_nt").cast("double"))))
+      terms.agg(max(col("_nt")).as("n_total"), max(col("_m"))
+          .as("grand_median_cents"),
+          (count(lit(1)) - lit(1)).as("dof"),
+          aggregate(transform(array_sort(collect_list(
+            struct(col("_g"), col("_t")))), e => e.getField("_t")),
+            lit(0.0), (a, x) => a + x).as("_x2"))
+        .select(col("n_total"), col("grand_median_cents"), col("dof"),
+          fr(col("_x2"), 4).as("chi2"))
     }
   )
 
@@ -10281,6 +10365,65 @@ object WarehouseQueries {
         |    / (2.0 * sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE)
         |      / 24.0 - CAST(tie3 AS DOUBLE) / 48.0)) * 10000.0 + 0.5)
         |    / 10000.0 AS z
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    "q326_hill_tail" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5)
+        |      AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS f
+        |  FROM orders GROUP BY 1),
+        |k0 AS (SELECT CAST(sum(f) AS BIGINT) AS n,
+        |    CAST(sum(f) AS BIGINT) // 20 AS k FROM c),
+        |cc AS (SELECT x, f,
+        |    coalesce(sum(f) OVER (ORDER BY x DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS above, n, k
+        |  FROM c CROSS JOIN k0),
+        |thr AS (SELECT max(x) AS xk1 FROM cc
+        |  WHERE above + f >= k + 1 AND above < k + 1),
+        |topk AS (SELECT x, least(f, k - above) AS fk, n, xk1,
+        |    CAST(least(f, k - above) AS DOUBLE)
+        |      * ln(CAST(x AS DOUBLE) / CAST(xk1 AS DOUBLE)) AS term
+        |  FROM cc CROSS JOIN thr WHERE above < k)
+        |SELECT CAST(max(n) AS BIGINT) AS n_orders,
+        |  CAST(sum(fk) AS BIGINT) AS k_tail,
+        |  CAST(max(xk1) AS BIGINT) AS threshold_cents,
+        |  floor(list_sum(list(term ORDER BY x))
+        |    / CAST(sum(fk) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS hill_gamma,
+        |  floor(CAST(sum(fk) AS DOUBLE) / list_sum(list(term ORDER BY x))
+        |    * 10000.0 + 0.5) / 10000.0 AS tail_alpha
+        |FROM topk""".stripMargin,
+
+    "q327_mood_median" ->
+      """WITH v AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x FROM events),
+        |cen AS (SELECT x, CAST(count(*) AS BIGINT) AS f FROM v GROUP BY 1),
+        |cc AS (SELECT x, f,
+        |    coalesce(sum(f) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cum,
+        |    sum(f) OVER () AS n
+        |  FROM cen),
+        |med AS (SELECT max(CASE WHEN cum < (n + 1) // 2
+        |    AND cum + f >= (n + 1) // 2 THEN x END) AS m FROM cc),
+        |cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS gn,
+        |    CAST(sum(CASE WHEN x > m THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    max(m) AS m
+        |  FROM v CROSS JOIN med GROUP BY 1),
+        |tot AS (SELECT CAST(sum(gn) AS BIGINT) AS nt,
+        |    CAST(sum(a) AS BIGINT) AS at_ FROM cnt),
+        |terms AS (SELECT g, gn, a, m, nt, at_,
+        |    CAST(gn AS DOUBLE) * CAST(at_ AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      AS e
+        |  FROM cnt CROSS JOIN tot),
+        |t2 AS (SELECT g, m, nt,
+        |    (CAST(a AS DOUBLE) - e) * (CAST(a AS DOUBLE) - e)
+        |      / (e * (1.0 - CAST(at_ AS DOUBLE) / CAST(nt AS DOUBLE)))
+        |      AS t
+        |  FROM terms)
+        |SELECT CAST(max(nt) AS BIGINT) AS n_total,
+        |  CAST(max(m) AS BIGINT) AS grand_median_cents,
+        |  CAST(count(*) AS BIGINT) - 1 AS dof,
+        |  floor(list_sum(list(t ORDER BY g)) * 10000.0 + 0.5) / 10000.0
+        |    AS chi2
+        |FROM t2""".stripMargin
   )
 }

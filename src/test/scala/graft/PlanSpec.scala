@@ -1144,6 +1144,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q326-q327: EVT-tail and median-test censuses keep scale-safe shapes") {
+    // both queries cumulate bounded value censuses — windows must never
+    // key on raw order/event ids
+    for (q <- Seq("q326_hill_tail", "q327_mood_median")) {
+      val w = plan(graft.queries.WarehouseQueries.defs(q)(spark, d))
+        .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+      assert(w.nonEmpty && w.forall(l =>
+        !l.contains("o_orderkey") && !l.contains("event_id")
+          && !l.contains("user_id")),
+        s"$q windows over value censuses only:\n${w.mkString("\n")}")
+    }
+  }
+
   test("partitioned parquet written by the exporter prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import spark.implicits._
