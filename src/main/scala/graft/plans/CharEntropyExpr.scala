@@ -69,8 +69,7 @@ object CharEntropy {
       if (cp < 128) ascii(cp) += 1
       else {
         if (spill == null) spill = new java.util.TreeMap[Integer, Long]()
-        val prev = spill.get(cp)
-        spill.put(cp, if (prev == null) 1L else prev + 1L)
+        spill.put(cp, spill.getOrDefault(cp, 0L) + 1L)
       }
       n += 1
       i += w
