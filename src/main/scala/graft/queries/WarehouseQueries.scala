@@ -5582,6 +5582,42 @@ object WarehouseQueries {
             lit(0.0), (a, x) => a + x).as("_x2"))
         .select(col("n_total"), col("grand_median_cents"), col("dof"),
           fr(col("_x2"), 4).as("chi2"))
+    },
+
+    // Price-volume bridge per brand, 1997 → 1998: decompose each
+    // brand's revenue change into volume effect (Δq · p₀) and price
+    // effect (Δp · q₁) — the FP&A waterfall behind every "why did
+    // revenue move" review. The two effects close the bridge EXACTLY
+    // (vol + price = ΔR, float-residue only); inputs are exact int64
+    // cents/quantities, the two average prices the only divisions.
+    // One grouped scan of the two-year slice, then a 25-brand pivot.
+    "q328_price_volume_bridge" -> { (s, d) =>
+      val y = Tables.lineitem(s, d)
+        .filter(col("l_shipdate").between(lit("1997-01-01"),
+          lit("1998-12-31")))
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          when(col("l_shipdate") <= lit("1997-12-31"), 0L).otherwise(1L)
+            .as("_yr"))
+        .agg(decSum(col("l_quantity")).cast("long").as("_q"),
+          sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+            .cast("long")).as("_rev"))
+      val w = y.groupBy(col("p_brand"))
+        .agg(max(when(col("_yr") === 0, col("_q"))).as("q0"),
+          max(when(col("_yr") === 0, col("_rev"))).as("r0"),
+          max(when(col("_yr") === 1, col("_q"))).as("q1"),
+          max(when(col("_yr") === 1, col("_rev"))).as("r1"))
+        .filter(col("q0").isNotNull && col("q1").isNotNull)
+      w.select(col("p_brand"), col("q0"), col("q1"), col("r0"), col("r1"),
+          fr((col("q1").cast("double") - col("q0").cast("double"))
+            * (col("r0").cast("double") / col("q0").cast("double")), 2)
+            .as("volume_effect_cents"),
+          fr((col("r1").cast("double") / col("q1").cast("double")
+            - col("r0").cast("double") / col("q0").cast("double"))
+            * col("q1").cast("double"), 2).as("price_effect_cents"),
+          (col("r1") - col("r0")).as("delta_cents"))
+        .orderBy("p_brand")
     }
   )
 
@@ -10424,6 +10460,36 @@ object WarehouseQueries {
         |  CAST(count(*) AS BIGINT) - 1 AS dof,
         |  floor(list_sum(list(t ORDER BY g)) * 10000.0 + 0.5) / 10000.0
         |    AS chi2
-        |FROM t2""".stripMargin
+        |FROM t2""".stripMargin,
+
+    "q328_price_volume_bridge" ->
+      """WITH y AS (SELECT p_brand,
+        |    CAST(CASE WHEN l_shipdate <= DATE '1997-12-31' THEN 0
+        |      ELSE 1 END AS BIGINT) AS yr,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS BIGINT) AS q,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate BETWEEN DATE '1997-01-01'
+        |    AND DATE '1998-12-31'
+        |  GROUP BY 1, 2),
+        |w AS (SELECT p_brand,
+        |    CAST(max(CASE WHEN yr = 0 THEN q END) AS BIGINT) AS q0,
+        |    CAST(max(CASE WHEN yr = 0 THEN rev END) AS BIGINT) AS r0,
+        |    CAST(max(CASE WHEN yr = 1 THEN q END) AS BIGINT) AS q1,
+        |    CAST(max(CASE WHEN yr = 1 THEN rev END) AS BIGINT) AS r1
+        |  FROM y GROUP BY 1
+        |  HAVING max(CASE WHEN yr = 0 THEN q END) IS NOT NULL
+        |    AND max(CASE WHEN yr = 1 THEN q END) IS NOT NULL)
+        |SELECT p_brand, q0, q1, r0, r1,
+        |  floor((CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE))
+        |    * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)) * 100.0 + 0.5)
+        |    / 100.0 AS volume_effect_cents,
+        |  floor((CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+        |    - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+        |    * CAST(q1 AS DOUBLE) * 100.0 + 0.5) / 100.0
+        |    AS price_effect_cents,
+        |  r1 - r0 AS delta_cents
+        |FROM w ORDER BY p_brand""".stripMargin
   )
 }
