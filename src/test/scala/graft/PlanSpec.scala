@@ -1144,8 +1144,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q326-q327: EVT-tail and median-test censuses keep scale-safe shapes") {
-    // both queries cumulate bounded value censuses — windows must never
+  test("q326-q328: EVT-tail, median-test and bridge keep scale-safe shapes") {
+    // q328: one grouped scan + pivot — no window at all
+    val p328 = plan(graft.queries.WarehouseQueries
+      .defs("q328_price_volume_bridge")(spark, d))
+    assert(!p328.contains("windowspecdefinition"),
+      s"q328 is aggregate-only, no window expected:\n$p328")
+    // q326/q327 cumulate bounded value censuses — windows must never
     // key on raw order/event ids
     for (q <- Seq("q326_hill_tail", "q327_mood_median")) {
       val w = plan(graft.queries.WarehouseQueries.defs(q)(spark, d))
