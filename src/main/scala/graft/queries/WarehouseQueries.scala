@@ -5618,6 +5618,85 @@ object WarehouseQueries {
             * col("q1").cast("double"), 2).as("price_effect_cents"),
           (col("r1") - col("r0")).as("delta_cents"))
         .orderBy("p_brand")
+    },
+
+    // SAX symbolization (Lin/Keogh): z-score each type's daily series
+    // against its own exact-moment mean/sd and map to a 4-letter
+    // alphabet at the N(0,1) quartile breakpoints — the discretization
+    // under time-series motif/anomaly mining, beside the numeric views
+    // (ACF q167, periodogram q317). z values come from identical
+    // int-exact arithmetic on both engines, so the letter comparisons
+    // cannot straddle an ulp; the word concatenates in day order.
+    "q329_sax_words" -> { (s, d) =>
+      val bp = lit(0.6744897501960817) // N(0,1) upper quartile
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(floor(decSum(col("value")).cast("double") / count(lit(1))
+          * lit(10000.0) + lit(0.5)).cast("long").as("_x"))
+      val mom = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"),
+          sum(col("_x") * col("_x")).as("_ss"))
+      daily.join(mom, Seq("event_type"))
+        .withColumn("_z",
+          (col("_n") * col("_x") - col("_s")).cast("double")
+            / col("_n").cast("double")
+            / sqrt((col("_n") * col("_ss") - col("_s") * col("_s"))
+              .cast("double")
+              / (col("_n") * (col("_n") - 1)).cast("double")))
+        .withColumn("_sym", when(col("_z") < -bp, "a")
+          .when(col("_z") < 0.0, "b")
+          .when(col("_z") < bp, "c").otherwise("d"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          concat_ws("", transform(array_sort(collect_list(
+            struct(col("day"), col("_sym")))), e => e.getField("_sym")))
+            .as("sax_word"),
+          countDistinct(col("_sym")).as("n_symbols"))
+        .orderBy("event_type")
+    },
+
+    // ABC-XYZ planning matrix: cross the q218 revenue-concentration
+    // classes (A ≤80% cum share, B ≤95%, C rest) with demand-
+    // variability classes off the q319 statistics (X: CV<0.5 steady,
+    // Y: CV<1, Z: erratic) — the 9-cell census inventory planners
+    // actually steer by (AX = automate, CZ = make-to-order). Exact
+    // int64 revenue/demand sums; the CV and share cuts are the only
+    // doubles, identical literal arithmetic both engines.
+    "q330_abc_xyz" -> { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+          .cast("long")).as("_r"))
+      val dem = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_shipdate"))
+        .agg((decSum(col("l_quantity")) * lit(10000)).cast("long")
+          .as("_q"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("_nd"), sum(col("_q")).as("_s"),
+          sum(col("_q") * col("_q")).as("_ss"))
+        .filter(col("_nd") >= 2)
+      val wCum = Window.orderBy(col("_r").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("_r").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cv = (sqrt((col("_nd") * col("_ss") - col("_s") * col("_s"))
+        .cast("double")
+        / (col("_nd") * (col("_nd") - 1)).cast("double"))
+        / (col("_s").cast("double") / col("_nd").cast("double")))
+      rev.join(dem, Seq("l_partkey"))
+        .withColumn("_cumr", sum(col("_r")).over(wCum))
+        .withColumn("_totr", sum(col("_r")).over(wAll))
+        .withColumn("abc",
+          when(col("_cumr").cast("double")
+            <= lit(0.8) * col("_totr").cast("double"), "A")
+            .when(col("_cumr").cast("double")
+              <= lit(0.95) * col("_totr").cast("double"), "B")
+            .otherwise("C"))
+        .withColumn("xyz", when(cv < 0.5, "X").when(cv < 1.0, "Y")
+          .otherwise("Z"))
+        .groupBy(col("abc"), col("xyz"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy("abc", "xyz")
     }
   )
 
@@ -10490,6 +10569,62 @@ object WarehouseQueries {
         |    * CAST(q1 AS DOUBLE) * 100.0 + 0.5) / 100.0
         |    AS price_effect_cents,
         |  r1 - r0 AS delta_cents
-        |FROM w ORDER BY p_brand""".stripMargin
+        |FROM w ORDER BY p_brand""".stripMargin,
+
+    "q329_sax_words" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 10000.0 + 0.5) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |mom AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS ss
+        |  FROM daily GROUP BY 1),
+        |z AS (SELECT d.event_type, d.day,
+        |    CAST(m.n * d.x - m.s AS DOUBLE) / CAST(m.n AS DOUBLE)
+        |      / sqrt(CAST(m.n * m.ss - m.s * m.s AS DOUBLE)
+        |        / CAST(m.n * (m.n - 1) AS DOUBLE)) AS zv
+        |  FROM daily d JOIN mom m ON d.event_type = m.event_type),
+        |sym AS (SELECT event_type, day,
+        |    CASE WHEN zv < -0.6744897501960817 THEN 'a'
+        |      WHEN zv < 0.0 THEN 'b'
+        |      WHEN zv < 0.6744897501960817 THEN 'c' ELSE 'd' END AS s
+        |  FROM z)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  string_agg(s, '' ORDER BY day) AS sax_word,
+        |  CAST(count(DISTINCT s) AS BIGINT) AS n_symbols
+        |FROM sym GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q330_abc_xyz" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1),
+        |dem AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(q) AS BIGINT) AS s, CAST(sum(q * q) AS BIGINT) AS ss
+        |  FROM (SELECT l_partkey, l_shipdate,
+        |      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) * 10000
+        |        AS BIGINT) AS q
+        |    FROM lineitem GROUP BY 1, 2)
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |ranked AS (SELECT r.l_partkey, r.r, d.nd, d.s, d.ss,
+        |    sum(r.r) OVER (ORDER BY r.r DESC, r.l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumr,
+        |    sum(r.r) OVER () AS totr
+        |  FROM rev r JOIN dem d ON r.l_partkey = d.l_partkey),
+        |cls AS (SELECT l_partkey,
+        |    CASE WHEN CAST(cumr AS DOUBLE) <= 0.8 * CAST(totr AS DOUBLE)
+        |      THEN 'A'
+        |      WHEN CAST(cumr AS DOUBLE) <= 0.95 * CAST(totr AS DOUBLE)
+        |      THEN 'B' ELSE 'C' END AS abc,
+        |    CASE WHEN sqrt(CAST(nd * ss - s * s AS DOUBLE)
+        |        / CAST(nd * (nd - 1) AS DOUBLE))
+        |        / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)) < 0.5 THEN 'X'
+        |      WHEN sqrt(CAST(nd * ss - s * s AS DOUBLE)
+        |        / CAST(nd * (nd - 1) AS DOUBLE))
+        |        / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)) < 1.0 THEN 'Y'
+        |      ELSE 'Z' END AS xyz
+        |  FROM ranked)
+        |SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts
+        |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

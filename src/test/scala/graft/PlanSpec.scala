@@ -1150,6 +1150,20 @@ class PlanSpec extends SparkSpec {
       .defs("q328_price_volume_bridge")(spark, d))
     assert(!p328.contains("windowspecdefinition"),
       s"q328 is aggregate-only, no window expected:\n$p328")
+    // q329: pure per-type aggregates (the word assembles inside the
+    // agg) — no window
+    val p329 = plan(graft.queries.WarehouseQueries
+      .defs("q329_sax_words")(spark, d))
+    assert(!p329.contains("windowspecdefinition"),
+      s"q329 is aggregate-only, no window expected:\n$p329")
+    // q330: the ABC share windows rank the part-level revenue census,
+    // never line items
+    val w330 = plan(graft.queries.WarehouseQueries
+      .defs("q330_abc_xyz")(spark, d))
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(w330.nonEmpty && w330.forall(l =>
+      !l.contains("l_orderkey") && !l.contains("l_linenumber")),
+      s"q330 windows over the part census only:\n${w330.mkString("\n")}")
     // q326/q327 cumulate bounded value censuses — windows must never
     // key on raw order/event ids
     for (q <- Seq("q326_hill_tail", "q327_mood_median")) {
