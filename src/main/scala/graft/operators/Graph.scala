@@ -191,12 +191,18 @@ object Graph {
     var survivors = -1L
     var round = 0
     var done = false
+    // each round's survivor set feeds TWO joins (both endpoints) and the
+    // next round's lineage — cached so the degree aggregate runs once;
+    // sets shrink monotonically, all release in the finally
+    var keeps = List.empty[DataFrame]
     try while (!done && round < maxRounds) {
       round += 1
       val keep = cur.select(col("a").as("n"))
         .unionAll(cur.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      keeps ::= keep
       val kept = keep.count()
       if (kept == survivors) done = true
       else {
@@ -217,6 +223,7 @@ object Graph {
       // peel from the scan
       cur = cur.localCheckpoint(true)
       prevCkpt.foreach(_.unpersist(false))
+      keeps.foreach(_.unpersist(false))
       und.unpersist(false)
       ()
     }
@@ -324,10 +331,16 @@ object Graph {
     var edgesLeft = -1L
     var round = 0
     var done = false
+    // each round's surviving edge set is re-read by the next round's
+    // wedge join and the confirm round — cached so the expensive
+    // support join runs once per round; released in the finally
+    var strongs = List.empty[DataFrame]
     try while (!done && round < maxRounds) {
       round += 1
       val strong = support(cur).filter(col("support") >= k - 2)
         .select(col("a"), col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      strongs ::= strong
       val n = strong.count()
       if (n == edgesLeft) done = true
       else {
@@ -345,6 +358,7 @@ object Graph {
       // below reads the converged edges twice
       cur = cur.localCheckpoint(true)
       prevCkpt.foreach(_.unpersist(false))
+      strongs.foreach(_.unpersist(false))
       und.unpersist(false)
       ()
     }
