@@ -5,8 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg: run only queries whose name contains the substring
-    // (local iteration aid; the driver always passes exactly two)
+    // optional 3rd arg: run only queries whose name contains one of the
+    // comma-separated substrings (local iteration aid; the driver always
+    // passes exactly two)
     val (sfDir, outDir, only) = args match {
       case Array(a, b)    => (a, b, None)
       case Array(a, b, c) => (a, b, Some(c))
@@ -27,7 +28,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.contains) }
+      .filter { case (name, _) =>
+        only.forall(_.split(',').exists(name.contains)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

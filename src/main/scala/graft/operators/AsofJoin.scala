@@ -179,11 +179,28 @@ object AsofJoin {
     * streaming one-shuffle single-row-state shape, and the chooser is a
     * plain projection — no partition buffering, no lookahead state.
     * `toleranceSec` bounds the winning match like the directional form.
+    *
+    * CONTRACT: `leftIdCol` must be unique per left row — the two
+    * directional scans rejoin on it, so a duplicated id fans out into
+    * duplicated (and wrongly-chosen) result rows with no error.
+    * `assertUniqueIds = true` buys a loud failure instead for the price
+    * of one count aggregate over the left side — turn it on anywhere the
+    * id column isn't structurally unique (a real key, a generated
+    * monotonic id) by construction.
     */
   def asofNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                   leftIdCol: String, leftTs: String, rightTs: String,
                   pickCols: Seq[String],
-                  toleranceSec: Option[Long] = None): DataFrame = {
+                  toleranceSec: Option[Long] = None,
+                  assertUniqueIds: Boolean = false): DataFrame = {
+    if (assertUniqueIds) {
+      val a = left.agg(count(lit(1)).as("n"),
+        countDistinct(col(leftIdCol)).as("d")).head()
+      require(a.getLong(0) == a.getLong(1),
+        s"asofNearest: leftIdCol '$leftIdCol' is not unique " +
+          s"(${a.getLong(0)} rows, ${a.getLong(1)} distinct) — the " +
+          "back/forward rejoin would fan out")
+    }
     val pick = (pickCols :+ rightTs).distinct
     val back = asof(left, right, keyCols, leftTs, rightTs, pick,
       direction = "backward", toleranceSec = toleranceSec)

@@ -15,6 +15,55 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** User co-activity edge list: users linked when both were active in the
+    * same (event_type, minute) bucket — the shared edge builder for the
+    * graph gate queries (q118/q119/q269/q290/q309/q314/q320/q323). Expects
+    * `userCol`/`typeCol`/`tsCol` on `events`; returns distinct id-ordered
+    * (src < dst) edges.
+    *
+    * Scale shape: the bucket self-join emits U² pairs for a bucket with U
+    * members, so ONE hot (type, minute) bucket — a flash-sale minute, a
+    * bot swarm — would dominate the whole job at scale. `bucketCap` bounds
+    * it deterministically: a bucket over the cap keeps only its `bucketCap`
+    * smallest members under the (xxhash64(user), user) order — a fixed
+    * uniform sample, not an arrival-order artifact, so the kept set is
+    * identical under any partitioning and re-run (the q41 `maxBucketSize`
+    * device in graph form). Co-activity affinity in a bucket that hot is
+    * noise anyway — the stopword argument. Only oversized buckets pay the
+    * rank window (hash-partitioned per bucket, never keyless); minute
+    * granularity keeps real buckets far under the default cap (sf0.1
+    * max = 6), so the cap is inert for gate values while capping worst-case
+    * pair volume at bucketCap²/2 per bucket.
+    */
+  def coActivityEdges(events: DataFrame, bucketCap: Int = 1024,
+                      userCol: String = "user_id",
+                      typeCol: String = "event_type",
+                      tsCol: String = "ts"): DataFrame = {
+    require(bucketCap >= 2, "bucketCap >= 2")
+    val act = events
+      .select(col(userCol).as("user_id"), col(typeCol).as("event_type"),
+        date_trunc("minute", col(tsCol)).as("h"))
+      .distinct()
+    val sized = act.join(
+      act.groupBy("event_type", "h").agg(count(lit(1)).as("_bsz")),
+      Seq("event_type", "h"))
+    val small = sized.filter(col("_bsz") <= bucketCap).drop("_bsz")
+    val capped = sized.filter(col("_bsz") > bucketCap)
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type", "h")
+          .orderBy(xxhash64(col("user_id")), col("user_id"))))
+      .filter(col("_rk") <= bucketCap)
+      .drop("_rk", "_bsz")
+    val members = small.unionByName(capped)
+    members
+      .join(members.select(col("user_id").as("v"), col("event_type"),
+        col("h")), Seq("event_type", "h"))
+      .filter(col("user_id") < col("v"))
+      .select(col("user_id").as("src"), col("v").as("dst"))
+      .distinct()
+  }
+
   /** `iterations` rounds of damped PageRank over a directed edge list.
     * Returns (node, r) with r in `unit`-scaled fixed point.
     *
@@ -175,58 +224,59 @@ object Graph {
     */
   def kCore(edges: DataFrame, k: Int, srcCol: String = "src",
             dstCol: String = "dst", maxRounds: Int = 100,
-            checkpointInterval: Int = 4): DataFrame = {
+            oracleRounds: Int = -1): DataFrame = {
     require(k >= 1 && maxRounds >= 1, "k, maxRounds >= 1")
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      // cached: every pre-checkpoint round's action replays the chain
-      // back to here — the cache stops the replay at the edge set
-      // instead of the raw scan
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager: the peel rounds below re-read the edge set; materializing
+      // it once stops every round's action from replaying the raw scan
+      .localCheckpoint(true)
     var cur = und
-    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = Dedup.checkpointRdd(und)
     var survivors = -1L
     var round = 0
     var done = false
-    // each round's survivor set feeds TWO joins (both endpoints) and the
-    // next round's lineage — cached so the degree aggregate runs once;
-    // sets shrink monotonically, all release in the finally
-    var keeps = List.empty[DataFrame]
-    try while (!done && round < maxRounds) {
+    while (!done && round < maxRounds) {
       round += 1
+      // cached: the survivor set feeds the count AND two endpoint joins
       val keep = cur.select(col("a").as("n"))
         .unionAll(cur.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      keeps ::= keep
       val kept = keep.count()
       if (kept == survivors) done = true
       else {
         survivors = kept
+        // eager checkpoint every round: materializes the shrunk edge set
+        // (so the next round's degree aggregate reads a LogicalRDD, not a
+        // replayed join chain), truncates lineage, and lets the PREVIOUS
+        // round's snapshot go — exactly one survivor set alive at a time
+        // (the round-9 version held every round's cache to convergence)
         cur = cur.join(keep.withColumnRenamed("n", "a"), "a")
           .join(keep.withColumnRenamed("n", "b"), "b")
           .select(col("a"), col("b"))
-        if (checkpointInterval > 0 && round % checkpointInterval == 0) {
-          cur = cur.localCheckpoint(true)
-          prevCkpt.foreach(_.unpersist(false))
-          prevCkpt = Dedup.checkpointRdd(cur)
-        }
+          .localCheckpoint(true)
+        prevCkpt.foreach(_.unpersist(false))
+        prevCkpt = Dedup.checkpointRdd(cur)
       }
+      // keep's only consumers (count + the joins into cur) have
+      // materialized by here
+      keep.unpersist(false)
     }
-    finally {
-      // materialize the converged edge set before dropping the cache so
-      // the caller's action reads it directly instead of replaying the
-      // peel from the scan
-      cur = cur.localCheckpoint(true)
-      prevCkpt.foreach(_.unpersist(false))
-      keeps.foreach(_.unpersist(false))
-      und.unpersist(false)
-      ()
-    }
+    // loud overrun check: the gate oracles replay the peel as a FIXED
+    // unrolled round count — a convergence depth past the unroll would
+    // otherwise surface as a silent hash mismatch at some new scale
+    // factor instead of a named error (rounds past convergence are
+    // no-ops on both engines, so <= is the correct bound)
+    val peels = if (done) round - 1 else round
+    if (oracleRounds > 0 && (!done || peels > oracleRounds))
+      throw new IllegalStateException(
+        s"kCore(k=$k) used $peels peel rounds (converged=$done) but the " +
+          s"oracle unrolls only $oracleRounds — regenerate the oracle")
     cur.select(col("a").as("node")).unionAll(cur.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("core_degree"))
       .filter(col("core_degree") >= k)
@@ -308,16 +358,16 @@ object Graph {
     */
   def kTruss(edges: DataFrame, k: Int, srcCol: String = "src",
              dstCol: String = "dst", maxRounds: Int = 100,
-             checkpointInterval: Int = 4): DataFrame = {
+             oracleRounds: Int = -1): DataFrame = {
     require(k >= 3 && maxRounds >= 1, "k >= 3, maxRounds >= 1")
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      // cached for the same reason as kCore's base: pre-checkpoint
-      // rounds replay to the cached edge set, not the raw scan
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager: the first round's three-way wedge join reads the edge set
+      // three times — materialize once, never replay the raw scan
+      .localCheckpoint(true)
     def support(cur: DataFrame): DataFrame = {
       val sym = cur.select(col("a").as("u"), col("b").as("v"))
         .unionAll(cur.select(col("b").as("u"), col("a").as("v")))
@@ -327,41 +377,39 @@ object Graph {
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
     }
     var cur = und
-    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = Dedup.checkpointRdd(und)
     var edgesLeft = -1L
     var round = 0
     var done = false
-    // each round's surviving edge set is re-read by the next round's
-    // wedge join and the confirm round — cached so the expensive
-    // support join runs once per round; released in the finally
-    var strongs = List.empty[DataFrame]
-    try while (!done && round < maxRounds) {
+    while (!done && round < maxRounds) {
       round += 1
+      // eager checkpoint of each round's survivors: round i+1's wedge
+      // join (the expensive pass — it reads the edge set three times)
+      // runs over a materialized LogicalRDD instead of replaying the
+      // peel chain, and the previous round's snapshot releases as soon
+      // as this one exists — one edge set alive at a time (the round-9
+      // version stacked every round's strong-cache to convergence and
+      // re-ran i joins of lineage in round i)
       val strong = support(cur).filter(col("support") >= k - 2)
         .select(col("a"), col("b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      strongs ::= strong
+        .localCheckpoint(true)
       val n = strong.count()
       if (n == edgesLeft) done = true
       else {
         edgesLeft = n
-        cur = cur.join(strong, Seq("a", "b"))
-        if (checkpointInterval > 0 && round % checkpointInterval == 0) {
-          cur = cur.localCheckpoint(true)
-          prevCkpt.foreach(_.unpersist(false))
-          prevCkpt = Dedup.checkpointRdd(cur)
-        }
+        prevCkpt.foreach(_.unpersist(false))
+        prevCkpt = Dedup.checkpointRdd(strong)
+        cur = strong
       }
     }
-    finally {
-      // same materialize-then-release as kCore: the final support pass
-      // below reads the converged edges twice
-      cur = cur.localCheckpoint(true)
-      prevCkpt.foreach(_.unpersist(false))
-      strongs.foreach(_.unpersist(false))
-      und.unpersist(false)
-      ()
-    }
+    // same loud unroll-depth contract as kCore: a peel deeper than the
+    // oracle's fixed round count must be a named error, not a silent
+    // hash mismatch
+    val peels = if (done) round - 1 else round
+    if (oracleRounds > 0 && (!done || peels > oracleRounds))
+      throw new IllegalStateException(
+        s"kTruss(k=$k) used $peels peel rounds (converged=$done) but the " +
+          s"oracle unrolls only $oracleRounds — regenerate the oracle")
     cur.join(support(cur), Seq("a", "b"), "left")
       .select(col("a"), col("b"),
         coalesce(col("support"), lit(0L)).as("support"))

@@ -537,16 +537,7 @@ object ExtensionQueries {
     // share is the standard percolation health scalar. All integer but
     // the one share division.
     "q290_graph_components" -> { (s, d) =>
-      val act = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"),
-          date_trunc("minute", col("ts")).as("h"))
-        .distinct()
-      val edges = act
-        .join(act.select(col("user_id").as("v"), col("event_type"),
-          col("h")), Seq("event_type", "h"))
-        .filter(col("user_id") < col("v"))
-        .select(col("user_id").as("src"), col("v").as("dst"))
-        .distinct()
+      val edges = Graph.coActivityEdges(Tables.events(s, d))
       val nodes = Tables.events(s, d).select(col("user_id")).distinct()
       val sizes = Dedup.connectedComponents(nodes, "user_id",
           edges, "src", "dst")
@@ -1393,16 +1384,7 @@ object ExtensionQueries {
     // sparse (hour buckets make it 70% dense and wedge counts quadratic). Top-20 nodes by triangle membership —
     // the local-density signal community detection starts from.
     "q118_triangle_count" -> { (s, d) =>
-      val act = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"),
-          date_trunc("minute", col("ts")).as("h"))
-        .distinct()
-      val pairs = act
-        .join(act.select(col("user_id").as("v"), col("event_type"),
-          col("h")), Seq("event_type", "h"))
-        .filter(col("user_id") < col("v"))
-        .select(col("user_id").as("src"), col("v").as("dst"))
-        .distinct()
+      val pairs = Graph.coActivityEdges(Tables.events(s, d))
       graft.operators.Graph.triangleCount(pairs)
         .orderBy(col("n_triangles").desc, col("node"))
         .limit(20)
@@ -1414,16 +1396,7 @@ object ExtensionQueries {
     // (quadratic-wedge guard; no hub exists at gate scale so the cap is
     // inert for values).
     "q119_link_prediction" -> { (s, d) =>
-      val act = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"),
-          date_trunc("minute", col("ts")).as("h"))
-        .distinct()
-      val pairs = act
-        .join(act.select(col("user_id").as("v"), col("event_type"),
-          col("h")), Seq("event_type", "h"))
-        .filter(col("user_id") < col("v"))
-        .select(col("user_id").as("src"), col("v").as("dst"))
-        .distinct()
+      val pairs = Graph.coActivityEdges(Tables.events(s, d))
       graft.operators.Graph.commonNeighborLinks(pairs, k = 20)
     },
 
@@ -1762,17 +1735,8 @@ object ExtensionQueries {
     // unrolled (8 covers the gate's depth with margin — extra rounds
     // past convergence are no-ops on both engines).
     "q309_kcore" -> { (s, d) =>
-      val act = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"),
-          date_trunc("minute", col("ts")).as("h"))
-        .distinct()
-      val edges = act
-        .join(act.select(col("user_id").as("v"), col("event_type"),
-          col("h")), Seq("event_type", "h"))
-        .filter(col("user_id") < col("v"))
-        .select(col("user_id").as("src"), col("v").as("dst"))
-        .distinct()
-      Graph.kCore(edges, 2)
+      val edges = Graph.coActivityEdges(Tables.events(s, d))
+      Graph.kCore(edges, 2, oracleRounds = 8)
         .select(col("node").as("user_id"), col("core_degree"))
         .orderBy("user_id")
     },
@@ -1786,16 +1750,7 @@ object ExtensionQueries {
     // scalar-only min(struct(-count, label)) hash aggregate per round,
     // never a sort window.
     "q314_label_propagation" -> { (s, d) =>
-      val act = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"),
-          date_trunc("minute", col("ts")).as("h"))
-        .distinct()
-      val edges = act
-        .join(act.select(col("user_id").as("v"), col("event_type"),
-          col("h")), Seq("event_type", "h"))
-        .filter(col("user_id") < col("v"))
-        .select(col("user_id").as("src"), col("v").as("dst"))
-        .distinct()
+      val edges = Graph.coActivityEdges(Tables.events(s, d))
       val nodes = Tables.events(s, d).select(col("user_id")).distinct()
       Graph.labelPropagation(nodes, "user_id", edges, rounds = 3)
         .select(col("node").as("user_id"), col("community"))
@@ -1809,17 +1764,8 @@ object ExtensionQueries {
     // join; the oracle replays the synchronous support-peel rounds
     // unrolled (4 covers the gate depth; extra rounds are no-ops).
     "q320_ktruss" -> { (s, d) =>
-      val act = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"),
-          date_trunc("minute", col("ts")).as("h"))
-        .distinct()
-      val edges = act
-        .join(act.select(col("user_id").as("v"), col("event_type"),
-          col("h")), Seq("event_type", "h"))
-        .filter(col("user_id") < col("v"))
-        .select(col("user_id").as("src"), col("v").as("dst"))
-        .distinct()
-      Graph.kTruss(edges, 3)
+      val edges = Graph.coActivityEdges(Tables.events(s, d))
+      Graph.kTruss(edges, 3, oracleRounds = 4)
         .select(col("a").as("user_a"), col("b").as("user_b"),
           col("support"))
         .orderBy("user_a", "user_b")
@@ -1834,16 +1780,8 @@ object ExtensionQueries {
     // the scale story: the infinite Katz series needs a linear solve,
     // the k-term form is k scan-shaped rounds.
     "q323_katz_centrality" -> { (s, d) =>
-      val act = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"),
-          date_trunc("minute", col("ts")).as("h"))
-        .distinct()
-      val e = act
-        .join(act.select(col("user_id").as("v"), col("event_type"),
-          col("h")), Seq("event_type", "h"))
-        .filter(col("user_id") < col("v"))
-        .select(col("user_id").as("a"), col("v").as("b"))
-        .distinct()
+      val e = Graph.coActivityEdges(Tables.events(s, d))
+        .select(col("src").as("a"), col("dst").as("b"))
       val sym = e.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
       val p1 = sym.groupBy(col("u")).agg(count(lit(1)).as("_c1"))

@@ -3951,16 +3951,7 @@ object WarehouseQueries {
     // undirected edge set; top-30 under the (coefficient DESC, node)
     // total order on the fr-gridded ratio.
     "q269_local_clustering" -> { (s, d) =>
-      val act = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"),
-          date_trunc("minute", col("ts")).as("h"))
-        .distinct()
-      val edges = act
-        .join(act.select(col("user_id").as("v"), col("event_type"),
-          col("h")), Seq("event_type", "h"))
-        .filter(col("user_id") < col("v"))
-        .select(col("user_id").as("src"), col("v").as("dst"))
-        .distinct()
+      val edges = graft.operators.Graph.coActivityEdges(Tables.events(s, d))
       val tri = graft.operators.Graph.triangleCount(edges)
       val deg = edges.select(col("src").as("node"))
         .unionAll(edges.select(col("dst").as("node")))

@@ -228,8 +228,115 @@ object WindowQueries {
       graft.operators.Analytics.twap(Tables.events(s, d), "value", "ts",
         Seq("user_id"), tieCols = Seq("event_id"))
         .orderBy("user_id")
+    },
+
+    // ── Streaming batch-equivalence gates (q331–q334) ──
+    // Each replays a driver table through a file-backed micro-batch
+    // stream, runs the StreamingOps mirror to completion, and returns the
+    // sink table — so the DuckDB oracle now gates the STREAMING operators
+    // (previously spec-pinned only; a drift between a mirror and its batch
+    // twin becomes a red correctness row, not just a failing unit test).
+    // The append-mode gates carry one far-future sentinel row: its
+    // watermark advance closes every real window/session (Spark's no-data
+    // micro-batch flush), and the sentinel's own group is filtered back
+    // out. Results are sentinel-independent — the sentinel is 6 years past
+    // the newest real event, beyond any gap/delay horizon.
+
+    // Streaming sessionize (native session_window + watermark) replayed
+    // over the events table: one row per CLOSED session. Boundary parity
+    // with q95: a session closes at ts >= prev + gap (exclusive window
+    // end), which the oracle replays with the same >= flag.
+    "q331_streaming_sessionize" -> { (s, d) =>
+      import graft.streaming.StreamingOps
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val sentinel = s.range(1).select(lit(-1L).as("user_id"),
+        lit("2030-01-01 00:00:00").cast("timestamp").as("ts"))
+      val out = replay(s, ev.unionByName(sentinel), "graft_q331") { st =>
+        StreamingOps.streamingSessionize(st, gap = "30 minutes",
+          delay = "1 minute", tsCol = "ts", keyCol = "user_id")
+      }
+      out.filter(col("user_id") >= 0L)
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
+    // Streaming OHLCV-family resample (O14's live form) on the events
+    // stream shaped as a VOLUME feed: tumbling 1-hour event-time windows,
+    // emitted on watermark close. Epoch-aligned window() == date_trunc
+    // hour in the oracle.
+    "q332_streaming_resample" -> { (s, d) =>
+      import graft.streaming.StreamingOps
+      val ev = Tables.events(s, d).select(col("event_type").as("SYMBOL"),
+        col("ts").as("TIMESTAMP"), col("value").as("VOLUME"))
+      val sentinel = s.range(1).select(lit("zz_sentinel").as("SYMBOL"),
+        lit("2030-01-01 00:00:00").cast("timestamp").as("TIMESTAMP"),
+        lit(0.0).as("VOLUME"))
+      val out = replay(s, ev.unionByName(sentinel), "graft_q332") { st =>
+        StreamingOps.streamingResample(st, "1H", delay = "1 minute")
+      }
+      out.filter(col("SYMBOL") =!= "zz_sentinel")
+        .select(col("SYMBOL").as("event_type"),
+          col("TIMESTAMP").cast("timestamp_ntz").as("bucket"),
+          fr(col("VOLUME"), 4).as("total"))
+        .orderBy("event_type", "bucket")
+    },
+
+    // Streaming keep-first dedup (O8's live form,
+    // dropDuplicatesWithinWatermark): projected to the dedup key so the
+    // arbitrary-winner row never reaches the compare — the emitted KEY SET
+    // is deterministic, the surviving payload row is arrival-order and
+    // belongs to the spec-pinned tests, not a hash gate.
+    "q333_streaming_dedup" -> { (s, d) =>
+      import graft.streaming.StreamingOps
+      val ev = Tables.events(s, d).select(col("event_type").as("SYMBOL"),
+        col("ts").as("TIMESTAMP"))
+      val out = replay(s, ev, "graft_q333") { st =>
+        StreamingOps.streamingDedup(st, delay = "1 minute")
+      }
+      out.select(col("SYMBOL").as("event_type"),
+          col("TIMESTAMP").cast("timestamp_ntz").as("ts"))
+        .orderBy("event_type", "ts")
+    },
+
+    // Streaming incremental state table (Analytics.aggState's live form):
+    // per-user count / exact DECIMAL sum / min / max in complete mode —
+    // algebraic state, so the final table must equal the one-shot batch
+    // aggregate bit-for-bit (the q115 invariant, now driver-gated).
+    "q334_streaming_agg_state" -> { (s, d) =>
+      import graft.streaming.StreamingOps
+      val ev = Tables.events(s, d).select(col("user_id"), col("value"))
+      val out = replay(s, ev, "graft_q334", mode = "complete") { st =>
+        StreamingOps.streamingAggState(st, "user_id", "value")
+      }
+      out.select(col("k").as("user_id"), col("n"),
+          col("s").cast("double").as("s_sum"), col("mn"), col("mx"))
+        .orderBy("user_id")
     }
   )
+
+  /** Replays a batch frame through a file-backed micro-batch stream and
+    * runs `f` over it into a memory sink, blocking to completion
+    * (including Spark's no-data watermark-flush batch). The REPLAY is the
+    * harness — one coalesced file so everything lands in a single ordered
+    * micro-batch and no real row can be late; the OPERATOR under test is
+    * the production streaming shape (watermark-bounded state, append/
+    * complete emission). At deployment scale the same plan reads a live
+    * source instead; nothing here buffers beyond the memory sink holding
+    * the gate-sized result.
+    */
+  private def replay(s: SparkSession, batch: DataFrame, name: String,
+                     mode: String = "append")(
+      f: DataFrame => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    batch.coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = f(s.readStream.schema(batch.schema).parquet(dir))
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
 
   val sql: Map[String, String] = Map(
     "q18_ohlcv_resample" ->
@@ -423,6 +530,47 @@ object WindowQueries {
         |  floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
         |        / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_v,
         |  count(*) AS n_obs
-        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // session_window semantics: merge while ts < prev_end (exclusive
+    // end), so a NEW session starts at ts >= prev + 30 min — the q95
+    // boundary rule — and the closed session ends at last_ts + gap
+    "q331_streaming_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |x AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM e),
+        |f AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR ts >= prev_ts + INTERVAL 30 MINUTE THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM x),
+        |g AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM f)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q332_streaming_resample" ->
+      """SELECT event_type,
+        |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+        |  floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q333_streaming_dedup" ->
+      """SELECT DISTINCT event_type, CAST(ts AS TIMESTAMP) AS ts
+        |FROM events ORDER BY event_type, ts""".stripMargin,
+
+    "q334_streaming_agg_state" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s_sum,
+        |  min(value) AS mn, max(value) AS mx
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

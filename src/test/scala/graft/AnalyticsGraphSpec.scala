@@ -282,13 +282,70 @@ class AnalyticsGraphSpec extends SparkSpec {
 
   test("kCore: deep path peel stays plan-bounded via checkpoints") {
     // a 21-node path peels from both ends, one layer per round (~10
-    // rounds): with interval 4 the converged frame must be rooted in a
-    // localCheckpoint snapshot, not 10 rounds of join lineage
+    // rounds): the converged frame must be rooted in a localCheckpoint
+    // snapshot, not 10 rounds of join lineage
     val path = (0L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
-    val core = Graph.kCore(path, 2, checkpointInterval = 4)
+    val core = Graph.kCore(path, 2)
     assert(core.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l
     }.nonEmpty, "frame must be rooted in a localCheckpoint snapshot")
     assert(core.count() == 0L, "a path has no 2-core")
+  }
+
+  test("kCore/kTruss: peel deeper than the oracle unroll fails LOUDLY") {
+    // the gate oracles replay the peel as a FIXED unrolled round count;
+    // a convergence depth past it must be a named error, not a silent
+    // hash mismatch at some new scale factor. The 21-node path needs 10
+    // peel rounds — an oracle claiming 3 must throw.
+    val path = (0L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Graph.kCore(path, 2, oracleRounds = 3).count()
+    }
+    assert(e.getMessage.contains("oracle unrolls only 3"), e.getMessage)
+    // generous unrolls pass: extra rounds past convergence are no-ops
+    assert(Graph.kCore(path, 2, oracleRounds = 50).count() == 0L)
+    val diamond = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("src", "dst")
+    val e2 = intercept[IllegalStateException] {
+      // the 4-truss cascade needs 2 peel rounds (+1 confirm)
+      Graph.kTruss(diamond, 4, oracleRounds = 1).count()
+    }
+    assert(e2.getMessage.contains("oracle unrolls only 1"), e2.getMessage)
+    assert(Graph.kTruss(diamond, 3, oracleRounds = 4).count() == 5L)
+  }
+
+  test("coActivityEdges: adversarial hot bucket stays bounded and inert" +
+      " buckets pass through") {
+    // one (type, minute) bucket with 10^4 users would emit 5*10^7 pairs
+    // uncapped — the 100 TB hot-minute scenario. With bucketCap=50 the
+    // builder must keep exactly 50 deterministically-chosen members
+    // (<=1225 pairs) and leave the small bucket's pairs untouched.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val hot = (0L until 10000L).map(u => (u, "click", base))
+    val cold = Seq((20001L, "view", base), (20002L, "view", base),
+      (20003L, "view", base))
+    val ev = (hot ++ cold).toDF("user_id", "event_type", "ts")
+    val got = Graph.coActivityEdges(ev, bucketCap = 50)
+    val total = got.count()
+    assert(total == 50L * 49L / 2L + 3L,
+      s"hot bucket capped at 50 members + the cold clique, got $total")
+    val coldPairs = got.filter(col("src") >= 20000L).orderBy("src", "dst")
+      .as[(Long, Long)].collect().toSeq
+    assert(coldPairs == Seq((20001L, 20002L), (20001L, 20003L),
+      (20002L, 20003L)),
+      "a bucket under the cap must produce its full clique untouched")
+    // determinism: the kept member set is a (xxhash64, id)-ordered prefix,
+    // identical under any input partitioning
+    val canon = got.orderBy("src", "dst").collect().toSeq
+    val reparted = Graph.coActivityEdges(ev.repartition(13), bucketCap = 50)
+      .orderBy("src", "dst").collect().toSeq
+    assert(canon == reparted, "capped edge set must not depend on layout")
+    // the default cap still bites this adversarial bucket (10^4 > 1024)
+    // while leaving under-cap buckets untouched — gate-shaped data (sf0.1
+    // max bucket = 6) never reaches it
+    val free = Graph.coActivityEdges(ev)
+    assert(free.count() == 1024L * 1023L / 2L + 3L,
+      "default cap of 1024 must bound the 10^4-user bucket")
+    assert(free.filter(col("src") >= 20000L).count() == 3L)
   }
 }

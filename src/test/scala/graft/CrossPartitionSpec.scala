@@ -247,6 +247,18 @@ class CrossPartitionSpec extends SparkSpec {
       .filter($"eid" === 50L).collect()
     assert(tie.head.get(tie.head.fieldIndex("asof_price")) == 100.0,
       "midpoint tie must resolve backward (pandas rule)")
+    // the rejoin contract: a duplicated left id silently fans out, so the
+    // opt-in guard must fail LOUDLY on one
+    val dup = events.union(events.limit(1))
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofNearest(dup, quotes, Seq("user_id"),
+        "eid", "ts", "qts", Seq("price"), assertUniqueIds = true)
+    }
+    assert(e.getMessage.contains("not unique"), e.getMessage)
+    // and pass through clean ids at the cost of one aggregate
+    assert(AsofJoin.asofNearest(events, quotes, Seq("user_id"),
+      "eid", "ts", "qts", Seq("price"),
+      assertUniqueIds = true).count() == 200L)
   }
 
   test("two-phase stratified top-k matches the single-window form under a dominant stratum") {
