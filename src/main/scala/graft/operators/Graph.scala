@@ -365,10 +365,22 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      // eager: the first round's three-way wedge join reads the edge set
-      // three times — materialize once, never replay the raw scan
+      // eager: the first round's wedge join reads the edge set several
+      // times — materialize once, never replay the raw scan
       .localCheckpoint(true)
-    def support(cur: DataFrame): DataFrame = {
+    // Two physically different, value-identical support strategies — the
+    // choice is a scalar density probe, AQE-style: per-edge triangle
+    // support is the same number whether wedges enumerate symmetrically
+    // or degree-oriented, so picking by average degree cannot move a hash
+    // gate.
+    //
+    // SPARSE (avg degree ≤ the threshold): symmetric common-neighbor
+    // join — two keyed equi-joins through the symmetrized adjacency.
+    // Wedge volume is Σ deg(u)², fine when degrees are small, and it
+    // skips the orientation machinery (a degree aggregate + two joins),
+    // which on the sf0.1 gate graph (avg deg ~30) is pure overhead
+    // (~1.5 s of the ~2.5 s total).
+    def supportSymmetric(cur: DataFrame): DataFrame = {
       val sym = cur.select(col("a").as("u"), col("b").as("v"))
         .unionAll(cur.select(col("b").as("u"), col("a").as("v")))
       cur
@@ -376,6 +388,57 @@ object Graph {
         .join(sym.select(col("u").as("b"), col("v").as("w")), Seq("b", "w"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
     }
+    // DENSE: degree-ORIENTED triangle enumeration (the triangleCount
+    // device): orient each edge from its lower (degree, node) endpoint,
+    // build wedges only at apexes over their higher neighbors, close
+    // against the undirected set, then explode each found triangle onto
+    // its three edges — each triangle reaches each edge exactly once, so
+    // the counts match the symmetric form. Wedge volume drops to
+    // Σ C(outdeg, 2), arboricity-bounded (O(E^1.5) worst case) — on the
+    // 10× scale rehearsal's near-clique co-activity graph (avg deg 305,
+    // Σ deg² = 1.4e9) the symmetric form's peel rounds ran minutes each.
+    def supportOriented(cur: DataFrame): DataFrame = {
+      val deg = cur.select(col("a").as("n"))
+        .unionAll(cur.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keyed = cur
+        .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"),
+          "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"),
+          "b")
+        .select(
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            struct(col("a").as("lo"), col("b").as("hi")))
+            .otherwise(struct(col("b").as("lo"), col("a").as("hi")))
+            .as("e"))
+        .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+      val wedges = keyed.as("e1")
+        .join(keyed.select(col("lo"), col("hi").as("hi2")).as("e2"),
+          Seq("lo"))
+        .filter(col("hi") < col("hi2"))
+        .select(col("lo").as("apex"), col("hi").as("x"), col("hi2").as("y"))
+      val tri = wedges
+        .join(cur, col("x") === col("a") && col("y") === col("b"))
+        .select(col("apex"), col("x"), col("y"))
+      tri
+        .select(explode(array(
+          struct(least(col("apex"), col("x")).as("a"),
+            greatest(col("apex"), col("x")).as("b")),
+          struct(least(col("apex"), col("y")).as("a"),
+            greatest(col("apex"), col("y")).as("b")),
+          struct(col("x").as("a"), col("y").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    // density probe: one tiny two-scalar aggregate over the materialized
+    // edge set (the localCheckpoint above already paid the scan)
+    val vc = und.select(col("a")).unionAll(und.select(col("b")))
+      .agg(countDistinct(col("a")).as("v"), count(lit(1)).as("e2")).head()
+    val avgDeg =
+      if (vc.getLong(0) == 0L) 0.0
+      else vc.getLong(1).toDouble / vc.getLong(0)
+    val support: DataFrame => DataFrame =
+      if (avgDeg > 64.0) supportOriented else supportSymmetric
     var cur = und
     var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = Dedup.checkpointRdd(und)
     var edgesLeft = -1L

@@ -262,8 +262,12 @@ object WarehouseQueries {
     // (UnionLoop): min hop count from the seed user over the mod-7
     // co-activity subgraph, depth-bounded at 4. The SQL-surface answer to
     // graph reachability — both engines execute the IDENTICAL recursive
-    // query text over the same edge view. Depth-bounded UNION ALL walks
-    // grow with path count, so production reachability at 100 TB uses the
+    // query text over the same edge view. The recursive term is SELECT
+    // DISTINCT: each level's frontier dedups to at most |V| rows, so the
+    // walk is levels x nodes instead of path-count (a bare UNION ALL walk
+    // blew Spark's 1M recursion-row guard at the 10x scale rehearsal —
+    // path counts grow multiplicatively through dense neighborhoods).
+    // Production all-pairs reachability at 100 TB still uses the
     // Pregel-style iteration (Graph.pageRankFixedPoint's lineage-bounded
     // loop / Dedup.connectedComponents); this gate pins the SQL parity.
     "q132_recursive_bfs" -> { (s, d) =>
@@ -288,7 +292,7 @@ object WarehouseQueries {
         WITH RECURSIVE walk(node, lvl) AS (
           SELECT min(s) AS node, 0 AS lvl FROM graft_bfs_edges
           UNION ALL
-          SELECT e.d, w.lvl + 1
+          SELECT DISTINCT e.d, w.lvl + 1
           FROM walk w JOIN graft_bfs_edges e ON e.s = w.node
           WHERE w.lvl < 4)
         SELECT node, min(lvl) AS dist FROM walk
@@ -2846,7 +2850,7 @@ object WarehouseQueries {
         WITH RECURSIVE walk(node, lvl) AS (
           SELECT min(s) AS node, 0 AS lvl FROM graft_close_edges
           UNION ALL
-          SELECT e.d, w.lvl + 1
+          SELECT DISTINCT e.d, w.lvl + 1
           FROM walk w JOIN graft_close_edges e ON e.s = w.node
           WHERE w.lvl < 4),
         dist AS (SELECT node, min(lvl) AS dist FROM walk GROUP BY node)
@@ -5996,7 +6000,8 @@ object WarehouseQueries {
         |walk(node, lvl) AS (
         |  SELECT min(s) AS node, 0 AS lvl FROM edges
         |  UNION ALL
-        |  SELECT e.d, w.lvl + 1 FROM walk w JOIN edges e ON e.s = w.node
+        |  SELECT DISTINCT e.d, w.lvl + 1
+        |  FROM walk w JOIN edges e ON e.s = w.node
         |  WHERE w.lvl < 4)
         |SELECT node, min(lvl) AS dist FROM walk
         |GROUP BY node ORDER BY node""".stripMargin,
@@ -7981,7 +7986,8 @@ object WarehouseQueries {
         |walk(node, lvl) AS (
         |  SELECT min(s) AS node, 0 AS lvl FROM edges
         |  UNION ALL
-        |  SELECT e.d, w.lvl + 1 FROM walk w JOIN edges e ON e.s = w.node
+        |  SELECT DISTINCT e.d, w.lvl + 1
+        |  FROM walk w JOIN edges e ON e.s = w.node
         |  WHERE w.lvl < 4),
         |dist AS (SELECT node, min(lvl) AS dist FROM walk GROUP BY node)
         |SELECT count(*) AS n_reached,

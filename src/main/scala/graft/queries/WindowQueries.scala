@@ -314,6 +314,25 @@ object WindowQueries {
       out.select(col("k").as("user_id"), col("n"),
           col("s").cast("double").as("s_sum"), col("mn"), col("mx"))
         .orderBy("user_id")
+    },
+
+    // Streaming CDC latest-change state (q116's live form): the events
+    // feed recast as a changelog (error rows are D retraction markers),
+    // resolved per user under the (ts, op, value) total order by the
+    // update-mode max_by mirror. Order-insensitive by construction — the
+    // argmax over a total order lands on the same winner whatever the
+    // arrival interleaving — so the single-batch replay is exact.
+    "q335_streaming_cdc" -> { (s, d) =>
+      import graft.streaming.StreamingOps
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("ts"), col("value"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+          .as("op"))
+      val out = replay(s, ev, "graft_q335", mode = "complete") { st =>
+        StreamingOps.streamingLatestChange(st, "user_id", "value", "ts", "op")
+      }
+      out.select(col("k").as("user_id"), col("op"), col("v"))
+        .orderBy("user_id")
     }
   )
 
@@ -571,6 +590,20 @@ object WindowQueries {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s_sum,
         |  min(value) AS mn, max(value) AS mx
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the (ts, op, value) DESC row_number replays max_by over the same
+    // total order
+    "q335_streaming_cdc" ->
+      """WITH c AS (SELECT user_id, ts,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value
+        |  FROM events),
+        |r AS (SELECT user_id, op, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, op DESC, value DESC) AS rn
+        |  FROM c)
+        |SELECT user_id, op, value AS v FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin
   )
 }

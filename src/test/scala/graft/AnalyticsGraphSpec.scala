@@ -314,6 +314,20 @@ class AnalyticsGraphSpec extends SparkSpec {
     assert(Graph.kTruss(diamond, 3, oracleRounds = 4).count() == 5L)
   }
 
+  test("kTruss: dense graph takes the oriented-support path, same values") {
+    // K70 (avg degree 69 > the 64 density threshold) routes support
+    // counting through oriented triangle enumeration; every edge of a
+    // complete graph sits in exactly n-2 triangles, so the value
+    // contract between the two strategies is directly checkable
+    val n = 70L
+    val k70 = for (i <- 0L until n; j <- (i + 1) until n) yield (i, j)
+    val t = Graph.kTruss(k70.toDF("src", "dst"), 3)
+    assert(t.count() == n * (n - 1) / 2, "all K70 edges survive a 3-truss")
+    val sup = t.select("support").distinct().as[Long].collect().toSeq
+    assert(sup == Seq(n - 2),
+      s"every K70 edge sits in exactly ${n - 2} triangles: $sup")
+  }
+
   test("coActivityEdges: adversarial hot bucket stays bounded and inert" +
       " buckets pass through") {
     // one (type, minute) bucket with 10^4 users would emit 5*10^7 pairs
