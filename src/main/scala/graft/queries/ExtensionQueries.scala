@@ -1379,10 +1379,11 @@ object ExtensionQueries {
     },
 
     // Degree-oriented triangle counting (Graph.triangleCount) over the
-    // user co-activity graph: users linked when active in the same
-    // (event_type, minute) bucket — minute granularity keeps the graph
-    // sparse (hour buckets make it 70% dense and wedge counts quadratic). Top-20 nodes by triangle membership —
-    // the local-density signal community detection starts from.
+    // user co-activity graph (Graph.coActivityEdges: users linked when
+    // active in the same (event_type, minute) bucket — minute granularity
+    // keeps it sparse, the shared per-bucket member cap bounds a hot
+    // minute's pair blowup). Top-20 nodes by triangle membership — the
+    // local-density signal community detection starts from.
     "q118_triangle_count" -> { (s, d) =>
       val pairs = Graph.coActivityEdges(Tables.events(s, d))
       graft.operators.Graph.triangleCount(pairs)
@@ -1760,9 +1761,12 @@ object ExtensionQueries {
     // 3-truss of the co-activity graph (Graph.kTruss): every surviving
     // edge sits in ≥1 triangle AMONG surviving edges — edge-cohesion
     // peeling, the stricter sibling of node-degree k-core (q309): a hub
-    // star survives a 2-core but no truss. Support is the q118 wedge
-    // join; the oracle replays the synchronous support-peel rounds
-    // unrolled (4 covers the gate depth; extra rounds are no-ops).
+    // star survives a 2-core but no truss. Support counting picks its
+    // physical strategy by a density probe (symmetric common-neighbor
+    // join at gate sparsity, oriented triangle enumeration past avg
+    // degree 64 — value-identical, see Graph.kTruss); the oracle replays
+    // the synchronous support-peel rounds unrolled (4 covers the gate
+    // depth; extra rounds are no-ops).
     "q320_ktruss" -> { (s, d) =>
       val edges = Graph.coActivityEdges(Tables.events(s, d))
       Graph.kTruss(edges, 3, oracleRounds = 4)
