@@ -1127,11 +1127,15 @@ class PlanSpec extends SparkSpec {
       .defs("q322_dormant_customers")(spark, d))
     assert(p322.contains("LeftAnti"), s"q322 needs an anti join:\n$p322")
     // q323: three chained keyed joins + hash aggs — no cartesian beyond
-    // the intended scalar cross joins, no window
-    val p323 = plan(graft.queries.ExtensionQueries
+    // the intended scalar cross joins. The only window allowed is the
+    // coActivityEdges hot-bucket cap rank, partitioned by the
+    // (event_type, minute) bucket key — never keyless, never per-user
+    val w323 = plan(graft.queries.ExtensionQueries
       .defs("q323_katz_centrality")(spark, d))
-    assert(!p323.contains("windowspecdefinition"),
-      s"q323 walk counts need no window:\n$p323")
+      .linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(w323.forall(_.contains("event_type")),
+      s"q323 windows may only key on the co-activity bucket:\n" +
+        w323.mkString("\n"))
     // q318/q325 (shared cores): censuses only — windows never key on
     // raw event/user ids
     for ((q, o) <- Seq("q318_jonckheere" -> "WarehouseQueries",
