@@ -21,47 +21,145 @@ object Graph {
     * `userCol`/`typeCol`/`tsCol` on `events`; returns distinct id-ordered
     * (src < dst) edges.
     *
-    * Scale shape: the bucket self-join emits U² pairs for a bucket with U
-    * members, so ONE hot (type, minute) bucket — a flash-sale minute, a
-    * bot swarm — would dominate the whole job at scale. `bucketCap` bounds
-    * it deterministically: a bucket over the cap keeps only its `bucketCap`
-    * smallest members under the (xxhash64(user), user) order — a fixed
-    * uniform sample, not an arrival-order artifact, so the kept set is
-    * identical under any partitioning and re-run (the q41 `maxBucketSize`
-    * device in graph form). Co-activity affinity in a bucket that hot is
-    * noise anyway — the stopword argument. Only oversized buckets pay the
-    * rank window (hash-partitioned per bucket, never keyless); minute
-    * granularity keeps real buckets far under the default cap (sf0.1
-    * max = 6), so the cap is inert for gate values while capping worst-case
-    * pair volume at bucketCap²/2 per bucket.
+    * Two default-on, deterministic sparsifiers keep the graph scale-safe;
+    * both are decided by ONE cheap scalar probe job over the distinct
+    * activity set, and when the data is under both caps (the common path
+    * at every gate scale — sf0.1 max bucket = 6 vs 1024, max degree = 57
+    * vs 96) the capping subplans are SKIPPED entirely: the function
+    * returns the plain lazy self-join plan, byte-identical to the
+    * uncapped oracle form and fully fusable into the consumer's DAG. Only
+    * when a cap binds is the weighted pair census materialized
+    * (localCheckpoint) and the prune applied:
+    *
+    *  - `bucketCap`: the bucket self-join emits U² pairs for a bucket
+    *    with U members, so ONE hot (type, minute) bucket — a flash-sale
+    *    minute, a bot swarm — would dominate the whole job at scale. An
+    *    oversized bucket keeps only its `bucketCap` smallest members
+    *    under the (xxhash64(user), user) order — a fixed uniform sample,
+    *    identical under any partitioning and re-run (the q41
+    *    `maxBucketSize` device in graph form). Co-activity affinity in a
+    *    bucket that hot is noise anyway — the stopword argument.
+    *  - `degreeCap`: even with every bucket under `bucketCap`, organic
+    *    10× user growth in a fixed time window densifies the graph ~100×
+    *    (pair volume is quadratic in bucket density — measured on the
+    *    driver's own sf0.01→sf0.1 data, 211→23k edges, and again at the
+    *    10× rehearsal, where the uncapped 3-truss peel ran 338 s). Each
+    *    node keeps only its `degreeCap` STRONGEST ties — neighbors ranked
+    *    by (shared-bucket count desc, xxhash64(neighbor), neighbor), a
+    *    weight-aware prune with an unbiased deterministic tie-break — and
+    *    an edge survives only if BOTH endpoints keep it (mutual-kNN
+    *    semantics), which hard-bounds every surviving degree ≤ degreeCap
+    *    and total edges ≤ degreeCap·|V|/2: edge growth is linear in
+    *    users from here up, whatever the density does. Triangle/truss
+    *    wedge volume is then ≤ |V|·C(degreeCap, 2) by construction.
+    *
+    * Neither cap is replicated in the DuckDB gate oracles (they replay
+    * the plain uncapped self-join), so a cap silently binding on gate
+    * data would surface as an unexplained hash mismatch. `assertUncapped`
+    * is the loud-failure option (the kCore/kTruss `oracleRounds`
+    * contract's sibling): set it in an oracle-gated run and a binding cap
+    * throws a named error — "regenerate the oracle" — instead. It stays
+    * off in the shared gate closures only because the SAME closures run
+    * at the 10× scale rehearsal, where the caps binding is the point.
     */
   def coActivityEdges(events: DataFrame, bucketCap: Int = 1024,
+                      degreeCap: Int = 96,
+                      assertUncapped: Boolean = false,
                       userCol: String = "user_id",
                       typeCol: String = "event_type",
                       tsCol: String = "ts"): DataFrame = {
     require(bucketCap >= 2, "bucketCap >= 2")
+    require(degreeCap >= 1, "degreeCap >= 1")
     val act = events
       .select(col(userCol).as("user_id"), col(typeCol).as("event_type"),
         date_trunc("minute", col(tsCol)).as("h"))
       .distinct()
-    val sized = act.join(
-      act.groupBy("event_type", "h").agg(count(lit(1)).as("_bsz")),
-      Seq("event_type", "h"))
-    val small = sized.filter(col("_bsz") <= bucketCap).drop("_bsz")
-    val capped = sized.filter(col("_bsz") > bucketCap)
-      .withColumn("_rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("event_type", "h")
-          .orderBy(xxhash64(col("user_id")), col("user_id"))))
-      .filter(col("_rk") <= bucketCap)
-      .drop("_rk", "_bsz")
-    val members = small.unionByName(capped)
-    members
+    // ONE scalar probe job decides both caps BEFORE the quadratic pair
+    // census can run: per bucket its size, per user the degree UPPER BOUND
+    // deg(u) <= Σ over u's buckets of (size − 1) — exact enough to skip
+    // (bound max 57 vs true max 57 on sf0.1), and available without ever
+    // materializing a pair. Under both caps (every gate scale) the
+    // function returns the PLAIN LAZY self-join plan — no checkpoint, no
+    // sizing join, no window — so a consumer fuses the whole build into
+    // its own DAG with exchange reuse, byte-identical to the uncapped
+    // oracle form.
+    val bucketSizes = act.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("_bsz"))
+    val stats = act.join(bucketSizes, Seq("event_type", "h"))
+      .groupBy("user_id")
+      .agg(sum(col("_bsz") - 1).as("_ub"), max(col("_bsz")).as("_mb"))
+      .agg(max(col("_ub")).as("ub"), max(col("_mb")).as("mb")).head()
+    val maxUbDeg = Option(stats.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val maxBucket = Option(stats.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (maxBucket <= bucketCap && maxUbDeg <= degreeCap)
+      return act
+        .join(act.select(col("user_id").as("v"), col("event_type"),
+          col("h")), Seq("event_type", "h"))
+        .filter(col("user_id") < col("v"))
+        .select(col("user_id").as("src"), col("v").as("dst"))
+        .distinct()
+    if (assertUncapped && maxBucket > bucketCap)
+      throw new IllegalStateException(
+        s"coActivityEdges: a (event_type, minute) bucket holds $maxBucket " +
+          s"users > bucketCap=$bucketCap — the gate oracle replays the " +
+          "UNCAPPED self-join; regenerate the oracle or raise the cap")
+    val members =
+      if (maxBucket <= bucketCap) act
+      else {
+        val sized = act.join(bucketSizes, Seq("event_type", "h"))
+        val small = sized.filter(col("_bsz") <= bucketCap).drop("_bsz")
+        val capped = sized.filter(col("_bsz") > bucketCap)
+          .withColumn("_rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("event_type", "h")
+              .orderBy(xxhash64(col("user_id")), col("user_id"))))
+          .filter(col("_rk") <= bucketCap)
+          .drop("_rk", "_bsz")
+        small.unionByName(capped)
+      }
+    // weighted pair census: the count IS the co-activity weight (shared
+    // buckets), same shuffle as a .distinct(). Eager: the exact degree
+    // probe and every consumer replay a LogicalRDD, not the build plan.
+    val weighted = members
       .join(members.select(col("user_id").as("v"), col("event_type"),
         col("h")), Seq("event_type", "h"))
       .filter(col("user_id") < col("v"))
-      .select(col("user_id").as("src"), col("v").as("dst"))
-      .distinct()
+      .groupBy(col("user_id").as("src"), col("v").as("dst"))
+      .agg(count(lit(1)).as("_w"))
+      .localCheckpoint(true)
+    // exact degree probe: the upper bound overshot the cap (pairs shared
+    // across several buckets count once here), so measure for real before
+    // paying the rank window
+    val maxDeg = Option(weighted.select(col("src").as("n"))
+        .unionAll(weighted.select(col("dst").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .agg(max(col("d"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (maxDeg <= degreeCap) weighted.select(col("src"), col("dst"))
+    else if (assertUncapped)
+      throw new IllegalStateException(
+        s"coActivityEdges: a node has degree $maxDeg > degreeCap=" +
+          s"$degreeCap — the gate oracle replays the UNCAPPED graph; " +
+          "regenerate the oracle or raise the cap")
+    else {
+      // mutual top-degreeCap by tie strength: the rank window is
+      // hash-partitioned per node (never keyless), and only runs when the
+      // cap actually binds
+      val sym = weighted.select(col("src").as("u"), col("dst").as("v"),
+          col("_w"))
+        .unionAll(weighted.select(col("dst").as("u"), col("src").as("v"),
+          col("_w")))
+      val kept = sym.withColumn("_rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("u")
+            .orderBy(col("_w").desc, xxhash64(col("v")), col("v"))))
+        .filter(col("_rk") <= degreeCap)
+        .select(col("u"), col("v"))
+      kept.join(kept.select(col("v").as("u"), col("u").as("v")),
+          Seq("u", "v"))
+        .filter(col("u") < col("v"))
+        .select(col("u").as("src"), col("v").as("dst"))
+    }
   }
 
   /** `iterations` rounds of damped PageRank over a directed edge list.

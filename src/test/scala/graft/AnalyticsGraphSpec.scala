@@ -354,12 +354,66 @@ class AnalyticsGraphSpec extends SparkSpec {
     val reparted = Graph.coActivityEdges(ev.repartition(13), bucketCap = 50)
       .orderBy("src", "dst").collect().toSeq
     assert(canon == reparted, "capped edge set must not depend on layout")
-    // the default cap still bites this adversarial bucket (10^4 > 1024)
-    // while leaving under-cap buckets untouched — gate-shaped data (sf0.1
-    // max bucket = 6) never reaches it
+    // default caps on the adversarial bucket: bucketCap=1024 first bounds
+    // the 10^4-user bucket to a K1024, then degreeCap=96 mutual-kNN prunes
+    // it. On a uniform-weight clique the mutual rule has a closed form:
+    // under the global (xxhash64, id) order every node keeps the 97
+    // smallest-ranked others, so exactly the top-97 nodes survive as a
+    // clique — C(97,2) edges — and the under-cap cold clique is untouched
     val free = Graph.coActivityEdges(ev)
-    assert(free.count() == 1024L * 1023L / 2L + 3L,
-      "default cap of 1024 must bound the 10^4-user bucket")
+    assert(free.count() == 97L * 96L / 2L + 3L,
+      "mutual top-96 of a uniform clique keeps the 97-node hash prefix")
     assert(free.filter(col("src") >= 20000L).count() == 3L)
+    val maxDeg = free.select(col("src").as("n"))
+      .unionAll(free.select(col("dst").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).as[Long].head()
+    assert(maxDeg <= 96L, s"degreeCap must hard-bound degrees, got $maxDeg")
+  }
+
+  test("coActivityEdges: degree cap keeps strongest ties, is deterministic," +
+      " and assertUncapped fails loud") {
+    // hub 0 shares TWO buckets with users 1..3 (weight 2) and one with
+    // users 4..10 (weight 1); degreeCap=3 must keep exactly the weight-2
+    // ties — the strongest-ties contract, not an arbitrary sample. Spokes
+    // 1..3 see only the hub plus each other's shared minute, so mutual
+    // keeping holds.
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:05:00")
+    val strong = (1L to 3L).flatMap(u =>
+      Seq((0L, "click", t0), (u, "click", t0), (0L, "click", t1),
+        (u, "click", t1)))
+    val weak = (4L to 10L).map(u => (u, "view", t0)) :+ ((0L, "view", t0))
+    val ev = (strong ++ weak).toDF("user_id", "event_type", "ts")
+    val got = Graph.coActivityEdges(ev, degreeCap = 3)
+      .orderBy("src", "dst").as[(Long, Long)].collect().toSeq
+    assert(got.filter(_._1 == 0L) == Seq((0L, 1L), (0L, 2L), (0L, 3L)),
+      s"hub must keep its three weight-2 ties, got $got")
+    // determinism under layout
+    val rep = Graph.coActivityEdges(ev.repartition(7), degreeCap = 3)
+      .orderBy("src", "dst").as[(Long, Long)].collect().toSeq
+    assert(got == rep, "degree-capped edge set must not depend on layout")
+    // loud-failure contract (the oracleRounds sibling): a binding cap in
+    // an assertUncapped run is a named error, not a silent hash drift
+    val exDeg = intercept[IllegalStateException] {
+      Graph.coActivityEdges(ev, degreeCap = 3, assertUncapped = true)
+        .count()
+    }
+    assert(exDeg.getMessage.contains("degreeCap"), exDeg.getMessage)
+    val hot = (0L until 100L).map(u => (u, "click", t0))
+      .toDF("user_id", "event_type", "ts")
+    val exB = intercept[IllegalStateException] {
+      Graph.coActivityEdges(hot, bucketCap = 50, assertUncapped = true)
+        .count()
+    }
+    assert(exB.getMessage.contains("bucketCap"), exB.getMessage)
+    // gate-shaped inertness: under both caps the result equals the plain
+    // uncapped distinct self-join (the oracle's exact form)
+    val inert = Graph.coActivityEdges(ev)
+      .orderBy("src", "dst").as[(Long, Long)].collect().toSeq
+    val oracle = Graph.coActivityEdges(ev, bucketCap = 1000000,
+        degreeCap = 1000000)
+      .orderBy("src", "dst").as[(Long, Long)].collect().toSeq
+    assert(inert == oracle, "caps must be value-inert under the thresholds")
   }
 }
