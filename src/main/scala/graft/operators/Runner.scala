@@ -37,11 +37,20 @@ object Runner {
         }))
 
   private val timing = sys.env.get("GRAFT_TIMING").contains("1")
+  /** Optional per-stage timing hook: when set, every timed stage also
+    * reports (name, seconds) here — tools/ScaleBench uses it to break the
+    * pipeline's scale ratio down by stage (a super-linear stage must not
+    * hide inside a healthy total). Called from the concurrent timeframe
+    * chains, so the sink must be thread-safe.
+    */
+  @volatile var timingSink: Option[(String, Double) => Unit] = None
   private def timed[T](name: String)(f: => T): T = {
     val t0 = System.nanoTime()
     val r = f
+    val sec = (System.nanoTime() - t0) / 1e9
     if (timing)
-      System.err.println(f"[graft-timing] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      System.err.println(f"[graft-timing] $name%-28s $sec%8.2f s")
+    timingSink.foreach(_(name, sec))
     r
   }
 

@@ -22,6 +22,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Micro-precision Timestamp: `new Timestamp(ms)` would truncate the
+    * sub-millisecond digits that the driver's event feed carries (and the
+    * DuckDB oracle replays) — set the full fractional nanos explicitly.
+    */
+  private def tsFromMicros(us: Long): Timestamp = {
+    val sec = Math.floorDiv(us, 1000000L)
+    val t = new Timestamp(sec * 1000L)
+    t.setNanos(((us - sec * 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Epoch micros of a Timestamp (getTime alone drops sub-ms digits). */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Native stream-stream interval join (Spark's watermarked two-stream
     * join): each left row matches right rows of the same key whose event
     * time falls in `[leftTs − lookback, leftTs]` — click-before-purchase
@@ -303,8 +318,6 @@ object StreamingOps {
                     delay: String = "1 minute",
                     retention: String = "1 hour"): Dataset[AsofOut] = {
     import events.sparkSession.implicits._
-    def micros(t: Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     val tagged =
       quotes.map(q => AsofRow(q.symbol, q.ts, 0, 0L, q.value))
         .unionByName(
@@ -427,8 +440,6 @@ object StreamingOps {
                               blend: Boolean): Dataset[RepairedTick] = {
     import ticks.sparkSession.implicits._
     val stepUs = Rules.stepMicros(rule)
-    def micros(t: Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
     ticks
       .withWatermark("ts", delay)
@@ -463,14 +474,12 @@ object StreamingOps {
                     if (blend) lastVal + (t.value - lastVal) *
                       ((g - lastUs).toDouble / (t.tsMicros - lastUs))
                     else lastVal
-                  out += RepairedTick(symbol,
-                    new Timestamp(Math.floorDiv(g, 1000L)), v,
+                  out += RepairedTick(symbol, tsFromMicros(g), v,
                     generated = true)
                   g += stepUs
                 }
               }
-              out += RepairedTick(symbol,
-                new Timestamp(Math.floorDiv(t.tsMicros, 1000L)), t.value,
+              out += RepairedTick(symbol, tsFromMicros(t.tsMicros), t.value,
                 generated = false)
               lastUs = t.tsMicros
               lastVal = t.value
@@ -520,11 +529,11 @@ object StreamingOps {
             var lastUs = state.getOption.map(_.tsMicros).getOrElse(Long.MinValue)
             val out = Seq.newBuilder[GapEvent]
             for (t <- sorted) {
-              val us = t.ts.getTime * 1000L
+              val us = micros(t.ts)
               if (lastUs != Long.MinValue && us - lastUs > stepUs) {
                 out += GapEvent(symbol,
-                  new Timestamp((lastUs + stepUs) / 1000L),
-                  new Timestamp((us - stepUs) / 1000L),
+                  tsFromMicros(lastUs + stepUs),
+                  tsFromMicros(us - stepUs),
                   (us - lastUs) / stepUs - 1)
               }
               lastUs = math.max(lastUs, us)

@@ -1,20 +1,36 @@
 package graft.tools
 
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentLinkedQueue
 
-import graft.core.GraftConfig
-import graft.operators.Runner
+import graft.core.{GraftConfig, Tables}
+import graft.operators.{Graph, Runner, Similarity}
 import graft.{Bench, SparkEntry}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Scale rehearsal (VERDICT r9 item 4): the sf0.1 gate cannot see
-  * O(n²)-ish growth, so this main times the ETL pipeline and the N
-  * slowest gate queries at BOTH the gate scale and a 10× synthesized
-  * scale (ScaleGen output) in the same JVM, and reports the growth
-  * ratio per query. The alarm rule is the verdict's: 10× data may cost
-  * at most 15× time (linear + 50% shuffle/spill overhead allowance);
-  * anything past that is named so the next round gets a concrete fix
-  * list instead of a "probably fine".
+  * O(n²)-ish growth, so this main times the ETL pipeline (whole AND per
+  * stage) and the N slowest gate queries at BOTH the gate scale and a 10×
+  * synthesized scale (ScaleGen output) in the same JVM, and reports the
+  * growth ratio per query and per pipeline stage.
+  *
+  * Alarm rules:
+  *  - query: 10× data may cost at most 15× time (linear + 50%
+  *    shuffle/spill allowance), normalized by MEASURED input growth for
+  *    the co-activity graph consumers — their input is the derived edge
+  *    list, not the raw events, so the threshold scales by
+  *    (edge growth / row growth) (VERDICT r10 ADVICE: an alarm that
+  *    re-fires on inherent input growth has no signal value). With the
+  *    default degree cap the edge growth is ~linear, so the factor stays
+  *    ~1 unless sparsification regresses — which is exactly what should
+  *    alarm.
+  *  - a query that FAILS at either scale (or whose confirmation re-run
+  *    fails) always alarms; re-runs only lower a reading when they
+  *    succeed (r10 ADVICE: min(t, -1) used to suppress the alarm).
+  *  - pipeline stage: a stage ratio > 5× for 10× rows is named in
+  *    `stage_outliers` — a super-linear stage must not hide inside a
+  *    healthy total.
   *
   * Usage: ScaleBench <baseSfDir> <scaledSfDir> <outJson> [topN]
   * Ranking for "slowest" comes from the newest full bench JSON
@@ -27,6 +43,12 @@ object ScaleBench {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   } + "\""
+
+  /** Gate queries whose true input is the co-activity edge list. */
+  private val GraphQueries = Set(
+    "q118_triangle_count", "q119_link_prediction", "q269_local_clustering",
+    "q290_graph_components", "q309_kcore", "q314_label_propagation",
+    "q320_ktruss", "q323_katz_centrality")
 
   def main(args: Array[String]): Unit = {
     val base = args(0)
@@ -56,20 +78,27 @@ object ScaleBench {
     }
 
     // pipeline: same shape as Bench (warmup outside the timed window),
-    // 600k grid at the gate scale vs the full 6M grid
+    // 600k grid at the gate scale vs the full 6M grid. Stage times come
+    // from Runner's timingSink; concurrent timeframe chains sum per name.
     val cfg = GraftConfig(timeframes = Seq("1T", "5T", "15T", "1H"))
-    def pipeline(gridRows: Long): Double = {
+    def pipeline(gridRows: Long): (Double, Map[String, Double]) = {
       val raw = Bench.genOhlcv(spark, gridRows).cache()
       raw.count()
       val dir = Files.createTempDirectory("graft_scale_bench").toString
-      val sec = timed {
-        val r = Runner.processDataFrame(spark, raw,
-          cfg.copy(resampleMode = "faithful"), sourceTz = None,
-          basename = "EURUSD_scale", outDir = dir)
-        require(r.errors.isEmpty, r.errors.mkString("; "))
-      }
+      val buf = new ConcurrentLinkedQueue[(String, Double)]()
+      Runner.timingSink = Some((n, s) => { buf.add((n, s)); () })
+      val sec =
+        try timed {
+          val r = Runner.processDataFrame(spark, raw,
+            cfg.copy(resampleMode = "faithful"), sourceTz = None,
+            basename = "EURUSD_scale", outDir = dir)
+          require(r.errors.isEmpty, r.errors.mkString("; "))
+        } finally Runner.timingSink = None
       raw.unpersist()
-      sec
+      import scala.jdk.CollectionConverters._
+      val stages = buf.iterator().asScala.toSeq
+        .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }
+      (sec, stages)
     }
     val warm = Bench.genOhlcv(spark, 30000L).cache()
     warm.count()
@@ -77,8 +106,27 @@ object ScaleBench {
       sourceTz = None, basename = "EURUSD_warm",
       outDir = Files.createTempDirectory("graft_scale_warm").toString)
     warm.unpersist()
-    val pipeBase = pipeline(600000L)
-    val pipeScaled = pipeline(6000000L)
+    val (pipeBase, stagesBase) = pipeline(600000L)
+    val (pipeScaled, stagesScaled) = pipeline(6000000L)
+    val stageRows = stagesBase.keySet.intersect(stagesScaled.keySet)
+      .toSeq.sorted.map { n =>
+        val b = stagesBase(n); val s = stagesScaled(n)
+        (n, b, s, if (b > 0) s / b else -1.0)
+      }
+    val stageOutliers = stageRows.collect {
+      // 0.2 s floor: sub-second stages are scheduling noise, not scaling
+      case (n, b, s, r) if r > 5.0 && s > 0.2 => f"$n:$b%.2f->$s%.2f"
+    }
+
+    // measured input growth for the graph consumers: their input is the
+    // co-activity edge list (quadratic in bucket density when uncapped)
+    def coEdges(dir: String): Long =
+      Graph.coActivityEdges(Tables.events(spark, dir)).count()
+    val edgesBase = coEdges(base)
+    val edgesScaled = coEdges(scaled)
+    val rowGrowth = 10.0
+    val edgeGrowth =
+      if (edgesBase > 0) edgesScaled.toDouble / edgesBase else rowGrowth
 
     var rows = Vector.empty[String]
     var alarms = Vector.empty[String]
@@ -90,31 +138,61 @@ object ScaleBench {
           System.err.println(s"[scale] $name @ $dir FAILED: ${e.getMessage}")
           -1.0
         }
+      val threshold =
+        if (GraphQueries(name)) 15.0 * math.max(1.0, edgeGrowth / rowGrowth)
+        else 15.0
       var tBase = run(base)
       var tScaled = run(scaled)
-      // a >15x first reading gets one confirmation pass before it alarms
-      // (same anti-tenancy rule as Bench's median policy)
-      if (tBase > 0 && tScaled > 15.0 * tBase) {
-        tBase = math.min(tBase, run(base))
-        tScaled = math.min(tScaled, run(scaled))
+      var rerunFailed = false
+      // a first reading past the threshold gets one confirmation pass
+      // before it alarms; only SUCCESSFUL re-runs may lower a reading
+      if (tBase > 0 && tScaled > threshold * tBase) {
+        val rb = run(base)
+        if (rb > 0) tBase = math.min(tBase, rb) else rerunFailed = true
+        val rs = run(scaled)
+        if (rs > 0) tScaled = math.min(tScaled, rs) else rerunFailed = true
       }
-      val ratio = if (tBase > 0 && tScaled > 0) tScaled / tBase else -1.0
-      if (ratio > 15.0 || tScaled < 0)
-        alarms :+= f"$name:${tBase}%.2f->${tScaled}%.2f"
+      val failed = tBase < 0 || tScaled < 0 || rerunFailed
+      val ratio = if (!failed && tBase > 0) tScaled / tBase else -1.0
+      if (failed || ratio > threshold)
+        alarms :+= f"$name:${tBase}%.2f->${tScaled}%.2f" +
+          (if (threshold != 15.0) f" (thr ${threshold}%.1fx)" else "")
       rows :+= f"${jstr(name)}:{" +
         f""""base":$tBase%.3f,"scaled":$tScaled%.3f,"ratio":$ratio%.2f}"""
       System.err.println(f"[scale] $name base $tBase%.2f s  x10 $tScaled%.2f s" +
-        f"  ratio $ratio%.1f")
+        f"  ratio $ratio%.1f (thr $threshold%.1f)")
     }
-    val note = "co-activity graph queries see ~100x EDGES for 10x events " +
-      "(pair volume grows quadratically with user density in the fixed " +
-      "30-day window — measured on the driver's own sf0.01->sf0.1 growth " +
-      "too, 211->23249 pairs), so their wall-clock ratio is against a " +
-      "100x input; the production knob is Graph.coActivityEdges' " +
-      "bucketCap plus co-activity-weight sparsification, and kTruss " +
-      "auto-switches to oriented wedge enumeration past avg degree 64"
+
+    // IVF recall@10 at both scales (VERDICT r10 item 5): the codebook is
+    // gate-sized, so a 10× corpus shifts the corpus-to-centroid ratio —
+    // measure whether nProbe=2/8 still recalls
+    def recallAt(dir: String): Double =
+      try {
+        val emb = Tables.embeddings(spark, dir)
+        val r = Similarity.ivfRecall(emb.filter(col("vec_id") <= 10), emb,
+            "vec_id", "vec_id", "embedding",
+            k = 10, nLists = 8, nProbe = 2, iterations = 2)
+          .agg(org.apache.spark.sql.functions.avg(col("recall"))).head()
+        if (r.isNullAt(0)) -1.0 else r.getDouble(0)
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] ivfRecall @ $dir FAILED: ${e.getMessage}")
+        -1.0
+      }
+    val recallBase = recallAt(base)
+    val recallScaled = recallAt(scaled)
+    System.err.println(
+      f"[scale] ivf recall@10 base $recallBase%.4f  x10 $recallScaled%.4f")
+
+    val note = "graph-query thresholds are normalized by MEASURED " +
+      "co-activity edge growth (the consumers' true input); with the " +
+      "default degreeCap=96 mutual-kNN sparsification the edge list grows " +
+      "~linearly in users, so the factor stays ~1 — an uncapped build " +
+      "would re-inflate it and the normalization names that, not hides it"
+    val stagesJson = stageRows.map { case (n, b, s, r) =>
+      f"${jstr(n)}:{" + f""""base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f}"""
+    }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"scale_rehearsal","base_sf_dir":${jstr(base)},"scaled_sf_dir":${jstr(scaled)},"scale_factor_ratio":10,"pipeline_base_sec":$pipeBase%.3f,"pipeline_scaled_sec":$pipeScaled%.3f,"pipeline_ratio":${pipeScaled / pipeBase}%.2f,"alarm_rule":"scaled > 15x base","alarms":${alarms.map(jstr).mkString("[", ",", "]")},"note":${jstr(note)},"queries":{${rows.mkString(",")}}}"""
+      f"""{"metric":"scale_rehearsal","base_sf_dir":${jstr(base)},"scaled_sf_dir":${jstr(scaled)},"scale_factor_ratio":10,"pipeline_base_sec":$pipeBase%.3f,"pipeline_scaled_sec":$pipeScaled%.3f,"pipeline_ratio":${pipeScaled / pipeBase}%.2f,"pipeline_stages":$stagesJson,"stage_outliers":${stageOutliers.map(jstr).mkString("[", ",", "]")},"coactivity_edges_base":$edgesBase,"coactivity_edges_scaled":$edgesScaled,"coactivity_edge_growth":$edgeGrowth%.2f,"ivf_recall10_base":$recallBase%.4f,"ivf_recall10_scaled":$recallScaled%.4f,"alarm_rule":"scaled > 15x base, graph queries normalized by measured edge growth; any failure alarms","alarms":${alarms.map(jstr).mkString("[", ",", "]")},"note":${jstr(note)},"queries":{${rows.mkString(",")}}}"""
     println(json)
     Files.writeString(Paths.get(outFile), json + "\n")
     spark.stop()
