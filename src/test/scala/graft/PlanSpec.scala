@@ -913,11 +913,17 @@ class PlanSpec extends SparkSpec {
         l.contains("event_type") && !l.contains("event_id")),
         s"$q windows run per-type on the daily series:\n${w.mkString("\n")}")
     }
-    // q269: triangle wedges and degree joins stay equi-keyed
+    // q269: triangle wedges and degree joins stay equi-keyed, and on
+    // under-cap gate data coActivityEdges must return its PLAIN self-join
+    // plan — no rank window, no bucket-sizing subplan (the probe-and-skip
+    // contract; the r10 always-on capping machinery cost q118/q119/q269 a
+    // confirmed 2.3x regression)
     val p269 = plan(graft.queries.WarehouseQueries
       .defs("q269_local_clustering")(spark, d))
     assert(!p269.contains("CartesianProduct"),
       s"q269 clustering joins stay equi-keyed:\n$p269")
+    assert(!p269.contains("windowspecdefinition"),
+      s"q269 under-cap edge build must skip the capping window:\n$p269")
   }
 
   test("q273-q280: corpus/TPC-H/risk families keep scale-safe shapes") {
