@@ -523,7 +523,14 @@ object WindowQueries {
                      mode: String = "append")(
       f: DataFrame => DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_replay")
-    batch.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    // parallel write: the file source reads ALL available files in the
+    // first micro-batch (no maxFilesPerTrigger set), so single-batch
+    // semantics don't need a single file — and none of the gated
+    // operators is arrival-order-sensitive (state functions sort by
+    // event time, aggregates are order-free, equal-stamp inputs are
+    // pre-deduped); a coalesce(1) here serialized every replay's write
+    // AND its first read through one task
+    batch.write.mode("overwrite").parquet(dir.toString)
     val q = f(s.readStream.schema(batch.schema).parquet(dir.toString))
       .writeStream.format("memory").queryName(name).outputMode(mode).start()
     try q.processAllAvailable()
