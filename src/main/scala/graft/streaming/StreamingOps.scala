@@ -525,7 +525,7 @@ object StreamingOps {
             state.remove()
             Iterator.empty
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(t => micros(t.ts))
             var lastUs = state.getOption.map(_.tsMicros).getOrElse(Long.MinValue)
             val out = Seq.newBuilder[GapEvent]
             for (t <- sorted) {
@@ -575,12 +575,16 @@ object StreamingOps {
             state.remove()
             Iterator.empty
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+            // micro-precision stamps and sort: the batch q186 lag rule
+            // compares unix_micros, so a ms-truncated stream would keep
+            // rows the batch form debounces (sub-ms digits are real in
+            // the driver's feed)
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.eventId))
             var lastUs = state.getOption.map(_.tsMicros)
               .getOrElse(Long.MinValue)
             val out = Seq.newBuilder[DebEvent]
             for (e <- sorted) {
-              val us = e.ts.getTime * 1000L
+              val us = micros(e.ts)
               if (lastUs == Long.MinValue || us - lastUs > quietUs) out += e
               lastUs = us
             }
