@@ -49,9 +49,16 @@ object Bench {
         if (!cl.isPresent) None
         else {
           val c = cl.get
-          val suspect = c.contains("sbt.boot.Boot") ||
+          // only an actual JVM can contaminate; the harness wrapper's argv
+          // carries this class's NAME inside its prompt text (r12: three
+          // idle CLI processes false-positived a quiet run as contaminated).
+          // The EXECUTABLE decides JVM-ness — argv can mention java too.
+          val exe = p.info().command()
+          val isJvm = exe.isPresent &&
+            (exe.get.endsWith("/java") || exe.get == "java")
+          val suspect = isJvm && (c.contains("sbt.boot.Boot") ||
             c.contains("org.apache.spark") || c.contains("graft.Bench") ||
-            c.contains("graft.Verify")
+            c.contains("graft.Verify"))
           if (suspect) Some(s"pid=${p.pid}") else None
         }
       }.toSeq

@@ -497,7 +497,7 @@ object WindowQueries {
         call_function("shingle_hashes",
           transform(split(trim(lower(col("text"))), "\\s+"),
             t => xxhash64(t)), lit(3)).as("sh"))
-      pairs
+      def verifyGe05(cands: DataFrame): DataFrame = cands
         .join(shn.select(col("doc_id").as("docId"), col("sh").as("_sa")),
           "docId")
         .join(shn.select(col("doc_id").as("dupOf"), col("sh").as("_sb")),
@@ -505,7 +505,29 @@ object WindowQueries {
         .filter(size(array_intersect(col("_sa"), col("_sb"))).cast("double")
           / size(array_union(col("_sa"), col("_sb"))) >= 0.5)
         .select(col("docId").as("doc_id")).distinct()
-        .orderBy("doc_id")
+      val detected = verifyGe05(pairs)
+      // ADVICE r11: the oracle is the exact all-pairs detection contract,
+      // so the gate holds only while banding recall is exactly 1.0 — a
+      // band/shingle parameter change or data regen that drops a truly-
+      // similar pair from every band must be a NAMED failure here, not an
+      // unexplained hash drift (the assertUncapped device, for recall).
+      // The exact >=0.5 earlier-pair doc set comes from a shared-shingle
+      // candidate join — a complete superset, since J >= 0.5 > 0 implies
+      // at least one shared shingle — then the same exact verify.
+      val ex = shn.select(col("doc_id"), explode(col("sh")).as("e"))
+      val expected = verifyGe05(
+        ex.as("a").join(ex.as("b"),
+            col("a.e") === col("b.e") && col("a.doc_id") > col("b.doc_id"))
+          .select(col("a.doc_id").as("docId"), col("b.doc_id").as("dupOf"))
+          .distinct())
+      val missed = expected.except(detected).limit(10)
+        .collect().map(_.getLong(0))
+      if (missed.nonEmpty) throw new IllegalStateException(
+        "q341 MINHASH RECALL REGRESSION: banding+verify missed truly-" +
+          s"similar docs ${missed.mkString(", ")} — the exact >=0.5 " +
+          "earlier-pair contract no longer holds at recall 1.0 (band/" +
+          "shingle parameters or corpus changed?)")
+      detected.orderBy("doc_id")
     }
   )
 

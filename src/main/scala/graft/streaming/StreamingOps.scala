@@ -179,8 +179,11 @@ object StreamingOps {
 
   final case class BandRow(docId: Long, ts: Timestamp, band: Int, bh: Long)
   final case class NearDupHit(docId: Long, dupOf: Long, band: Int)
-  /** Keyed state: the first doc id that claimed an LSH band bucket. */
-  final case class BucketOwner(docId: Long, lastMs: Long)
+  /** Keyed state: the first doc id that claimed an LSH band bucket.
+    * `lastUs` is epoch MICROS (the ownership race orders by true event
+    * time; the events feed carries sub-millisecond digits).
+    */
+  final case class BucketOwner(docId: Long, lastUs: Long)
 
   /** Streaming MinHash near-dup detection — the live twin of the batch
     * LSH pair generator (`Dedup.minHashLshPairs`): each arriving document
@@ -228,19 +231,23 @@ object StreamingOps {
             Iterator.empty
           } else {
             // arrival order within a micro-batch is nondeterministic;
-            // (event time, id) makes the ownership race reproducible
-            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.docId))
+            // (event time, id) makes the ownership race reproducible —
+            // event time at MICROS precision (getTime truncates to ms, and
+            // two docs whose stamps differ only below a millisecond would
+            // otherwise tie-break by id instead of true event time)
+            val sorted = rows.toSeq.sortBy(r => (micros(r.ts), r.docId))
             var owner = state.getOption.map(_.docId).getOrElse(-1L)
-            var lastMs = state.getOption.map(_.lastMs).getOrElse(0L)
+            var lastUs = state.getOption.map(_.lastUs).getOrElse(0L)
             val out = Seq.newBuilder[NearDupHit]
             for (r <- sorted) {
               if (owner < 0) owner = r.docId
               else if (owner != r.docId) out += NearDupHit(r.docId, owner, key._1)
-              lastMs = math.max(lastMs, r.ts.getTime)
+              lastUs = math.max(lastUs, micros(r.ts))
             }
-            state.update(BucketOwner(owner, lastMs))
-            state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs() + 1, lastMs), retention)
+            state.update(BucketOwner(owner, lastUs))
+            state.setTimeoutTimestamp( // timeout API is ms-granular
+              math.max(state.getCurrentWatermarkMs() + 1, lastUs / 1000L),
+              retention)
             out.result().iterator
           }
       }

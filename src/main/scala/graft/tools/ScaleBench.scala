@@ -135,17 +135,27 @@ object ScaleBench {
     // warm for 10x rows.)
     val sumBase = math.max(stagesBase.values.sum, 1e-9)
     val sumScaled = math.max(stagesScaled.values.sum, 1e-9)
-    val stageRows = stagesBase.keySet.intersect(stagesScaled.keySet)
+    // union, not intersect: a stage that runs at only one scale (a new
+    // code path the bigger data triggers, or a base-side failure) must be
+    // NAMED, not silently folded into sumScaled where it deflates every
+    // other stage's share growth (ADVICE r11). One-sided stages carry the
+    // missing side as -1 and always outlie when scaled-only and >1 s.
+    val stageRows = (stagesBase.keySet ++ stagesScaled.keySet)
       .toSeq.sorted.map { n =>
-        val b = stagesBase(n); val s = stagesScaled(n)
+        val b = stagesBase.getOrElse(n, -1.0)
+        val s = stagesScaled.getOrElse(n, -1.0)
         val shareGrowth =
-          if (b > 0) (s / sumScaled) / (b / sumBase) else -1.0
-        (n, b, s, if (b > 0) s / b else -1.0, shareGrowth)
+          if (b > 0 && s >= 0) (s / sumScaled) / (b / sumBase) else -1.0
+        (n, b, s, if (b > 0 && s >= 0) s / b else -1.0, shareGrowth)
       }
     val stageOutliers = stageRows.collect {
       // 1 s floor: sub-second stages are scheduling noise, not scaling
       case (n, b, s, _, sg) if sg > 1.5 && s > 1.0 =>
         f"$n:$b%.2f->$s%.2f (share x$sg%.1f)"
+      case (n, b, s, _, _) if b < 0 && s > 1.0 =>
+        f"$n:-->$s%.2f (scaled-only)"
+      case (n, b, s, _, _) if s < 0 && b > 1.0 =>
+        f"$n:$b%.2f--> (base-only)"
     }
 
     // measured input growth for the graph consumers: their input is the
@@ -157,9 +167,19 @@ object ScaleBench {
     val rowGrowth = 10.0
     val edgeGrowth =
       if (edgesBase > 0) edgesScaled.toDouble / edgesBase else rowGrowth
+    var alarms = Vector.empty[String]
+    // the edge-growth normalization below raises graph-query thresholds in
+    // proportion to measured edge growth — so edge growth ITSELF must alarm
+    // when it stops being ~linear in rows, or a sparsification regression
+    // (degreeCap off, weight floor dropped) would silently raise the very
+    // thresholds that exist to catch it (ADVICE r11, medium). 1.5× row
+    // growth: the capped builder measured 10.33× for 10× rows; quadratic
+    // densification measures ~100×.
+    if (edgeGrowth > 1.5 * rowGrowth)
+      alarms :+= f"coactivity_edge_growth:${edgeGrowth}%.1fx for " +
+        f"${rowGrowth}%.0fx rows (sparsification regressed?)"
 
     var rows = Vector.empty[String]
-    var alarms = Vector.empty[String]
     for (name <- chosen) {
       val fn = SparkEntry.queries(name)
       def run(dir: String): Double =
