@@ -511,15 +511,32 @@ object WindowQueries {
       // band/shingle parameter change or data regen that drops a truly-
       // similar pair from every band must be a NAMED failure here, not an
       // unexplained hash drift (the assertUncapped device, for recall).
-      // The exact >=0.5 earlier-pair doc set comes from a shared-shingle
-      // candidate join — a complete superset, since J >= 0.5 > 0 implies
-      // at least one shared shingle — then the same exact verify.
-      val ex = shn.select(col("doc_id"), explode(col("sh")).as("e"))
-      val expected = verifyGe05(
+      // The exact >=0.5 earlier-pair doc set decomposes over EXACT-
+      // DUPLICATE text groups, so the candidate join runs on one
+      // representative per distinct text (a verbatim re-crawl corpus
+      // otherwise grows the shingle-bucket self-join quadratically in the
+      // copy count — the 10× rehearsal measured 120 s on raw docs):
+      //  - any non-minimal member of a text group is expected (J = 1
+      //    against the group's earlier min);
+      //  - a group MIN is expected iff another group with J >= 0.5 has a
+      //    smaller min id (shared-shingle candidates are a complete
+      //    superset: J >= 0.5 > 0 implies a shared shingle).
+      val groups = Tables.documents(s, d)
+        .select(col("doc_id"), xxhash64(col("text")).as("_h"))
+        .groupBy(col("_h")).agg(min(col("doc_id")).as("_min"))
+      val nonMin = Tables.documents(s, d)
+        .select(col("doc_id"), xxhash64(col("text")).as("_h"))
+        .join(groups, "_h").filter(col("doc_id") > col("_min"))
+        .select(col("doc_id"))
+      val reps = groups.select(col("_min").as("doc_id"))
+        .join(shn, "doc_id")
+      val ex = reps.select(col("doc_id"), explode(col("sh")).as("e"))
+      val expectedMins = verifyGe05(
         ex.as("a").join(ex.as("b"),
             col("a.e") === col("b.e") && col("a.doc_id") > col("b.doc_id"))
           .select(col("a.doc_id").as("docId"), col("b.doc_id").as("dupOf"))
           .distinct())
+      val expected = nonMin.unionByName(expectedMins).distinct()
       val missed = expected.except(detected).limit(10)
         .collect().map(_.getLong(0))
       if (missed.nonEmpty) throw new IllegalStateException(

@@ -346,12 +346,23 @@ object StreamingOps {
                 batch.filter(_.side == 0)
                   .map(r => QuoteSeen(micros(r.ts), r.value)))
               .sortBy(_.tsMicros)
-            // deterministic output order within the batch: event time, id
+            // deterministic output order within the batch: event time, id.
+            // Two-pointer scan: events ascend, so the floor-quote cursor
+            // only moves forward — O(events + quotes) per invocation where
+            // a per-event takeWhile was O(events × quotes) and turned one
+            // hot key's micro-batch quadratic (the 10× rehearsal measured
+            // 84 s on 5 keys before this)
+            val mergedArr = merged.toArray
+            var qi = 0
             val out = batch.filter(_.side == 1)
               .sortBy(r => (micros(r.ts), r.eventId))
               .map { r =>
                 val t = micros(r.ts)
-                val at = merged.takeWhile(_.tsMicros <= t).lastOption
+                while (qi < mergedArr.length && mergedArr(qi).tsMicros <= t)
+                  qi += 1
+                // qi = first quote PAST t, so qi-1 is the last at-or-before
+                // (at equal stamps the later arrival wins, as before)
+                val at = if (qi == 0) None else Some(mergedArr(qi - 1))
                 AsofOut(symbol, r.ts, r.eventId, at.map(_.value))
               }
             // evict below the watermark: future events all have

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Checkpoint recovery: streaming state must survive a stop/restart.
+  *
+  * Every streaming mirror is gate-checked for single-run batch
+  * equivalence (q331–q341), but a production stream RESTARTS — from the
+  * WAL checkpoint, onto the exactly-once file sink. These tests stop a
+  * query mid-stream (state open, nothing emitted), append more input,
+  * restart from the same checkpoint, and assert the FINAL output could
+  * only have been produced if the pre-restart state was restored:
+  *  - sessionize: a session spanning the restart must come back as ONE
+  *    row counting both phases' events (engine-managed session_window
+  *    merge state);
+  *  - as-of attach: an event arriving after the restart must match a
+  *    quote buffered BEFORE it (custom `AsofState` through the state
+  *    store encoder);
+  *  - gap repair: a gap whose edges straddle the restart must fill with
+  *    the pre-restart edge's value (custom `RepairState`: pending buffer
+  *    + ffill carry).
+  * Each phase is its own file-source batch; the 2030 sentinel advances
+  * the watermark so append-mode state machines flush (FIXTURES.md
+  * replay convention).
+  */
+class StreamingRecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** Append one micro-batch of input, then run the query from its
+    * checkpoint into the exactly-once parquet sink until drained.
+    */
+  private def phase(in: Path, out: Path, ck: Path, schema: StructType,
+                    rows: DataFrame)(build: DataFrame => DataFrame): Unit = {
+    rows.write.mode("append").parquet(in.toString)
+    val q = build(spark.readStream.schema(schema).parquet(in.toString))
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ck.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def dirs(): (Path, Path, Path) = (
+    Files.createTempDirectory("graft_rec_in"),
+    Files.createTempDirectory("graft_rec_out"),
+    Files.createTempDirectory("graft_rec_ck"))
+
+  test("sessionize: a session spanning the restart merges into one row") {
+    val (in, out, ck) = dirs()
+    val p1 = Seq(("u1", ts("2024-01-01 10:00:00")),
+      ("u1", ts("2024-01-01 10:01:00"))).toDF("user_id", "ts")
+    def build(st: DataFrame) = StreamingOps.streamingSessionize(
+      st, gap = "5 minutes")
+    // phase 1: two events, watermark 10:00:00 — the session is OPEN in
+    // state and nothing has been emitted when the query stops
+    phase(in, out, ck, p1.schema, p1)(build)
+    // phase 2: a third event EXTENDS the session (within the gap of
+    // 10:01), then the sentinel closes it via the watermark
+    phase(in, out, ck, p1.schema, Seq(
+      ("u1", ts("2024-01-01 10:02:00")),
+      ("zz", ts("2030-01-01 00:00:00"))).toDF("user_id", "ts"))(build)
+    val got = spark.read.parquet(out.toString)
+      .filter(col("user_id") === "u1")
+      .select("session_start", "session_end", "n_events")
+      .as[(Timestamp, Timestamp, Long)].collect().toSeq
+    // lost state would split u1 into two sessions (or count only the
+    // post-restart event); restored state merges all three
+    assert(got == Seq((ts("2024-01-01 10:00:00"),
+      ts("2024-01-01 10:07:00"), 3L)),
+      s"one merged session spanning the restart expected: $got")
+  }
+
+  test("as-of attach: a post-restart event matches a pre-restart quote") {
+    val (in, out, ck) = dirs()
+    // tagged union feed, the q338 layout: side 0 = quote, side 1 = event
+    val p1 = Seq(("A", ts("2024-01-01 10:00:00"), 0, 0L, 1.5))
+      .toDF("symbol", "ts", "side", "eventId", "value")
+    def build(st: DataFrame) = StreamingOps.streamingAsof(
+      st.filter(col("side") === 1)
+        .select(col("symbol"), col("ts"), col("eventId"))
+        .as[StreamingOps.AsofEvent],
+      st.filter(col("side") === 0)
+        .select(col("symbol"), col("ts"), col("value"))
+        .as[StreamingOps.AsofQuote]).toDF()
+    // phase 1: only the quote arrives — it lives in AsofState's buffer
+    phase(in, out, ck, p1.schema, p1)(build)
+    // phase 2: the event arrives after the restart; its only possible
+    // match is the quote restored from the checkpoint
+    phase(in, out, ck, p1.schema, Seq(
+      ("A", ts("2024-01-01 10:00:30"), 1, 7L, 0.0))
+      .toDF("symbol", "ts", "side", "eventId", "value"))(build)
+    val got = spark.read.parquet(out.toString)
+      .select("symbol", "eventId", "asofValue")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(("A", 7L, Some(1.5))),
+      s"the restored quote buffer must supply the match: $got")
+  }
+
+  test("gap repair: a gap straddling the restart fills from restored carry") {
+    val (in, out, ck) = dirs()
+    val p1 = Seq(("A", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", ts("2024-01-01 10:03:00"), 4.0)).toDF("symbol", "ts", "close")
+    def build(st: DataFrame) = StreamingOps.streamingGapRepair(
+      st.as[StreamingOps.Tick], rule = "1T").toDF()
+    // phase 1: watermark 10:02 — the 10:03 tick is still PENDING in
+    // RepairState when the query stops
+    phase(in, out, ck, p1.schema, p1)(build)
+    // phase 2: the next tick opens a gap whose LEFT edge (10:03, 4.0)
+    // predates the restart; the 10:04 fill value proves the pending
+    // buffer and ffill carry were restored
+    phase(in, out, ck, p1.schema, Seq(
+      ("A", ts("2024-01-01 10:05:00"), 7.0),
+      ("Z", ts("2030-01-01 00:00:00"), 0.0)).toDF("symbol", "ts", "close"))(build)
+    val got = spark.read.parquet(out.toString)
+      .filter(col("symbol") === "A")
+      .select("ts", "close", "generated")
+      .as[(Timestamp, Double, Boolean)].collect().toSeq.sortBy(_._1.getTime)
+    assert(got == Seq(
+      (ts("2024-01-01 10:00:00"), 1.0, false),
+      (ts("2024-01-01 10:01:00"), 1.0, true),
+      (ts("2024-01-01 10:02:00"), 1.0, true),
+      (ts("2024-01-01 10:03:00"), 4.0, false),
+      (ts("2024-01-01 10:04:00"), 4.0, true),
+      (ts("2024-01-01 10:05:00"), 7.0, false)),
+      s"full repaired grid across the restart expected: $got")
+  }
+}
