@@ -650,11 +650,13 @@ object Similarity {
         nLists, ivfIterations, sampleFraction)
       val assigned = c0.select(col("cid"),
         nearestCentroid(spark, col("ce"), centroids).as("ivf_list"))
-      val books = pqCodebooks(corpus, cIdCol, vecCol, m, kCodes,
-        pqIterations)
+      // train and encode off the PERSISTED projection: codebook training
+      // and encoding each re-scanned the corpus source otherwise (the
+      // float->double cast is exact, so books and codes are unchanged)
+      val books = pqCodebooks(c0, "cid", "ce", m, kCodes, pqIterations)
       val dsub = books.head.head.length
-      val enc = pqEncode(corpus, cIdCol, vecCol, books)
-        .select(col(cIdCol).as("cid"), col("codes"))
+      val enc = pqEncode(c0, "cid", "ce", books)
+        .select(col("cid"), col("codes"))
         .join(assigned, Seq("cid"))
       // per-query probe set: the nProbe nearest coarse lists
       val probes = queries
