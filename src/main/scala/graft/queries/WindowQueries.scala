@@ -493,10 +493,16 @@ object WindowQueries {
           numHashes = 64, bands = 16, shingleSize = 3).toDF()
       }
       val pairs = hits.select(col("docId"), col("dupOf")).distinct()
+      // localCheckpoint: this projection feeds FIVE subplans below (two
+      // verify joins on each side plus the candidate explode) and Catalyst
+      // does not common-subexpression across join branches — one
+      // materialization of the 5k-row shingle table replaces five scans +
+      // shingle passes of the corpus
       val shn = Tables.documents(s, d).select(col("doc_id"),
         call_function("shingle_hashes",
           transform(split(trim(lower(col("text"))), "\\s+"),
             t => xxhash64(t)), lit(3)).as("sh"))
+        .localCheckpoint()
       def verifyGe05(cands: DataFrame): DataFrame = cands
         .join(shn.select(col("doc_id").as("docId"), col("sh").as("_sa")),
           "docId")
