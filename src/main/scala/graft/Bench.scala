@@ -53,9 +53,15 @@ object Bench {
           // carries this class's NAME inside its prompt text (r12: three
           // idle CLI processes false-positived a quiet run as contaminated).
           // The EXECUTABLE decides JVM-ness — argv can mention java too.
-          val exe = p.info().command()
-          val isJvm = exe.isPresent &&
-            (exe.get.endsWith("/java") || exe.get == "java")
+          // command() reads /proc/<pid>/exe, unreadable for OTHER USERS'
+          // processes; fall back to argv[0] there so a foreign JVM still
+          // counts (argv[0] can be spoofed, but a spoofer is not the
+          // accidental-stray-benchmark this probe exists for).
+          val exe = {
+            val c0 = p.info().command()
+            if (c0.isPresent) c0.get else c.takeWhile(_ != ' ')
+          }
+          val isJvm = exe.endsWith("/java") || exe == "java"
           val suspect = isJvm && (c.contains("sbt.boot.Boot") ||
             c.contains("org.apache.spark") || c.contains("graft.Bench") ||
             c.contains("graft.Verify"))

@@ -493,15 +493,17 @@ object WindowQueries {
           numHashes = 64, bands = 16, shingleSize = 3).toDF()
       }
       val pairs = hits.select(col("docId"), col("dupOf")).distinct()
-      // localCheckpoint: this projection feeds FIVE subplans below (two
-      // verify joins on each side plus the candidate explode) and Catalyst
-      // does not common-subexpression across join branches — one
-      // materialization of the 5k-row shingle table replaces five scans +
-      // shingle passes of the corpus
+      // localCheckpoint: this projection feeds every subplan below (two
+      // verify joins on each side, the candidate explode, AND the exact-
+      // dup grouping via the _h column) and Catalyst does not common-
+      // subexpression across join branches — one materialization of the
+      // 5k-row shingle+hash table replaces seven scans + shingle passes
+      // of the corpus
       val shn = Tables.documents(s, d).select(col("doc_id"),
         call_function("shingle_hashes",
           transform(split(trim(lower(col("text"))), "\\s+"),
-            t => xxhash64(t)), lit(3)).as("sh"))
+            t => xxhash64(t)), lit(3)).as("sh"),
+        xxhash64(col("text")).as("_h"))
         .localCheckpoint()
       def verifyGe05(cands: DataFrame): DataFrame = cands
         .join(shn.select(col("doc_id").as("docId"), col("sh").as("_sa")),
@@ -527,15 +529,19 @@ object WindowQueries {
       //  - a group MIN is expected iff another group with J >= 0.5 has a
       //    smaller min id (shared-shingle candidates are a complete
       //    superset: J >= 0.5 > 0 implies a shared shingle).
-      val groups = Tables.documents(s, d)
-        .select(col("doc_id"), xxhash64(col("text")).as("_h"))
-        .groupBy(col("_h")).agg(min(col("doc_id")).as("_min"))
-      val nonMin = Tables.documents(s, d)
-        .select(col("doc_id"), xxhash64(col("text")).as("_h"))
+      // The tripwire shares the REPLAY harness's single-micro-batch frame
+      // of reference, exactly like the DuckDB oracle it guards: in one
+      // batch no bucket owner can retire mid-corpus, so "every earlier
+      // similar doc" is the true detection contract. A multi-batch /
+      // checkpointed feed would legitimately re-register duplicates
+      // arriving past `retention` — this check (and the oracle) would
+      // need the same horizon carve-out there.
+      val groups = shn.groupBy(col("_h")).agg(min(col("doc_id")).as("_min"))
+      val nonMin = shn.select(col("doc_id"), col("_h"))
         .join(groups, "_h").filter(col("doc_id") > col("_min"))
         .select(col("doc_id"))
       val reps = groups.select(col("_min").as("doc_id"))
-        .join(shn, "doc_id")
+        .join(shn.select(col("doc_id"), col("sh")), "doc_id")
       val ex = reps.select(col("doc_id"), explode(col("sh")).as("e"))
       val expectedMins = verifyGe05(
         ex.as("a").join(ex.as("b"),
@@ -590,11 +596,15 @@ object WindowQueries {
     // sequentially.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    val q = f(s.readStream.schema(batch.schema).parquet(dir.toString))
-      .writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try q.processAllAvailable()
-    finally {
-      q.stop()
+    // conf restore and scratch cleanup guard the WHOLE lifecycle: a query
+    // that fails at plan/start time (not just mid-run) must not leave the
+    // session pinned at the replay partitioning — Verify/Bench catch
+    // per-query failures and keep running batch queries on this session
+    try {
+      val q = f(s.readStream.schema(batch.schema).parquet(dir.toString))
+        .writeStream.format("memory").queryName(name).outputMode(mode).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
       // the memory sink holds the result; the parquet replay copy is
       // per-invocation scratch — median-of-3 bench runs would otherwise

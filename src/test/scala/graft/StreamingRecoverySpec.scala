@@ -52,8 +52,24 @@ class StreamingRecoverySpec extends SparkSpec {
     Files.createTempDirectory("graft_rec_out"),
     Files.createTempDirectory("graft_rec_ck"))
 
-  test("sessionize: a session spanning the restart merges into one row") {
+  /** Each test's scratch (input parquet, sink, checkpoint WAL) is deleted
+    * on the way out — /tmp accumulation skews later timing runs (the
+    * hazard Bench.cleanStaleScratch exists for), and a failing run's
+    * message already carries the full expected/got rows.
+    */
+  private def withDirs(body: (Path, Path, Path) => Unit): Unit = {
     val (in, out, ck) = dirs()
+    try body(in, out, ck)
+    finally {
+      import scala.jdk.CollectionConverters._
+      for (d <- Seq(in, out, ck))
+        Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  test("sessionize: a session spanning the restart merges into one row") {
+   withDirs { (in, out, ck) =>
     val p1 = Seq(("u1", ts("2024-01-01 10:00:00")),
       ("u1", ts("2024-01-01 10:01:00"))).toDF("user_id", "ts")
     def build(st: DataFrame) = StreamingOps.streamingSessionize(
@@ -75,10 +91,11 @@ class StreamingRecoverySpec extends SparkSpec {
     assert(got == Seq((ts("2024-01-01 10:00:00"),
       ts("2024-01-01 10:07:00"), 3L)),
       s"one merged session spanning the restart expected: $got")
+   }
   }
 
   test("as-of attach: a post-restart event matches a pre-restart quote") {
-    val (in, out, ck) = dirs()
+   withDirs { (in, out, ck) =>
     // tagged union feed, the q338 layout: side 0 = quote, side 1 = event
     val p1 = Seq(("A", ts("2024-01-01 10:00:00"), 0, 0L, 1.5))
       .toDF("symbol", "ts", "side", "eventId", "value")
@@ -101,10 +118,11 @@ class StreamingRecoverySpec extends SparkSpec {
       .as[(String, Long, Option[Double])].collect().toSeq
     assert(got == Seq(("A", 7L, Some(1.5))),
       s"the restored quote buffer must supply the match: $got")
+   }
   }
 
   test("gap repair: a gap straddling the restart fills from restored carry") {
-    val (in, out, ck) = dirs()
+   withDirs { (in, out, ck) =>
     val p1 = Seq(("A", ts("2024-01-01 10:00:00"), 1.0),
       ("A", ts("2024-01-01 10:03:00"), 4.0)).toDF("symbol", "ts", "close")
     def build(st: DataFrame) = StreamingOps.streamingGapRepair(
@@ -130,5 +148,6 @@ class StreamingRecoverySpec extends SparkSpec {
       (ts("2024-01-01 10:04:00"), 4.0, true),
       (ts("2024-01-01 10:05:00"), 7.0, false)),
       s"full repaired grid across the restart expected: $got")
+   }
   }
 }
