@@ -122,6 +122,24 @@ class StreamingRecoverySpec extends SparkSpec {
   }
 
   test("gap repair: a gap straddling the restart fills from restored carry") {
+    gapRepairRecovery()
+  }
+
+  test("gap repair recovery on the RocksDB state store (the 100 TB provider)") {
+    // HDFSBackedStateStore keeps every key on the executor heap; RocksDB
+    // spills to local disk and is the provider a 100 TB/day feed runs —
+    // the same custom-state machine must checkpoint, restart and fill
+    // identically on it (exercises RocksDB snapshot upload + reload, and
+    // the Avro/unsafe-row state round-trip through a different engine)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try gapRepairRecovery()
+    finally spark.conf.set(key, prev)
+  }
+
+  private def gapRepairRecovery(): Unit = {
    withDirs { (in, out, ck) =>
     val p1 = Seq(("A", ts("2024-01-01 10:00:00"), 1.0),
       ("A", ts("2024-01-01 10:03:00"), 4.0)).toDF("symbol", "ts", "close")
