@@ -139,6 +139,19 @@ class StreamingRecoverySpec extends SparkSpec {
     finally spark.conf.set(key, prev)
   }
 
+  test("a replay-based gate query restores the session's shuffle partitioning") {
+    // the replay harness plans its streaming query at its own state
+    // partition count and MUST hand the session back unchanged — a
+    // leaked setting would silently re-plan every later batch query in a
+    // Verify/Bench run at the replay width
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    SparkEntry.queries("q331_streaming_sessionize")(
+      spark, "/root/testdata/sf0.001").count()
+    assert(spark.conf.get(key) == prev,
+      s"session left at ${spark.conf.get(key)} instead of $prev")
+  }
+
   private def gapRepairRecovery(): Unit = {
    withDirs { (in, out, ck) =>
     val p1 = Seq(("A", ts("2024-01-01 10:00:00"), 1.0),
