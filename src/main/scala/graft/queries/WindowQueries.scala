@@ -573,7 +573,16 @@ object WindowQueries {
   private def replay(s: SparkSession, batch: DataFrame, name: String,
                      mode: String = "append", parts: Int = 8)(
       f: DataFrame => DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_replay")
+    // scratch on tmpfs when available: the input copy is re-read once, and
+    // the checkpoint WAL + state-store deltas fsync on EVERY micro-batch
+    // commit — on the spinning /tmp those fsyncs made the streaming gates
+    // swing 2-4x with unrelated disk traffic. Deleted below either way, so
+    // tmpfs never accumulates (the Bench stale-scratch lesson).
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val dir =
+      if (java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft_replay")
+      else java.nio.file.Files.createTempDirectory("graft_replay")
     // parallel write: the file source reads ALL available files in the
     // first micro-batch (no maxFilesPerTrigger set), so single-batch
     // semantics don't need a single file — and none of the gated
@@ -581,7 +590,7 @@ object WindowQueries {
     // event time, aggregates are order-free, equal-stamp inputs are
     // pre-deduped); a coalesce(1) here serialized every replay's write
     // AND its first read through one task
-    batch.write.mode("overwrite").parquet(dir.toString)
+    batch.write.mode("overwrite").parquet(s"$dir/in")
     // gate-scale state partitioning: every stateful operator commits one
     // state-store delta per partition per micro-batch, so 32 shuffle
     // partitions pay 32 store commits per batch for state that fits in a
@@ -601,8 +610,11 @@ object WindowQueries {
     // session pinned at the replay partitioning — Verify/Bench catch
     // per-query failures and keep running batch queries on this session
     try {
-      val q = f(s.readStream.schema(batch.schema).parquet(dir.toString))
-        .writeStream.format("memory").queryName(name).outputMode(mode).start()
+      val q = f(s.readStream.schema(batch.schema)
+          .parquet(s"$dir/in"))
+        .writeStream.format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", s"$dir/ck")
+        .start()
       try q.processAllAvailable() finally q.stop()
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
