@@ -1802,6 +1802,61 @@ object ExtensionQueries {
               * coalesce(col("_c3"), lit(0L)).cast("double"), 6)
             .as("katz"))
         .orderBy("user_id")
+    },
+
+    // Count-Min accuracy gate (VERDICT r12 item 4b): the CMS sketch's
+    // one-sided error contract — estimate ≥ exact ALWAYS (min over rows of
+    // non-negative overcounts), and estimate ≤ exact + 2εN with ε = e/width
+    // — evaluated as an engine-side boolean per key that the oracle pins
+    // TRUE. The sketch is bit-deterministic (fixed splitmix64 hash family,
+    // linear merges), so the bound either holds for this corpus always or
+    // never: a hash-family or merge regression flips rows to false and the
+    // gate goes red with the offending keys visible. The 2× margin over
+    // the textbook εN keeps the PINNED bound safe under corpus
+    // regeneration (per-key tail prob ~(2e)^-depth ≈ 2e-4; exact per-key
+    // overcounts for THIS data are asserted in MisraGriesSpec).
+    // Sketch cost: one 5×8192-cell aggregate (320 KB) riding a single
+    // events scan — the 100 TB frequency-table shape.
+    "q343_cms_accuracy" -> { (s, d) =>
+      graft.plans.GraftExtensions.register(s)
+      val row = Tables.events(s, d)
+        .agg(expr("cms_sketch(user_id, 5, 8192)").as("_sk"),
+          count(lit(1)).as("_n")).head()
+      val sketch = row.getAs[Array[Byte]](0)
+      val n = row.getLong(1)
+      val bound = math.ceil(2.0 * math.E * n / 8192.0).toLong
+      val est = call_function("cms_estimate", lit(sketch), col("user_id"))
+      Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), col("cnt"),
+          (est >= col("cnt") && est <= col("cnt") + lit(bound))
+            .as("within_bound"))
+        .orderBy("user_id")
+    },
+
+    // Exporter.compact value-neutrality gate (VERDICT r12 item 4c): write
+    // the events projection as 64 small files, compact the leaf, and
+    // return the READ-BACK contents — the DuckDB compare hashes them
+    // against the original table, so "only layout changes" is a driver-
+    // gated contract, not a spec assertion. File-count reduction and the
+    // report's row accounting are engine-side requires (a failure is a
+    // loud err row). localCheckpoint pins the read-back rows before the
+    // scratch dir is deleted.
+    "q344_compact_roundtrip" -> { (s, d) =>
+      val src = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q344").toFile
+      try {
+        val leaf = s"${dir.getAbsolutePath}/data"
+        src.repartition(64).write.mode("overwrite").parquet(leaf)
+        val rep = graft.operators.Exporter.compact(s, leaf,
+          targetBytes = 1L << 30)
+        require(rep.filesBefore == 64 && rep.filesAfter < rep.filesBefore,
+          s"q344: compact did not reduce files " +
+            s"(${rep.filesBefore} -> ${rep.filesAfter})")
+        s.read.parquet(leaf).localCheckpoint().orderBy("event_id")
+      } finally deleteRecursively(dir)
     }
   )
 
@@ -3583,7 +3638,19 @@ object ExtensionQueries {
         |    * 1000000.0 + 0.5) / 1000000.0 AS katz
         |FROM p1 LEFT JOIN p2 ON p1.u = p2.u
         |LEFT JOIN p3 ON p1.u = p3.u
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    // the oracle pins the accuracy booleans TRUE: exact counts are
+    // engine-independent, and the sketch bound is the engine's claim
+    "q343_cms_accuracy" ->
+      """SELECT user_id, count(*) AS cnt, true AS within_bound
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // value-neutrality: the compacted read-back must hash-equal the
+    // original projection, row for row
+    "q344_compact_roundtrip" ->
+      """SELECT event_id, user_id, value FROM events
+        |ORDER BY event_id""".stripMargin
   )
 
   /** q320 oracle: synchronous support peeling unrolled — round i keeps

@@ -551,12 +551,61 @@ object WindowQueries {
       val expected = nonMin.unionByName(expectedMins).distinct()
       val missed = expected.except(detected).limit(10)
         .collect().map(_.getLong(0))
-      if (missed.nonEmpty) throw new IllegalStateException(
-        "q341 MINHASH RECALL REGRESSION: banding+verify missed truly-" +
-          s"similar docs ${missed.mkString(", ")} — the exact >=0.5 " +
-          "earlier-pair contract no longer holds at recall 1.0 (band/" +
-          "shingle parameters or corpus changed?)")
+      if (missed.nonEmpty) {
+        // ADVICE r12: name WHICH recall contract broke. A missed doc that
+        // never appeared in the evidence stream is a BANDING loss (no band
+        // collided — parameters/corpus changed); one that surfaced but
+        // failed exact verify against every bucket owner is the ownership
+        // HIJACK case (all its bands owned by dissimilar earlier
+        // colliders) — acceptable-by-design on a pinned corpus, actionable
+        // (more bands / per-band re-verify) on a regenerated one.
+        val surfaced = pairs
+          .filter(col("docId").isin(missed.map(Long.box): _*))
+          .select(col("docId")).distinct().collect()
+          .map(_.getLong(0)).toSet
+        val named = missed.map(id => s"$id" + (if (surfaced(id))
+          "[surfaced but failed verify vs its bucket owners: hijack]"
+        else "[never surfaced in any band: banding recall loss]"))
+        throw new IllegalStateException(
+          "q341 MINHASH RECALL REGRESSION: banding+verify missed truly-" +
+            s"similar docs ${named.mkString(", ")} — the exact >=0.5 " +
+            "earlier-pair contract no longer holds at recall 1.0 (band/" +
+            "shingle parameters or corpus changed?)")
+      }
       detected.orderBy("doc_id")
+    },
+
+    // Streaming heavy hitters — the live form of q74's two-pass device
+    // (TextAnalysis.heavyHitters): a COMPLETE-mode global aggregation
+    // maintains the Misra-Gries candidate sketch + exact token total as
+    // streaming state (the sketch is a mergeable TypedImperativeAggregate,
+    // so incremental micro-batch merges land on a valid ≥ n/k-superset
+    // summary — the MG mergeability bound, same as the batch map-side
+    // partials). The exact re-count over the ≤ capacity candidates is the
+    // consumer's batch job, exactly as documented on streamingNearDup's
+    // evidence stream; the final (term, cnt) set is therefore the EXACT
+    // heavy-hitter set, which the q74 oracle replays engine-independently.
+    // Streaming state: capacity longs + one total — O(1) in the corpus.
+    "q342_streaming_heavy_hitters" -> { (s, d) =>
+      import graft.operators.TextAnalysis
+      graft.plans.GraftExtensions.register(s)
+      val docs = Tables.documents(s, d).select(col("text"))
+      val sk = replay(s, docs, "graft_q342", mode = "complete") { st =>
+        st.select(transform(TextAnalysis.tokens(col("text")),
+            t => xxhash64(t)).as("_wh"))
+          .agg(call_function("misra_gries_keys", col("_wh"), lit(2048))
+              .as("_cand"),
+            sum(size(col("_wh")).cast("long")).as("_total"))
+      }
+      val row = sk.head()
+      val cand = row.getSeq[Long](0)
+      val total = if (row.isNullAt(1)) 0L else row.getLong(1)
+      Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(xxhash64(col("term")).isin(cand: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * lit(500L) >= lit(total))
+        .orderBy(col("cnt").desc, col("term"))
     }
   )
 
@@ -579,10 +628,23 @@ object WindowQueries {
     // swing 2-4x with unrelated disk traffic. Deleted below either way, so
     // tmpfs never accumulates (the Bench stale-scratch lesson).
     val shm = java.nio.file.Paths.get("/dev/shm")
-    val dir =
-      if (java.nio.file.Files.isWritable(shm))
-        java.nio.file.Files.createTempDirectory(shm, "graft_replay")
+    // free-space guard (ADVICE r12): a big replay (the 30× rehearsal's
+    // feeds) could ENOSPC tmpfs or squeeze executor memory. The Catalyst
+    // size estimate is the UNCOMPRESSED row width × rows, so it upper-
+    // bounds the zstd parquet copy by a wide margin; requiring it under a
+    // quarter of the free space leaves the checkpoint WAL + state deltas
+    // (KBs per batch) and co-tenant headroom. Oversized replays fall back
+    // to the disk tmpdir — slower fsyncs, same semantics.
+    val dir = {
+      val fitsShm = java.nio.file.Files.isWritable(shm) && {
+        val est = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+        val usable =
+          java.nio.file.Files.getFileStore(shm).getUsableSpace
+        est * 4 < BigInt(usable)
+      }
+      if (fitsShm) java.nio.file.Files.createTempDirectory(shm, "graft_replay")
       else java.nio.file.Files.createTempDirectory("graft_replay")
+    }
     // parallel write: the file source reads ALL available files in the
     // first micro-batch (no maxFilesPerTrigger set), so single-batch
     // semantics don't need a single file — and none of the gated
@@ -970,6 +1032,18 @@ object WindowQueries {
         |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |SELECT DISTINCT d AS doc_id FROM p WHERE jac >= 0.5
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q74's oracle verbatim: exact heavy hitters are engine-independent —
+    // only the plan shape (streamed sketch + batch re-count vs naive full
+    // groupBy) differs
+    "q342_streaming_heavy_hitters" ->
+      """WITH tok AS (SELECT
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |n AS (SELECT count(*) AS total FROM tok),
+        |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
+        |SELECT term, cnt FROM c, n WHERE cnt * 500 >= total
+        |ORDER BY cnt DESC, term""".stripMargin
   )
 }

@@ -182,6 +182,15 @@ object StreamingOps {
   /** Keyed state: the first doc id that claimed an LSH band bucket.
     * `lastUs` is epoch MICROS (the ownership race orders by true event
     * time; the events feed carries sub-millisecond digits).
+    *
+    * STATE-SCHEMA BREAK (r12): this field was `lastMs` (epoch millis)
+    * before the micros-precision fix. A production deployment restarting
+    * `streamingNearDup` from a pre-r12 checkpoint fails Spark's state
+    * value-schema check on the renamed field — a named, expected event:
+    * drain or discard the old checkpoint and start fresh (the in-repo
+    * replay harness always starts from an empty checkpoint, so gates are
+    * unaffected). Keeping the old name would have silently reinterpreted
+    * millis as micros, which is worse than the loud schema failure.
     */
   final case class BucketOwner(docId: Long, lastUs: Long)
 
@@ -320,10 +329,20 @@ object StreamingOps {
     *    `EventTimeTimeout` once the watermark passes its newest quote by
     *    `retention` — events for a retired symbol get no match (quote
     *    drop), the documented trade of bounded state.
+    *
+    * @param toleranceSec the batch operator's pandas-merge_asof-style
+    *        match window ([[graft.operators.AsofJoin.asof]] `toleranceSec`):
+    *        when set, a floor quote older than the event by MORE than this
+    *        many seconds attaches as None instead — compared at
+    *        MICROSECOND precision on the same stamps the batch form uses,
+    *        so the two agree row for row on the same feed (spec-pinned).
+    *        The buffer, eviction and retirement are tolerance-agnostic:
+    *        only the emit decision changes.
     */
   def streamingAsof(events: Dataset[AsofEvent], quotes: Dataset[AsofQuote],
                     delay: String = "1 minute",
-                    retention: String = "1 hour"): Dataset[AsofOut] = {
+                    retention: String = "1 hour",
+                    toleranceSec: Option[Long] = None): Dataset[AsofOut] = {
     import events.sparkSession.implicits._
     val tagged =
       quotes.map(q => AsofRow(q.symbol, q.ts, 0, 0L, q.value))
@@ -363,7 +382,9 @@ object StreamingOps {
                 // qi = first quote PAST t, so qi-1 is the last at-or-before
                 // (at equal stamps the later arrival wins, as before)
                 val at = if (qi == 0) None else Some(mergedArr(qi - 1))
-                AsofOut(symbol, r.ts, r.eventId, at.map(_.value))
+                val inTol = at.filter(q => toleranceSec.forall(tol =>
+                  t - q.tsMicros <= tol * 1000000L))
+                AsofOut(symbol, r.ts, r.eventId, inTol.map(_.value))
               }
             // evict below the watermark: future events all have
             // ts >= watermark, so they can only ever need the newest quote

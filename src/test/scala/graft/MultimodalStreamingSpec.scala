@@ -735,4 +735,55 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(kept == batch, s"stream $kept vs batch $batch")
     assert(kept == Set(1L, 3L, 5L, 6L), s"keep-set: $kept")
   }
+
+  test("streaming as-of with tolerance equals batch AsofJoin row-for-row " +
+      "on the same feed") {
+    // VERDICT r12 item 5: q338 (streaming, no tolerance) and q285/q301
+    // (batch tolerance/nearest) each gate individually; this pins the
+    // TOLERANCE semantics across the two implementations on the SAME real
+    // feed — the q338 quote/event split of the sf0.001 events table.
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val ev = graft.core.Tables.events(spark, d)
+    // ~median at-or-before gap on this feed (10 h): roughly half the
+    // matched events fall outside it, so the tolerance genuinely bites
+    val tol = 36000L
+    val quotes = ev.filter(col("event_id") % 5 === 0)
+      .groupBy(col("event_type").as("symbol"), col("ts"))
+      .agg(min(col("value")).as("value"))
+    val evs = ev.filter(col("event_id") % 5 =!= 0)
+      .select(col("event_type").as("symbol"), col("ts"),
+        col("event_id").as("eventId"))
+
+    val batch = AsofJoin.asof(evs, quotes, Seq("symbol"), "ts", "ts",
+        Seq("value"), toleranceSec = Some(tol))
+      .select(col("eventId"), col("asof_value")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+
+    val evMem = MemoryStream[StreamingOps.AsofEvent]
+    val qtMem = MemoryStream[StreamingOps.AsofQuote]
+    val out = StreamingOps.streamingAsof(evMem.toDS(), qtMem.toDS(),
+      toleranceSec = Some(tol))
+    val q = out.writeStream.format("memory")
+      .queryName("asof_tol_out").outputMode("append").start()
+    qtMem.addData(quotes.as[StreamingOps.AsofQuote].collect().toSeq: _*)
+    evMem.addData(evs.as[StreamingOps.AsofEvent].collect().toSeq: _*)
+    q.processAllAvailable()
+    val got = spark.table("asof_tol_out").collect()
+      .map(r => r.getAs[Long]("eventId") ->
+        Option(r.getAs[java.lang.Double]("asofValue")).map(_.toDouble))
+      .toMap
+    q.stop()
+
+    assert(got.size == batch.size, s"${got.size} vs ${batch.size} rows")
+    val matched = got.values.count(_.isDefined)
+    assert(matched > 0 && matched < got.size,
+      s"tolerance must bite: $matched of ${got.size} matched")
+    val diffs = got.collect {
+      case (id, v) if batch(id) != v => s"$id: stream=$v batch=${batch(id)}"
+    }
+    assert(diffs.isEmpty, s"row-for-row drift: ${diffs.take(5).mkString("; ")}")
+  }
 }
