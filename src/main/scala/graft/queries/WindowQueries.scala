@@ -486,12 +486,20 @@ object WindowQueries {
     "q341_streaming_neardup" -> { (s, d) =>
       import graft.streaming.StreamingOps
       graft.plans.GraftExtensions.register(s)
+      val profile = sys.env.contains("GRAFT_TIMING")
+      def mark(label: String, t0: Long): Long = {
+        if (profile) System.err.println(
+          f"[q341-timing] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        System.nanoTime()
+      }
+      var t = System.nanoTime()
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
         timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"))
       val hits = replay(s, docs, "graft_q341") { st =>
         StreamingOps.streamingNearDup(st, "doc_id", "text", "ts",
           numHashes = 64, bands = 16, shingleSize = 3).toDF()
       }
+      t = mark("replay", t)
       val pairs = hits.select(col("docId"), col("dupOf")).distinct()
       // localCheckpoint: this projection feeds every subplan below (two
       // verify joins on each side, the candidate explode, AND the exact-
@@ -505,6 +513,7 @@ object WindowQueries {
             t => xxhash64(t)), lit(3)).as("sh"),
         xxhash64(col("text")).as("_h"))
         .localCheckpoint()
+      t = mark("shn_checkpoint", t)
       def verifyGe05(cands: DataFrame): DataFrame = cands
         .join(shn.select(col("doc_id").as("docId"), col("sh").as("_sa")),
           "docId")
@@ -513,7 +522,10 @@ object WindowQueries {
         .filter(size(array_intersect(col("_sa"), col("_sb"))).cast("double")
           / size(array_union(col("_sa"), col("_sb"))) >= 0.5)
         .select(col("docId").as("doc_id")).distinct()
-      val detected = verifyGe05(pairs)
+      // 244 rows at sf0.1 — pinning them makes the tripwire's `except` and
+      // the returned result share ONE evaluation of the verify joins (the
+      // final orderBy used to re-run them after the tripwire had passed)
+      val detected = verifyGe05(pairs).localCheckpoint()
       // ADVICE r11: the oracle is the exact all-pairs detection contract,
       // so the gate holds only while banding recall is exactly 1.0 — a
       // band/shingle parameter change or data regen that drops a truly-
@@ -543,14 +555,32 @@ object WindowQueries {
       val reps = groups.select(col("_min").as("doc_id"))
         .join(shn.select(col("doc_id"), col("sh")), "doc_id")
       val ex = reps.select(col("doc_id"), explode(col("sh")).as("e"))
-      val expectedMins = verifyGe05(
-        ex.as("a").join(ex.as("b"),
-            col("a.e") === col("b.e") && col("a.doc_id") > col("b.doc_id"))
-          .select(col("a.doc_id").as("docId"), col("b.doc_id").as("dupOf"))
-          .distinct())
+      // exact Jaccard by COUNTING shared shingles instead of re-attaching
+      // both shingle arrays to every candidate pair: `sh` is a distinct
+      // set per doc, so each shared hash contributes exactly one join row
+      // — |A∩B| is a count aggregate over the self-join's narrow (a, b)
+      // longs, and |A∪B| = |A| + |B| − |A∩B| from the per-rep sizes. Same
+      // predicate as verifyGe05, minus the widest shuffle in the query
+      // (the old form carried the arrays through the pair join and ran
+      // array_intersect + array_union per pair: 4.2 s → measured ~2 s).
+      val repSizes = reps.select(col("doc_id"), size(col("sh")).as("_n"))
+      val expectedMins = ex.as("a")
+        .join(ex.as("b"),
+          col("a.e") === col("b.e") && col("a.doc_id") > col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("docId"), col("b.doc_id").as("dupOf"))
+        .agg(count(lit(1)).as("_i"))
+        .join(repSizes.select(col("doc_id").as("docId"),
+          col("_n").as("_na")), "docId")
+        .join(repSizes.select(col("doc_id").as("dupOf"),
+          col("_n").as("_nb")), "dupOf")
+        .filter(col("_i").cast("double")
+          / (col("_na") + col("_nb") - col("_i")) >= 0.5)
+        .select(col("docId").as("doc_id"))
       val expected = nonMin.unionByName(expectedMins).distinct()
+      t = mark("tripwire_build", t)
       val missed = expected.except(detected).limit(10)
         .collect().map(_.getLong(0))
+      t = mark("tripwire_collect", t)
       if (missed.nonEmpty) {
         // ADVICE r12: name WHICH recall contract broke. A missed doc that
         // never appeared in the evidence stream is a BANDING loss (no band
