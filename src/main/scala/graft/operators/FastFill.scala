@@ -117,16 +117,21 @@ object FastFill {
         private var out: Iterator[Row] = Iterator.empty
         private var pending: Row = _
 
-        private def sameKey(a: Row, b: Row): Boolean =
-          kIdx.forall(i => a.get(i) == b.get(i))
-
-        private def processSeries(rows: ArrayBuffer[Row]): Iterator[Row] = {
+        // Per-series rows are buffered ONCE, as bare Array[Any] field
+        // arrays — the incoming Row wrapper is released immediately (the
+        // 30× rehearsal caught the old double buffer, ArrayBuffer[Row]
+        // plus a per-row array copy, GC-storming a 560k-row partition run:
+        // repair measured 76× wall for 30× rows, almost all of it
+        // collection time). Per-task retention is now one array + boxes
+        // per buffered row — the unavoidable minimum for a scan whose
+        // interpolation needs the gap's far edge.
+        private def processSeries(rows: ArrayBuffer[Array[Any]]): Iterator[Row] = {
           val seed: Seed =
             if (seeds.isEmpty) null
-            else seeds.getOrElse((pid, kIdx.map(rows.head.get).toList), null)
+            else seeds.getOrElse((pid, kIdx.map(rows.head.apply).toList), null)
           var firstEmitUs = Long.MinValue
           val vals = reindexStepMicros match {
-            case None => rows.iterator.map(_.toSeq.toArray).to(ArrayBuffer)
+            case None => rows
             case Some(stepUs) =>
               // inline reindex: keep on-grid rows, synthesize null rows for
               // missing stamps; anchor = first observed stamp of the SERIES
@@ -141,7 +146,7 @@ object FastFill {
               val out = new ArrayBuffer[Array[Any]](rows.length)
               val anchorUs =
                 if (seed != null) seed.anchorUs
-                else micros(rows.head.getAs[java.sql.Timestamp](tsIdx))
+                else micros(rows.head(tsIdx).asInstanceOf[java.sql.Timestamp])
               // grid continuation: synthesis resumes right after the last
               // on-grid stamp of the previous partitions
               var prevUs =
@@ -150,7 +155,7 @@ object FastFill {
                 else anchorUs - stepUs
               var firstOnGrid = true
               for (r <- rows) {
-                val us = micros(r.getAs[java.sql.Timestamp](tsIdx))
+                val us = micros(r(tsIdx).asInstanceOf[java.sql.Timestamp])
                 if ((us - anchorUs) % stepUs == 0 && us >= anchorUs) {
                   // tripwire: a seed pointing at-or-past the first local
                   // on-grid stamp means the exchange re-sampled different
@@ -167,7 +172,7 @@ object FastFill {
                   var g = prevUs + stepUs
                   while (g < us) { // synthesize the missing stamps
                     val a = new Array[Any](schema.length)
-                    for (ki <- kIdx) a(ki) = r.get(ki)
+                    for (ki <- kIdx) a(ki) = r(ki)
                     a(tsIdx) = stamp(g)
                     for (gi <- genIdx) a(gi) = true
                     if (firstEmitUs == Long.MinValue) firstEmitUs = g
@@ -175,7 +180,7 @@ object FastFill {
                     g += stepUs
                   }
                   if (firstEmitUs == Long.MinValue) firstEmitUs = us
-                  out += r.toSeq.toArray
+                  out += r
                   prevUs = us
                 } // off-grid rows drop (pandas reindex semantics)
               }
@@ -257,12 +262,21 @@ object FastFill {
         private def refill(): Unit = {
           if (pending == null && it.hasNext) pending = it.next()
           if (pending != null) {
-            val buf = ArrayBuffer(pending)
+            val keyArr = kIdx.map(pending.get)
+            def sameKey(r: Row): Boolean = {
+              var i = 0
+              while (i < kIdx.length) {
+                if (r.get(kIdx(i)) != keyArr(i)) return false
+                i += 1
+              }
+              true
+            }
+            val buf = ArrayBuffer(pending.toSeq.toArray)
             pending = null
             var break = false
             while (!break && it.hasNext) {
               val r = it.next()
-              if (sameKey(buf.head, r)) buf += r
+              if (sameKey(r)) buf += r.toSeq.toArray
               else { pending = r; break = true }
             }
             out = processSeries(buf)

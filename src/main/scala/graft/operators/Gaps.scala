@@ -240,15 +240,29 @@ object Gaps {
     val repaired1 = repaired0
       .select((partitionCols ++ Seq(TsCol) ++ dataCols ++
         ffillCols.map(c => s"_wasnull_$c") :+ "_generated").map(col): _*)
-    // cache before the report agg when the caller will also consume the
-    // frame (resample + export) — the window chain must not re-execute
-    val repaired = if (cacheResult) repaired1.cache() else repaired1
 
     var report = Json.obj(
       "detected_gaps" -> Seq.empty[Any],
       "filled_counts" -> ListMap.empty[String, Any],
       "remaining_nans" -> ListMap.empty[String, Any],
       "rows_after" -> 0L)
+
+    // No-report path: drop the accounting columns BEFORE caching, so the
+    // RETURNED frame is the cached plan itself and the caller's
+    // `unpersist()` actually releases it. Returning a projection OVER the
+    // cache (the old shape) made every caller-side unpersist a silent
+    // no-op — a leak of one series-sized cache per pipeline run that the
+    // 30× rehearsal exposed as a GC storm (persistent RDDs grew by one per
+    // run; at gate scale the 27 MB leak was invisible). The cache is also
+    // smaller: the flag columns never reach storage.
+    if (!computeReport) {
+      val clean = repaired1.drop(
+        ffillCols.map(c => s"_wasnull_$c") :+ "_generated": _*)
+      return Result(if (cacheResult) clean.cache() else clean, report)
+    }
+    // cache before the report agg when the caller will also consume the
+    // frame (resample + export) — the window chain must not re-execute
+    val repaired = if (cacheResult) repaired1.cache() else repaired1
 
     if (computeReport) {
       val step = Rules.stepSeconds(rule)

@@ -90,6 +90,20 @@ object ScaleBench {
     // 600k grid at the gate scale vs the full 6M grid. Stage times come
     // from Runner's timingSink; concurrent timeframe chains sum per name.
     val cfg = GraftConfig(timeframes = Seq("1T", "5T", "15T", "1H"))
+    // Partition sizing follows the data, exactly as a deployment would
+    // size spark.sql.shuffle.partitions to its volume (the brief's own
+    // guidance, and the replay() precedent): ~250k rows per partition
+    // bounds FastFill's per-task series buffer — at a PINNED 32
+    // partitions the 30× grid put 560k boxed rows per task and the scan
+    // went GC-bound (repair 76× wall for 30× rows, mostly collection
+    // time). The engine's plans are partition-count-independent; only
+    // memory-per-task changes.
+    def withPartsFor(gridRows: Long)(f: => Unit): Unit = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(cpus.toInt, (gridRows / 250000L).toInt).toString)
+      try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     def pipeline(gridRows: Long): (Double, Map[String, Double]) = {
       val raw = Bench.genOhlcv(spark, gridRows).cache()
       raw.count()
@@ -98,10 +112,12 @@ object ScaleBench {
       Runner.timingSink = Some((n, s) => { buf.add((n, s)); () })
       val sec =
         try timed {
-          val r = Runner.processDataFrame(spark, raw,
-            cfg.copy(resampleMode = "faithful"), sourceTz = None,
-            basename = "EURUSD_scale", outDir = dir)
-          require(r.errors.isEmpty, r.errors.mkString("; "))
+          withPartsFor(gridRows) {
+            val r = Runner.processDataFrame(spark, raw,
+              cfg.copy(resampleMode = "faithful"), sourceTz = None,
+              basename = "EURUSD_scale", outDir = dir)
+            require(r.errors.isEmpty, r.errors.mkString("; "))
+          }
         } finally Runner.timingSink = None
       raw.unpersist()
       import scala.jdk.CollectionConverters._
@@ -120,7 +136,10 @@ object ScaleBench {
     // "the" scale number would swing with it. Stages take the per-stage
     // median across the three runs.
     def pipelineMedian(gridRows: Long): (Double, Map[String, Double]) = {
-      val runs = Vector.fill(3)(pipeline(gridRows))
+      // GC between reps: a big-heap JVM left to its own pacing lets eden
+      // balloon after a heavy rep and the NEXT rep pays the collection —
+      // the probe measured a 5x rep-to-rep swing from exactly this
+      val runs = Vector.fill(3) { System.gc(); pipeline(gridRows) }
       val wall = runs.map(_._1).sorted.apply(1)
       val stages = runs.flatMap(_._2.keys).distinct.map { n =>
         n -> runs.flatMap(_._2.get(n)).sorted
@@ -151,6 +170,7 @@ object ScaleBench {
       val raw = Bench.genOhlcv(spark, gridRows).cache()
       raw.count()
       val sweeps = Vector.fill(3) {
+        System.gc()
         val acc = scala.collection.mutable.Map.empty[String, Double]
           .withDefaultValue(0.0)
         for (tf <- cfg.timeframes) {
@@ -158,11 +178,13 @@ object ScaleBench {
           Runner.timingSink = Some((n, s) => { buf.add((n, s)); () })
           val dir = Files.createTempDirectory("graft_scale_seq")
           try {
-            val r = Runner.processDataFrame(spark, raw,
-              cfg.copy(timeframes = Seq(tf), resampleMode = "faithful"),
-              sourceTz = None, basename = s"EURUSD_seq_${tf}",
-              outDir = dir.toString, computeReports = false)
-            require(r.errors.isEmpty, r.errors.mkString("; "))
+            withPartsFor(gridRows) {
+              val r = Runner.processDataFrame(spark, raw,
+                cfg.copy(timeframes = Seq(tf), resampleMode = "faithful"),
+                sourceTz = None, basename = s"EURUSD_seq_${tf}",
+                outDir = dir.toString, computeReports = false)
+              require(r.errors.isEmpty, r.errors.mkString("; "))
+            }
           } finally {
             Runner.timingSink = None
             deleteRec(dir.toFile)
@@ -322,7 +344,10 @@ object ScaleBench {
       "conflates growth with contention; sequential_stages is the " +
       "de-contended measurement — each timeframe chain run ALONE " +
       "(reports off), so those ratios are growth, not contention " +
-      "(VERDICT r12 item 1)"
+      "(VERDICT r12 item 1). Pipeline runs size shuffle partitions to " +
+      "~250k rows each (deployment convention): a pinned 32 made " +
+      "FastFill's per-task series buffer grow with scale and the 30x " +
+      "repair went GC-bound"
     val stagesJson = stageRows.map { case (n, b, s, r, sg) =>
       f"${jstr(n)}:{" +
         f""""base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f,"share_growth":$sg%.2f}"""
