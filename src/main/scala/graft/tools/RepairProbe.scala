@@ -52,7 +52,7 @@ object RepairProbe {
         val r = Runner.processDataFrame(spark, raw,
           GraftConfig(timeframes = Seq(tf), resampleMode = "faithful"),
           sourceTz = None, basename = s"EURUSD_probe", outDir = dir.toString,
-          computeReports = false)
+          computeReports = sys.env.contains("GRAFT_PROBE_REPORTS"))
         require(r.errors.isEmpty, r.errors.mkString("; "))
       } finally Runner.timingSink = None
       val wall = (System.nanoTime() - t0) / 1e9
