@@ -260,8 +260,14 @@ object Gaps {
         ffillCols.map(c => s"_wasnull_$c") :+ "_generated": _*)
       return Result(if (cacheResult) clean.cache() else clean, report)
     }
-    // cache before the report agg when the caller will also consume the
-    // frame (resample + export) — the window chain must not re-execute
+    // Report path. The report needs the accounting columns (`_wasnull_*`,
+    // `_generated`) that the returned frame must NOT carry, so the two
+    // plans differ — and a cache must live on the RETURNED plan for the
+    // caller's `unpersist()` to work (same leak class as the no-report
+    // path above, fixed r13). Shape: a SCOPED cache on the pre-drop frame
+    // feeds the two report jobs, then the clean projection is cached (a
+    // cheap cached read), eagerly materialized, and the scoped cache
+    // released before returning — the fill chain executes exactly once.
     val repaired = if (cacheResult) repaired1.cache() else repaired1
 
     if (computeReport) {
@@ -309,9 +315,16 @@ object Gaps {
         "rows_after" -> row.getAs[Long]("_rows"))
     }
 
-    Result(
-      repaired.drop(ffillCols.map(c => s"_wasnull_$c") :+ "_generated": _*),
-      report)
+    val clean =
+      repaired.drop(ffillCols.map(c => s"_wasnull_$c") :+ "_generated": _*)
+    if (cacheResult) {
+      // materialize the returned cache while the scoped one is still hot
+      // (a narrow cached scan), THEN release the scoped cache — otherwise
+      // the caller's first action would recompute the whole fill chain
+      clean.cache().count()
+      repaired.unpersist(blocking = false)
+    }
+    Result(clean, report)
   }
 
   /** Cluster a small frame of missing stamps into gap records (the

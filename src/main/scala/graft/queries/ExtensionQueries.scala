@@ -1806,15 +1806,16 @@ object ExtensionQueries {
 
     // Count-Min accuracy gate (VERDICT r12 item 4b): the CMS sketch's
     // one-sided error contract — estimate ≥ exact ALWAYS (min over rows of
-    // non-negative overcounts), and estimate ≤ exact + 2εN with ε = e/width
-    // — evaluated as an engine-side boolean per key that the oracle pins
-    // TRUE. The sketch is bit-deterministic (fixed splitmix64 hash family,
-    // linear merges), so the bound either holds for this corpus always or
-    // never: a hash-family or merge regression flips rows to false and the
-    // gate goes red with the offending keys visible. The 2× margin over
-    // the textbook εN keeps the PINNED bound safe under corpus
-    // regeneration (per-key tail prob ~(2e)^-depth ≈ 2e-4; exact per-key
-    // overcounts for THIS data are asserted in MisraGriesSpec).
+    // non-negative overcounts), and estimate ≤ exact + 4εN with ε = e/width
+    // — gated as an AGGREGATE the oracle pins: keys_checked = distinct
+    // keys, out_of_bound = 0. The sketch is bit-deterministic (fixed
+    // splitmix64 hash family, linear merges), so for a FIXED corpus the
+    // bound holds always or never; the aggregate shape + the 4× margin
+    // over the textbook εN (ADVICE r13 — per-key violation tail drops
+    // from ~2e-4 to ~1e-6, and one flipped key out of ~15k at sf1 would
+    // otherwise fail a pinned per-key TRUE) keep the gate safe under
+    // corpus regeneration at higher sf with no engine bug. Exact per-key
+    // overcounts for THIS corpus are asserted in MisraGriesSpec.
     // Sketch cost: one 5×8192-cell aggregate (320 KB) riding a single
     // events scan — the 100 TB frequency-table shape.
     "q343_cms_accuracy" -> { (s, d) =>
@@ -1824,14 +1825,13 @@ object ExtensionQueries {
           count(lit(1)).as("_n")).head()
       val sketch = row.getAs[Array[Byte]](0)
       val n = row.getLong(1)
-      val bound = math.ceil(2.0 * math.E * n / 8192.0).toLong
+      val bound = math.ceil(4.0 * math.E * n / 8192.0).toLong
       val est = call_function("cms_estimate", lit(sketch), col("user_id"))
       Tables.events(s, d).groupBy(col("user_id"))
         .agg(count(lit(1)).as("cnt"))
-        .select(col("user_id"), col("cnt"),
-          (est >= col("cnt") && est <= col("cnt") + lit(bound))
-            .as("within_bound"))
-        .orderBy("user_id")
+        .agg(count(lit(1)).as("keys_checked"),
+          sum(when(est < col("cnt") || est > col("cnt") + lit(bound), 1L)
+            .otherwise(0L)).as("out_of_bound"))
     },
 
     // Exporter.compact value-neutrality gate (VERDICT r12 item 4c): write
@@ -3643,8 +3643,8 @@ object ExtensionQueries {
     // the oracle pins the accuracy booleans TRUE: exact counts are
     // engine-independent, and the sketch bound is the engine's claim
     "q343_cms_accuracy" ->
-      """SELECT user_id, count(*) AS cnt, true AS within_bound
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """SELECT count(DISTINCT user_id) AS keys_checked,
+        |CAST(0 AS BIGINT) AS out_of_bound FROM events""".stripMargin,
 
     // value-neutrality: the compacted read-back must hash-equal the
     // original projection, row for row

@@ -23,6 +23,28 @@ object WindowQueries {
 
   private def byUser = Window.partitionBy("user_id")
 
+  /** q341's recall-tripwire failure, with each miss NAMED by which recall
+    * contract broke (ADVICE r12): a missed doc that never appeared in the
+    * evidence stream is a BANDING loss (no band collided — parameters or
+    * corpus changed); one that surfaced but failed exact verify against
+    * every bucket owner is the ownership HIJACK case (all its bands owned
+    * by dissimilar earlier colliders) — acceptable-by-design on a pinned
+    * corpus, actionable (more bands / per-band re-verify) on a
+    * regenerated one. Extracted so the forced-miss spec can pin both
+    * labels without rigging a banding miss into the real corpus.
+    */
+  private[graft] def recallRegression(missed: Seq[Long],
+                                      surfaced: Set[Long]): Exception = {
+    val named = missed.map(id => s"$id" + (if (surfaced(id))
+      "[surfaced but failed verify vs its bucket owners: hijack]"
+    else "[never surfaced in any band: banding recall loss]"))
+    new IllegalStateException(
+      "q341 MINHASH RECALL REGRESSION: banding+verify missed truly-" +
+        s"similar docs ${named.mkString(", ")} — the exact >=0.5 " +
+        "earlier-pair contract no longer holds at recall 1.0 (band/" +
+        "shingle parameters or corpus changed?)")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // OHLCV tumbling resample (O14, "correct" mode). min_by/max_by with a
     // (ts, event_id) struct key give deterministic first/last inside a plain
@@ -486,13 +508,17 @@ object WindowQueries {
     "q341_streaming_neardup" -> { (s, d) =>
       import graft.streaming.StreamingOps
       graft.plans.GraftExtensions.register(s)
+      // profiling scaffold is fully inert unless GRAFT_TIMING is set
+      // (ADVICE r13): no clock reads, no state threading in gate runs
       val profile = sys.env.contains("GRAFT_TIMING")
-      def mark(label: String, t0: Long): Long = {
-        if (profile) System.err.println(
-          f"[q341-timing] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        System.nanoTime()
-      }
-      var t = System.nanoTime()
+      def mark(label: String, t0: Long): Long =
+        if (!profile) 0L
+        else {
+          System.err.println(
+            f"[q341-timing] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          System.nanoTime()
+        }
+      var t = if (profile) System.nanoTime() else 0L
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
         timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"))
       val hits = replay(s, docs, "graft_q341") { st =>
@@ -582,25 +608,11 @@ object WindowQueries {
         .collect().map(_.getLong(0))
       t = mark("tripwire_collect", t)
       if (missed.nonEmpty) {
-        // ADVICE r12: name WHICH recall contract broke. A missed doc that
-        // never appeared in the evidence stream is a BANDING loss (no band
-        // collided — parameters/corpus changed); one that surfaced but
-        // failed exact verify against every bucket owner is the ownership
-        // HIJACK case (all its bands owned by dissimilar earlier
-        // colliders) — acceptable-by-design on a pinned corpus, actionable
-        // (more bands / per-band re-verify) on a regenerated one.
         val surfaced = pairs
           .filter(col("docId").isin(missed.map(Long.box): _*))
           .select(col("docId")).distinct().collect()
           .map(_.getLong(0)).toSet
-        val named = missed.map(id => s"$id" + (if (surfaced(id))
-          "[surfaced but failed verify vs its bucket owners: hijack]"
-        else "[never surfaced in any band: banding recall loss]"))
-        throw new IllegalStateException(
-          "q341 MINHASH RECALL REGRESSION: banding+verify missed truly-" +
-            s"similar docs ${named.mkString(", ")} — the exact >=0.5 " +
-            "earlier-pair contract no longer holds at recall 1.0 (band/" +
-            "shingle parameters or corpus changed?)")
+        throw recallRegression(missed.toSeq, surfaced)
       }
       detected.orderBy("doc_id")
     },

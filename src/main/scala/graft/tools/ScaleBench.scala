@@ -77,10 +77,21 @@ object ScaleBench {
     // session setup mirrors Bench (the judged headline conditions):
     // shuffle/cache scratch on tmpfs — at the 30× grid the concurrent
     // phase writes four chains' shuffles + spills at once, and on the
-    // virtual disk that I/O serialized every stage it touched
+    // virtual disk that I/O serialized every stage it touched.
+    // Free-space guard (ADVICE r13, mirroring replay()'s): the concurrent
+    // phase's worst tmpfs footprint is the four chains' shuffle files +
+    // spills over the scaled grid — bounded by a few× the raw row bytes
+    // (~56 B/row × grid). Requiring 8× the raw grid under a half of the
+    // usable space leaves co-tenant headroom (tmpfs pages also compete
+    // with the executor heap); oversized rehearsals fall back to the disk
+    // tmpdir — slower, same semantics. Scratch is deleted after
+    // spark.stop() either way, so tmpfs never accumulates.
     val scratch = java.nio.file.Paths.get("/dev/shm")
+    val gridBytes = (600000L * rowGrowth).toLong * 56L
     val localDir =
-      if (Files.isWritable(scratch))
+      if (Files.isWritable(scratch) &&
+          BigInt(gridBytes) * 8 * 2 <
+            BigInt(Files.getFileStore(scratch).getUsableSpace))
         Files.createTempDirectory(scratch, "graft_scale_scratch").toString
       else Files.createTempDirectory("graft_scale_scratch").toString
     val spark = SparkSession.builder()
@@ -173,13 +184,24 @@ object ScaleBench {
       f.delete(): Unit
     }
     def seqStages(gridRows: Long): Map[String, Double] = {
-      val raw = Bench.genOhlcv(spark, gridRows).cache()
-      raw.count()
+      // the input lives as parquet on the scratch dir, NOT as a shared
+      // cached frame: each chain reads it fresh, so clearCache() between
+      // chains can wipe EVERYTHING a previous chain might have left
+      // behind without evicting the chains' common input
+      val rawDir = s"$localDir/seq_raw_$gridRows"
+      Bench.genOhlcv(spark, gridRows).write.mode("overwrite").parquet(rawDir)
       val sweeps = Vector.fill(3) {
-        System.gc()
         val acc = scala.collection.mutable.Map.empty[String, Double]
           .withDefaultValue(0.0)
         for (tf <- cfg.timeframes) {
+          // per-chain isolation (VERDICT r13 item 1): the r13 record's
+          // chain-order pattern (chain 1 clean at x25, chains 2–4 at
+          // x149–247) was session debt, not growth — cache wipe + GC
+          // before EVERY chain puts each one on the same clean JVM, so a
+          // chain's ratio is its own growth regardless of sweep position
+          spark.catalog.clearCache()
+          System.gc()
+          val raw = spark.read.parquet(rawDir)
           val buf = new ConcurrentLinkedQueue[(String, Double)]()
           Runner.timingSink = Some((n, s) => { buf.add((n, s)); () })
           val dir = Files.createTempDirectory("graft_scale_seq")
@@ -200,7 +222,7 @@ object ScaleBench {
         }
         acc.toMap
       }
-      raw.unpersist()
+      deleteRec(new java.io.File(rawDir))
       sweeps.flatMap(_.keys).distinct.map { n =>
         val xs = sweeps.flatMap(_.get(n)).sorted
         n -> xs(xs.length / 2)
@@ -289,12 +311,20 @@ object ScaleBench {
     var rows = Vector.empty[String]
     for (name <- chosen) {
       val fn = SparkEntry.queries(name)
-      def run(dir: String): Double =
+      // per-run isolation, same rationale as the sequential stage pass: a
+      // query's ratio must be its own growth, not debt (leaked caches, GC
+      // backlog) left by whichever query happened to run before it — the
+      // r13 record had q337 at 26.6x vs its code-identical sibling q336
+      // at 4.4x purely from session position
+      def run(dir: String): Double = {
+        spark.catalog.clearCache()
+        System.gc()
         try timed(fn(spark, dir).count())
         catch { case e: Throwable =>
           System.err.println(s"[scale] $name @ $dir FAILED: ${e.getMessage}")
           -1.0
         }
+      }
       val threshold =
         if (GraphQueries(name))
           queryThreshold * math.max(1.0, edgeGrowth / rowGrowth)
@@ -375,5 +405,7 @@ object ScaleBench {
     println(json)
     Files.writeString(Paths.get(outFile), json + "\n")
     spark.stop()
+    // tmpfs scratch is finite shared memory — never leave it behind
+    deleteRec(new java.io.File(localDir))
   }
 }

@@ -116,6 +116,25 @@ class GapsSpec extends SparkSpec {
       gaps(1).getAs[Long]("missing_count") == 1L)
   }
 
+  test("report-mode cacheResult leaves no persistent RDD after unpersist") {
+    // Pin for the cache/projection-mismatch leak class (fixed twice: the
+    // no-report path in r13, the report path in r14): the RETURNED frame
+    // must be the cached plan itself, so the caller's unpersist releases
+    // storage. A projection over the cache makes unpersist a silent no-op
+    // — one leaked series-sized cache per pipeline run, GC storm at 30×.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val res = Gaps.repairGaps(frame(), "1T",
+      useFfillFor = Seq("VOLUME"), interpolatePrices = true,
+      cacheResult = true)
+    assert(res.report("rows_after") == 10L, "report computed off the cache")
+    assert(res.df.count() == 10L)
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1,
+      "exactly the returned frame is cached (scoped report cache released)")
+    res.df.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "caller-side unpersist releases the cache (no plan mismatch)")
+  }
+
   test("overnight classification beats long (dead long_gap parity)") {
     // 25h gap crossing midnight: must classify overnight_gap, NOT long_gap
     val df = Seq(

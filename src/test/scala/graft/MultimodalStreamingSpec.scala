@@ -786,4 +786,18 @@ class MultimodalStreamingSpec extends SparkSpec {
     }
     assert(diffs.isEmpty, s"row-for-row drift: ${diffs.take(5).mkString("; ")}")
   }
+
+  test("q341 tripwire forced miss names hijack vs banding loss") {
+    // VERDICT r13 item 5c: the tripwire's diagnostic must name WHICH
+    // recall contract broke. Forced misses: doc 7 surfaced in the
+    // evidence stream (all its bands owned by dissimilar earlier docs →
+    // ownership hijack); doc 9 never collided on any band (banding loss).
+    val e = graft.queries.WindowQueries.recallRegression(
+      Seq(7L, 9L), surfaced = Set(7L))
+    assert(e.getMessage.contains("MINHASH RECALL REGRESSION"))
+    assert(e.getMessage.contains(
+      "7[surfaced but failed verify vs its bucket owners: hijack]"))
+    assert(e.getMessage.contains(
+      "9[never surfaced in any band: banding recall loss]"))
+  }
 }
