@@ -193,6 +193,13 @@ object Gaps {
     * linearly interpolate the price columns not in that list
     * (gaps.py:121-190). One extra aggregation job produces the report
     * (filled counts before/after, remaining NaNs, rows_after).
+    *
+    * Storage note: KEYED report-mode repair leaves zero persistent-RDD
+    * residue (GapsSpec pin). The KEYLESS report path additionally leaves
+    * the gap-cluster `localCheckpoint` from [[keylessGapClusters]] — KBs
+    * (one row per gap + two per partition), reclaimed by the
+    * ContextCleaner once the plan is unreachable; it cannot be
+    * unpersisted eagerly because the clusters frame is consumed lazily.
     */
   def repairGaps(df: DataFrame, rule: String,
                  useFfillFor: Seq[String] = Seq("VOLUME"),
@@ -265,10 +272,16 @@ object Gaps {
     // plans differ — and a cache must live on the RETURNED plan for the
     // caller's `unpersist()` to work (same leak class as the no-report
     // path above, fixed r13). Shape: a SCOPED cache on the pre-drop frame
-    // feeds the two report jobs, then the clean projection is cached (a
-    // cheap cached read), eagerly materialized, and the scoped cache
-    // released before returning — the fill chain executes exactly once.
-    val repaired = if (cacheResult) repaired1.cache() else repaired1
+    // feeds the two report jobs and is FULLY released (blocking) before
+    // the clean projection is cached for the caller — the two cache
+    // entries must never coexist: a cache registered over another one
+    // leaves an orphaned buffer RDD behind when the inner entry is
+    // removed (Spark's non-cascade uncache recompiles the dependent
+    // entry; the GapsSpec pin caught the leak). Price: a cacheResult
+    // caller's first action recomputes the fill chain once — this path
+    // has no production caller (Runner passes computeReport=false);
+    // unpersist-correctness is the contract under test.
+    val repaired = repaired1.cache()
 
     if (computeReport) {
       val step = Rules.stepSeconds(rule)
@@ -315,16 +328,12 @@ object Gaps {
         "rows_after" -> row.getAs[Long]("_rows"))
     }
 
+    // release the scoped report cache BEFORE caching the returned frame
+    // (see the shape note above); blocking so no buffer outlives the call
+    repaired.unpersist(blocking = true)
     val clean =
-      repaired.drop(ffillCols.map(c => s"_wasnull_$c") :+ "_generated": _*)
-    if (cacheResult) {
-      // materialize the returned cache while the scoped one is still hot
-      // (a narrow cached scan), THEN release the scoped cache — otherwise
-      // the caller's first action would recompute the whole fill chain
-      clean.cache().count()
-      repaired.unpersist(blocking = false)
-    }
-    Result(clean, report)
+      repaired1.drop(ffillCols.map(c => s"_wasnull_$c") :+ "_generated": _*)
+    Result(if (cacheResult) clean.cache() else clean, report)
   }
 
   /** Cluster a small frame of missing stamps into gap records (the

@@ -122,17 +122,39 @@ class GapsSpec extends SparkSpec {
     // must be the cached plan itself, so the caller's unpersist releases
     // storage. A projection over the cache makes unpersist a silent no-op
     // — one leaked series-sized cache per pipeline run, GC storm at 30×.
-    val before = spark.sparkContext.getPersistentRDDs.size
-    val res = Gaps.repairGaps(frame(), "1T",
-      useFfillFor = Seq("VOLUME"), interpolatePrices = true,
-      cacheResult = true)
-    assert(res.report("rows_after") == 10L, "report computed off the cache")
-    assert(res.df.count() == 10L)
-    assert(spark.sparkContext.getPersistentRDDs.size == before + 1,
-      "exactly the returned frame is cached (scoped report cache released)")
-    res.df.unpersist(blocking = true)
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "caller-side unpersist releases the cache (no plan mismatch)")
+    //
+    // KEYED series (the production shape — Runner always keys by SYMBOL):
+    // the keyed report path must leave ZERO registry residue. (The keyless
+    // path additionally leaves its tiny gap-cluster localCheckpoint for
+    // the ContextCleaner — documented on repairGaps.)
+    //
+    // Concurrency note: all suites share one SparkContext and run in
+    // parallel, so a global registry count can be polluted by another
+    // suite caching inside this test's window. The plan-identity property
+    // is pinned race-free via storageLevel on the returned frame; the
+    // no-leak property gets three windows — a REAL leak (an RDD this call
+    // cached that nothing can ever unpersist) fails every window, while
+    // cross-suite pollution is transient.
+    val keyed = (0 until 10).filterNot(m => m == 3 || m == 4).flatMap(m =>
+      Seq(("A", ts(m), m.toDouble, 100.0), ("B", ts(m), m + 0.5, 200.0)))
+      .toDF("SYMBOL", "TIMESTAMP", "CLOSE", "VOLUME")
+    val cleanWindow = (1 to 3).iterator.map { _ =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val res = Gaps.repairGaps(keyed, "1T",
+        useFfillFor = Seq("VOLUME"), interpolatePrices = true,
+        partitionCols = Seq("SYMBOL"), cacheResult = true)
+      assert(res.report("rows_after") == 20L, "report computed off the cache")
+      assert(res.df.storageLevel.useMemory,
+        "the RETURNED frame is the cached plan (not a projection over it)")
+      assert(res.df.count() == 20L)
+      res.df.unpersist(blocking = true)
+      assert(res.df.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE,
+        "caller-side unpersist releases the returned cache")
+      (spark.sparkContext.getPersistentRDDs.keySet -- before).size
+    }.indexWhere(_ == 0)
+    assert(cleanWindow >= 0, "every window left persistent RDDs behind: " +
+      "the scoped report cache (or the returned cache) leaked")
   }
 
   test("overnight classification beats long (dead long_gap parity)") {
