@@ -1,6 +1,6 @@
 package graft.tools
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import java.util.concurrent.ConcurrentLinkedQueue
 
 import graft.Bench
@@ -9,17 +9,35 @@ import graft.operators.Runner
 import org.apache.spark.sql.SparkSession
 
 /** Isolation probe for the scale rehearsal's repair-stage readings: run
-  * ONE single-timeframe pipeline chain (reports off) at a given grid size
-  * and print its per-stage wall times plus GC delta — separates a stage's
-  * own growth from block-manager/GC pressure that a longer sweep builds.
+  * ONE single-timeframe pipeline chain at one or more grid sizes and
+  * print (and optionally publish as JSON) the per-stage wall times plus
+  * GC delta and post-GC heap — separates a stage's own growth from
+  * block-manager/GC pressure that a longer sweep builds, and makes the
+  * "repair is linear at N×" claim a MEASURED record instead of
+  * commit-message lore (VERDICT r13 items 1/6).
   *
-  * usage: runMain graft.tools.RepairProbe <gridRows> <tf> [reps]
+  * Multiple comma-separated grid sizes produce in-record growth ratios
+  * (median wall and per-stage) between consecutive sizes, so a 100×
+  * probe publishes base→scaled linearity directly. Reports are off by
+  * default (the Runner production shape); GRAFT_PROBE_REPORTS=1 adds the
+  * quality-report stage to the probe.
+  *
+  * usage: runMain graft.tools.RepairProbe <rows[,rows2,...]> <tf> [reps] [outJson]
   */
 object RepairProbe {
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
-    val gridRows = args(0).toLong
+    val gridSizes = args(0).split(",").map(_.trim.toLong).toSeq
     val tf = args(1)
     val reps = if (args.length > 2) args(2).toInt else 3
+    val outJson = if (args.length > 3) Some(args(3)) else None
+    val withReports = sys.env.contains("GRAFT_PROBE_REPORTS")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,52 +46,127 @@ object RepairProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val raw = Bench.genOhlcv(spark, gridRows).cache()
-    raw.count()
-    // data-sized partitioning, the ScaleBench/deployment convention:
-    // ~250k rows per partition bounds FastFill's per-task series buffer.
-    // Override with SPARK_GRAFT_PARTS to probe a pinned layout.
-    val parts = sys.env.get("SPARK_GRAFT_PARTS").map(_.toInt)
-      .getOrElse(math.max(cpus.toInt, (gridRows / 250000L).toInt))
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    println(s"[probe] shuffle partitions = $parts")
     def gcMs: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    for (i <- 1 to reps) {
-      val buf = new ConcurrentLinkedQueue[(String, Double)]()
-      Runner.timingSink = Some((n, s) => { buf.add((n, s)); () })
-      val dir = Files.createTempDirectory("graft_repair_probe")
-      val g0 = gcMs
-      val t0 = System.nanoTime()
-      try {
-        val r = Runner.processDataFrame(spark, raw,
-          GraftConfig(timeframes = Seq(tf), resampleMode = "faithful"),
-          sourceTz = None, basename = s"EURUSD_probe", outDir = dir.toString,
-          computeReports = sys.env.contains("GRAFT_PROBE_REPORTS"))
-        require(r.errors.isEmpty, r.errors.mkString("; "))
-      } finally Runner.timingSink = None
-      val wall = (System.nanoTime() - t0) / 1e9
-      import scala.jdk.CollectionConverters._
-      val stages = buf.iterator().asScala.toSeq.sortBy(_._1)
-        .map { case (n, s) => f"$n=$s%.2f" }.mkString(" ")
-      println(f"[probe] $tf rep $i rows $gridRows wall $wall%.2f s " +
-        f"gc ${gcMs - g0} ms  $stages")
-      System.gc()
-      val rt = Runtime.getRuntime
-      val rdds = spark.sparkContext.getPersistentRDDs
-      println(f"[probe] post-rep $i: heap used after gc " +
-        f"${(rt.totalMemory - rt.freeMemory) / 1048576} MB, " +
-        f"persistent RDDs ${rdds.size} " +
-        rdds.values.take(5).map(_.name).mkString("[", ",", "]"))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(): Unit
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+
+    // per grid size: median wall, median per-stage, per-rep gc + heap
+    final case class GridRec(rows: Long, wallMed: Double,
+                             stagesMed: Map[String, Double],
+                             walls: Seq[Double], gcsMs: Seq[Long],
+                             heapsMb: Seq[Long], leakedRdds: Int)
+
+    val records = gridSizes.map { gridRows =>
+      val raw = Bench.genOhlcv(spark, gridRows).cache()
+      raw.count()
+      // data-sized partitioning, the ScaleBench/deployment convention:
+      // ~250k rows per partition bounds FastFill's per-task series buffer.
+      // Override with SPARK_GRAFT_PARTS to probe a pinned layout.
+      val parts = sys.env.get("SPARK_GRAFT_PARTS").map(_.toInt)
+        .getOrElse(math.max(cpus.toInt, (gridRows / 250000L).toInt))
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      println(s"[probe] rows $gridRows shuffle partitions = $parts")
+      var walls = Vector.empty[Double]
+      var gcs = Vector.empty[Long]
+      var heaps = Vector.empty[Long]
+      var stageRuns = Vector.empty[Map[String, Double]]
+      var leaked = 0
+      for (i <- 1 to reps) {
+        val buf = new ConcurrentLinkedQueue[(String, Double)]()
+        Runner.timingSink = Some((n, s) => { buf.add((n, s)); () })
+        val dir = Files.createTempDirectory("graft_repair_probe")
+        val g0 = gcMs
+        val t0 = System.nanoTime()
+        try {
+          val r = Runner.processDataFrame(spark, raw,
+            GraftConfig(timeframes = Seq(tf), resampleMode = "faithful"),
+            sourceTz = None, basename = s"EURUSD_probe",
+            outDir = dir.toString, computeReports = withReports)
+          require(r.errors.isEmpty, r.errors.mkString("; "))
+        } finally Runner.timingSink = None
+        val wall = (System.nanoTime() - t0) / 1e9
+        val gcDelta = gcMs - g0
+        import scala.jdk.CollectionConverters._
+        val stages = buf.iterator().asScala.toSeq
+          .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }
+        println(f"[probe] $tf rep $i rows $gridRows wall $wall%.2f s " +
+          f"gc $gcDelta ms  " + stages.toSeq.sortBy(_._1)
+          .map { case (n, s) => f"$n=$s%.2f" }.mkString(" "))
+        System.gc()
+        val rt = Runtime.getRuntime
+        val heapMb = (rt.totalMemory - rt.freeMemory) / 1048576
+        // the probe's own input cache is the one legitimate entry
+        val rdds = spark.sparkContext.getPersistentRDDs
+        leaked = math.max(leaked, rdds.size - 1)
+        println(f"[probe] post-rep $i: heap used after gc $heapMb MB, " +
+          f"persistent RDDs ${rdds.size} " +
+          rdds.values.take(5).map(_.name).mkString("[", ",", "]"))
+        walls :+= wall; gcs :+= gcDelta; heaps :+= heapMb
+        stageRuns :+= stages
+        rm(dir.toFile)
       }
-      rm(dir.toFile)
+      raw.unpersist(blocking = true)
+      val wallMed = walls.sorted.apply(walls.length / 2)
+      val stagesMed = stageRuns.flatMap(_.keys).distinct.map { n =>
+        val xs = stageRuns.flatMap(_.get(n)).sorted
+        n -> xs(xs.length / 2)
+      }.toMap
+      GridRec(gridRows, wallMed, stagesMed, walls, gcs, heaps, leaked)
+    }
+
+    // growth ratios between consecutive grid sizes, wall and per-stage
+    val ratios = records.sliding(2).collect { case Seq(a, b) =>
+      val rowsR = b.rows.toDouble / a.rows
+      val stageR = (a.stagesMed.keySet intersect b.stagesMed.keySet)
+        .toSeq.sorted.map { n =>
+          n -> (if (a.stagesMed(n) > 0) b.stagesMed(n) / a.stagesMed(n)
+                else -1.0)
+        }
+      (a.rows, b.rows, rowsR,
+        if (a.wallMed > 0) b.wallMed / a.wallMed else -1.0, stageR)
+    }.toSeq
+    for ((ar, br, rr, wr, st) <- ratios) {
+      println(f"[probe] growth $ar -> $br (${rr}%.0fx rows): " +
+        f"wall x$wr%.2f  " +
+        st.map { case (n, r) => f"$n x$r%.2f" }.mkString(" "))
+    }
+
+    outJson.foreach { path =>
+      def stagesJson(m: Map[String, Double]): String =
+        m.toSeq.sortBy(_._1)
+          .map { case (n, s) => f"${jstr(n)}:$s%.3f" }
+          .mkString("{", ",", "}")
+      val gridsJson = records.map { r =>
+        f"${jstr(r.rows.toString)}:{" +
+          f""""wall_median_sec":${r.wallMed}%.3f,""" +
+          f""""stages_median":${stagesJson(r.stagesMed)},""" +
+          f""""walls":${r.walls.map(w => f"$w%.3f").mkString("[", ",", "]")},""" +
+          f""""gc_ms":${r.gcsMs.mkString("[", ",", "]")},""" +
+          f""""heap_after_gc_mb":${r.heapsMb.mkString("[", ",", "]")},""" +
+          f""""leaked_rdds":${r.leakedRdds}}"""
+      }.mkString("{", ",", "}")
+      val ratiosJson = ratios.map { case (ar, br, rr, wr, st) =>
+        f"${jstr(s"${ar}->$br")}:{" +
+          f""""row_growth":$rr%.1f,"wall_ratio":$wr%.2f,""" +
+          f""""stage_ratios":${st.map { case (n, x) =>
+            f"${jstr(n)}:$x%.2f" }.mkString("{", ",", "}")}}"""
+      }.mkString("{", ",", "}")
+      val json = f"""{"metric":"repair_probe","tf":${jstr(tf)},""" +
+        f""""reports":$withReports,"reps":$reps,""" +
+        f""""note":"one single-timeframe pipeline chain per rep on a """ +
+        """quiet session — stage ratios here are growth, free of the """ +
+        """multi-chain session debt the rehearsal's concurrent phase """ +
+        f"""carries; heap_after_gc_mb flat across reps = no leak",""" +
+        f""""grids":$gridsJson,"growth":$ratiosJson}"""
+      Files.writeString(Paths.get(path), json + "\n")
+      println(json)
     }
     spark.stop()
   }
