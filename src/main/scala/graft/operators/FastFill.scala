@@ -3,10 +3,13 @@ package graft.operators
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions.{col, min, unix_micros}
+import org.apache.spark.sql.graft.GraftSqlBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass per-series gap filling: forward-fill + pandas-style linear
   * positional interpolation (limit_direction="both") in ONE partition scan.
@@ -21,6 +24,18 @@ import org.apache.spark.sql.types._
   * This is the deliberate `mapPartitions` escape hatch (SURVEY.md §7.4
   * preference order (d)): fill semantics are inherently sequential per
   * series, and one imperative scan replaces 3 window exchanges.
+  *
+  * Execution runs at the `InternalRow` level — `queryExecution.toRdd` in,
+  * [[GraftSqlBridge.internalCreateDataFrame]] out — NOT through
+  * `Dataset.mapPartitions`'s external-Row encoder. The encoder boundary
+  * boxed every field of every row twice (deserializer in, serializer out:
+  * a `GenericRowWithSchema`, an `Array[Any]`, ~8 boxes and a
+  * `java.sql.Timestamp` per row); the 100× probe measured the repair stage
+  * GC-bound on exactly that churn (34–41 s of GC per 60M-row chain).
+  * Internally a timestamp is a bare `long` of epoch micros and a buffered
+  * row is one `UnsafeRow.copy()` — compact bytes, no per-field objects —
+  * so per-task retention for a 250k-row partition drops from ~2M boxes to
+  * 250k byte arrays, and fills mutate fixed-width slots in place.
   *
   * Two distribution modes:
   *  - default (`crossPartition = false`): each series is fully contained in
@@ -42,6 +57,9 @@ object FastFill {
 
   /** Cross-boundary state for one (partition, series): everything the
     * partition-local scan needs to behave exactly like a single global scan.
+    * `ffillCarry` holds INTERNAL values (e.g. `UTF8String`, boxed
+    * primitives) — they are written back with the same setters the scan
+    * uses.
     */
   private final case class Seed(
       anchorUs: Long,                     // series' global first stamp
@@ -52,10 +70,33 @@ object FastFill {
       outUs: Array[Long], outV: Array[Double], // per interp col: first non-null (stamp, value) after
       outHas: Array[Boolean])
 
+  /** One (partition, series-run) boundary summary from the metadata scan. */
+  private final case class SeedSummary(
+      pid: Int, key: List[Any], lastGrid: java.lang.Long, ff: Array[Any],
+      inUs: Array[java.lang.Long], inV: Array[java.lang.Double],
+      outUs: Array[java.lang.Long], outV: Array[java.lang.Double])
+
+  private def isFixedWidth(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Internal → external for partition-key values, matching what a
+    * DataFrame `collect()` yields for the same column (the anchors job
+    * collects externally): the two seed jobs and the fill scan must agree
+    * on map keys. Supported key types are checked by `fill`.
+    */
+  private def externalizeKey(v: Any): Any = v match {
+    case u: UTF8String => u.toString
+    case x => x
+  }
+
   /** @param ffillCols   columns forward-filled (nulls take the previous
     *                    non-null value)
     * @param interpCols  columns linearly interpolated over row position
-    *                    with both-direction edge fill
+    *                    with both-direction edge fill (must be DOUBLE)
     * @param reindexStepMicros when set, the scan also performs the pandas
     *                    `reindex` inline: missing grid stamps (anchored at
     *                    each series' first stamp) are emitted as null rows
@@ -86,12 +127,33 @@ object FastFill {
       partitionCols.nonEmpty),
       "crossPartition needs a sorted keyed layout and a reindex grid")
     val schema = df.schema
+    val types: Array[DataType] = schema.fields.map(_.dataType)
+    val nCols = schema.length
     val fIdx = ffillCols.map(schema.fieldIndex).toArray
     val iIdx = interpCols.map(schema.fieldIndex).toArray
     val kIdx = partitionCols.map(schema.fieldIndex).toArray
     val tsIdx = schema.fieldIndex(tsCol)
     val genIdx = trueOnGenerated.map(schema.fieldIndex).toArray
-    // synthesized grid rows carry nulls in data columns regardless of the
+    require(types(tsIdx) == TimestampType || types(tsIdx) == TimestampNTZType,
+      s"FastFill: $tsCol must be a timestamp column")
+    require(iIdx.forall(i => types(i) == DoubleType),
+      "FastFill: interpolation columns must be DOUBLE")
+    require(!crossPartition || kIdx.forall(i => types(i) match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType => true
+      case _ => false
+    }), "FastFill crossPartition: partition keys must be string/integral " +
+      "(seed-map key equality across the internal and external views)")
+    // fast path: every MUTATED column is fixed-width, so buffered rows stay
+    // UnsafeRow byte copies and fills are in-place primitive writes. A
+    // var-length fill column (e.g. a string ffill) buffers via
+    // GenericInternalRow instead — `update` works there, UnsafeRow throws.
+    val fastPath = (fIdx ++ iIdx ++ genIdx).forall(i => isFixedWidth(types(i)))
+    // synthesized grid rows null every column except keys, stamp, gen flags
+    val nullOutIdx: Array[Int] = (0 until nCols)
+      .filterNot(i => i == tsIdx || kIdx.contains(i) || genIdx.contains(i))
+      .toArray
+    // synthesized rows carry nulls in data columns regardless of the
     // input's nullability flags
     val outSchema = StructType(schema.fields.map(_.copy(nullable = true)))
 
@@ -104,31 +166,60 @@ object FastFill {
 
     val seeds: Map[(Int, List[Any]), Seed] =
       if (crossPartition)
-        buildSeeds(prepared, ffillCols, interpCols, tsCol, partitionCols,
-          reindexStepMicros.get)
+        buildSeeds(prepared, fIdx, iIdx, tsIdx, kIdx, types,
+          partitionCols, reindexStepMicros.get)
       else Map.empty
 
-    def micros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    // generic deep copy for the non-fast path (internal values cloned so
+    // nothing references the scan's reused buffer row)
+    def genericCopy(r: InternalRow): InternalRow = {
+      val a = new Array[Any](nCols)
+      var i = 0
+      while (i < nCols) {
+        if (!r.isNullAt(i)) a(i) = InternalRow.copyValue(r.get(i, types(i)))
+        i += 1
+      }
+      new GenericInternalRow(a)
+    }
 
-    val filled = prepared.mapPartitions { it =>
+    val inRdd = prepared.queryExecution.toRdd
+    val filledRdd = inRdd.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
-      new Iterator[Row] {
-        private var out: Iterator[Row] = Iterator.empty
-        private var pending: Row = _
+      // write one internal value into a fixed-width slot (fast path) or a
+      // generic slot (buffered rows are GenericInternalRow there)
+      def writeValue(r: InternalRow, ci: Int, v: Any): Unit =
+        if (v == null) r.setNullAt(ci)
+        else if (fastPath) types(ci) match {
+          case DoubleType => r.setDouble(ci, v.asInstanceOf[Double])
+          case LongType | TimestampType | TimestampNTZType =>
+            r.setLong(ci, v.asInstanceOf[Long])
+          case IntegerType | DateType => r.setInt(ci, v.asInstanceOf[Int])
+          case BooleanType => r.setBoolean(ci, v.asInstanceOf[Boolean])
+          case FloatType => r.setFloat(ci, v.asInstanceOf[Float])
+          case ShortType => r.setShort(ci, v.asInstanceOf[Short])
+          case ByteType => r.setByte(ci, v.asInstanceOf[Byte])
+          case dt => throw new IllegalStateException(s"non-fixed $dt")
+        }
+        else r.update(ci, v)
 
-        // Per-series rows are buffered ONCE, as bare Array[Any] field
-        // arrays — the incoming Row wrapper is released immediately (the
-        // 30× rehearsal caught the old double buffer, ArrayBuffer[Row]
-        // plus a per-row array copy, GC-storming a 560k-row partition run:
-        // repair measured 76× wall for 30× rows, almost all of it
-        // collection time). Per-task retention is now one array + boxes
-        // per buffered row — the unavoidable minimum for a scan whose
-        // interpolation needs the gap's far edge.
-        private def processSeries(rows: ArrayBuffer[Array[Any]]): Iterator[Row] = {
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private var pending: InternalRow = _ // already an owned copy
+
+        // Per-series rows are buffered ONCE, as owned row copies — on the
+        // production path each is one UnsafeRow byte copy (~row-width
+        // bytes, two objects), not a field array of boxes; there is no
+        // encoder at either boundary. Per-task retention is the
+        // unavoidable minimum for a scan whose interpolation needs the
+        // gap's far edge.
+        private def processSeries(rows: ArrayBuffer[InternalRow]): Iterator[InternalRow] = {
           val seed: Seed =
             if (seeds.isEmpty) null
-            else seeds.getOrElse((pid, kIdx.map(rows.head.apply).toList), null)
+            else {
+              val k = kIdx.map(i =>
+                externalizeKey(rows.head.get(i, types(i)))).toList
+              seeds.getOrElse((pid, k), null)
+            }
           var firstEmitUs = Long.MinValue
           val vals = reindexStepMicros match {
             case None => rows
@@ -136,17 +227,15 @@ object FastFill {
               // inline reindex: keep on-grid rows, synthesize null rows for
               // missing stamps; anchor = first observed stamp of the SERIES
               // (seed-supplied when the series started in an earlier
-              // partition). Epoch-micros come straight off the Timestamp
-              // fields — no Instant allocation in the per-row loop.
-              def stamp(us: Long): java.sql.Timestamp = {
-                val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
-                t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-                t
-              }
-              val out = new ArrayBuffer[Array[Any]](rows.length)
+              // partition). Stamps are bare epoch-micros longs here — no
+              // Timestamp objects anywhere in the loop.
+              val out = new ArrayBuffer[InternalRow](rows.length)
+              if (rows.head.isNullAt(tsIdx))
+                throw new IllegalStateException(
+                  "FastFill: null timestamp in a reindex scan — filter " +
+                    "null stamps before filling")
               val anchorUs =
-                if (seed != null) seed.anchorUs
-                else micros(rows.head(tsIdx).asInstanceOf[java.sql.Timestamp])
+                if (seed != null) seed.anchorUs else rows.head.getLong(tsIdx)
               // grid continuation: synthesis resumes right after the last
               // on-grid stamp of the previous partitions
               var prevUs =
@@ -155,7 +244,7 @@ object FastFill {
                 else anchorUs - stepUs
               var firstOnGrid = true
               for (r <- rows) {
-                val us = micros(r(tsIdx).asInstanceOf[java.sql.Timestamp])
+                val us = r.getLong(tsIdx)
                 if ((us - anchorUs) % stepUs == 0 && us >= anchorUs) {
                   // tripwire: a seed pointing at-or-past the first local
                   // on-grid stamp means the exchange re-sampled different
@@ -171,10 +260,16 @@ object FastFill {
                   firstOnGrid = false
                   var g = prevUs + stepUs
                   while (g < us) { // synthesize the missing stamps
-                    val a = new Array[Any](schema.length)
-                    for (ki <- kIdx) a(ki) = r(ki)
-                    a(tsIdx) = stamp(g)
-                    for (gi <- genIdx) a(gi) = true
+                    val a = r.copy() // keys ride along; data slots nulled
+                    var j = 0
+                    while (j < nullOutIdx.length) {
+                      a.setNullAt(nullOutIdx(j)); j += 1
+                    }
+                    a.setLong(tsIdx, g)
+                    j = 0
+                    while (j < genIdx.length) {
+                      a.setBoolean(genIdx(j), true); j += 1
+                    }
                     if (firstEmitUs == Long.MinValue) firstEmitUs = g
                     out += a
                     g += stepUs
@@ -190,16 +285,35 @@ object FastFill {
           if (n == 0) return Iterator.empty
           val stepUs = reindexStepMicros.getOrElse(1L)
           // forward-fill columns (carry-in = last non-null of earlier
-          // partitions — identical to one uninterrupted scan)
+          // partitions — identical to one uninterrupted scan). DOUBLE (the
+          // production shape) runs a primitive-register loop; other types
+          // carry one boxed value.
           var j = 0
           while (j < fIdx.length) {
             val ci = fIdx(j)
-            var lastV: Any = if (seed != null) seed.ffillCarry(j) else null
-            var i = 0
-            while (i < n) {
-              if (vals(i)(ci) == null) vals(i)(ci) = lastV
-              else lastV = vals(i)(ci)
-              i += 1
+            if (types(ci) == DoubleType) {
+              var has = false
+              var lastV = 0.0
+              if (seed != null && seed.ffillCarry(j) != null) {
+                has = true; lastV = seed.ffillCarry(j).asInstanceOf[Double]
+              }
+              var i = 0
+              while (i < n) {
+                val r = vals(i)
+                if (r.isNullAt(ci)) { if (has) r.setDouble(ci, lastV) }
+                else { lastV = r.getDouble(ci); has = true }
+                i += 1
+              }
+            } else {
+              var lastV: Any = if (seed != null) seed.ffillCarry(j) else null
+              var i = 0
+              while (i < n) {
+                val r = vals(i)
+                if (r.isNullAt(ci)) {
+                  if (lastV != null) writeValue(r, ci, lastV)
+                } else lastV = InternalRow.copyValue(r.get(ci, types(ci)))
+                i += 1
+              }
             }
             j += 1
           }
@@ -225,30 +339,28 @@ object FastFill {
             var runStart = 0
             var i = 0
             while (i <= n) {
-              val isVal = i < n && vals(i)(ci) != null
+              val isVal = i < n && !vals(i).isNullAt(ci)
               if (isVal || i == n) {
                 if (runStart < i) { // a run of nulls in [runStart, i)
                   val haveNext = isVal || haveOut
                   val nextPos = if (isVal) i.toLong else outPos
-                  val nextV =
-                    if (isVal) vals(i)(ci).asInstanceOf[Double] else outV
+                  val nextV = if (isVal) vals(i).getDouble(ci) else outV
                   var k = runStart
                   while (k < i) {
-                    val filled: Any =
-                      if (havePrev && haveNext)
+                    if (havePrev && haveNext)
+                      vals(k).setDouble(ci,
                         prevV + (nextV - prevV) * (k - prevPos).toDouble /
-                          (nextPos - prevPos)
-                      else if (havePrev) prevV // trailing -> ffill
-                      else if (haveNext) nextV // leading -> backfill
-                      else null // all-null series
-                    vals(k)(ci) = filled
+                          (nextPos - prevPos))
+                    else if (havePrev) vals(k).setDouble(ci, prevV) // trailing -> ffill
+                    else if (haveNext) vals(k).setDouble(ci, nextV) // leading -> backfill
+                    // else: all-null series stays null
                     k += 1
                   }
                 }
                 if (isVal) {
                   havePrev = true
                   prevPos = i
-                  prevV = vals(i)(ci).asInstanceOf[Double]
+                  prevV = vals(i).getDouble(ci)
                 }
                 runStart = i + 1
               }
@@ -256,28 +368,36 @@ object FastFill {
             }
             j += 1
           }
-          vals.iterator.map(a => new GenericRowWithSchema(a, outSchema): Row)
+          vals.iterator
         }
 
+        private def bufferRow(r: InternalRow): InternalRow =
+          if (fastPath) r.copy() else genericCopy(r)
+
         private def refill(): Unit = {
-          if (pending == null && it.hasNext) pending = it.next()
+          if (pending == null && it.hasNext) pending = bufferRow(it.next())
           if (pending != null) {
-            val keyArr = kIdx.map(pending.get)
-            def sameKey(r: Row): Boolean = {
+            // key values held from the OWNED pending copy (iterator rows
+            // are reused buffers); comparison is on internal values
+            val keyArr: Array[Any] =
+              kIdx.map(i => pending.get(i, types(i)))
+            def sameKey(r: InternalRow): Boolean = {
               var i = 0
               while (i < kIdx.length) {
-                if (r.get(kIdx(i)) != keyArr(i)) return false
+                val ci = kIdx(i)
+                val v = if (r.isNullAt(ci)) null else r.get(ci, types(ci))
+                if (v != keyArr(i)) return false
                 i += 1
               }
               true
             }
-            val buf = ArrayBuffer(pending.toSeq.toArray)
+            val buf = ArrayBuffer(pending)
             pending = null
             var break = false
             while (!break && it.hasNext) {
               val r = it.next()
-              if (sameKey(r)) buf += r.toSeq.toArray
-              else { pending = r; break = true }
+              if (sameKey(r)) buf += bufferRow(r)
+              else { pending = bufferRow(r); break = true }
             }
             out = processSeries(buf)
           }
@@ -287,9 +407,15 @@ object FastFill {
           if (!out.hasNext) refill()
           out.hasNext
         }
-        override def next(): Row = { if (!hasNext) Iterator.empty.next(); out.next() }
+        override def next(): InternalRow = {
+          if (!hasNext) Iterator.empty.next(); out.next()
+        }
       }
-    }(Encoders.row(outSchema))
+    }
+
+    val filled =
+      GraftSqlBridge.internalCreateDataFrame(df.sparkSession, filledRdd,
+        outSchema)
 
     // The degenerate single-series path ran on one partition; fan the result
     // back out so downstream aggregation/writes regain parallelism.
@@ -305,24 +431,24 @@ object FastFill {
     *     one row per series;
     *  2. per-(partition, series) boundary summary: last on-grid stamp,
     *     last non-null per ffill col, first/last non-null per interp col —
-    *     a narrow scan emitting one row per series-run.
+    *     a narrow InternalRow scan over the same physical RDD as the fill
+    *     (same `queryExecution.toRdd` instance, so the two jobs observe one
+    *     partitioning by construction), emitting one record per series-run.
     * The driver folds summaries in partition order into per-partition
     * carry-in/carry-out seeds. Driver memory is O(partitions × series) —
     * series-count ceilings are documented at the call sites (Runner keys by
     * SYMBOL; a catalog of millions of series should pre-split by key range).
     */
-  private def buildSeeds(prepared: DataFrame, ffillCols: Seq[String],
-                         interpCols: Seq[String], tsCol: String,
+  private def buildSeeds(prepared: DataFrame, fIdx: Array[Int],
+                         iIdx: Array[Int], tsIdx: Int, kIdx: Array[Int],
+                         types: Array[DataType],
                          partitionCols: Seq[String],
                          stepUs: Long): Map[(Int, List[Any]), Seed] = {
-    val schema = prepared.schema
-    val kIdx = partitionCols.map(schema.fieldIndex).toArray
-    val tsIdx = schema.fieldIndex(tsCol)
-    val fIdx = ffillCols.map(schema.fieldIndex).toArray
-    val iIdx = interpCols.map(schema.fieldIndex).toArray
     val nK = kIdx.length; val nF = fIdx.length; val nI = iIdx.length
 
-    // job 1: series anchors
+    // job 1: series anchors (external collect; key externalization in the
+    // summary job matches these values — `fill` checks the key types)
+    val tsCol = prepared.schema.fields(tsIdx).name
     val anchors: Map[List[Any], Long] = prepared
       .filter(col(tsCol).isNotNull)
       .groupBy(partitionCols.map(col): _*)
@@ -332,116 +458,110 @@ object FastFill {
       .toMap
     val anchorsB = prepared.sparkSession.sparkContext.broadcast(anchors)
 
-    def micros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-
-    // job 2: per-(partition, series) boundary summaries
-    val sumSchema = StructType(
-      Seq(StructField("_pid", IntegerType, nullable = false)) ++
-        kIdx.map(i => schema.fields(i)) ++
-        Seq(StructField("_lastGrid", LongType, nullable = true)) ++
-        ffillCols.map(c => schema.fields(schema.fieldIndex(c))
-          .copy(name = s"_ff_$c", nullable = true)) ++
-        interpCols.flatMap(c => Seq(
-          StructField(s"_inUs_$c", LongType, nullable = true),
-          StructField(s"_inV_$c", DoubleType, nullable = true),
-          StructField(s"_outUs_$c", LongType, nullable = true),
-          StructField(s"_outV_$c", DoubleType, nullable = true))))
-    val summaries = prepared.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      val acc = ArrayBuffer.empty[Row]
-      var key: List[Any] = null
-      var lastGrid: java.lang.Long = null
-      var ff: Array[Any] = null
-      var inUs: Array[java.lang.Long] = null; var inV: Array[Any] = null
-      var outUs: Array[java.lang.Long] = null; var outV: Array[Any] = null
-      def flush(): Unit = if (key != null) {
-        val fields = ArrayBuffer[Any](pid)
-        fields ++= key
-        fields += lastGrid
-        fields ++= ff
-        var j = 0
-        while (j < nI) {
-          // summary naming: _in* = LAST non-null (becomes later partitions'
-          // carry-in), _out* = FIRST non-null (earlier partitions' carry-out)
-          fields += inUs(j); fields += inV(j)
-          fields += outUs(j); fields += outV(j)
-          j += 1
-        }
-        acc += Row.fromSeq(fields.toSeq)
-      }
-      while (it.hasNext) {
-        val r = it.next()
-        if (r.isNullAt(tsIdx)) { /* null stamps never repair */ }
-        else {
-          val k = kIdx.map(r.get).toList
-          if (k != key) {
-            flush()
-            key = k; lastGrid = null
-            ff = new Array[Any](nF)
-            inUs = new Array[java.lang.Long](nI); inV = new Array[Any](nI)
-            outUs = new Array[java.lang.Long](nI); outV = new Array[Any](nI)
+    // job 2: per-(partition, series) boundary summaries — plain RDD of a
+    // small case class, no DataFrame/encoder detour
+    val summaries: Array[SeedSummary] =
+      prepared.queryExecution.toRdd.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val acc = ArrayBuffer.empty[SeedSummary]
+        var key: List[Any] = null     // externalized, owned
+        var keyInt: Array[Any] = null // internal, owned (run comparison)
+        var lastGrid: java.lang.Long = null
+        var ff: Array[Any] = null
+        var inUs: Array[java.lang.Long] = null
+        var inV: Array[java.lang.Double] = null
+        var outUs: Array[java.lang.Long] = null
+        var outV: Array[java.lang.Double] = null
+        def flush(): Unit = if (key != null)
+          acc += SeedSummary(pid, key, lastGrid, ff, inUs, inV, outUs, outV)
+        def sameKey(r: InternalRow): Boolean = {
+          if (keyInt == null) return false
+          var i = 0
+          while (i < nK) {
+            val ci = kIdx(i)
+            val v = if (r.isNullAt(ci)) null else r.get(ci, types(ci))
+            if (v != keyInt(i)) return false
+            i += 1
           }
-          anchorsB.value.get(k).foreach { anchorUs =>
-            val us = micros(r.getAs[java.sql.Timestamp](tsIdx))
-            if ((us - anchorUs) % stepUs == 0 && us >= anchorUs) {
-              lastGrid = us
-              var j = 0
-              while (j < nF) {
-                val v = r.get(fIdx(j)); if (v != null) ff(j) = v
-                j += 1
-              }
-              j = 0
-              while (j < nI) {
-                val v = r.get(iIdx(j))
-                if (v != null) {
-                  if (outUs(j) == null) { outUs(j) = us; outV(j) = v }
-                  inUs(j) = us; inV(j) = v
+          true
+        }
+        while (it.hasNext) {
+          val r = it.next()
+          if (r.isNullAt(tsIdx)) { /* null stamps never repair */ }
+          else {
+            if (!sameKey(r)) {
+              flush()
+              keyInt = kIdx.map(i =>
+                if (r.isNullAt(i)) null
+                else InternalRow.copyValue(r.get(i, types(i))))
+              key = keyInt.map(externalizeKey).toList
+              lastGrid = null
+              ff = new Array[Any](nF)
+              inUs = new Array[java.lang.Long](nI)
+              inV = new Array[java.lang.Double](nI)
+              outUs = new Array[java.lang.Long](nI)
+              outV = new Array[java.lang.Double](nI)
+            }
+            anchorsB.value.get(key).foreach { anchorUs =>
+              val us = r.getLong(tsIdx)
+              if ((us - anchorUs) % stepUs == 0 && us >= anchorUs) {
+                lastGrid = us
+                var j = 0
+                while (j < nF) {
+                  val ci = fIdx(j)
+                  if (!r.isNullAt(ci))
+                    ff(j) = InternalRow.copyValue(r.get(ci, types(ci)))
+                  j += 1
                 }
-                j += 1
+                j = 0
+                while (j < nI) {
+                  val ci = iIdx(j)
+                  if (!r.isNullAt(ci)) {
+                    val v = r.getDouble(ci)
+                    if (outUs(j) == null) { outUs(j) = us; outV(j) = v }
+                    inUs(j) = us; inV(j) = v
+                  }
+                  j += 1
+                }
               }
             }
           }
         }
-      }
-      flush()
-      acc.iterator
-    }(Encoders.row(sumSchema)).collect()
+        flush()
+        acc.iterator
+      }.collect()
 
     // driver fold: partition-ordered prefix (anchor, grid continuation,
     // ffill carry, interp carry-in) + suffix (interp carry-out) per series
-    val byKey = summaries.groupBy(r => (1 to nK).map(r.get).toList)
+    val byKey = summaries.groupBy(_.key)
     val seeds = scala.collection.mutable.Map.empty[(Int, List[Any]), Seed]
     for ((k, rows0) <- byKey) {
       val anchorUs = anchors.getOrElse(k, Long.MinValue)
       if (anchorUs != Long.MinValue) {
-        val rows = rows0.sortBy(_.getInt(0))
-        val base = 1 + nK
+        val rows = rows0.sortBy(_.pid)
         // prefix pass
         var prevGrid = Long.MinValue
         val ffC = new Array[Any](nF)
         val ciUs = new Array[Long](nI); val ciV = new Array[Double](nI)
         val ciHas = new Array[Boolean](nI)
-        val pre = rows.map { r =>
-          val s = Seed(anchorUs, prevGrid, ffC.clone(),
+        val pre = rows.map { s =>
+          val seed = Seed(anchorUs, prevGrid, ffC.clone(),
             ciUs.clone(), ciV.clone(), ciHas.clone(),
             new Array[Long](nI), new Array[Double](nI), new Array[Boolean](nI))
-          if (!r.isNullAt(base)) prevGrid = r.getLong(base)
+          if (s.lastGrid != null) prevGrid = s.lastGrid
           var j = 0
           while (j < nF) {
-            val v = r.get(base + 1 + j); if (v != null) ffC(j) = v
+            if (s.ff(j) != null) ffC(j) = s.ff(j)
             j += 1
           }
           j = 0
           while (j < nI) {
-            val o = base + 1 + nF + j * 4
-            if (!r.isNullAt(o)) { // last non-null of this partition
-              ciUs(j) = r.getLong(o); ciV(j) = r.getDouble(o + 1)
-              ciHas(j) = true
+            if (s.inUs(j) != null) { // last non-null of this partition
+              ciUs(j) = s.inUs(j); ciV(j) = s.inV(j); ciHas(j) = true
             }
             j += 1
           }
-          (r.getInt(0), s)
+          (s.pid, seed)
         }
         // suffix pass for carry-out
         val coUs = new Array[Long](nI); val coV = new Array[Double](nI)
@@ -454,10 +574,8 @@ object FastFill {
           val r = rows(idx)
           var j = 0
           while (j < nI) {
-            val o = base + 1 + nF + j * 4 + 2
-            if (!r.isNullAt(o)) { // first non-null of this partition
-              coUs(j) = r.getLong(o); coV(j) = r.getDouble(o + 1)
-              coHas(j) = true
+            if (r.outUs(j) != null) { // first non-null of this partition
+              coUs(j) = r.outUs(j); coV(j) = r.outV(j); coHas(j) = true
             }
             j += 1
           }
