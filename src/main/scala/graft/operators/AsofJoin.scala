@@ -1,10 +1,13 @@
 package graft.operators
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftSqlBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Scalable as-of join: for each left row, the latest right row with
   * `rightTs <= leftTs` within the same key (the Q12 semantic — "latest
@@ -18,21 +21,40 @@ import org.apache.spark.sql.types._
   * row, but the default hash layout still scans one key's entire
   * timeline through a single task — a straggler ceiling for a hot key.
   *
-  * `crossPartition = true` removes that ceiling with FastFill's range
-  * layout + boundary seeds (`FastFill.scala` — the same technique, much
-  * smaller state): the unified stream is RANGE-partitioned on (key, ts,
-  * side) so a hot key spans consecutive partitions, and a fixed-size
-  * seed job supplies each partition with the latest right-side row from
-  * earlier partitions of its first key. The layout is pinned with an
-  * eager `localCheckpoint` so the seed pass and the scan observe ONE
-  * partitioning (uncached range exchanges re-sample bounds per job).
-  * Driver/seed memory is O(partitions × keys-per-boundary), never
-  * row-shaped data.
+  * The scan runs at the `InternalRow` level (`queryExecution.toRdd` in,
+  * [[GraftSqlBridge.internalCreateDataFrame]] out, the FastFill
+  * convention): timestamps are bare epoch-micros longs, the carried
+  * right row is one `UnsafeRow` struct copy, and each output row is a
+  * `JoinedRow` over a byte-copied left struct plus a small attach row
+  * rebuilt only when the carry changes — no external-Row encoder, no
+  * per-field boxing on the 99% path.
+  *
+  * `crossPartition = true` removes the hot-key ceiling with FastFill's
+  * range layout + boundary seeds (`FastFill.scala` — the same technique,
+  * much smaller state): the unified stream is RANGE-partitioned on
+  * (key, ts, side) so a hot key spans consecutive partitions, and a
+  * fixed-size seed job supplies each partition with the latest
+  * right-side row from earlier partitions of its first key. The layout
+  * is pinned with an eager `localCheckpoint` so the seed pass and the
+  * scan observe ONE partitioning (uncached range exchanges re-sample
+  * bounds per job). Driver/seed memory is O(partitions ×
+  * keys-per-boundary), never row-shaped data.
   *
   * The decorrelated join+regroup form (RelationalQueries q12) is kept for
   * the oracle gate; this operator is the 100 TB path.
   */
 object AsofJoin {
+
+  /** One (partition, key-run) seed record: the run's last right payload
+    * (an owned `InternalRow` copy, null when the run had no right row).
+    */
+  private final case class AsofRun(pid: Int, key: List[Any],
+                                   lastRight: InternalRow)
+
+  private def externalizeKey(v: Any): Any = v match {
+    case u: UTF8String => u.toString
+    case x => x
+  }
 
   /** @param left     probe side (keeps all rows)
     * @param right    reference side (latest at-or-before row is attached)
@@ -121,54 +143,89 @@ object AsofJoin {
           .sortWithinPartitions(sortCols: _*)
           .localCheckpoint()
 
-    val kIdx = keyCols.indices.toArray
     val n = keyCols.length
+    val keyTypes: Array[DataType] =
+      unionSchema.fields.take(n).map(_.dataType)
+    val nLeft = leftFields.length
+    val rightStruct = unionSchema("_right").dataType.asInstanceOf[StructType]
+    val nRight = rightStruct.length // pickCols + _rts
+    val pickTypes: Array[DataType] =
+      rightStruct.fields.take(pickCols.length).map(_.dataType)
+    val backward = direction == "backward"
+    val tolUs = toleranceSec.map(_ * 1000000L)
 
     // per-partition carry-in: key of the partition's FIRST run -> latest
     // right row for that key in EARLIER partitions (range layout only)
-    val seeds: Map[(Int, List[Any]), Row] =
-      if (crossPartition) buildSeeds(combined, n) else Map.empty
+    val seeds: Map[(Int, List[Any]), InternalRow] =
+      if (crossPartition) buildSeeds(combined, n, keyTypes, nRight)
+      else Map.empty
 
-    combined.mapPartitions { it =>
+    val outRdd = combined.queryExecution.toRdd.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
-      var curKey: Seq[Any] = null
-      var lastRight: Row = null
+      var curKey: Array[Any] = null // owned internal values
+      var lastRight: InternalRow = null // owned copy
+      // the attach row is rebuilt only when the carry changes; it is
+      // immutable thereafter, so every JoinedRow until the next right row
+      // may share it (tolerance misses share the all-null instance)
+      val nullAttach = new GenericInternalRow(pickCols.length)
+      var attach: InternalRow = nullAttach
+      def rebuildAttach(): Unit =
+        if (lastRight == null) attach = nullAttach
+        else {
+          val a = new Array[Any](pickCols.length)
+          var i = 0
+          while (i < pickCols.length) {
+            if (!lastRight.isNullAt(i)) a(i) = lastRight.get(i, pickTypes(i))
+            i += 1
+          }
+          attach = new GenericInternalRow(a)
+        }
+      def sameKey(row: InternalRow): Boolean = {
+        if (curKey == null) return false
+        var i = 0
+        while (i < n) {
+          val v = if (row.isNullAt(i)) null else row.get(i, keyTypes(i))
+          if (v != curKey(i)) return false
+          i += 1
+        }
+        true
+      }
       it.flatMap { row =>
-        val key = kIdx.map(row.get(_)).toSeq
-        if (key != curKey) {
-          curKey = key
+        if (!sameKey(row)) {
+          curKey = Array.tabulate(n)(i =>
+            if (row.isNullAt(i)) null
+            else InternalRow.copyValue(row.get(i, keyTypes(i))))
           lastRight =
             if (seeds.isEmpty) null
-            else seeds.getOrElse((pid, key.toList), null)
+            else seeds.getOrElse(
+              (pid, curKey.map(externalizeKey).toList), null)
+          rebuildAttach()
         }
         if (row.getInt(n + 1) == 0) { // right side: update state
-          lastRight = row.getStruct(n + 3)
+          lastRight = row.getStruct(n + 3, nRight).copy()
+          rebuildAttach()
           Iterator.empty
         } else {
-          val leftRow = row.getStruct(n + 2)
-          val withinTol = lastRight != null && (toleranceSec match {
+          val withinTol = lastRight != null && (tolUs match {
             case None => true
             case Some(tol) =>
-              val lts = row.getTimestamp(n)
-              val rts = lastRight.getTimestamp(pickCols.length)
-              lts != null && rts != null && {
-                def us(t: java.sql.Timestamp): Long = {
-                  val i = t.toInstant
-                  i.getEpochSecond * 1000000L + i.getNano / 1000L
-                }
-                val diff = if (direction == "backward") us(lts) - us(rts)
-                  else us(rts) - us(lts)
-                diff <= tol * 1000000L
+              !row.isNullAt(n) && !lastRight.isNullAt(pickCols.length) && {
+                val lts = row.getLong(n)
+                val rts = lastRight.getLong(pickCols.length)
+                (if (backward) lts - rts else rts - lts) <= tol
               }
           })
-          val attached =
-            if (!withinTol) pickCols.map(_ => null)
-            else lastRight.toSeq.dropRight(1) // strip _rts
-          Iterator.single(new GenericRowWithSchema(
-            (leftRow.toSeq ++ attached).toArray, outSchema): Row)
+          // the left struct is a view into the scan's reused buffer —
+          // byte-copy it; the attach row is already owned and shared
+          val leftCopy = row.getStruct(n + 2, nLeft).copy()
+          Iterator.single(
+            new JoinedRow(leftCopy, if (withinTol) attach else nullAttach)
+              : InternalRow)
         }
       }
-    }(Encoders.row(outSchema))
+    }
+    GraftSqlBridge.internalCreateDataFrame(
+      left.sparkSession, outRdd, outSchema)
   }
 
   /** pandas merge_asof `direction='nearest'` parity: for each left row,
@@ -222,42 +279,54 @@ object AsofJoin {
   }
 
   /** One fixed-size metadata job over the pinned layout + a driver prefix
-    * fold: each partition emits one row per key-run — (pid, key, last
+    * fold: each partition emits one record per key-run — (pid, key, last
     * right payload in the run, or null) — and the driver walks each key's
     * runs in partition order so partition p's carry-in is the latest
     * right row any earlier partition saw. Mirrors `FastFill.buildSeeds`
-    * with single-row state.
+    * with single-row state; rides the same physical RDD as the scan.
     */
-  private def buildSeeds(combined: DataFrame, n: Int)
-      : Map[(Int, List[Any]), Row] = {
-    val schema = combined.schema
-    val kIdx = (0 until n).toArray
-    val sumSchema = StructType(
-      StructField("_pid", IntegerType, nullable = false) +:
-        (schema.fields.take(n) :+ schema.fields(n + 3)))
-    val runs = combined.mapPartitions { it =>
+  private def buildSeeds(combined: DataFrame, n: Int,
+                         keyTypes: Array[DataType], nRight: Int)
+      : Map[(Int, List[Any]), InternalRow] = {
+    val runs: Array[AsofRun] = combined.queryExecution.toRdd.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
-      val acc = scala.collection.mutable.ArrayBuffer.empty[Row]
-      var key: List[Any] = null
-      var lastRight: Row = null
-      def flush(): Unit = if (key != null)
-        acc += Row.fromSeq(pid +: key :+ lastRight)
+      val acc = scala.collection.mutable.ArrayBuffer.empty[AsofRun]
+      var keyInt: Array[Any] = null
+      var lastRight: InternalRow = null
+      def flush(): Unit = if (keyInt != null)
+        acc += AsofRun(pid, keyInt.map(externalizeKey).toList, lastRight)
+      def sameKey(row: InternalRow): Boolean = {
+        if (keyInt == null) return false
+        var i = 0
+        while (i < n) {
+          val v = if (row.isNullAt(i)) null else row.get(i, keyTypes(i))
+          if (v != keyInt(i)) return false
+          i += 1
+        }
+        true
+      }
       while (it.hasNext) {
         val row = it.next()
-        val k = kIdx.map(row.get(_)).toList
-        if (k != key) { flush(); key = k; lastRight = null }
-        if (row.getInt(n + 1) == 0) lastRight = row.getStruct(n + 3)
+        if (!sameKey(row)) {
+          flush()
+          keyInt = Array.tabulate(n)(i =>
+            if (row.isNullAt(i)) null
+            else InternalRow.copyValue(row.get(i, keyTypes(i))))
+          lastRight = null
+        }
+        if (row.getInt(n + 1) == 0)
+          lastRight = row.getStruct(n + 3, nRight).copy()
       }
       flush()
       acc.iterator
-    }(Encoders.row(sumSchema)).collect()
+    }.collect()
 
-    val seeds = scala.collection.mutable.Map.empty[(Int, List[Any]), Row]
-    for ((key, rows0) <- runs.groupBy(r => (1 to n).map(r.get).toList)) {
-      var carry: Row = null
-      for (r <- rows0.sortBy(_.getInt(0))) {
-        if (carry != null) seeds((r.getInt(0), key)) = carry
-        if (!r.isNullAt(n + 1)) carry = r.getStruct(n + 1)
+    val seeds = scala.collection.mutable.Map.empty[(Int, List[Any]), InternalRow]
+    for ((key, runs0) <- runs.groupBy(_.key)) {
+      var carry: InternalRow = null
+      for (r <- runs0.sortBy(_.pid)) {
+        if (carry != null) seeds((r.pid, key)) = carry
+        if (r.lastRight != null) carry = r.lastRight
       }
     }
     seeds.toMap

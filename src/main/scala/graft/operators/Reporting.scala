@@ -186,22 +186,37 @@ object Reporting {
     report
   }
 
+  /** Per-scan SMA partial for one (partition, series): fixed-size driver
+    * records collected off an `InternalRow` scan — the scans below never
+    * cross the external-Row encoder (boxing 60M rows per pass measured as
+    * the quality report's dominant cost at the 100× probe scale).
+    */
+  private final case class SmaPartial(
+      pid: Int, key: List[Any],
+      lasts: Array[java.lang.Double], lastTs: Array[java.lang.Long],
+      nans: Array[Long],
+      mins: Array[java.lang.Double], maxs: Array[java.lang.Double])
+
   /** Rolling-mean summaries for a single series in ONE sorted scan —
     * min_periods=1 semantics (value = mean of non-null entries in the
     * trailing window; null only when the whole window is null). A sliding
     * window over a single symbol serializes onto one task anyway, so a
     * ring-buffer scan beats a WindowExec sort+frame evaluation. Task memory
     * is bounded by max(smaWindows) ring slots — never by series length.
+    * The scan runs over `queryExecution.toRdd` with primitive ring slots:
+    * no per-row objects at all.
     */
   private def smaSummariesSinglePass(df: DataFrame, smaWindows: Seq[Int])
       : ListMap[String, Any] = {
     val ws = smaWindows.toArray
-    val rows = df.select(col(TsCol), col("CLOSE"))
+    val maxW = ws.max
+    val partials = df.select(col(TsCol), col("CLOSE"))
       .coalesce(1)
       .sortWithinPartitions(col(TsCol).asc_nulls_last)
-      .mapPartitions { it =>
+      .queryExecution.toRdd.mapPartitions { it =>
         val k = ws.length
-        val ring = Array.fill(k)(new Array[java.lang.Double](ws.max))
+        val ringV = Array.fill(k)(new Array[Double](maxW))
+        val ringP = Array.fill(k)(new Array[Boolean](maxW))
         val sums = new Array[Double](k)
         val counts = new Array[Int](k)
         val nans = new Array[Long](k)
@@ -211,16 +226,16 @@ object Reporting {
         var n = 0L
         while (it.hasNext) {
           val r = it.next()
-          val v: java.lang.Double =
-            if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
+          val present = !r.isNullAt(1)
+          val v = if (present) r.getDouble(1) else 0.0
           var j = 0
           while (j < k) {
             val w = ws(j)
             val slot = (n % w).toInt
-            val old = ring(j)(slot)
-            if (old != null) { sums(j) -= old; counts(j) -= 1 }
-            ring(j)(slot) = v
-            if (v != null) { sums(j) += v; counts(j) += 1 }
+            if (ringP(j)(slot)) { sums(j) -= ringV(j)(slot); counts(j) -= 1 }
+            ringV(j)(slot) = v
+            ringP(j)(slot) = present
+            if (present) { sums(j) += v; counts(j) += 1 }
             if (counts(j) == 0) nans(j) += 1
             else {
               val sma = sums(j) / counts(j)
@@ -232,27 +247,17 @@ object Reporting {
           }
           n += 1
         }
-        Iterator.single(org.apache.spark.sql.Row.fromSeq(
-          ws.indices.flatMap(j => Seq(lasts(j), nans(j),
-            if (counts(j) >= 0 && mins(j) != Double.MaxValue) mins(j) else null,
-            if (maxs(j) != Double.MinValue) maxs(j) else null))))
-      }(org.apache.spark.sql.Encoders.row(org.apache.spark.sql.types.StructType(
-        ws.flatMap(w => Seq(
-          org.apache.spark.sql.types.StructField(s"last_$w",
-            org.apache.spark.sql.types.DoubleType, nullable = true),
-          org.apache.spark.sql.types.StructField(s"nans_$w",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField(s"min_$w",
-            org.apache.spark.sql.types.DoubleType, nullable = true),
-          org.apache.spark.sql.types.StructField(s"max_$w",
-            org.apache.spark.sql.types.DoubleType, nullable = true))))))
-      .collect()
-    val sr = rows(0)
+        Iterator.single(SmaPartial(0, Nil, lasts, null, nans,
+          ws.indices.map(j => if (mins(j) != Double.MaxValue)
+            java.lang.Double.valueOf(mins(j)) else null).toArray,
+          ws.indices.map(j => if (maxs(j) != Double.MinValue)
+            java.lang.Double.valueOf(maxs(j)) else null).toArray))
+      }.collect()
+    val sr = partials(0)
     ListMap(ws.toIndexedSeq.zipWithIndex.map { case (w, j) =>
-      def g(i: Int): Any = if (sr.isNullAt(j * 4 + i)) null else sr.get(j * 4 + i)
       s"SMA_$w" -> Json.obj(
-        "last" -> g(0), "nan_count" -> sr.getLong(j * 4 + 1),
-        "min" -> g(2), "max" -> g(3))
+        "last" -> sr.lasts(j), "nan_count" -> sr.nans(j),
+        "min" -> sr.mins(j), "max" -> sr.maxs(j))
     }: _*)
   }
 
@@ -268,95 +273,109 @@ object Reporting {
   private def smaSummariesChunked(df: DataFrame, smaWindows: Seq[Int],
                                   partitionCols: Seq[String]): ListMap[String, Any] = {
     import org.apache.spark.TaskContext
-    import org.apache.spark.sql.types._
-    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.catalyst.InternalRow
     val ws = smaWindows.toArray
     val maxW = ws.max
     val schema = df.schema
+    val types = schema.fields.map(_.dataType)
     val kIdx = partitionCols.map(schema.fieldIndex).toArray
     val tsIdx = schema.fieldIndex(TsCol)
     val cIdx = schema.fieldIndex("CLOSE")
     val nK = kIdx.length
-    def micros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    // both passes run on the SAME physical RDD of the (cached) layout —
+    // partition ids are consistent by construction, and neither pass
+    // crosses the external-Row encoder (internal values: a timestamp is a
+    // bare long of epoch micros)
+    val inRdd = df.queryExecution.toRdd
+    // series-key helpers shared by the two scans: runs are detected on
+    // owned internal values, map keys externalized once per run (the
+    // FastFill seed-key convention — string/integral keys)
+    def keyInternal(r: InternalRow): Array[Any] =
+      kIdx.map(i => if (r.isNullAt(i)) null
+        else InternalRow.copyValue(r.get(i, types(i))))
+    def externalize(a: Array[Any]): List[Any] = a.map {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case x => x
+    }.toList
+    def sameKey(r: InternalRow, k: Array[Any]): Boolean = {
+      if (k == null) return false
+      var i = 0
+      while (i < nK) {
+        val ci = kIdx(i)
+        val v = if (r.isNullAt(ci)) null else r.get(ci, types(ci))
+        if (v != k(i)) return false
+        i += 1
+      }
+      true
+    }
 
     // pass 1: per-(partition, series) trailing values (nulls included — the
     // ring counts null entries as window slots, exactly like rowsBetween)
-    val tailSchema = StructType(
-      Seq(StructField("_pid", IntegerType, nullable = false)) ++
-        kIdx.map(i => schema.fields(i)) ++
-        Seq(StructField("_tail", ArrayType(DoubleType, containsNull = true),
-          nullable = false)))
-    val tails = df.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      val acc = scala.collection.mutable.ArrayBuffer.empty[Row]
-      var key: List[Any] = null
-      var buf: scala.collection.mutable.ArrayDeque[java.lang.Double] = null
-      def flush(): Unit = if (key != null)
-        acc += Row.fromSeq(Seq(pid) ++ key ++ Seq(buf.toSeq))
-      while (it.hasNext) {
-        val r = it.next()
-        val k = kIdx.map(r.get).toList
-        if (k != key) {
-          flush(); key = k
-          buf = scala.collection.mutable.ArrayDeque.empty
+    val tails: Array[(Int, List[Any], Array[java.lang.Double])] =
+      inRdd.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val acc = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, List[Any], Array[java.lang.Double])]
+        var keyInt: Array[Any] = null
+        var buf: scala.collection.mutable.ArrayDeque[java.lang.Double] = null
+        def flush(): Unit = if (keyInt != null)
+          acc += ((pid, externalize(keyInt), buf.toArray))
+        while (it.hasNext) {
+          val r = it.next()
+          if (!sameKey(r, keyInt)) {
+            flush(); keyInt = keyInternal(r)
+            buf = scala.collection.mutable.ArrayDeque.empty
+          }
+          buf += (if (r.isNullAt(cIdx)) null
+                  else java.lang.Double.valueOf(r.getDouble(cIdx)))
+          if (buf.length > maxW - 1) buf.removeHead()
         }
-        buf += (if (r.isNullAt(cIdx)) null
-                else java.lang.Double.valueOf(r.getDouble(cIdx)))
-        if (buf.length > maxW - 1) buf.removeHead()
-      }
-      flush()
-      acc.iterator
-    }(Encoders.row(tailSchema)).collect()
+        flush()
+        acc.iterator
+      }.collect()
 
     // driver: carry-in per (partition, series) = last maxW-1 values of the
     // concatenated predecessor tails
     val carries = scala.collection.mutable.Map.empty[(Int, List[Any]), Array[java.lang.Double]]
-    for ((k, rows) <- tails.groupBy(r => (1 to nK).map(r.get).toList)) {
+    for ((k, runs) <- tails.groupBy(_._2)) {
       var run = Vector.empty[java.lang.Double]
-      for (r <- rows.sortBy(_.getInt(0))) {
-        carries((r.getInt(0), k)) = run.toArray
-        run = (run ++ r.getSeq[java.lang.Double](nK + 1)).takeRight(maxW - 1)
+      for ((pid, _, tail) <- runs.sortBy(_._1)) {
+        carries((pid, k)) = run.toArray
+        run = (run ++ tail).takeRight(maxW - 1)
       }
     }
     val seeds = carries.toMap
 
-    // pass 2: seeded ring scan, per-(partition, series) partials
-    val partSchema = StructType(
-      Seq(StructField("_pid", IntegerType, nullable = false)) ++
-        kIdx.map(i => schema.fields(i)) ++
-        ws.flatMap(w => Seq(
-          StructField(s"_last_$w", DoubleType, nullable = true),
-          StructField(s"_lastTs_$w", LongType, nullable = true),
-          StructField(s"_nans_$w", LongType, nullable = false),
-          StructField(s"_min_$w", DoubleType, nullable = true),
-          StructField(s"_max_$w", DoubleType, nullable = true))))
-    val partials = df.mapPartitions { it =>
+    // pass 2: seeded ring scan, per-(partition, series) partials —
+    // primitive ring slots (value + present), no per-row allocation
+    val partials: Array[SmaPartial] = inRdd.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
-      val acc = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val acc = scala.collection.mutable.ArrayBuffer.empty[SmaPartial]
       val k = ws.length
-      var key: List[Any] = null
-      var ring: Array[Array[java.lang.Double]] = null
+      var keyInt: Array[Any] = null
+      val ringV = Array.fill(k)(new Array[Double](maxW))
+      val ringP = Array.fill(k)(new Array[Boolean](maxW))
       val sums = new Array[Double](k); val counts = new Array[Int](k)
       val nans = new Array[Long](k)
       val mins = new Array[Double](k); val maxs = new Array[Double](k)
       val lasts = new Array[java.lang.Double](k)
       val lastTs = new Array[java.lang.Long](k)
       var n = 0L
-      def push(v: java.lang.Double, emit: Boolean, ts: java.lang.Long): Unit = {
+      def push(present: Boolean, v: Double, emit: Boolean,
+               tsPresent: Boolean, ts: Long): Unit = {
         var j = 0
         while (j < k) {
           val w = ws(j)
           val slot = (n % w).toInt
-          val old = ring(j)(slot)
-          if (old != null) { sums(j) -= old; counts(j) -= 1 }
-          ring(j)(slot) = v
-          if (v != null) { sums(j) += v; counts(j) += 1 }
+          if (ringP(j)(slot)) { sums(j) -= ringV(j)(slot); counts(j) -= 1 }
+          ringV(j)(slot) = v
+          ringP(j)(slot) = present
+          if (present) { sums(j) += v; counts(j) += 1 }
           if (emit) {
             if (counts(j) == 0) nans(j) += 1
             else {
               val sma = sums(j) / counts(j)
-              if (ts != null) { lasts(j) = sma; lastTs(j) = ts }
+              if (tsPresent) { lasts(j) = sma; lastTs(j) = ts }
               if (sma < mins(j)) mins(j) = sma
               if (sma > maxs(j)) maxs(j) = sma
             }
@@ -365,17 +384,18 @@ object Reporting {
         }
         n += 1
       }
-      def flush(): Unit = if (key != null)
-        acc += Row.fromSeq(Seq(pid) ++ key ++ ws.indices.flatMap(j => Seq(
-          lasts(j), lastTs(j), nans(j),
-          if (mins(j) != Double.MaxValue) mins(j) else null,
-          if (maxs(j) != Double.MinValue) maxs(j) else null)))
+      def flush(): Unit = if (keyInt != null)
+        acc += SmaPartial(pid, externalize(keyInt),
+          lasts.clone(), lastTs.clone(), nans.clone(),
+          ws.indices.map(j => if (mins(j) != Double.MaxValue)
+            java.lang.Double.valueOf(mins(j)) else null).toArray,
+          ws.indices.map(j => if (maxs(j) != Double.MinValue)
+            java.lang.Double.valueOf(maxs(j)) else null).toArray)
       while (it.hasNext) {
         val r = it.next()
-        val kk = kIdx.map(r.get).toList
-        if (kk != key) {
-          flush(); key = kk
-          ring = Array.fill(k)(new Array[java.lang.Double](maxW))
+        if (!sameKey(r, keyInt)) {
+          flush(); keyInt = keyInternal(r)
+          ringP.foreach(a => java.util.Arrays.fill(a, false))
           java.util.Arrays.fill(sums, 0.0); java.util.Arrays.fill(counts, 0)
           java.util.Arrays.fill(nans, 0L)
           java.util.Arrays.fill(mins, Double.MaxValue)
@@ -383,38 +403,35 @@ object Reporting {
           java.util.Arrays.fill(lasts.asInstanceOf[Array[AnyRef]], null)
           java.util.Arrays.fill(lastTs.asInstanceOf[Array[AnyRef]], null)
           n = 0L
-          for (c <- seeds.getOrElse((pid, kk), Array.empty[java.lang.Double]))
-            push(c, emit = false, null)
+          for (c <- seeds.getOrElse((pid, externalize(keyInt)),
+              Array.empty[java.lang.Double]))
+            push(c != null, if (c != null) c.doubleValue() else 0.0,
+              emit = false, tsPresent = false, 0L)
         }
-        push(if (r.isNullAt(cIdx)) null
-             else java.lang.Double.valueOf(r.getDouble(cIdx)),
-          emit = true,
-          if (r.isNullAt(tsIdx)) null
-          else java.lang.Long.valueOf(micros(r.getAs[java.sql.Timestamp](tsIdx))))
+        val present = !r.isNullAt(cIdx)
+        val tsP = !r.isNullAt(tsIdx)
+        push(present, if (present) r.getDouble(cIdx) else 0.0,
+          emit = true, tsP, if (tsP) r.getLong(tsIdx) else 0L)
       }
       flush()
       acc.iterator
-    }(Encoders.row(partSchema)).collect()
+    }.collect()
 
     // merge: nans sum; min/max fold; last = value at the latest non-null-SMA
     // timestamp (the windowed form's max_by(sma, ts))
     ListMap(ws.toIndexedSeq.zipWithIndex.map { case (w, j) =>
-      val base = 1 + nK + j * 5
       var last: Any = null; var lastT = Long.MinValue
       var nan = 0L
       var mn: Any = null; var mx: Any = null
-      for (r <- partials) {
-        if (!r.isNullAt(base) && !r.isNullAt(base + 1) &&
-            r.getLong(base + 1) > lastT) {
-          lastT = r.getLong(base + 1); last = r.getDouble(base)
+      for (p <- partials) {
+        if (p.lasts(j) != null && p.lastTs(j) != null && p.lastTs(j) > lastT) {
+          lastT = p.lastTs(j); last = p.lasts(j)
         }
-        nan += r.getLong(base + 2)
-        if (!r.isNullAt(base + 3) &&
-            (mn == null || r.getDouble(base + 3) < mn.asInstanceOf[Double]))
-          mn = r.getDouble(base + 3)
-        if (!r.isNullAt(base + 4) &&
-            (mx == null || r.getDouble(base + 4) > mx.asInstanceOf[Double]))
-          mx = r.getDouble(base + 4)
+        nan += p.nans(j)
+        if (p.mins(j) != null &&
+            (mn == null || p.mins(j) < mn.asInstanceOf[Double])) mn = p.mins(j)
+        if (p.maxs(j) != null &&
+            (mx == null || p.maxs(j) > mx.asInstanceOf[Double])) mx = p.maxs(j)
       }
       s"SMA_$w" -> Json.obj(
         "last" -> last, "nan_count" -> nan, "min" -> mn, "max" -> mx)
