@@ -366,24 +366,48 @@ object ExtensionQueries {
     // DedupSimilaritySpec as the scale demo.
     "q41_minhash_lsh" -> { (s, d) =>
       val docs = Tables.documents(s, d)
+      // The pair set decomposes over EXACT-DUPLICATE text groups (the
+      // q341 device, applied to the batch form): minhash signatures — and
+      // therefore band collisions, the estimate prefilter, and the exact
+      // verify — are functions of the text alone, so running LSH+verify on
+      // ONE representative per distinct text and expanding group members
+      // afterwards yields the identical pair set. Under a verbatim-copy
+      // corpus (the ScaleGen growth model, and the realistic re-crawl
+      // shape) this makes the COMPUTE and the driver-collected candidate
+      // list linear in distinct texts while the (inherently quadratic)
+      // output pairs materialize as a distributed membership join — the
+      // raw-docs form collected the quadratic candidate list to the
+      // driver: 88 s and a driver-memory hazard at the 30× rehearsal.
+      //  - within-group pairs (a < b): jac = 1.0 by construction;
+      //  - cross-group pairs: every (member_a, member_b) combination
+      //    carries the rep pair's jac — identical texts, identical
+      //    shingle sets.
+      val withH = docs.select(col("doc_id"), col("text"),
+        xxhash64(col("text")).as("_h"))
+      val groups = withH.groupBy(col("_h")).agg(min(col("doc_id")).as("_rep"))
+      val members = withH.join(broadcast(groups), "_h")
+        .select(col("doc_id"), col("_rep"))
+      val repDocs = withH
+        .join(broadcast(groups.select(col("_rep").as("doc_id"))), "doc_id")
+        .select(col("doc_id"), col("text"))
       // estimate prefilter at 0.35 ≪ the 0.5 verify threshold: for a pair
       // at true j=0.5 the 64-position estimate sits 2.6σ above 0.35 (and
       // the corpus has no pairs between 0.2 and 0.7 at all), so no true
       // pair is lost while false band collisions skip the exact verify.
       // The candidate set feeds BOTH the id restriction and the verify
       // join, so it must compute exactly once — materialized as local rows
-      // (id pairs above the estimate prefilter: hundreds at gate scale,
-      // bounded far below the corpus) rather than session-cached: a cache
-      // entry outlives the query and accumulates over a long-lived session
-      // (r6 advice — the entry was never unpersisted)
-      val candRaw = Dedup.minHashLshPairs(docs, idCol = "doc_id",
+      // (rep-id pairs above the estimate prefilter: hundreds at gate
+      // scale, linear in distinct texts at any scale) rather than
+      // session-cached: a cache entry outlives the query and accumulates
+      // over a long-lived session (r6 advice)
+      val candRaw = Dedup.minHashLshPairs(repDocs, idCol = "doc_id",
           textCol = "text", numHashes = 64, bands = 16, shingleSize = 3,
           threshold = 0.35, maxBucketSize = 100000)
         .select(col("id_a"), col("id_b"))
       val cand = broadcast(s.createDataFrame(
         s.sparkContext.parallelize(candRaw.collect().toIndexedSeq, 1),
         candRaw.schema))
-      // shingle ONLY the docs that appear in a candidate pair (broadcast
+      // shingle ONLY the reps that appear in a candidate pair (broadcast
       // semi-join on the tiny id set) — shingling the full corpus for a
       // candidate list 20× smaller was the query's dominant stage
       val candIds = cand.select(col("id_a").as("doc_id"))
@@ -397,11 +421,27 @@ object ExtensionQueries {
             transform(vtoks, t => xxhash64(t)), lit(3)).as("sh"))
       val jac = size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
         size(array_union(col("_sa"), col("_sb")))
-      cand
+      val repPairs = cand
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("_sa")), "id_a")
         .join(sh.select(col("doc_id").as("id_b"), col("sh").as("_sb")), "id_b")
         .select(col("id_a"), col("id_b"), fr(jac, 4).as("jac"))
         .filter(col("jac") >= 0.5)
+      // expansion: cross-group = member × member over the verified rep
+      // pairs (ids reordered per pair — group minima don't order members);
+      // within-group = the a<b self-join on membership, jac = 1.0
+      val cross = repPairs
+        .join(members.select(col("_rep").as("id_a"), col("doc_id").as("_da")),
+          "id_a")
+        .join(members.select(col("_rep").as("id_b"), col("doc_id").as("_db")),
+          "id_b")
+        .select(least(col("_da"), col("_db")).as("id_a"),
+          greatest(col("_da"), col("_db")).as("id_b"), col("jac"))
+      val within = members.as("x")
+        .join(members.as("y"), col("x._rep") === col("y._rep") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          lit(1.0).as("jac"))
+      cross.unionByName(within)
         .orderBy(col("jac").desc, col("id_a"), col("id_b"))
     },
 
