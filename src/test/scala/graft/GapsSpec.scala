@@ -166,4 +166,30 @@ class GapsSpec extends SparkSpec {
     val g = Gaps.detectGaps(df, "1H").collect()(0)
     assert(g.getAs[String]("classification") == "overnight_gap")
   }
+
+  test("var-length ffill column routes through the generic scan path") {
+    // a STRING ffill column forces FastFill off the fixed-width UnsafeRow
+    // fast path (in-place setters can't grow a var-length slot) onto the
+    // GenericInternalRow buffer — same fill semantics, different engine
+    // branch, otherwise untested. Minutes 0..9 minus {3,4}; note is null on
+    // minutes 1, 2, 5 so the carry crosses real AND synthesized rows.
+    val df = (0 until 10).filterNot(m => m == 3 || m == 4)
+      .map(m => (ts(m),
+        if (m == 1 || m == 2 || m == 5) null else s"n$m",
+        m.toDouble))
+      .toDF("TIMESTAMP", "NOTE", "CLOSE")
+    val got = graft.operators.FastFill.fill(df,
+        ffillCols = Seq("NOTE"), interpCols = Seq("CLOSE"),
+        tsCol = "TIMESTAMP", reindexStepMicros = Some(60000000L))
+      .orderBy("TIMESTAMP").collect()
+    assert(got.length == 10, "reindex restores the full grid")
+    val notes = got.map(_.getAs[String]("NOTE")).toSeq
+    // n0 carries over the two nulls, then across the synthesized 3/4 rows
+    // and the null at 5; n6..n9 are their own values
+    assert(notes == Seq("n0", "n0", "n0", "n0", "n0", "n0",
+      "n6", "n7", "n8", "n9"))
+    val closes = got.map(_.getAs[Double]("CLOSE")).toSeq
+    // synthesized minutes 3/4 interpolate linearly between 2.0 and 5.0
+    assert(closes == Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0))
+  }
 }
