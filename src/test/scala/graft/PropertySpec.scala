@@ -100,6 +100,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("FastFill interpolation equals the window-algebra form on random series") {
+    import org.apache.spark.sql.functions.col
+    // two independent implementations of positional linear interpolation
+    // with limit_direction=both: the InternalRow scan (the production
+    // engine) and Interpolate.linear's composed window expressions — on
+    // random multi-key series with random null runs (incl. leading/
+    // trailing, and one all-null key) they must agree to the bit
+    val gen = for {
+      nullEvery <- Gen.chooseNum(2, 9)
+      phase <- Gen.chooseNum(0, 5)
+      n <- Gen.chooseNum(10, 120)
+    } yield (nullEvery, phase, n)
+    for (((nullEvery, phase, n), i) <- samples(gen, 4).zipWithIndex) {
+      val rows = for {
+        sym <- Seq("A", "B", "Z")
+        m <- 0 until n
+      } yield {
+        val v: java.lang.Double =
+          if (sym == "Z") null // all-null series stays all-null
+          else if ((m + phase) % nullEvery == 0) null
+          else 100.0 + m * 1.7 + (if (sym == "A") 0 else 50)
+        (sym, ts(m), v)
+      }
+      val df = rows.toDF("SYMBOL", "TIMESTAMP", "CLOSE")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getTimestamp(1))
+      val a = graft.operators.FastFill.fill(df, Nil, Seq("CLOSE"),
+          "TIMESTAMP", partitionCols = Seq("SYMBOL"))
+        .orderBy("SYMBOL", "TIMESTAMP").collect()
+      val b = graft.operators.Interpolate.linear(df, Seq("CLOSE"),
+          "TIMESTAMP", partitionCols = Seq("SYMBOL"))
+        .select(col("SYMBOL"), col("TIMESTAMP"), col("CLOSE"))
+        .orderBy("SYMBOL", "TIMESTAMP").collect()
+      assert(a.map(key).toSeq == b.map(key).toSeq, s"case $i row keys")
+      val av = a.map(r => if (r.isNullAt(2)) null else r.getDouble(2))
+      val bv = b.map(r => if (r.isNullAt(2)) null else r.getDouble(2))
+      assert(av.toSeq == bv.toSeq,
+        s"case $i (nullEvery=$nullEvery phase=$phase n=$n)")
+    }
+  }
+
   test("cross-partition repair equals contained repair on random fixtures") {
     import org.apache.spark.sql.functions.col
     // random series: random subsets of a 600-min grid, random null runs in
