@@ -2856,10 +2856,11 @@ object WarehouseQueries {
         dist AS (SELECT node, min(lvl) AS dist FROM walk GROUP BY node)
         SELECT count(*) AS n_reached,
           CAST(max(dist) AS BIGINT) AS eccentricity,
-          CAST(floor(CAST(count(*) - 1 AS DOUBLE)
-            / CAST(sum(dist) AS DOUBLE)
-            * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
-            / CAST(1000000 AS DOUBLE) AS closeness
+          CASE WHEN sum(dist) = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(floor(CAST(count(*) - 1 AS DOUBLE)
+              / CAST(sum(dist) AS DOUBLE)
+              * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+              / CAST(1000000 AS DOUBLE) END AS closeness
         FROM dist""")
     },
 
@@ -7992,10 +7993,11 @@ object WarehouseQueries {
         |dist AS (SELECT node, min(lvl) AS dist FROM walk GROUP BY node)
         |SELECT count(*) AS n_reached,
         |  CAST(max(dist) AS BIGINT) AS eccentricity,
-        |  CAST(floor(CAST(count(*) - 1 AS DOUBLE)
-        |    / CAST(sum(dist) AS DOUBLE)
-        |    * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
-        |    / CAST(1000000 AS DOUBLE) AS closeness
+        |  CASE WHEN sum(dist) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(floor(CAST(count(*) - 1 AS DOUBLE)
+        |      / CAST(sum(dist) AS DOUBLE)
+        |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+        |      / CAST(1000000 AS DOUBLE) END AS closeness
         |FROM dist""".stripMargin,
 
     "q204_dow_heatmap" ->
