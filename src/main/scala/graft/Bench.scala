@@ -308,6 +308,32 @@ object Bench {
         }.find(_.nonEmpty).getOrElse(Map.empty)
     }
 
+    // ---- load canaries (r14 verdict item 1) ----------------------------
+    // Every round the driver's bench runs on a loaded host and produces
+    // 20–40 alarms that a quiet judge re-time disconfirms (r13: 37, r14:
+    // 22 — all environmental). The committed-quiet-baseline fix (r13)
+    // didn't help because the DRIVER's run is the loaded one. So the
+    // alarm rule itself must carry a load estimate: three cheap, stable
+    // queries untouched for many rounds are re-timed (median-of-3) at
+    // query-phase start and end; the worst-phase ratio of each vs its
+    // previous-round time, medianed across the three, is the canary
+    // factor. Alarm thresholds scale by it, and every alarm line carries
+    // it, so a loaded run either self-suppresses or is adjudicable from
+    // the record alone.
+    val canaryNames = Seq("q13_multi_agg", "q24_global_topk", "q98_column_profile")
+    def timeCanaries(): Map[String, Double] = canaryNames.flatMap { n =>
+      SparkEntry.queries.get(n).map { fn =>
+        def once(): Double = {
+          val c0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - c0) / 1e9
+        }
+        n -> (try Seq(once(), once(), once()).sorted.apply(1)
+              catch { case _: Throwable => -1.0 })
+      }
+    }.toMap
+    val canaryStart = timeCanaries()
+
     var failed = Vector.empty[String]
     var medianed = Vector.empty[String]
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -380,7 +406,30 @@ object Bench {
       System.err.println(s"[bench] q54 build/probe split FAILED: ${e.getMessage}")
       failed :+= "q54_split"
     }
-    val allQueryTimes = queryTimes ++ q54Split
+    // second canary pass: load can arrive mid-run, so the factor for a
+    // query is bounded by the worse of the two phases bracketing it
+    val canaryEnd = timeCanaries()
+    val canaryRatios = canaryNames.flatMap { n =>
+      val prevT = prev.get(s"${n}_canary").orElse(prev.get(n)).filter(_ > 0)
+      for {
+        p <- prevT
+        s <- canaryStart.get(n).filter(_ > 0)
+        e <- canaryEnd.get(n).filter(_ > 0)
+      } yield math.max(s, e) / p
+    }
+    val canaryFactor =
+      if (canaryRatios.isEmpty) 1.0
+      else math.max(1.0, canaryRatios.sorted.apply(canaryRatios.size / 2))
+    // canary times join the queries map under distinct `_canary` keys so
+    // next round's `prev` parse finds a like-for-like baseline (this
+    // round falls back to the canaries' main-loop times from r14)
+    val canaryEntries = (canaryNames.flatMap { n =>
+      // worst of the two phases: the factor is a threshold SCALER, so it
+      // must not understate the load the alarmed queries actually saw
+      val both = Seq(canaryStart.get(n), canaryEnd.get(n)).flatten.filter(_ > 0)
+      if (both.isEmpty) None else Some(s"${n}_canary" -> both.max)
+    })
+    val allQueryTimes = queryTimes ++ q54Split ++ canaryEntries
 
     // leave the warehouse empty: q48's bucketed tables (and their on-disk
     // locations) must not survive into the next harness invocation
@@ -393,11 +442,19 @@ object Bench {
     // instead of leaving the judge to diff rounds. Every `t` here that
     // could alarm is already a median-of-3 (the wouldAlarm re-run above),
     // so a published alarm is a reproduced regression, not a tenancy spike.
+    // Threshold is 1.5× scaled by the canary factor: under a quiet host
+    // (factor 1.0) the rule is unchanged; under the loaded-driver runs
+    // that produced 22 (r14) / 37 (r13) judge-disconfirmed alarms, the
+    // canaries inflate in the same proportion as the alarmed queries and
+    // the threshold tracks them. The `_canary` rows themselves are the
+    // load indicator, never alarms. Each alarm line carries the factor
+    // so a survivor is adjudicable from the record alone.
     val alarms = allQueryTimes.collect {
       // 0.5 s absolute floor: sub-second flutter on a shared host is
       // tenancy, not a plan change — the alarm is for real regressions
-      case (name, t) if t > 0.5 && prev.get(name).exists(p => p > 0 && t > 1.5 * p) =>
-        f"$name:${prev(name)}%.2f->$t%.2f"
+      case (name, t) if !name.endsWith("_canary") && t > 0.5 &&
+          prev.get(name).exists(p => p > 0 && t > 1.5 * canaryFactor * p) =>
+        f"$name:${prev(name)}%.2f->$t%.2f(canary$canaryFactor%.2fx)"
     }
 
     // a contaminated measurement must be loud: surface it in query_errors
@@ -417,7 +474,7 @@ object Bench {
     val disc = discarded.map(s => f"$s%.3f").mkString("[", ",", "]")
     val maxHeap = Runtime.getRuntime.maxMemory
     val json =
-      f"""{"metric":"etl_pipeline_sec","value":$pipelineSec%.3f,"unit":"sec","pipeline_runs":${faithfulRuns.map(s => f"$s%.3f").mkString("[", ",", "]")},"pipeline_spread":$spread%.2f,"pipeline_discarded":$disc,"contamination":${jarr(contamination)},"correct_mode_sec":$correctSec%.3f,"gc_ms_per_run":${gcPerRun.mkString("[", ",", "]")},"heap_high_water_mb":${heapHighWater / 1048576},"heap_max_mb":${maxHeap / 1048576},"input_rows":$inputRows,"exports":${result.exports.map(_.rows).mkString("[", ",", "]")},"query_errors":${jarr(failed)},"query_medians":${jarr(medianed)},"queries":$qs,"sf":${jstr(sfDir)},"alarms":${jarr(alarms)},"etl_pipeline_sec":$pipelineSec%.3f}"""
+      f"""{"metric":"etl_pipeline_sec","value":$pipelineSec%.3f,"unit":"sec","pipeline_runs":${faithfulRuns.map(s => f"$s%.3f").mkString("[", ",", "]")},"pipeline_spread":$spread%.2f,"pipeline_discarded":$disc,"contamination":${jarr(contamination)},"correct_mode_sec":$correctSec%.3f,"gc_ms_per_run":${gcPerRun.mkString("[", ",", "]")},"heap_high_water_mb":${heapHighWater / 1048576},"heap_max_mb":${maxHeap / 1048576},"input_rows":$inputRows,"exports":${result.exports.map(_.rows).mkString("[", ",", "]")},"query_errors":${jarr(failed)},"query_medians":${jarr(medianed)},"queries":$qs,"sf":${jstr(sfDir)},"canary_factor":$canaryFactor%.2f,"alarms":${jarr(alarms)},"etl_pipeline_sec":$pipelineSec%.3f}"""
     println(json)
     // the driver's stdout capture keeps only the LAST 2000 chars, which
     // truncates the 300-entry queries map's line into unparseable JSON
@@ -431,7 +488,7 @@ object Bench {
     // metric=etl_pipeline_sec: it is the same measurement, and the driver
     // contract keys on that metric name.
     val compact =
-      f"""{"metric":"etl_pipeline_sec","value":$pipelineSec%.3f,"unit":"sec","compact":true,"full_json":${jstr(benchOut)},"pipeline_runs":${faithfulRuns.map(s => f"$s%.3f").mkString("[", ",", "]")},"pipeline_spread":$spread%.2f,"correct_mode_sec":$correctSec%.3f,"input_rows":$inputRows,"n_queries":${allQueryTimes.size},"query_sec_total":${allQueryTimes.map(_._2).sum}%.1f,"query_errors":${jarrCapped(failed, 4)},"alarms":${jarrCapped(alarms, 4)},"sf":${jstr(sfDir)},"etl_pipeline_sec":$pipelineSec%.3f}"""
+      f"""{"metric":"etl_pipeline_sec","value":$pipelineSec%.3f,"unit":"sec","compact":true,"full_json":${jstr(benchOut)},"pipeline_runs":${faithfulRuns.map(s => f"$s%.3f").mkString("[", ",", "]")},"pipeline_spread":$spread%.2f,"correct_mode_sec":$correctSec%.3f,"input_rows":$inputRows,"n_queries":${allQueryTimes.size},"query_sec_total":${allQueryTimes.map(_._2).sum}%.1f,"query_errors":${jarrCapped(failed, 4)},"canary_factor":$canaryFactor%.2f,"alarms":${jarrCapped(alarms, 4)},"sf":${jstr(sfDir)},"etl_pipeline_sec":$pipelineSec%.3f}"""
     println(compact)
     // the whole line, un-truncatable: the driver (and next round's alarm
     // comparison) read it from here

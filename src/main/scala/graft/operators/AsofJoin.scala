@@ -146,6 +146,19 @@ object AsofJoin {
     val n = keyCols.length
     val keyTypes: Array[DataType] =
       unionSchema.fields.take(n).map(_.dataType)
+    // sameKey (and the seed-map lookup) compare BOXED internal values —
+    // value-equal for UTF8String/boxed primitives, but reference-equal for
+    // BinaryType's Array[Byte] (every row would start a new key run and
+    // silently reset the carry) and undefined for array/map/struct keys.
+    // Mirror FastFill's guard: fail loudly at plan time, not silently at
+    // scan time.
+    require(keyTypes.forall {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }, "asofJoin: key columns must be string/integral/boolean/date/timestamp" +
+      " (key-run equality compares boxed internal values; binary and nested" +
+      " keys compare by reference)")
     val nLeft = leftFields.length
     val rightStruct = unionSchema("_right").dataType.asInstanceOf[StructType]
     val nRight = rightStruct.length // pickCols + _rts

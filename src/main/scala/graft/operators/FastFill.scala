@@ -244,6 +244,13 @@ object FastFill {
                 else anchorUs - stepUs
               var firstOnGrid = true
               for (r <- rows) {
+                // per-row, not head-only: under assumeSorted a mid-buffer
+                // null stamp (nulls-last layouts) would read as epoch-0 and
+                // silently drop as off-grid instead of failing loudly
+                if (r.isNullAt(tsIdx))
+                  throw new IllegalStateException(
+                    "FastFill: null timestamp in a reindex scan — filter " +
+                      "null stamps before filling")
                 val us = r.getLong(tsIdx)
                 if ((us - anchorUs) % stepUs == 0 && us >= anchorUs) {
                   // tripwire: a seed pointing at-or-past the first local

@@ -521,56 +521,89 @@ object Similarity {
 
   /** Train per-subspace PQ codebooks: for each of `m` sub-spaces, `k`
     * centroids from Forgy-by-id init (the k smallest ids' sub-vectors)
-    * refined by `iterations` snapped Lloyd rounds. ALL sub-spaces train
-    * in the same jobs — `sub` is just another grouping key, so a round is
-    * ONE assign (broadcast codebook join + (id, sub)-keyed argmin window
-    * over k candidate rows) and ONE (sub, code, pos) mean aggregate,
-    * regardless of m. Codebook size m·k·dsub doubles — driver-side like
-    * every codebook in this file.
+    * refined by `iterations` snapped Lloyd rounds.
+    *
+    * Training is DRIVER-LOCAL over a bounded sample — the FAISS recipe:
+    * codebook quality saturates at ~100k training vectors regardless of
+    * corpus size, so the sample-bounded train step is the design at
+    * 100 TB too; the scan-shaped, distributed parts of PQ are encode and
+    * ADC, never training. One Spark job collects the sample (when the
+    * corpus exceeds `maxTrainVectors`, the vectors with the smallest
+    * xxhash64(id) — a deterministic uniform sample — via distributed
+    * top-K; driver memory is bounded by maxTrainVectors·dim doubles);
+    * the Lloyd rounds are then pure driver arithmetic. The distributed
+    * form this replaces spent ~6 sequential shuffle jobs per call on
+    * per-job overhead (2/3 of q157's steady-state wall at gate scale).
+    *
+    * Numeric contract (unchanged): assignment distance is the ordered
+    * left fold Σ(x−c)², ties to the smallest code; new centroids are
+    * per-(sub, code, pos) means snapped to 1e-6; codes that attract no
+    * vectors keep their previous centroid. Summation order of a mean
+    * differs from the distributed form (and from the DuckDB oracle
+    * replay) only in float fold order, which the 1e-6 snap absorbs —
+    * the same tolerance the cross-engine oracle contract already rests
+    * on. The gate corpora sit far below `maxTrainVectors`, so the SQL
+    * oracle replays training over exactly the same (full) training set.
     *
     * @return codebooks(sub)(code) = centroid (dsub doubles, 1e-6-snapped).
     */
   def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
                   m: Int, k: Int,
-                  iterations: Int = 2): Seq[Seq[Seq[Double]]] = {
+                  iterations: Int = 2,
+                  maxTrainVectors: Int = 65536): Seq[Seq[Seq[Double]]] = {
     require(m >= 1 && k >= 1 && iterations >= 0, "m, k >= 1; iterations >= 0")
-    val spark = df.sparkSession
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(maxTrainVectors >= k, "maxTrainVectors must be >= k")
+    val base = df.select(col(idCol).cast("long").as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    // TakeOrderedAndProject: per-partition top-K then a driver merge —
+    // no full sort, no shuffle of the corpus
+    val vecs: Array[(Long, Array[Double])] = base
+      .orderBy(xxhash64(col("_id")), col("_id"))
+      .limit(maxTrainVectors)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(vecs.nonEmpty, "pqCodebooks: empty training set")
+    val dim = vecs.head._2.length
     require(dim % m == 0, s"dim=$dim must divide evenly into m=$m sub-spaces")
     val dsub = dim / m
-    import org.apache.spark.storage.StorageLevel
-    val sv = subVectors(df, idCol, vecCol, m, dsub)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      def snap(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
-      val seed = sv.filter(col("sub") === 0).orderBy(col("_id")).limit(k)
-        .select(col("_id")).collect().map(_.getLong(0))
-      val seedSet = seed.toSet
-      val init = sv.filter(col("_id").isInCollection(seedSet))
-        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Double](2))
-        .toMap
-      val rank = seed.sorted.zipWithIndex.toMap
-      var books: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
-        seed.sorted.map(id => init((id, j)).toSeq).toSeq)
-      for (_ <- 0 until iterations) {
-        val assigned = pqAssign(sv, books)
-        val updated = assigned
-          .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("_p", "_x")))
-          .groupBy(col("sub"), col("code"), col("_p"))
-          .agg(avg(col("_x")).as("_mn"))
-          .collect()
-          .groupBy(r => (r.getInt(0), r.getInt(1)))
-          .map { case (key, rows) =>
-            key -> rows.sortBy(_.getInt(2)).map(r => snap(r.getDouble(3))).toSeq
+    def snap(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // Forgy init: the k smallest ids' sub-vectors, in id order
+    val seedRows = vecs.take(k)
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+      seedRows.map(_._2.slice(j * dsub, (j + 1) * dsub)))
+    val nCodes = books(0).length // < k when the corpus has fewer vectors
+    for (_ <- 0 until iterations) {
+      val sums = Array.fill(m, nCodes, dsub)(0.0)
+      val counts = Array.fill(m, nCodes)(0L)
+      for ((_, v) <- vecs) {
+        var j = 0
+        while (j < m) {
+          val off = j * dsub
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < nCodes) {
+            val ce = books(j)(c)
+            var acc = 0.0 // ordered left fold — the sqDist IEEE sequence
+            var i = 0
+            while (i < dsub) {
+              val x = v(off + i) - ce(i); acc += x * x; i += 1
+            }
+            if (acc < bestD) { bestD = acc; best = c } // tie -> smallest code
+            c += 1
           }
-        books = books.zipWithIndex.map { case (book, j) =>
-          book.zipWithIndex.map { case (prev, c) =>
-            updated.getOrElse((j, c), prev)
-          }
+          counts(j)(best) += 1
+          var i = 0
+          while (i < dsub) { sums(j)(best)(i) += v(off + i); i += 1 }
+          j += 1
         }
       }
-      books
-    } finally sv.unpersist(false)
+      books = Array.tabulate(m)(j => Array.tabulate(nCodes)(c =>
+        if (counts(j)(c) == 0) books(j)(c)
+        else Array.tabulate(dsub)(i => snap(sums(j)(c)(i) / counts(j)(c)))))
+    }
+    books.map(_.map(_.toSeq).toSeq).toSeq
   }
 
   /** Assign every (id, sub) row its nearest code: broadcast-join the m·k

@@ -382,10 +382,16 @@ object ExtensionQueries {
       //  - cross-group pairs: every (member_a, member_b) combination
       //    carries the rep pair's jac — identical texts, identical
       //    shingle sets.
+      // group key is (length, xxhash64): a bare 64-bit collision between
+      // two distinct texts would silently merge groups (false jac=1.0
+      // pairs that skip the exact verify); pairing the hash with the
+      // length makes that practically impossible without widening the
+      // shuffle key beyond two fixed-width columns
       val withH = docs.select(col("doc_id"), col("text"),
-        xxhash64(col("text")).as("_h"))
-      val groups = withH.groupBy(col("_h")).agg(min(col("doc_id")).as("_rep"))
-      val members = withH.join(broadcast(groups), "_h")
+        xxhash64(col("text")).as("_h"), length(col("text")).as("_hl"))
+      val groups = withH.groupBy(col("_h"), col("_hl"))
+        .agg(min(col("doc_id")).as("_rep"))
+      val members = withH.join(broadcast(groups), Seq("_h", "_hl"))
         .select(col("doc_id"), col("_rep"))
       val repDocs = withH
         .join(broadcast(groups.select(col("_rep").as("doc_id"))), "doc_id")

@@ -157,12 +157,17 @@ object RepairProbe {
           n -> (if (a.stagesMin(n) > 0) b.stagesMin(n) / a.stagesMin(n)
                 else -1.0)
         }
+      // both estimators: min-of-reps is the plan's own cost (noise on a
+      // shared JVM is strictly additive) but one lucky rep at one grid
+      // can skew it when identical reps swing 3×; the median-based ratio
+      // sits beside it so readers see the spread between the two
       (a.rows, b.rows, rowsR,
-        if (a.wallMin > 0) b.wallMin / a.wallMin else -1.0, stageR)
+        if (a.wallMin > 0) b.wallMin / a.wallMin else -1.0,
+        if (a.wallMed > 0) b.wallMed / a.wallMed else -1.0, stageR)
     }.toSeq
-    for ((ar, br, rr, wr, st) <- ratios) {
+    for ((ar, br, rr, wr, wrMed, st) <- ratios) {
       println(f"[probe] growth $ar -> $br (${rr}%.0fx rows): " +
-        f"wall x$wr%.2f  " +
+        f"wall x$wr%.2f (median x$wrMed%.2f)  " +
         st.map { case (n, r) => f"$n x$r%.2f" }.mkString(" "))
     }
 
@@ -182,9 +187,10 @@ object RepairProbe {
           f""""heap_after_gc_mb":${r.heapsMb.mkString("[", ",", "]")},""" +
           f""""leaked_rdds":${r.leakedRdds}}"""
       }.mkString("{", ",", "}")
-      val ratiosJson = ratios.map { case (ar, br, rr, wr, st) =>
+      val ratiosJson = ratios.map { case (ar, br, rr, wr, wrMed, st) =>
         f"${jstr(s"${ar}->$br")}:{" +
           f""""row_growth":$rr%.1f,"wall_ratio":$wr%.2f,""" +
+          f""""wall_ratio_median":$wrMed%.2f,""" +
           f""""stage_ratios":${st.map { case (n, x) =>
             f"${jstr(n)}:$x%.2f" }.mkString("{", ",", "}")}}"""
       }.mkString("{", ",", "}")
