@@ -214,7 +214,12 @@ object Gaps {
                  assumeSorted: Boolean = false,
                  /** input is RANGE-partitioned on (keys, stamp): one series
                    * may span consecutive partitions (see FastFill) */
-                 crossPartition: Boolean = false): Result = {
+                 crossPartition: Boolean = false,
+                 /** caller's size hint for the `cacheResult` persist level
+                   * (core.Sizing): the repaired frame's own plan stats are
+                   * the bridge's unknown sentinel, so only a hint can
+                   * trigger the large-frame DISK_ONLY spill */
+                 approxResultBytes: Option[Long] = None): Result = {
 
     val dataCols = df.columns.filterNot(c =>
       c == TsCol || c == Readers.FileOrderCol || partitionCols.contains(c)).toSeq
@@ -265,7 +270,11 @@ object Gaps {
     if (!computeReport) {
       val clean = repaired1.drop(
         ffillCols.map(c => s"_wasnull_$c") :+ "_generated": _*)
-      return Result(if (cacheResult) clean.cache() else clean, report)
+      return Result(
+        if (cacheResult)
+          clean.persist(graft.core.Sizing.storageFor(
+            approxResultBytes.orElse(graft.core.Sizing.planEstimate(clean))))
+        else clean, report)
     }
     // Report path. The report needs the accounting columns (`_wasnull_*`,
     // `_generated`) that the returned frame must NOT carry, so the two
@@ -333,7 +342,11 @@ object Gaps {
     repaired.unpersist(blocking = true)
     val clean =
       repaired1.drop(ffillCols.map(c => s"_wasnull_$c") :+ "_generated": _*)
-    Result(if (cacheResult) clean.cache() else clean, report)
+    Result(
+      if (cacheResult)
+        clean.persist(graft.core.Sizing.storageFor(
+          approxResultBytes.orElse(graft.core.Sizing.planEstimate(clean))))
+      else clean, report)
   }
 
   /** Cluster a small frame of missing stamps into gap records (the

@@ -6,6 +6,7 @@ import graft.core.{GraftConfig, Json, Rules}
 import graft.sources.Readers
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Pipeline orchestration (reference O22–O24: src/run.py:60-340): per input
   * — normalize → QA report → per timeframe: gap repair then resample →
@@ -125,10 +126,19 @@ object Runner {
     // in-memory frame for free; Spark must not re-run the normalize graph
     // once per timeframe. The materialization count doubles as the
     // post-dedup count for the duplicates report (no separate count job).
-    val ndf = normalized0.unsorted.cache()
+    // Persist level is size-aware (core.Sizing): in-memory columnar at
+    // gate scale, DISK_ONLY past the spill threshold — the 60M-row probe
+    // spent >25% of wall in GC with this cache (plus the repair cache)
+    // heap-resident. DISK_ONLY keeps the RDD partitioning, so the
+    // assumeSorted repair contract below is unaffected.
+    val ndfPlain = normalized0.unsorted
+    val ndfEstBytes = graft.core.Sizing.planEstimate(ndfPlain)
+    val ndf = ndfPlain.persist(graft.core.Sizing.storageFor(ndfEstBytes))
     val postRows = timed("materialize_cache")(ndf.count())
     if (timing)
-      System.err.println(s"[graft-timing] ndf partitions: ${ndf.rdd.getNumPartitions}")
+      System.err.println(s"[graft-timing] ndf partitions: ${ndf.rdd.getNumPartitions}" +
+        s", est bytes: ${ndfEstBytes.getOrElse(-1L)}" +
+        s", level: ${ndf.storageLevel.description}")
 
     val timeframes = if (cfg.timeframes.nonEmpty) cfg.timeframes else Seq("1T")
     var exports = Vector.empty[StageResult]
@@ -190,10 +200,12 @@ object Runner {
       else None
     val baseRepaired: Option[DataFrame] = baseRule.map { rule =>
       val gp = cfg.gapPolicy.get
+      // the repaired frame is the normalized frame plus synthesized grid
+      // rows — same magnitude, so ndf's estimate serves as its size hint
       val df = Gaps.repairGaps(ndf, rule, gp.useFfillFor,
         gp.interpolatePrices, gp.shortGapMinutes, partitionCols = seriesKeys,
         computeReport = false, cacheResult = true, assumeSorted = true,
-        crossPartition = true).df
+        crossPartition = true, approxResultBytes = ndfEstBytes).df
       // materialize BEFORE the fan-out: four chains read this cache
       // concurrently, and racing an unmaterialized cache serializes them
       // all on the partition lock
@@ -213,7 +225,7 @@ object Runner {
                 gp.interpolatePrices, gp.shortGapMinutes,
                 partitionCols = seriesKeys, computeReport = false,
                 cacheResult = true, assumeSorted = true,
-                crossPartition = true).df
+                crossPartition = true, approxResultBytes = ndfEstBytes).df
               // materialize here so the export's concurrent validate+write
               // read a hot cache instead of racing its first computation
               timed(s"repair_$tf")(r.count())
@@ -222,16 +234,28 @@ object Runner {
           }
         // input on the target bucket grid => one row per bucket => the
         // resample aggregation degenerates to a projection (no shuffle)
-        val res = Resample.resampleOhlc(src, tf,
+        val resPlain = Resample.resampleOhlc(src, tf,
           partitionCols = seriesKeys,
-          inputOnBucketGrid = onGrid).cache()
-        // materialize before the export fires its three concurrent actions
-        // (validate agg, write, hash head): racing the FIRST computation of
-        // a cached shuffle serializes the jobs on the cache's partition
-        // locks — one cheap count turns all three into hot-cache reads.
-        // In correct mode this is the resample's only full computation; in
-        // faithful mode res is a projection of the counted repair cache.
-        timed(s"resample_$tf")(res.count())
+          inputOnBucketGrid = onGrid)
+        // The resampled frame is cached so the export's three concurrent
+        // actions (validate agg, write, hash head) read a hot cache; the
+        // count materializes it first because racing the FIRST
+        // computation of a cached plan serializes the jobs on the
+        // cache's partition locks. Measured both ways at the gate scale:
+        // dropping this cache re-scans the repair cache 3× per chain ×
+        // four concurrent chains and the pipeline went 3.6 s -> 5.0 s.
+        // EXCEPTION — on-grid res at spill scale: there res is a pure
+        // PROJECTION of the repair cache at full row count (the
+        // pipeline's largest frame), and caching it again builds a
+        // second full-size copy (the row-linear `resample_1T` build the
+        // 30× record shows at 0.16 s -> 4.5 s) that a DISK_ONLY source
+        // re-read serves just as well — so past the Sizing threshold the
+        // projection stays uncached and exports read the spilled repair
+        // cache directly.
+        val resSpillSized = onGrid &&
+          graft.core.Sizing.storageFor(ndfEstBytes) == StorageLevel.DISK_ONLY
+        val res = if (resSpillSized) resPlain else resPlain.cache()
+        if (!resSpillSized) timed(s"resample_$tf")(res.count())
         val name = s"${baseName}_${Rules.suffix(tf)}"
         val path = s"$outDir/$name.parquet"
         val report = timed(s"export_$tf")(
@@ -245,7 +269,7 @@ object Runner {
         logLock.synchronized {
           Exporter.appendExportLog(s"$outDir/exports", report)
         }
-        res.unpersist()
+        if (!resSpillSized) res.unpersist()
         if (!correctMode && !(src eq ndf)) src.unpersist()
         StageResult(name, report("rows").asInstanceOf[Long], path)
       }

@@ -1,0 +1,117 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkEntry
+import graft.core.Tables
+import graft.operators.Graph
+import org.apache.spark.sql.SparkSession
+
+/** Per-query scale evidence beyond the 30× rehearsal (VERDICT r14 item
+  * 4): time a NAMED list of gate queries, per-query isolated (cache wipe
+  * + GC before every run, exactly ScaleBench's discipline), at a base
+  * and a scaled dir, and publish base/scaled/ratio per query plus the
+  * measured co-activity edge growth — the graph queries' true input, so
+  * their ratios can be read against input growth instead of raw row
+  * growth.
+  *
+  * This exists separately from ScaleBench because the 100× sweep must
+  * not pay the rehearsal's pipeline phases (RepairProbe owns the 100×
+  * pipeline record); it times just the handful of known-worst scalers.
+  *
+  * Usage: ScaleQueryProbe <baseSfDir> <scaledSfDir> <rowGrowth> <outJson>
+  *          <q1,q2,...> [reps]
+  */
+object ScaleQueryProbe {
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def main(args: Array[String]): Unit = {
+    val base = args(0)
+    val scaled = args(1)
+    val rowGrowth = args(2).toDouble
+    val outFile = args(3)
+    val names = args(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val reps = if (args.length > 5) args(5).toInt else 3
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scratch = Paths.get("/dev/shm")
+    val localDir =
+      if (Files.isWritable(scratch))
+        Files.createTempDirectory(scratch, "graft_sqp_scratch").toString
+      else Files.createTempDirectory("graft_sqp_scratch").toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", localDir)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timedRun(name: String, dir: String): Double = {
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, dir).count(); () }
+      catch { case e: Throwable =>
+        System.err.println(s"[sqp] $name @ $dir FAILED: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // min across reps, same estimator rationale as RepairProbe: isolated
+    // single-query reps differ only by additive host noise, so the min is
+    // the plan's own cost; the full rep list is published beside it
+    def minOf(name: String, dir: String): (Double, Seq[Double]) = {
+      val runs = (1 to reps).map(_ => timedRun(name, dir))
+      val ok = runs.filter(_ > 0)
+      (if (ok.isEmpty) -1.0 else ok.min, runs)
+    }
+
+    // the graph queries' true input: co-activity edges at both scales
+    def coEdges(dir: String): Long =
+      try Graph.coActivityEdges(Tables.events(spark, dir)).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[sqp] coEdges @ $dir FAILED: ${e.getMessage}")
+        -1L
+      }
+    val edgesBase = coEdges(base)
+    val edgesScaled = coEdges(scaled)
+    val edgeGrowth =
+      if (edgesBase > 0 && edgesScaled > 0) edgesScaled.toDouble / edgesBase
+      else -1.0
+    System.err.println(
+      f"[sqp] co-activity edges: $edgesBase -> $edgesScaled (x$edgeGrowth%.1f)")
+
+    val rows = names.map { n =>
+      val (b, bRuns) = minOf(n, base)
+      val (s, sRuns) = minOf(n, scaled)
+      val ratio = if (b > 0 && s > 0) s / b else -1.0
+      System.err.println(
+        f"[sqp] $n base $b%.2f s  scaled $s%.2f s  ratio $ratio%.1f " +
+          f"(rows x$rowGrowth%.0f)")
+      f"${jstr(n)}:{" +
+        f""""base":$b%.3f,"scaled":$s%.3f,"ratio":$ratio%.2f,""" +
+        f""""base_runs":${bRuns.map(x => f"$x%.3f").mkString("[", ",", "]")},""" +
+        f""""scaled_runs":${sRuns.map(x => f"$x%.3f").mkString("[", ",", "]")}}"""
+    }
+    val json =
+      f"""{"metric":"scale_query_probe","base_sf_dir":${jstr(base)},"scaled_sf_dir":${jstr(scaled)},"row_growth":$rowGrowth%.0f,"reps":$reps,"estimator":"min-of-reps (isolated reps differ by additive host noise); full rep lists published","coactivity_edges_base":$edgesBase,"coactivity_edges_scaled":$edgesScaled,"coactivity_edge_growth":$edgeGrowth%.2f,"queries":{${rows.mkString(",")}}}"""
+    println(json)
+    Files.writeString(Paths.get(outFile), json + "\n")
+    spark.stop()
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete(): Unit
+    }
+    deleteRec(new java.io.File(localDir))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.{GraftConfig, Sizing}
+import graft.operators.Runner
+import org.apache.spark.storage.StorageLevel
+
+/** Size-aware persist policy (core.Sizing): gate-scale frames stay on the
+  * in-memory columnar default; frames past the spill threshold persist
+  * DISK_ONLY so the pipeline's two big caches stop competing with the
+  * executor heap (the 60M-row probe's GC bottleneck). The integration
+  * test proves the DISK_ONLY path is a pure storage decision: same rows,
+  * same values, both resample modes.
+  */
+class SizingSpec extends SparkSpec {
+
+  test("storageFor: unknown or small stays in memory, large spills") {
+    assert(Sizing.storageFor(None) == StorageLevel.MEMORY_AND_DISK)
+    assert(Sizing.storageFor(Some(1L)) == StorageLevel.MEMORY_AND_DISK)
+    assert(Sizing.storageFor(Some(Sizing.spillBytes)) ==
+      StorageLevel.MEMORY_AND_DISK) // threshold itself is not past it
+    assert(Sizing.storageFor(Some(Sizing.spillBytes + 1)) ==
+      StorageLevel.DISK_ONLY)
+  }
+
+  test("spill threshold is overridable (system property beats default)") {
+    val dflt = Sizing.spillBytes
+    sys.props("graft.mat.spill.bytes") = "12345"
+    try assert(Sizing.spillBytes == 12345L)
+    finally sys.props -= "graft.mat.spill.bytes"
+    assert(Sizing.spillBytes == dflt)
+  }
+
+  test("planEstimate: real for a scan lineage, None past the sentinel") {
+    val est = Sizing.planEstimate(Bench.genOhlcv(spark, 1000L))
+    assert(est.exists(_ > 0), s"range lineage should carry a size: $est")
+  }
+
+  test("pipeline output is identical under a forced DISK_ONLY spill") {
+    val raw = Bench.genOhlcv(spark, 3000L).cache()
+    raw.count()
+    // each export dir is its own partitioned parquet table — read them
+    // separately (a multi-path read trips partition-structure inference)
+    def run(outDir: String, mode: String): Map[String, Set[org.apache.spark.sql.Row]] = {
+      val r = Runner.processDataFrame(spark, raw,
+        GraftConfig(timeframes = Seq("1T", "5T"), resampleMode = mode),
+        sourceTz = None, basename = "EURUSD_sizing", outDir = outDir)
+      assert(r.errors.isEmpty, r.errors.mkString("; "))
+      r.exports.map(e =>
+        e.name -> spark.read.parquet(e.path).collect().toSet).toMap
+    }
+    for (mode <- Seq("faithful", "correct")) {
+      val defOut = Files.createTempDirectory("graft_sz_def").toString
+      val spillOut = Files.createTempDirectory("graft_sz_spill").toString
+      val expected = run(defOut, mode)
+      sys.props("graft.mat.spill.bytes") = "1" // every frame spills
+      try {
+        val got = run(spillOut, mode)
+        assert(got.keySet == expected.keySet, s"$mode: same export set")
+        for ((name, rows) <- expected)
+          assert(got(name) == rows,
+            s"$mode/$name: DISK_ONLY run must match default")
+      } finally sys.props -= "graft.mat.spill.bytes"
+    }
+    raw.unpersist()
+  }
+}
