@@ -155,10 +155,27 @@ object Graph {
             .orderBy(col("_w").desc, xxhash64(col("v")), col("v"))))
         .filter(col("_rk") <= degreeCap)
         .select(col("u"), col("v"))
-      kept.join(kept.select(col("v").as("u"), col("u").as("v")),
-          Seq("u", "v"))
+      // materialize the CAPPED edge list (edge-sized — 2.4M rows at the
+      // 100× probe): consumers scan their edge input 2–5×, and every
+      // un-materialized scan here replays the rank window over the full
+      // pair census; under AQE those replays materialize CONCURRENTLY
+      // and the 100× q118 run died on heap. The under-cap return above
+      // stays a plain lazy plan (the gate-scale exchange-reuse contract
+      // PlanSpec pins) — only the capped path, which already paid a
+      // checkpoint for `weighted`, materializes its result.
+      val result = kept
+        .join(kept.select(col("v").as("u"), col("u").as("v")), Seq("u", "v"))
         .filter(col("u") < col("v"))
         .select(col("u").as("src"), col("v").as("dst"))
+        .localCheckpoint(true)
+      // the pre-cap pair census (`weighted`) is the build's LARGEST
+      // intermediate — GBs of block storage at the 100× probe — and the
+      // eager result checkpoint above was its last reader. Release it
+      // NOW (blocking): left to the async ContextCleaner it outlives the
+      // whole consumer query, and a single 100× kcore run was heap-
+      // marginal on a 24g JVM from exactly this.
+      Dedup.checkpointRdd(weighted).foreach(_.unpersist(true))
+      result
     }
   }
 
@@ -230,11 +247,20 @@ object Graph {
     */
   def triangleCount(edges: DataFrame, srcCol: String = "src",
                     dstCol: String = "dst"): DataFrame = {
+    // The deduped edge list feeds FOUR scans below (degree census twice,
+    // orientation join, closing join) — materialize it once (the eager
+    // localCheckpoint pattern this file uses throughout). Without it,
+    // each scan replays the caller's whole edge BUILD, and AQE
+    // materializes those exchanges CONCURRENTLY: at the 100× probe the
+    // co-activity build's rank window replayed 4× side by side over the
+    // pre-cap pair census and the JVM died on heap — with an edge-sized
+    // (2.4M rows there) checkpoint the query is scan-shaped again.
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(true)
     val deg = und.select(col("a").as("n"))
       .unionAll(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -283,11 +309,15 @@ object Graph {
                           maxDegree: Long = 10000L,
                           srcCol: String = "src",
                           dstCol: String = "dst"): DataFrame = {
+    // deduped edges feed three scans (adjacency both ways + the anti
+    // join) and the candidate census replays the adjacency twice more —
+    // materialize once, same rationale as triangleCount's checkpoint
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(true)
     val adj = und.select(col("a").as("m"), col("b").as("n"))
       .unionAll(und.select(col("b").as("m"), col("a").as("n")))
     val deg = adj.groupBy("m").agg(count(lit(1)).as("d"))

@@ -198,7 +198,13 @@ object ScaleBench {
           // chain-order pattern (chain 1 clean at x25, chains 2–4 at
           // x149–247) was session debt, not growth — cache wipe + GC
           // before EVERY chain puts each one on the same clean JVM, so a
-          // chain's ratio is its own growth regardless of sweep position
+          // chain's ratio is its own growth regardless of sweep position.
+          // The blocking unpersist sweep also frees localCheckpoint
+          // blocks, which clearCache() does NOT touch and the async
+          // ContextCleaner frees too late (the 100× probe OOM'd on
+          // exactly this accumulation)
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(true))
           spark.catalog.clearCache()
           System.gc()
           val raw = spark.read.parquet(rawDir)
@@ -317,6 +323,11 @@ object ScaleBench {
       // r13 record had q337 at 26.6x vs its code-identical sibling q336
       // at 4.4x purely from session position
       def run(dir: String): Double = {
+        // blocking unpersist sweep before clearCache: localCheckpoint
+        // blocks from the previous query are invisible to clearCache and
+        // the async cleaner — see ScaleQueryProbe.timedRun
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(true))
         spark.catalog.clearCache()
         System.gc()
         try timed(fn(spark, dir).count())
@@ -388,7 +399,15 @@ object ScaleBench {
       "conflates growth with contention; sequential_stages is the " +
       "de-contended measurement — each timeframe chain run ALONE " +
       "(reports off), so those ratios are growth, not contention " +
-      "(VERDICT r12 item 1). Pipeline runs size shuffle partitions to " +
+      "(VERDICT r12 item 1). A sequential resample_<tf> ratio near the " +
+      "row growth is EXPECTED, not super-linear: on-grid resample is a " +
+      "projection and the stage is purely the row-linear columnar cache " +
+      "build for the export's three readers (base ~0.16 s is real row " +
+      "work with no fixed overhead to amortize, so 30x rows -> ~29x " +
+      "stage; its concurrent twin reads lower only because the " +
+      "concurrent BASE is contention-inflated). Past the core.Sizing " +
+      "spill threshold the projection cache is skipped entirely and the " +
+      "stage leaves the record. Pipeline runs size shuffle partitions to " +
       "~250k rows each (deployment convention): a pinned 32 made " +
       "FastFill's per-task series buffer grow with scale and the 30x " +
       "repair went GC-bound"

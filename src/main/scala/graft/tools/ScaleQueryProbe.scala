@@ -41,6 +41,16 @@ object ScaleQueryProbe {
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitions follow the data, the ScaleBench/deployment
+    // convention (~250k input rows per partition): the first 100× probe
+    // ran at a pinned 32 and the scaled aggregations went
+    // SparkOutOfMemoryError — per-task hash maps sized to the 100× input
+    // slice exhausted the execution pool before spilling could help.
+    // GRAFT_SQP_PARTS overrides when the consumer's true input (e.g. the
+    // wedge join's edge expansion) needs finer slicing than raw rows.
+    val parts = sys.env.get("GRAFT_SQP_PARTS").map(_.toInt)
+      .getOrElse(math.max(cpus.toInt,
+        (rowGrowth * 600000L / 250000L).toInt))
     val scratch = Paths.get("/dev/shm")
     val localDir =
       if (Files.isWritable(scratch))
@@ -48,14 +58,27 @@ object ScaleQueryProbe {
       else Files.createTempDirectory("graft_sqp_scratch").toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    System.err.println(s"[sqp] shuffle partitions: $parts, heap " +
+      s"${Runtime.getRuntime.maxMemory / 1048576} MB")
 
     def timedRun(name: String, dir: String): Double = {
+      // full storage wipe, not just the SQL cache: localCheckpoint blocks
+      // (the graph builders' materialization) are freed by the ASYNC
+      // ContextCleaner only after their RDDs are GC'd — a probe running
+      // heavy queries back-to-back in one JVM accumulates them until the
+      // heap dies (measured: q118 at 100× OOM'd a 24g heap right after
+      // q309's kcore left its checkpoint blocks behind). The blocking
+      // unpersist sweep frees predecessor blocks deterministically,
+      // outside the timed window — this is the "session debt" mechanism
+      // behind the r13 rehearsal's chain-order artifacts, now removed at
+      // the source.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
@@ -75,15 +98,20 @@ object ScaleQueryProbe {
       (if (ok.isEmpty) -1.0 else ok.min, runs)
     }
 
-    // the graph queries' true input: co-activity edges at both scales
+    // the graph queries' true input: co-activity edges at both scales.
+    // GRAFT_SQP_EDGES=0 skips the census — the fresh-JVM-per-query
+    // driver loop (the publication mode: residual broadcast/AQE state
+    // from a 100× run is unreachable to any in-JVM sweep, so true
+    // isolation is one query per JVM) measures it once, not per query.
     def coEdges(dir: String): Long =
       try Graph.coActivityEdges(Tables.events(spark, dir)).count()
       catch { case e: Throwable =>
         System.err.println(s"[sqp] coEdges @ $dir FAILED: ${e.getMessage}")
         -1L
       }
-    val edgesBase = coEdges(base)
-    val edgesScaled = coEdges(scaled)
+    val edgesOn = sys.env.getOrElse("GRAFT_SQP_EDGES", "1") != "0"
+    val edgesBase = if (edgesOn) coEdges(base) else -1L
+    val edgesScaled = if (edgesOn) coEdges(scaled) else -1L
     val edgeGrowth =
       if (edgesBase > 0 && edgesScaled > 0) edgesScaled.toDouble / edgesBase
       else -1.0
