@@ -320,6 +320,16 @@ object Bench {
     // factor. Alarm thresholds scale by it, and every alarm line carries
     // it, so a loaded run either self-suppresses or is adjudicable from
     // the record alone.
+    // CANARY FREEZE CONTRACT (VERDICT r15 item 5): the canary factor
+    // compares this run's canary times against LAST round's, so it can
+    // only measure host load if the canaries' own plans are identical
+    // across the two rounds. Any commit that changes the plan of a canary
+    // query (its query closure, an operator it calls, or a rule that
+    // rewrites it) MUST swap that query out of `canaryNames` in the SAME
+    // commit — otherwise that round's factor conflates the code change
+    // with load and silently suppresses (code slower) or fabricates (code
+    // faster) real alarms. Replacement criteria: sub-3 s, stable plan,
+    // exercises the shared scan/reader path, not itself a tuning target.
     val canaryNames = Seq("q13_multi_agg", "q24_global_topk", "q98_column_profile")
     def timeCanaries(): Map[String, Double] = canaryNames.flatMap { n =>
       SparkEntry.queries.get(n).map { fn =>
@@ -417,9 +427,21 @@ object Bench {
         e <- canaryEnd.get(n).filter(_ > 0)
       } yield math.max(s, e) / p
     }
-    val canaryFactor =
+    val canaryFactorRaw =
       if (canaryRatios.isEmpty) 1.0
       else math.max(1.0, canaryRatios.sorted.apply(canaryRatios.size / 2))
+    // Cap the scaler (ADVICE r15, medium): the canaries run the same
+    // shared scan/reader code as the suite, so an engine-WIDE regression
+    // inflates them in the same proportion as every query and an
+    // unbounded factor would suppress exactly the alarms the self-report
+    // exists to publish. Past 3× the "load" reading is no longer
+    // plausibly tenancy (r13/r14's storms measured 1.5–2.5×): clamp the
+    // scaler and push a loud contamination marker (which also lands in
+    // query_errors, the field the harness alarms on) so suppression
+    // beyond the cap is visible in the record instead of silent.
+    val canaryFactor = math.min(canaryFactorRaw, 3.0)
+    if (canaryFactorRaw > 3.0)
+      contamination :+= f"canary_factor_capped:${canaryFactorRaw}%.2f->3.00"
     // canary times join the queries map under distinct `_canary` keys so
     // next round's `prev` parse finds a like-for-like baseline (this
     // round falls back to the canaries' main-loop times from r14)

@@ -50,4 +50,56 @@ object Sizing {
     case Some(b) if b > spillBytes => StorageLevel.DISK_ONLY
     case _ => StorageLevel.MEMORY_AND_DISK
   }
+
+  /** Replay-cost proxy for a plan a consumer will scan several times: the
+    * total bytes its SOURCE leaves read. Join/aggregate size propagation
+    * is garbage for this question (a self-join's estimate is the product
+    * of its children — tens of TB for a 10 MB input), but leaf sizes are
+    * real numbers (parquet footers), and the cost of REPLAYING a build
+    * k times is bounded by k × (scan volume + the shuffles it feeds),
+    * which tracks scan volume at every scale we've measured. Materialized
+    * leaves — a LogicalRDD (localCheckpoint; it CARRIES its origin plan's
+    * stats in Spark 4, which may be a join product) and an
+    * InMemoryRelation — count ZERO by CLASS, not by stats: they are
+    * already computed, so a re-scan is a block read, not a build replay.
+    * Unknown-sized leaves also count zero (an RDD bridge with no stats is
+    * indistinguishable from a materialized one).
+    */
+  def leafScanBytes(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.collectLeaves()
+      .map {
+        case _: org.apache.spark.sql.execution.LogicalRDD => BigInt(0)
+        case _: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          BigInt(0)
+        case leaf =>
+          val s = leaf.stats.sizeInBytes
+          if (s >= UnknownFloor || s < 0) BigInt(0) else s
+      }
+      .sum
+      .min(BigInt(Long.MaxValue)).toLong
+
+  /** Threshold above which a fan-out consumer (triangle/wedge builders
+    * scanning their edge working set 3–5×) eagerly materializes instead
+    * of replaying the build per scan. Default 256 MB of leaf scan volume:
+    * below it a handful of replays of a scan-plus-shuffle build is cheap
+    * (measured: q118's full co-activity build replayed ~4× inside 1.4 s
+    * at gate scale, while the eager checkpoint added 0.2–0.9 s of noisy
+    * I/O — the r15 alarm); above it one materialization is strictly
+    * cheaper than k replays and bounds AQE's concurrent-exchange memory.
+    */
+  def fanoutCkptBytes: Long = sys.props.get("graft.fanout.ckpt.bytes")
+    .orElse(sys.env.get("GRAFT_FANOUT_CKPT_BYTES")).map(_.toLong)
+    .getOrElse(1L << 28)
+
+  /** Should a fan-out consumer eagerly materialize a working set derived
+    * from `input`? True only when the input is an UN-materialized build
+    * over big sources (VERDICT r15 item 1: gate-scale plans keep the
+    * cheap lazy form — exchange reuse and small replays — and only
+    * at-scale inputs pay the checkpoint). An already-checkpointed input
+    * (LogicalRDD — e.g. coActivityEdges' capped path) reports zero leaf
+    * bytes and stays lazy: re-deriving a working set from materialized
+    * blocks is shuffle-sized, not build-sized.
+    */
+  def materializeForFanout(input: DataFrame): Boolean =
+    leafScanBytes(input) > fanoutCkptBytes
 }

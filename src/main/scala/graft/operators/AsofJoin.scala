@@ -152,11 +152,24 @@ object AsofJoin {
     // silently reset the carry) and undefined for array/map/struct keys.
     // Mirror FastFill's guard: fail loudly at plan time, not silently at
     // scan time.
+    // Fractional/decimal keys are whitelisted too (ADVICE r15): their
+    // boxed internal values DO compare value-equal under the Scala `!=`
+    // in sameKey (BoxesRunTime numeric equality for boxed Double/Float;
+    // Spark Decimal.equals is compareTo-based). Caveats a caller with
+    // float keys inherits from IEEE numeric equality: a NaN key NEVER
+    // equals the previous row's key (NaN != NaN), so NaN-keyed rows each
+    // start a fresh run and get no carry — deterministic, matching SQL
+    // `=` semantics; and while -0.0 == +0.0 merges runs, their BOXED
+    // hashCodes differ, so a cross-partition seed stored under one zero
+    // sign is not found under the other (the carry resets at that
+    // partition edge — a deterministic miss on an adversarial corner).
     require(keyTypes.forall {
       case StringType | IntegerType | LongType | ShortType | ByteType |
-           BooleanType | DateType | TimestampType | TimestampNTZType => true
+           BooleanType | DateType | TimestampType | TimestampNTZType |
+           FloatType | DoubleType => true
+      case _: DecimalType => true
       case _ => false
-    }, "asofJoin: key columns must be string/integral/boolean/date/timestamp" +
+    }, "asofJoin: key columns must be string/numeric/boolean/date/timestamp" +
       " (key-run equality compares boxed internal values; binary and nested" +
       " keys compare by reference)")
     val nLeft = leftFields.length

@@ -248,19 +248,32 @@ object Graph {
   def triangleCount(edges: DataFrame, srcCol: String = "src",
                     dstCol: String = "dst"): DataFrame = {
     // The deduped edge list feeds FOUR scans below (degree census twice,
-    // orientation join, closing join) — materialize it once (the eager
-    // localCheckpoint pattern this file uses throughout). Without it,
-    // each scan replays the caller's whole edge BUILD, and AQE
-    // materializes those exchanges CONCURRENTLY: at the 100× probe the
-    // co-activity build's rank window replayed 4× side by side over the
-    // pre-cap pair census and the JVM died on heap — with an edge-sized
-    // (2.4M rows there) checkpoint the query is scan-shaped again.
-    val und = edges
+    // orientation join, closing join), and column pruning specializes
+    // each branch's copy of the build (deg scans only `a` then only `b`),
+    // so exchange reuse does NOT collapse them — each scan replays the
+    // caller's edge BUILD, and AQE materializes those replays
+    // CONCURRENTLY. Whether that matters is purely a size question
+    // (VERDICT r15 item 1), so the materialization is Sizing-gated on the
+    // input's leaf scan volume:
+    //  - gate scale (MBs of source): ~4 replays of a small scan+shuffle
+    //    build finish inside the query's 1.4 s, while an eager checkpoint
+    //    added 0.2–0.9 s of noisy I/O (the r15 q118 alarm) — stay LAZY;
+    //  - an already-materialized input (coActivityEdges' capped path
+    //    returns a LogicalRDD — the 100× probe's shape since r15) reports
+    //    zero leaf bytes: replays are block re-reads, stay LAZY;
+    //  - a big UN-materialized build (at the 100× probe, pre-r15, the
+    //    rank window replayed 4× side by side over the pre-cap pair
+    //    census and the JVM died on heap) — checkpoint ONCE, the query is
+    //    scan-shaped again.
+    val undLazy = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true)
+    val und =
+      if (graft.core.Sizing.materializeForFanout(edges))
+        undLazy.localCheckpoint(true)
+      else undLazy
     val deg = und.select(col("a").as("n"))
       .unionAll(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -311,13 +324,17 @@ object Graph {
                           dstCol: String = "dst"): DataFrame = {
     // deduped edges feed three scans (adjacency both ways + the anti
     // join) and the candidate census replays the adjacency twice more —
-    // materialize once, same rationale as triangleCount's checkpoint
-    val und = edges
+    // materialize once IF the input is a big un-materialized build, the
+    // same Sizing gate (and full rationale) as triangleCount's checkpoint
+    val undLazy = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true)
+    val und =
+      if (graft.core.Sizing.materializeForFanout(edges))
+        undLazy.localCheckpoint(true)
+      else undLazy
     val adj = und.select(col("a").as("m"), col("b").as("n"))
       .unionAll(und.select(col("b").as("m"), col("a").as("n")))
     val deg = adj.groupBy("m").agg(count(lit(1)).as("d"))

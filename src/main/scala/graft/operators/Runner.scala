@@ -135,6 +135,23 @@ object Runner {
     val ndfEstBytes = graft.core.Sizing.planEstimate(ndfPlain)
     val ndf = ndfPlain.persist(graft.core.Sizing.storageFor(ndfEstBytes))
     val postRows = timed("materialize_cache")(ndf.count())
+    // defeated-policy tripwire (ADVICE r15): a LogicalRDD-bridged lineage
+    // has no plan size estimate, so the persist above silently kept
+    // MEMORY_AND_DISK. Now that the count has run we have a REAL row
+    // count — if rows × schema row width lands past the spill threshold,
+    // this is exactly the huge-frame case the DISK_ONLY policy targets,
+    // running heap-resident with no signal. Warn unconditionally (not
+    // just in timing mode) so a defeated policy is visible in any record.
+    if (ndfEstBytes.isEmpty) {
+      val approxBytes = postRows * ndfPlain.schema.defaultSize
+      if (approxBytes > graft.core.Sizing.spillBytes)
+        System.err.println("[graft] WARN: normalize cache has no Catalyst " +
+          s"size estimate (bridged lineage) but measured $postRows rows " +
+          s"(~$approxBytes bytes by schema width) past the spill threshold " +
+          s"(${graft.core.Sizing.spillBytes}); persist stayed " +
+          "MEMORY_AND_DISK — set GRAFT_MAT_SPILL_BYTES or feed a sized " +
+          "lineage if this run GC-thrashes")
+    }
     if (timing)
       System.err.println(s"[graft-timing] ndf partitions: ${ndf.rdd.getNumPartitions}" +
         s", est bytes: ${ndfEstBytes.getOrElse(-1L)}" +

@@ -542,8 +542,17 @@ object Similarity {
     * differs from the distributed form (and from the DuckDB oracle
     * replay) only in float fold order, which the 1e-6 snap absorbs —
     * the same tolerance the cross-engine oracle contract already rests
-    * on. The gate corpora sit far below `maxTrainVectors`, so the SQL
-    * oracle replays training over exactly the same (full) training set.
+    * on. Snap-boundary caveat (ADVICE r15): the snap is floor(x·1e6+0.5),
+    * so a pre-snap mean sitting within one ulp of a ±0.5e-6 cell boundary
+    * CAN snap to the neighboring cell under a different fold order — the
+    * oracle contract is therefore "equal up to the 1e-6 grid with
+    * boundary ties engine-dependent", not bitwise equality of unsnapped
+    * means; a once-in-many-rounds single-cell hash flake on this path is
+    * a re-run, not a regression. The gate corpora sit far below
+    * `maxTrainVectors`, so the SQL oracle replays training over exactly
+    * the same (full) training set; when the cap binds the sample is
+    * logged loudly (below) because sample-trained codebooks differ from
+    * full-corpus-trained ones by construction.
     *
     * @return codebooks(sub)(code) = centroid (dsub doubles, 1e-6-snapped).
     */
@@ -564,6 +573,14 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     require(vecs.nonEmpty, "pqCodebooks: empty training set")
+    // surface a binding cap (ADVICE r15): above the cap the codebooks are
+    // sample-trained — correct per the FAISS saturation argument, but an
+    // oracle replaying FULL-corpus training would disagree, so the
+    // sampling must be visible in the record, never silent
+    if (vecs.length == maxTrainVectors)
+      System.err.println(s"[graft] pqCodebooks: training sample capped at " +
+        s"$maxTrainVectors vectors (deterministic smallest-xxhash64(id) " +
+        "sample); codebooks are sample-trained, not full-corpus-trained")
     val dim = vecs.head._2.length
     require(dim % m == 0, s"dim=$dim must divide evenly into m=$m sub-spaces")
     val dsub = dim / m

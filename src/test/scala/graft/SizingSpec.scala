@@ -37,6 +37,46 @@ class SizingSpec extends SparkSpec {
     assert(est.exists(_ > 0), s"range lineage should carry a size: $est")
   }
 
+  test("leafScanBytes: real for file scans, zero for materialized inputs") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_sz_leaf").toString
+    spark.range(10000).select(col("id"), (col("id") * 2).as("v"))
+      .write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    val scanBytes = Sizing.leafScanBytes(scan)
+    assert(scanBytes > 0, s"parquet leaf must carry a real size: $scanBytes")
+    // a SELF-JOIN's own estimate is a child product (garbage), but its
+    // leaf volume is just 2× the scan — the signal the fan-out gate needs
+    val selfJoin = scan.as("a").join(scan.as("b"), "id")
+    val joinLeaves = Sizing.leafScanBytes(selfJoin)
+    assert(joinLeaves >= scanBytes && joinLeaves <= 3 * scanBytes,
+      s"join leaf volume tracks scans, not the product: $joinLeaves")
+    // a checkpointed input is already materialized: zero replay cost
+    val ckpt = scan.localCheckpoint(true)
+    assert(Sizing.leafScanBytes(ckpt) == 0L,
+      "LogicalRDD leaves count zero (block re-read, not build replay)")
+    assert(!Sizing.materializeForFanout(ckpt))
+  }
+
+  test("materializeForFanout gate flips on the threshold; triangleCount " +
+      "output is identical on both sides of it") {
+    import org.apache.spark.sql.functions._
+    val edges = spark.range(200).select((col("id") % 50).as("src"),
+      ((col("id") * 7 + 3) % 50).as("dst"))
+    assert(!Sizing.materializeForFanout(edges),
+      "a KB-scale lineage must stay lazy under the default threshold")
+    val lazyRes = graft.operators.Graph.triangleCount(edges)
+      .orderBy("node").collect().toSeq
+    sys.props("graft.fanout.ckpt.bytes") = "-1" // everything materializes
+    try {
+      assert(Sizing.materializeForFanout(edges))
+      val ckptRes = graft.operators.Graph.triangleCount(edges)
+        .orderBy("node").collect().toSeq
+      assert(ckptRes == lazyRes,
+        "the checkpoint is a pure materialization decision, never values")
+    } finally sys.props -= "graft.fanout.ckpt.bytes"
+  }
+
   test("pipeline output is identical under a forced DISK_ONLY spill") {
     val raw = Bench.genOhlcv(spark, 3000L).cache()
     raw.count()
