@@ -259,8 +259,11 @@ object Graph {
     //    build finish inside the query's 1.4 s, while an eager checkpoint
     //    added 0.2–0.9 s of noisy I/O (the r15 q118 alarm) — stay LAZY;
     //  - an already-materialized input (coActivityEdges' capped path
-    //    returns a LogicalRDD — the 100× probe's shape since r15) reports
-    //    zero leaf bytes: replays are block re-reads, stay LAZY;
+    //    returns a LogicalRDD exactly when its probe measured an
+    //    at-scale graph) — the caller's checkpoint IS the scale marker:
+    //    materialize the working set too (measured at the 100× probe:
+    //    lazy re-derives the 2.4M-row distinct per pruned branch, 417 s
+    //    vs 321 s checkpointed);
     //  - a big UN-materialized build (at the 100× probe, pre-r15, the
     //    rank window replayed 4× side by side over the pre-cap pair
     //    census and the JVM died on heap) — checkpoint ONCE, the query is

@@ -51,11 +51,15 @@ class SizingSpec extends SparkSpec {
     val joinLeaves = Sizing.leafScanBytes(selfJoin)
     assert(joinLeaves >= scanBytes && joinLeaves <= 3 * scanBytes,
       s"join leaf volume tracks scans, not the product: $joinLeaves")
-    // a checkpointed input is already materialized: zero replay cost
+    // a checkpointed input is already materialized: zero replay cost in
+    // the leaf census, but its presence marks an at-scale caller (the
+    // graph builders checkpoint exactly when their probes measured a big
+    // graph), so the fan-out gate says materialize the derived set too
     val ckpt = scan.localCheckpoint(true)
     assert(Sizing.leafScanBytes(ckpt) == 0L,
       "LogicalRDD leaves count zero (block re-read, not build replay)")
-    assert(!Sizing.materializeForFanout(ckpt))
+    assert(Sizing.materializeForFanout(ckpt),
+      "a checkpointed input is the caller's own at-scale marker")
   }
 
   test("materializeForFanout gate flips on the threshold; triangleCount " +
