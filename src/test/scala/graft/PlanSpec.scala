@@ -926,6 +926,41 @@ class PlanSpec extends SparkSpec {
       s"q269 under-cap edge build must skip the capping window:\n$p269")
   }
 
+  test("fan-out gate: graph working sets stay LAZY at gate scale, " +
+      "materialize behind a checkpointed (at-scale) input") {
+    // gate data: the co-activity build is a small lazy parquet plan, so
+    // triangleCount/commonNeighborLinks must NOT inject a checkpoint —
+    // an ExistingRDD scan here is the r15 q118 alarm's noisy-I/O tail
+    // coming back (Sizing.materializeForFanout's lazy side)
+    for (q <- Seq("q118_triangle_count", "q119_link_prediction")) {
+      val p = plan(graft.queries.ExtensionQueries.defs(q)(spark, d))
+      assert(!p.contains("Scan ExistingRDD"),
+        s"$q must keep the fully lazy plan at gate scale:\n$p")
+    }
+    // an input the caller already materialized (what coActivityEdges'
+    // capped path returns exactly when its probe measured an at-scale
+    // graph) is the scale marker: the derived working set must
+    // checkpoint too, or the 100× probe re-shuffles the distinct once
+    // per pruned fan-out branch (measured 417 s vs 321 s). Discriminator:
+    // the working set's dedup aggregate (HashAggregate over keys [a, b])
+    // must be PRE-EXECUTED by the checkpoint — absent from the returned
+    // plan — while the lazy gate-scale form replays it in-plan.
+    def dedupAggs(p: String): Int =
+      "HashAggregate\\(keys=\\[a#\\d+L?(?:\\s*ASC NULLS FIRST)?, b#"
+        .r.findAllIn(p).size
+    val edgesCkpt = spark.range(300)
+      .select((col("id") % 60).as("src"), ((col("id") * 11 + 5) % 60).as("dst"))
+      .localCheckpoint(true)
+    val pBig = plan(graft.operators.Graph.triangleCount(edgesCkpt))
+    assert(dedupAggs(pBig) == 0 && pBig.contains("Scan ExistingRDD"),
+      s"a checkpointed input must pre-materialize the working-set dedup:\n$pBig")
+    val edgesLazy = spark.range(300)
+      .select((col("id") % 60).as("src"), ((col("id") * 11 + 5) % 60).as("dst"))
+    val pLazy = plan(graft.operators.Graph.triangleCount(edgesLazy))
+    assert(dedupAggs(pLazy) > 0,
+      s"a small lazy input must keep the dedup in-plan (no checkpoint):\n$pLazy")
+  }
+
   test("q273-q280: corpus/TPC-H/risk families keep scale-safe shapes") {
     // q273: growth-curve windows cumulate the DOC census, never bigrams
     val w273 = plan(graft.queries.ExtensionQueries
