@@ -24,7 +24,11 @@ import org.apache.spark.sql.types.StructType
   *    store encoder);
   *  - gap repair: a gap whose edges straddle the restart must fill with
   *    the pre-restart edge's value (custom `RepairState`: pending buffer
-  *    + ffill carry).
+  *    + ffill carry);
+  *  - near-dup: a duplicate arriving after the restart must be
+  *    attributed to the PRE-restart bucket owner (custom `BucketOwner`
+  *    state — lost state silently re-registers the dup as a fresh owner
+  *    and emits nothing, so the assertion is on the hit existing at all).
   * Each phase is its own file-source batch; the 2030 sentinel advances
   * the watermark so append-mode state machines flush (FIXTURES.md
   * replay convention).
@@ -137,6 +141,37 @@ class StreamingRecoverySpec extends SparkSpec {
       "state.RocksDBStateStoreProvider")
     try gapRepairRecovery()
     finally spark.conf.set(key, prev)
+  }
+
+  test("near-dup: bucket ownership survives the restart (a post-restart " +
+      "duplicate is attributed to the pre-restart owner)") {
+   withDirs { (in, out, ck) =>
+    // q341's operator: MinHash banding + per-(band, bh) BucketOwner state.
+    // Phase 1 registers doc 1 as the owner of every one of its band
+    // buckets and emits NOTHING (first arrival); the query stops with the
+    // ownership only in the checkpoint. Phase 2 sends doc 2 with
+    // IDENTICAL text — identical minhash, identical band hashes — so a
+    // hit (2, dupOf = 1) on any band is only producible if BucketOwner
+    // state was restored. Lost state would make doc 2 the fresh owner of
+    // every bucket and the sink would stay EMPTY.
+    val text = "alpha beta gamma delta epsilon zeta"
+    val p1 = Seq((1L, text, ts("2024-01-01 10:00:00")))
+      .toDF("doc_id", "text", "ts")
+    def build(st: DataFrame) = StreamingOps.streamingNearDup(
+      st, "doc_id", "text", "ts",
+      numHashes = 64, bands = 16, shingleSize = 3).toDF()
+    phase(in, out, ck, p1.schema, p1)(build)
+    assert(spark.read.parquet(out.toString).isEmpty,
+      "phase 1's sole doc must own its buckets silently")
+    phase(in, out, ck, p1.schema,
+      Seq((2L, text, ts("2024-01-01 10:00:30")))
+        .toDF("doc_id", "text", "ts"))(build)
+    val got = spark.read.parquet(out.toString)
+      .select("docId", "dupOf").distinct()
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L)),
+      s"restored ownership must attribute doc 2 to doc 1: $got")
+   }
   }
 
   test("a replay-based gate query restores the session's shuffle partitioning") {
