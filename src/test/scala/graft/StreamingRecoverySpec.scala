@@ -28,7 +28,11 @@ import org.apache.spark.sql.types.StructType
   *  - near-dup: a duplicate arriving after the restart must be
   *    attributed to the PRE-restart bucket owner (custom `BucketOwner`
   *    state — lost state silently re-registers the dup as a fresh owner
-  *    and emits nothing, so the assertion is on the hit existing at all).
+  *    and emits nothing, so the assertion is on the hit existing at all);
+  *  - heavy hitters: the complete-mode global aggregate's Misra-Gries
+  *    sketch (a custom `TypedImperativeAggregate` — restart exercises
+  *    its serialize/deserialize/merge) must carry phase-1 candidates
+  *    and totals into phase 2's answer.
   * Each phase is its own file-source batch; the 2030 sentinel advances
   * the watermark so append-mode state machines flush (FIXTURES.md
   * replay convention).
@@ -171,6 +175,50 @@ class StreamingRecoverySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((2L, 1L)),
       s"restored ownership must attribute doc 2 to doc 1: $got")
+   }
+  }
+
+  test("heavy hitters: the Misra-Gries sketch state round-trips the " +
+      "checkpoint (complete-mode totals span the restart)") {
+   withDirs { (in, out, ck) =>
+    // q342's operator shape: a COMPLETE-mode global aggregation holding
+    // the MG candidate sketch (a custom TypedImperativeAggregate — its
+    // serialize/deserialize is exactly what a restart exercises) plus an
+    // exact token total as streaming state. Phase 2's totals can only
+    // include phase 1's tokens if the agg state was restored; lost state
+    // would report total = 2 and forget `banana` entirely.
+    graft.plans.GraftExtensions.register(spark)
+    import graft.operators.TextAnalysis
+    val _ = out // complete mode uses a memory sink; the parquet dir idles
+    val p1 = Seq("apple apple banana").toDF("text")
+    def run(name: String, rows: DataFrame): Unit = {
+      rows.write.mode("append").parquet(in.toString)
+      val q = spark.readStream.schema(p1.schema).parquet(in.toString)
+        .select(transform(TextAnalysis.tokens(col("text")),
+          t => xxhash64(t)).as("_wh"))
+        .agg(call_function("misra_gries_keys", col("_wh"), lit(8))
+            .as("cand"),
+          sum(size(col("_wh")).cast("long")).as("total"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run("graft_mg_rec_p1", p1)
+    run("graft_mg_rec_p2", Seq("apple cherry").toDF("text"))
+    val row = spark.table("graft_mg_rec_p2").head()
+    val cand = row.getSeq[Long](0).toSet
+    val total = row.getLong(1)
+    assert(total == 5L,
+      s"restored agg state must count BOTH phases' tokens: total=$total")
+    // capacity 8 >= 3 distinct tokens, so the merged sketch is exact:
+    // all three distinct token hashes survive, including phase-1-only
+    // `banana`
+    val hashes = Seq("apple", "banana", "cherry").toDF("t")
+      .select(xxhash64(col("t"))).as[Long].collect().toSet
+    assert(hashes.subsetOf(cand),
+      s"merged sketch must keep phase-1 candidates: $cand vs $hashes")
    }
   }
 
