@@ -94,7 +94,7 @@ object Sizing {
   /** Should a fan-out consumer eagerly materialize a working set derived
     * from `input`? (VERDICT r15 item 1: gate-scale plans keep the cheap
     * lazy form — exchange reuse and small replays — and only at-scale
-    * inputs pay the checkpoint.) Two signals, either suffices:
+    * inputs pay the checkpoint.) Any one signal suffices:
     *
     *  - the input contains an already-CHECKPOINTED leaf (LogicalRDD —
     *    e.g. coActivityEdges' capped path, which materializes exactly
@@ -105,16 +105,44 @@ object Sizing {
     *    (417 s lazy vs r15's 321 s checkpointed — 4 pruned branches
     *    each re-shuffling the 2.4M-row distinct). A small checkpointed
     *    input pays a harmless ms-scale extra materialization.
+    *  - a LARGE cached input (ADVICE r16, medium): an InMemoryRelation
+    *    leaf counts zero in [[leafScanBytes]] because RE-SCANNING the
+    *    cache is a block read — but the shuffles the fan-out derives ON
+    *    TOP of it are replayed per branch all the same, the exact
+    *    pattern the gate exists to prevent. A materialized
+    *    InMemoryRelation carries REAL post-computation stats (unlike
+    *    join-product estimates), so compare them against the same
+    *    threshold. (An un-materialized cache still reports its child
+    *    plan's estimate — possibly a join-product overshoot — which
+    *    errs toward checkpointing a big-LOOKING cache: the cheap
+    *    failure mode. Gate-scale graph queries cache nothing, so their
+    *    pinned lazy plans are untouched.)
     *  - a lazy build whose leaf scan volume exceeds the threshold: one
     *    materialization beats k replays of a big build, and bounds
     *    AQE's concurrent-exchange memory (the pre-r15 heap death).
+    *  - a NON-DETERMINISTIC build (ADVICE r16, low): without one
+    *    materialized snapshot, each fan-out branch re-executes the
+    *    build and can observe a DIFFERENT row set (rand(), sampling, a
+    *    non-deterministic UDF) — a degree census, orientation join and
+    *    closing join over three different edge sets is silently
+    *    inconsistent output, not a perf question. Size is irrelevant
+    *    here; correctness forces the snapshot.
     *
-    * Gate-scale graph queries hit neither (small lazy parquet builds)
-    * and keep the fully lazy plan — the r15 q118 alarm's fix.
+    * Gate-scale graph queries hit none of these (small, deterministic,
+    * un-cached lazy parquet builds) and keep the fully lazy plan — the
+    * r15 q118 alarm's fix, pinned by PlanSpec.
     */
   def materializeForFanout(input: DataFrame): Boolean = {
-    val leaves = input.queryExecution.optimizedPlan.collectLeaves()
-    leaves.exists(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) ||
-      leafScanBytes(input) > fanoutCkptBytes
+    val plan = input.queryExecution.optimizedPlan
+    val leaves = plan.collectLeaves()
+    leaves.exists {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        val s = imr.stats.sizeInBytes
+        s < UnknownFloor && s > fanoutCkptBytes
+      case _ => false
+    } ||
+      leafScanBytes(input) > fanoutCkptBytes ||
+      plan.exists(_.expressions.exists(_.exists(!_.deterministic)))
   }
 }

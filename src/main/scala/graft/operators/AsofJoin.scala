@@ -56,6 +56,38 @@ object AsofJoin {
     case x => x
   }
 
+  /** Canonical form of a key value for run detection and seed lookup,
+    * matching Spark SQL's join/grouping key semantics for fractional
+    * types (ADVICE r16): all NaN bit patterns collapse to the one
+    * canonical NaN (Spark treats NaN = NaN as TRUE in join keys) and
+    * -0.0 collapses to +0.0 (Spark normalizes the zero sign before
+    * hashing), so a key run never splits — and a cross-partition seed
+    * is never missed — on a bit-pattern difference a Spark equi-join
+    * would ignore. Everything else passes through unchanged.
+    */
+  private def canonKey(v: Any): Any = v match {
+    case d: java.lang.Double =>
+      if (d.doubleValue() == 0.0d) java.lang.Double.valueOf(0.0d)
+      else if (java.lang.Double.isNaN(d.doubleValue()))
+        java.lang.Double.valueOf(java.lang.Double.NaN)
+      else d
+    case f: java.lang.Float =>
+      if (f.floatValue() == 0.0f) java.lang.Float.valueOf(0.0f)
+      else if (java.lang.Float.isNaN(f.floatValue()))
+        java.lang.Float.valueOf(java.lang.Float.NaN)
+      else f
+    case x => x
+  }
+
+  /** Key equality over canonicalized boxed values: `Objects.equals`, so
+    * canonical NaN equals canonical NaN (java.lang.Double.equals is
+    * bits-based — the NaN-safe semantics Spark SQL gives join keys),
+    * while every other whitelisted type keeps its value-based equals
+    * (UTF8String, boxed integrals, Decimal's compareTo-based equals).
+    * Both arguments MUST have passed through [[canonKey]].
+    */
+  private def keyEq(a: Any, b: Any): Boolean = java.util.Objects.equals(a, b)
+
   /** @param left     probe side (keeps all rows)
     * @param right    reference side (latest at-or-before row is attached)
     * @param keyCols  equi-join keys
@@ -152,17 +184,16 @@ object AsofJoin {
     // silently reset the carry) and undefined for array/map/struct keys.
     // Mirror FastFill's guard: fail loudly at plan time, not silently at
     // scan time.
-    // Fractional/decimal keys are whitelisted too (ADVICE r15): their
-    // boxed internal values DO compare value-equal under the Scala `!=`
-    // in sameKey (BoxesRunTime numeric equality for boxed Double/Float;
-    // Spark Decimal.equals is compareTo-based). Caveats a caller with
-    // float keys inherits from IEEE numeric equality: a NaN key NEVER
-    // equals the previous row's key (NaN != NaN), so NaN-keyed rows each
-    // start a fresh run and get no carry — deterministic, matching SQL
-    // `=` semantics; and while -0.0 == +0.0 merges runs, their BOXED
-    // hashCodes differ, so a cross-partition seed stored under one zero
-    // sign is not found under the other (the carry resets at that
-    // partition edge — a deterministic miss on an adversarial corner).
+    // Fractional/decimal keys are whitelisted too (ADVICE r15), with
+    // Spark SQL's join-key semantics (ADVICE r16): key values pass
+    // through `canonKey` before run detection and seed storage/lookup,
+    // so NaN keys form runs like any other value (Spark treats
+    // NaN = NaN as TRUE for join/grouping keys — all bit patterns
+    // collapse to one canonical NaN) and -0.0/+0.0 are one key (Spark
+    // normalizes the zero sign), INCLUDING across a range-partition
+    // boundary where the pre-r17 boxed hashCode mismatch dropped the
+    // seed carry (AsofJoinSpec pins both corners). Decimal keys need no
+    // canonicalization: Decimal.equals is compareTo-based, scale-stable.
     require(keyTypes.forall {
       case StringType | IntegerType | LongType | ShortType | ByteType |
            BooleanType | DateType | TimestampType | TimestampNTZType |
@@ -210,8 +241,10 @@ object AsofJoin {
         if (curKey == null) return false
         var i = 0
         while (i < n) {
-          val v = if (row.isNullAt(i)) null else row.get(i, keyTypes(i))
-          if (v != curKey(i)) return false
+          val v =
+            if (row.isNullAt(i)) null
+            else canonKey(row.get(i, keyTypes(i)))
+          if (!keyEq(v, curKey(i))) return false
           i += 1
         }
         true
@@ -220,7 +253,7 @@ object AsofJoin {
         if (!sameKey(row)) {
           curKey = Array.tabulate(n)(i =>
             if (row.isNullAt(i)) null
-            else InternalRow.copyValue(row.get(i, keyTypes(i))))
+            else canonKey(InternalRow.copyValue(row.get(i, keyTypes(i)))))
           lastRight =
             if (seeds.isEmpty) null
             else seeds.getOrElse(
@@ -325,8 +358,10 @@ object AsofJoin {
         if (keyInt == null) return false
         var i = 0
         while (i < n) {
-          val v = if (row.isNullAt(i)) null else row.get(i, keyTypes(i))
-          if (v != keyInt(i)) return false
+          val v =
+            if (row.isNullAt(i)) null
+            else canonKey(row.get(i, keyTypes(i)))
+          if (!keyEq(v, keyInt(i))) return false
           i += 1
         }
         true
@@ -337,7 +372,7 @@ object AsofJoin {
           flush()
           keyInt = Array.tabulate(n)(i =>
             if (row.isNullAt(i)) null
-            else InternalRow.copyValue(row.get(i, keyTypes(i))))
+            else canonKey(InternalRow.copyValue(row.get(i, keyTypes(i)))))
           lastRight = null
         }
         if (row.getInt(n + 1) == 0)

@@ -216,6 +216,64 @@ class CrossPartitionSpec extends SparkSpec {
       "tolerance must behave identically under the range layout")
   }
 
+  test("as-of float keys: NaN and signed zero follow Spark join-key semantics") {
+    import graft.operators.AsofJoin
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // ONE logical key under Spark SQL join semantics, alternating
+    // -0.0/+0.0 bit patterns row by row, plus a NaN-keyed stretch; a
+    // single quote per key right after the first event, so every later
+    // event's match rides the run carry — and, in the range layout,
+    // the cross-partition seed. Pre-r17 both corners missed: each NaN
+    // row started a fresh run (IEEE NaN != NaN), and a seed stored
+    // under one zero sign was not FOUND under the other at a partition
+    // edge (boxed hashCode mismatch). canonKey pins Spark's semantics:
+    // NaN = NaN for keys, -0.0 = +0.0 always.
+    val events = (
+      (0 until 2000).map(i => (if (i % 2 == 0) 0.0 else -0.0,
+        ts(t0 + i * 60000000L), s"z$i")) ++
+      (0 until 50).map(i => (Double.NaN, ts(t0 + i * 60000000L), s"n$i"))
+    ).toDF("k", "ts", "name")
+    val quotes = Seq(
+      (-0.0, ts(t0 + 30000000L), 7.0), // stored under the MINUS sign
+      (Double.NaN, ts(t0 + 30000000L), 9.0)
+    ).toDF("k", "qts", "price")
+    def run(crossPartition: Boolean): Seq[(String, Option[Any])] = {
+      val adaptive = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try AsofJoin.asof(events, quotes, Seq("k"), "ts", "qts", Seq("price"),
+          crossPartition = crossPartition)
+        .orderBy("name").collect()
+        .map(r => (r.getString(r.fieldIndex("name")),
+          Option(r.get(r.fieldIndex("asof_price"))))).toSeq
+      finally spark.conf.set("spark.sql.adaptive.enabled", adaptive)
+    }
+    val hash = run(crossPartition = false)
+    val byName = hash.toMap
+    assert(byName("z0").isEmpty && byName("n0").isEmpty,
+      "events before the quote must not match")
+    val zMisses = (1 until 2000).filter(i => byName(s"z$i") != Some(7.0))
+    assert(zMisses.isEmpty,
+      s"signed-zero runs must merge (${zMisses.take(5)} missed the carry)")
+    val nMisses = (1 until 50).filter(i => byName(s"n$i") != Some(9.0))
+    assert(nMisses.isEmpty,
+      s"NaN keys must form runs like Spark join keys ($nMisses missed)")
+    // the range layout must split the hot zero key across tasks, so the
+    // seed lookup actually exercises the canonicalized map key
+    val adaptive = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val spread =
+      try AsofJoin.asof(events, quotes, Seq("k"), "ts", "qts", Seq("price"),
+          crossPartition = true)
+        .filter($"k" === 0.0)
+        .select(expr("spark_partition_id()").as("p")).distinct().count()
+      finally spark.conf.set("spark.sql.adaptive.enabled", adaptive)
+    assert(spread > 1, s"hot zero key confined to $spread partition(s)")
+    assert(run(crossPartition = true) == hash,
+      "range layout must equal the hash layout on NaN/signed-zero keys")
+  }
+
   test("as-of nearest picks the closer side, backward on ties") {
     import graft.operators.AsofJoin
     val spark2 = spark

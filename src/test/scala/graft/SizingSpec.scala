@@ -81,6 +81,49 @@ class SizingSpec extends SparkSpec {
     } finally sys.props -= "graft.fanout.ckpt.bytes"
   }
 
+  test("materializeForFanout: a large cache and a non-deterministic build " +
+      "are scale/correctness signals; a small deterministic cache is not") {
+    import org.apache.spark.sql.functions._
+    // small cached input: re-scan is a block read AND the shuffles above
+    // it are cheap to replay — stays lazy (the r15 gate-scale contract)
+    val small = spark.range(1000)
+      .select((col("id") % 50).as("src"), ((col("id") * 7) % 50).as("dst"))
+      .cache()
+    small.count()
+    try {
+      assert(Sizing.leafScanBytes(small) == 0L,
+        "InMemoryRelation leaves count zero replay bytes")
+      assert(!Sizing.materializeForFanout(small),
+        "a small materialized cache must not force the checkpoint")
+      // the SAME cache above the threshold is a scale signal (ADVICE r16):
+      // its post-materialization stats are real, so shrinking the
+      // threshold under them must flip the gate even though leafScanBytes
+      // still reads zero
+      sys.props("graft.fanout.ckpt.bytes") = "0"
+      assert(Sizing.materializeForFanout(small),
+        "a cached input bigger than the threshold is an at-scale marker")
+    } finally {
+      sys.props -= "graft.fanout.ckpt.bytes"
+      small.unpersist()
+      ()
+    }
+    // a non-deterministic build must materialize REGARDLESS of size:
+    // without one snapshot each fan-out branch re-executes rand() and the
+    // degree census / orientation / closing joins see different edge sets
+    val nondet = spark.range(100)
+      .select((rand(7) * 50).cast("long").as("src"),
+        (rand(11) * 50).cast("long").as("dst"))
+    assert(Sizing.materializeForFanout(nondet),
+      "non-deterministic inputs force a snapshot (correctness, not size)")
+    // ...and once snapshotted, two evaluations of the SAME returned frame
+    // agree (the snapshot is the single source of truth; without it each
+    // action could re-roll the rand() edges)
+    val tc = graft.operators.Graph.triangleCount(nondet)
+    val a = tc.orderBy("node").collect().toSeq
+    val b = tc.orderBy("node").collect().toSeq
+    assert(a == b, "re-evaluating the census must read one snapshot")
+  }
+
   test("pipeline output is identical under a forced DISK_ONLY spill") {
     val raw = Bench.genOhlcv(spark, 3000L).cache()
     raw.count()
