@@ -205,6 +205,73 @@ object Bench {
         outDir = Files.createTempDirectory("graft_warm").toString)
     warm.unpersist()
 
+    // last round's per-query numbers, loaded BEFORE the pipeline and query
+    // phases so (a) a would-be query alarm can be re-measured on the spot
+    // and (b) the canary passes below have their denominators. Source
+    // preference: the full JSON this main wrote last round (benchOut), else
+    // the newest driver-captured BENCH_r*.json — whose 2000-char stdout
+    // `tail` keeps (most of) the queries map even when the headline is
+    // truncated away.
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    def parseQueryTimes(text: String): Map[String, Double] =
+      """"(q[0-9A-Za-z_]+)":(-?[0-9][0-9.]*)""".r.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val prev: Map[String, Double] = {
+      val local = new java.io.File(benchOut)
+      val newest = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(_.getName).lastOption
+      ((if (local.isFile) Seq(local) else Nil) ++ newest).iterator
+        .map { f =>
+          try parseQueryTimes(Files.readString(f.toPath))
+          catch { case _: Exception => Map.empty[String, Double] }
+        }.find(_.nonEmpty).getOrElse(Map.empty)
+    }
+
+    // ---- load canaries (r14 verdict item 1) ----------------------------
+    // Every round the driver's bench runs on a loaded host and produces
+    // 20–40 alarms that a quiet judge re-time disconfirms (r13: 37, r14:
+    // 22 — all environmental). The committed-quiet-baseline fix (r13)
+    // didn't help because the DRIVER's run is the loaded one. So the
+    // alarm rule itself must carry a load estimate: three cheap, stable
+    // queries untouched for many rounds are re-timed (median-of-3) at
+    // phase boundaries; the worst-phase ratio of each vs its
+    // previous-round time, medianed across the three, is the canary
+    // factor. Alarm thresholds scale by it, and every alarm line carries
+    // it, so a loaded run either self-suppresses or is adjudicable from
+    // the record alone.
+    // CANARY FREEZE CONTRACT (VERDICT r15 item 5): the canary factor
+    // compares this run's canary times against LAST round's, so it can
+    // only measure host load if the canaries' own plans are identical
+    // across the two rounds. Any commit that changes the plan of a canary
+    // query (its query closure, an operator it calls, or a rule that
+    // rewrites it) MUST swap that query out of `canaryNames` in the SAME
+    // commit — otherwise that round's factor conflates the code change
+    // with load and silently suppresses (code slower) or fabricates (code
+    // faster) real alarms. Replacement criteria: sub-3 s, stable plan,
+    // exercises the shared scan/reader path, not itself a tuning target.
+    val canaryNames = Seq("q13_multi_agg", "q24_global_topk", "q98_column_profile")
+    def timeCanaries(): Map[String, Double] = canaryNames.flatMap { n =>
+      SparkEntry.queries.get(n).map { fn =>
+        def once(): Double = {
+          val c0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - c0) / 1e9
+        }
+        n -> (try Seq(once(), once(), once()).sorted.apply(1)
+              catch { case _: Throwable => -1.0 })
+      }
+    }.toMap
+    // pipeline-phase START bracket (VERDICT r16 item 1): the query-phase
+    // canaries cannot see load that arrives DURING the pipeline reps —
+    // r16's driver published a 1.34× pipeline headline with canary 1.00×
+    // for code that quietly measures 0.81–0.86×. This pass plus the
+    // query-phase start pass bracket the pipeline block, and the factor
+    // they yield is published as pipeline_canary_factor so a loaded
+    // pipeline reading is visibly environmental from the record alone.
+    val pipeCanaryStart = timeCanaries()
+
     // faithful mode is the headline: apples-to-apples with BASELINE.md (the
     // reference runs the repair-at-rule→grid-sample algorithm; §2.2.4).
     // Median of 3 runs — the sandbox's virtual disk has multi-second I/O
@@ -286,62 +353,9 @@ object Bench {
       correctRetries += 1
     }
 
-    // last round's per-query numbers, loaded BEFORE the query loop so a
-    // would-be alarm can be re-measured on the spot. Source preference: the
-    // full JSON this main wrote last round (benchOut), else the newest
-    // driver-captured BENCH_r*.json — whose 2000-char stdout `tail` keeps
-    // (most of) the queries map even when the headline is truncated away.
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    def parseQueryTimes(text: String): Map[String, Double] =
-      """"(q[0-9A-Za-z_]+)":(-?[0-9][0-9.]*)""".r.findAllMatchIn(text)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    val prev: Map[String, Double] = {
-      val local = new java.io.File(benchOut)
-      val newest = Option(new java.io.File(".").listFiles())
-        .getOrElse(Array.empty)
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(_.getName).lastOption
-      ((if (local.isFile) Seq(local) else Nil) ++ newest).iterator
-        .map { f =>
-          try parseQueryTimes(Files.readString(f.toPath))
-          catch { case _: Exception => Map.empty[String, Double] }
-        }.find(_.nonEmpty).getOrElse(Map.empty)
-    }
-
-    // ---- load canaries (r14 verdict item 1) ----------------------------
-    // Every round the driver's bench runs on a loaded host and produces
-    // 20–40 alarms that a quiet judge re-time disconfirms (r13: 37, r14:
-    // 22 — all environmental). The committed-quiet-baseline fix (r13)
-    // didn't help because the DRIVER's run is the loaded one. So the
-    // alarm rule itself must carry a load estimate: three cheap, stable
-    // queries untouched for many rounds are re-timed (median-of-3) at
-    // query-phase start and end; the worst-phase ratio of each vs its
-    // previous-round time, medianed across the three, is the canary
-    // factor. Alarm thresholds scale by it, and every alarm line carries
-    // it, so a loaded run either self-suppresses or is adjudicable from
-    // the record alone.
-    // CANARY FREEZE CONTRACT (VERDICT r15 item 5): the canary factor
-    // compares this run's canary times against LAST round's, so it can
-    // only measure host load if the canaries' own plans are identical
-    // across the two rounds. Any commit that changes the plan of a canary
-    // query (its query closure, an operator it calls, or a rule that
-    // rewrites it) MUST swap that query out of `canaryNames` in the SAME
-    // commit — otherwise that round's factor conflates the code change
-    // with load and silently suppresses (code slower) or fabricates (code
-    // faster) real alarms. Replacement criteria: sub-3 s, stable plan,
-    // exercises the shared scan/reader path, not itself a tuning target.
-    val canaryNames = Seq("q13_multi_agg", "q24_global_topk", "q98_column_profile")
-    def timeCanaries(): Map[String, Double] = canaryNames.flatMap { n =>
-      SparkEntry.queries.get(n).map { fn =>
-        def once(): Double = {
-          val c0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - c0) / 1e9
-        }
-        n -> (try Seq(once(), once(), once()).sorted.apply(1)
-              catch { case _: Throwable => -1.0 })
-      }
-    }.toMap
+    // query-phase START bracket — doubles as the pipeline-phase END
+    // bracket (nothing but this pass sits between the correct-mode run
+    // and the query loop)
     val canaryStart = timeCanaries()
 
     var failed = Vector.empty[String]
@@ -399,10 +413,18 @@ object Bench {
     try {
       val emb = graft.core.Tables.embeddings(spark, sfDir)
       val tb = "graft_bkt_ivf_bench"
-      val b0 = System.nanoTime()
-      graft.operators.Similarity.buildIvfIndex(emb, tb, "vec_id", "embedding",
-        nLists = 8, iterations = 1, sampleFraction = 0.2)
-      val buildSec = (System.nanoTime() - b0) / 1e9
+      // median-of-3, not one-shot (VERDICT r16 item 4): the build writes a
+      // partitioned table, so a single disk blip on a one-shot timing
+      // tripped a driver alarm on unchanged code. The build is idempotent
+      // (drop + retrain + rewrite), so re-timing is safe and ~0.7 s/rep.
+      def buildOnce(): Double = {
+        graft.operators.Exporter.dropBucketed(spark, tb)
+        val b0 = System.nanoTime()
+        graft.operators.Similarity.buildIvfIndex(emb, tb, "vec_id", "embedding",
+          nLists = 8, iterations = 1, sampleFraction = 0.2)
+        (System.nanoTime() - b0) / 1e9
+      }
+      val buildSec = Seq(buildOnce(), buildOnce(), buildOnce()).sorted.apply(1)
       def probeOnce(): Double = {
         val p0 = System.nanoTime()
         graft.operators.Similarity.ivfProbe(spark, tb,
@@ -442,6 +464,27 @@ object Bench {
     val canaryFactor = math.min(canaryFactorRaw, 3.0)
     if (canaryFactorRaw > 3.0)
       contamination :+= f"canary_factor_capped:${canaryFactorRaw}%.2f->3.00"
+    // pipeline-phase factor (VERDICT r16 item 1): the same estimator over
+    // the passes BRACKETING the pipeline reps (pipeCanaryStart before the
+    // first timed run, canaryStart right after correct mode). Published
+    // beside the pipeline median and min — never an alarm scaler — as the
+    // record's own load adjudication for the headline: a 1.3× headline
+    // with a similarly inflated pipeline_canary_factor is environmental;
+    // with a factor near 1.0 it is a code regression. The MIN rides
+    // along because the drift bisect (BENCH_DRIFT_R16.json) measured the
+    // cross-session noise as strictly additive, making the min the
+    // robust cross-session statistic for identical plans.
+    val pipeRatios = canaryNames.flatMap { n =>
+      val prevT = prev.get(s"${n}_canary").orElse(prev.get(n)).filter(_ > 0)
+      for {
+        p <- prevT
+        s <- pipeCanaryStart.get(n).filter(_ > 0)
+        e <- canaryStart.get(n).filter(_ > 0)
+      } yield math.max(s, e) / p
+    }
+    val pipelineCanaryFactor = math.min(
+      if (pipeRatios.isEmpty) 1.0
+      else math.max(1.0, pipeRatios.sorted.apply(pipeRatios.size / 2)), 3.0)
     // canary times join the queries map under distinct `_canary` keys so
     // next round's `prev` parse finds a like-for-like baseline (this
     // round falls back to the canaries' main-loop times from r14)
@@ -496,7 +539,7 @@ object Bench {
     val disc = discarded.map(s => f"$s%.3f").mkString("[", ",", "]")
     val maxHeap = Runtime.getRuntime.maxMemory
     val json =
-      f"""{"metric":"etl_pipeline_sec","value":$pipelineSec%.3f,"unit":"sec","pipeline_runs":${faithfulRuns.map(s => f"$s%.3f").mkString("[", ",", "]")},"pipeline_spread":$spread%.2f,"pipeline_discarded":$disc,"contamination":${jarr(contamination)},"correct_mode_sec":$correctSec%.3f,"gc_ms_per_run":${gcPerRun.mkString("[", ",", "]")},"heap_high_water_mb":${heapHighWater / 1048576},"heap_max_mb":${maxHeap / 1048576},"input_rows":$inputRows,"exports":${result.exports.map(_.rows).mkString("[", ",", "]")},"query_errors":${jarr(failed)},"query_medians":${jarr(medianed)},"queries":$qs,"sf":${jstr(sfDir)},"canary_factor":$canaryFactor%.2f,"alarms":${jarr(alarms)},"etl_pipeline_sec":$pipelineSec%.3f}"""
+      f"""{"metric":"etl_pipeline_sec","value":$pipelineSec%.3f,"unit":"sec","pipeline_runs":${faithfulRuns.map(s => f"$s%.3f").mkString("[", ",", "]")},"pipeline_min":${faithfulRuns.head}%.3f,"pipeline_canary_factor":$pipelineCanaryFactor%.2f,"pipeline_spread":$spread%.2f,"pipeline_discarded":$disc,"contamination":${jarr(contamination)},"correct_mode_sec":$correctSec%.3f,"gc_ms_per_run":${gcPerRun.mkString("[", ",", "]")},"heap_high_water_mb":${heapHighWater / 1048576},"heap_max_mb":${maxHeap / 1048576},"input_rows":$inputRows,"exports":${result.exports.map(_.rows).mkString("[", ",", "]")},"query_errors":${jarr(failed)},"query_medians":${jarr(medianed)},"queries":$qs,"sf":${jstr(sfDir)},"canary_factor":$canaryFactor%.2f,"alarms":${jarr(alarms)},"etl_pipeline_sec":$pipelineSec%.3f}"""
     println(json)
     // the driver's stdout capture keeps only the LAST 2000 chars, which
     // truncates the 300-entry queries map's line into unparseable JSON
@@ -510,7 +553,7 @@ object Bench {
     // metric=etl_pipeline_sec: it is the same measurement, and the driver
     // contract keys on that metric name.
     val compact =
-      f"""{"metric":"etl_pipeline_sec","value":$pipelineSec%.3f,"unit":"sec","compact":true,"full_json":${jstr(benchOut)},"pipeline_runs":${faithfulRuns.map(s => f"$s%.3f").mkString("[", ",", "]")},"pipeline_spread":$spread%.2f,"correct_mode_sec":$correctSec%.3f,"input_rows":$inputRows,"n_queries":${allQueryTimes.size},"query_sec_total":${allQueryTimes.map(_._2).sum}%.1f,"query_errors":${jarrCapped(failed, 4)},"canary_factor":$canaryFactor%.2f,"alarms":${jarrCapped(alarms, 4)},"sf":${jstr(sfDir)},"etl_pipeline_sec":$pipelineSec%.3f}"""
+      f"""{"metric":"etl_pipeline_sec","value":$pipelineSec%.3f,"unit":"sec","compact":true,"full_json":${jstr(benchOut)},"pipeline_runs":${faithfulRuns.map(s => f"$s%.3f").mkString("[", ",", "]")},"pipeline_min":${faithfulRuns.head}%.3f,"pipeline_canary_factor":$pipelineCanaryFactor%.2f,"pipeline_spread":$spread%.2f,"correct_mode_sec":$correctSec%.3f,"input_rows":$inputRows,"n_queries":${allQueryTimes.size},"query_sec_total":${allQueryTimes.map(_._2).sum}%.1f,"query_errors":${jarrCapped(failed, 4)},"canary_factor":$canaryFactor%.2f,"alarms":${jarrCapped(alarms, 4)},"sf":${jstr(sfDir)},"etl_pipeline_sec":$pipelineSec%.3f}"""
     println(compact)
     // the whole line, un-truncatable: the driver (and next round's alarm
     // comparison) read it from here
