@@ -179,6 +179,45 @@ object Graph {
     }
   }
 
+  /** Materialize the co-activity edge list as a BUCKETED managed table —
+    * the persisted-index form of the graph build (VERDICT r16 item 2):
+    * q54's build/probe shape applied to graphs. At the 100× probe the
+    * capped build (bucket census + weighted pair census + mutual-kNN
+    * rank window) is a shared ~300 s floor recomputed inside EVERY graph
+    * query; at 100 TB that build is an index written ONCE and probed
+    * many times, exactly like the persisted IVF corpus
+    * (`Similarity.buildIvfIndex`). Probes read `spark.table(table)` —
+    * a leaf whose scan volume is the (degreeCap-bounded) EDGE LIST, two
+    * longs per edge, orders of magnitude smaller than the activity rows
+    * the build scans — so the Sizing fan-out gate correctly prices
+    * probe-side replays as cheap table re-scans, never build replays.
+    *
+    * The table is bucketed and sort-ordered by (`src`, `dst`): node-id
+    * keyed probe joins against the edge table co-locate without an
+    * extra exchange when the probe side matches the bucket count, and
+    * the sorted layout keeps each node's adjacency contiguous for the
+    * wedge scans. Returns the edge count (the build's own census — the
+    * scalar a deployment records next to the build timestamp).
+    *
+    * Freshness is the CALLER's contract, as with every index: a probe
+    * against a table built from older events answers about that
+    * snapshot. Rebuild = call again (overwrite is drop-and-replace,
+    * `Exporter.writeBucketed` semantics, non-atomic).
+    */
+  def buildEdgeTable(events: DataFrame, table: String,
+                     numBuckets: Int = 32,
+                     bucketCap: Int = 1024, degreeCap: Int = 96,
+                     userCol: String = "user_id",
+                     typeCol: String = "event_type",
+                     tsCol: String = "ts"): Long = {
+    val edges = coActivityEdges(events, bucketCap, degreeCap,
+      assertUncapped = false, userCol = userCol, typeCol = typeCol,
+      tsCol = tsCol)
+    Exporter.writeBucketed(edges, table, Seq("src"), numBuckets,
+      sortCols = Seq("src", "dst"))
+    events.sparkSession.table(table).count()
+  }
+
   /** `iterations` rounds of damped PageRank over a directed edge list.
     * Returns (node, r) with r in `unit`-scaled fixed point.
     *

@@ -1903,6 +1903,43 @@ object ExtensionQueries {
             s"(${rep.filesBefore} -> ${rep.filesAfter})")
         s.read.parquet(leaf).localCheckpoint().orderBy("event_id")
       } finally deleteRecursively(dir)
+    },
+
+    // PERSISTED co-activity edge index (VERDICT r16 item 2) — q54's
+    // build/probe shape applied to the graph suite: buildEdgeTable pays
+    // the expensive build (bucket census + pair census + mutual-kNN
+    // prune at scale) ONCE into a bucketed managed table; the probe
+    // reads the table and runs the same degree-oriented triangle census
+    // as q118 over it. Results must equal the inline-build q118 exactly
+    // (the q54-vs-q45 equivalence contract), so q118's oracle applies
+    // verbatim — the persistence round-trip is value-neutral.
+    "q345_triangles_persisted" -> { (s, d) =>
+      val tbl = "graft_bkt_edges_q345"
+      Graph.buildEdgeTable(Tables.events(s, d), tbl)
+      graft.operators.Graph.triangleCount(s.table(tbl))
+        .orderBy(col("n_triangles").desc, col("node"))
+        .limit(20)
+    },
+
+    // Component census probed from the SAME persisted edge index shape
+    // (its own table: gate closures must not order-depend). Equals the
+    // inline-build q290 — one build, many probe queries is the 100 TB
+    // deployment; at the 100× probe the shared inline build is ~300 s
+    // PER QUERY, amortized to once by this layout.
+    "q346_components_persisted" -> { (s, d) =>
+      val tbl = "graft_bkt_edges_q346"
+      Graph.buildEdgeTable(Tables.events(s, d), tbl)
+      val nodes = Tables.events(s, d).select(col("user_id")).distinct()
+      val sizes = Dedup.connectedComponents(nodes, "user_id",
+          s.table(tbl), "src", "dst")
+        .groupBy(col("component")).agg(count(lit(1)).as("_sz"))
+      sizes.agg(sum(col("_sz")).as("n_nodes"),
+          count(lit(1)).as("n_components"),
+          max(col("_sz")).as("giant_size"),
+          sum(when(col("_sz") === 1, 1L).otherwise(0L)).as("n_isolated"))
+        .withColumn("giant_share",
+          fr(col("giant_size").cast("double")
+            / col("n_nodes").cast("double"), 6))
     }
   )
 
@@ -3696,7 +3733,51 @@ object ExtensionQueries {
     // original projection, row for row
     "q344_compact_roundtrip" ->
       """SELECT event_id, user_id, value FROM events
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // persisted-edge probe == inline build (q54-vs-q45 contract): q118's
+    // oracle verbatim — the bucketed round trip must be value-neutral
+    "q345_triangles_persisted" ->
+      """WITH act AS (SELECT DISTINCT user_id, event_type,
+        |    date_trunc('minute', CAST(ts AS TIMESTAMP)) AS h FROM events),
+        |e AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        |  FROM act a JOIN act b ON a.event_type = b.event_type
+        |    AND a.h = b.h AND a.user_id < b.user_id),
+        |tri AS (SELECT e1.u AS p, e1.v AS q, e2.v AS r
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (SELECT unnest([p, q, r]) AS node FROM tri)
+        |SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
+        |ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin,
+
+    // q290's oracle verbatim: the component census from the persisted
+    // edge table equals the inline co-activity build
+    "q346_components_persisted" ->
+      """WITH RECURSIVE
+        |act AS (SELECT DISTINCT user_id, event_type,
+        |    date_trunc('minute', CAST(ts AS TIMESTAMP)) AS h FROM events),
+        |e AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        |  FROM act a JOIN act b ON a.event_type = b.event_type
+        |    AND a.h = b.h AND a.user_id < b.user_id),
+        |edges AS (SELECT u AS s, v AS d FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |nodes AS (SELECT DISTINCT user_id FROM events),
+        |reach(id, comp) AS (
+        |  SELECT user_id, user_id FROM nodes
+        |  UNION
+        |  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+        |cmp AS (SELECT id, min(comp) AS c FROM reach GROUP BY id),
+        |sz AS (SELECT c, CAST(count(*) AS BIGINT) AS sz
+        |  FROM cmp GROUP BY 1)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_nodes,
+        |  CAST(count(*) AS BIGINT) AS n_components,
+        |  CAST(max(sz) AS BIGINT) AS giant_size,
+        |  CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_isolated,
+        |  floor(CAST(max(sz) AS DOUBLE) / CAST(sum(sz) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS giant_share
+        |FROM sz""".stripMargin
   )
 
   /** q320 oracle: synchronous support peeling unrolled — round i keeps

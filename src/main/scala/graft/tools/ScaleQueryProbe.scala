@@ -37,7 +37,8 @@ object ScaleQueryProbe {
     val outFile = args(3)
     val names = args(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val reps = if (args.length > 5) args(5).toInt else 3
-    val unknown = names.filterNot(SparkEntry.queries.contains)
+    val unknown = names.filterNot(n =>
+      SparkEntry.queries.contains(n) || ProbeQueries.contains(n))
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -67,6 +68,36 @@ object ScaleQueryProbe {
     System.err.println(s"[sqp] shuffle partitions: $parts, heap " +
       s"${Runtime.getRuntime.maxMemory / 1048576} MB")
 
+    // ---- persisted-edge probe mode (VERDICT r16 item 2) ----------------
+    // p*-named entries time the PROBE side of the graph build/probe split:
+    // the co-activity edge table is built ONCE per dir (timed separately,
+    // published as edge_build_*) and each probe reads spark.table(...) —
+    // the amortized layout a 100 TB deployment runs, vs the gate queries'
+    // rebuild-per-query closures. Build happens BEFORE the timing loop so
+    // no probe rep carries build cost.
+    val edgeTableFor = scala.collection.mutable.Map.empty[String, String]
+    var edgeBuilds = Vector.empty[(String, Double)]
+    def buildEdgeTableFor(dir: String): Unit =
+      if (!edgeTableFor.contains(dir)) {
+        val tag = if (dir == base) "base" else "scaled"
+        val tbl = s"graft_bkt_edges_probe_$tag"
+        val t0 = System.nanoTime()
+        val nEdges = Graph.buildEdgeTable(Tables.events(spark, dir), tbl)
+        val sec = (System.nanoTime() - t0) / 1e9
+        edgeBuilds :+= (tag -> sec)
+        edgeTableFor(dir) = tbl
+        System.err.println(
+          f"[sqp] edge table $tbl: $nEdges edges, built in $sec%.1f s")
+      }
+    if (names.exists(ProbeQueries.contains)) {
+      buildEdgeTableFor(base); buildEdgeTableFor(scaled)
+    }
+    def queryFn(name: String): (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame =
+      if (ProbeQueries.contains(name))
+        (s, dir) => ProbeQueries(name)(s, dir, edgeTableFor(dir))
+      else SparkEntry.queries(name)
+
     def timedRun(name: String, dir: String): Double = {
       // full storage wipe, not just the SQL cache: localCheckpoint blocks
       // (the graph builders' materialization) are freed by the ASYNC
@@ -82,7 +113,7 @@ object ScaleQueryProbe {
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, dir).count(); () }
+      try { queryFn(name)(spark, dir).count(); () }
       catch { case e: Throwable =>
         System.err.println(s"[sqp] $name @ $dir FAILED: ${e.getMessage}")
         return -1.0
@@ -130,10 +161,19 @@ object ScaleQueryProbe {
         f""""base_runs":${bRuns.map(x => f"$x%.3f").mkString("[", ",", "]")},""" +
         f""""scaled_runs":${sRuns.map(x => f"$x%.3f").mkString("[", ",", "]")}}"""
     }
+    val builds = edgeBuilds
+      .map { case (tag, sec) => f""""edge_build_${tag}":$sec%.3f""" }
+      .mkString(",")
+    val buildField = if (builds.isEmpty) "" else builds + ","
     val json =
-      f"""{"metric":"scale_query_probe","base_sf_dir":${jstr(base)},"scaled_sf_dir":${jstr(scaled)},"row_growth":$rowGrowth%.0f,"reps":$reps,"estimator":"min-of-reps (isolated reps differ by additive host noise); full rep lists published","coactivity_edges_base":$edgesBase,"coactivity_edges_scaled":$edgesScaled,"coactivity_edge_growth":$edgeGrowth%.2f,"queries":{${rows.mkString(",")}}}"""
+      f"""{"metric":"scale_query_probe","base_sf_dir":${jstr(base)},"scaled_sf_dir":${jstr(scaled)},"row_growth":$rowGrowth%.0f,"reps":$reps,"estimator":"min-of-reps (isolated reps differ by additive host noise); full rep lists published","coactivity_edges_base":$edgesBase,"coactivity_edges_scaled":$edgesScaled,"coactivity_edge_growth":$edgeGrowth%.2f,$buildField"queries":{${rows.mkString(",")}}}"""
     println(json)
     Files.writeString(Paths.get(outFile), json + "\n")
+    // leave the warehouse empty (the Bench convention): the probe tables
+    // are scratch; writeBucketed's overwrite also clears orphans, so this
+    // is hygiene, not a correctness requirement
+    for (tbl <- edgeTableFor.values)
+      graft.operators.Exporter.dropBucketed(spark, tbl)
     spark.stop()
     def deleteRec(f: java.io.File): Unit = {
       if (f.isDirectory)
@@ -141,5 +181,36 @@ object ScaleQueryProbe {
       f.delete(): Unit
     }
     deleteRec(new java.io.File(localDir))
+  }
+
+  /** Probe-side closures of the graph build/probe split: the same three
+    * consumers as the q118/q290/q309 gate queries, reading a pre-built
+    * edge table instead of re-running the co-activity build inline. The
+    * gate equivalences are pinned by q345/q346 (CORRECTNESS entries);
+    * these exist so BENCH_SF10 can publish build and probe cost as
+    * separate numbers.
+    */
+  private val ProbeQueries: Map[String,
+      (SparkSession, String, String) => org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions._
+    Map(
+      "p118_triangles_persisted" -> ((s, _, tbl) =>
+        Graph.triangleCount(s.table(tbl))
+          .orderBy(col("n_triangles").desc, col("node")).limit(20)),
+      "p290_components_persisted" -> ((s, dir, tbl) => {
+        val nodes = Tables.events(s, dir).select(col("user_id")).distinct()
+        val sizes = graft.operators.Dedup
+          .connectedComponents(nodes, "user_id", s.table(tbl), "src", "dst")
+          .groupBy(col("component")).agg(count(lit(1)).as("_sz"))
+        sizes.agg(sum(col("_sz")).as("n_nodes"),
+          count(lit(1)).as("n_components"),
+          max(col("_sz")).as("giant_size"),
+          sum(when(col("_sz") === 1, 1L).otherwise(0L)).as("n_isolated"))
+      }),
+      "p309_kcore_persisted" -> ((s, _, tbl) =>
+        Graph.kCore(s.table(tbl), 2, oracleRounds = 8)
+          .select(col("node").as("user_id"), col("core_degree"))
+          .orderBy("user_id"))
+    )
   }
 }

@@ -416,4 +416,43 @@ class AnalyticsGraphSpec extends SparkSpec {
       .orderBy("src", "dst").as[(Long, Long)].collect().toSeq
     assert(inert == oracle, "caps must be value-inert under the thresholds")
   }
+
+  test("buildEdgeTable: persisted probe equals the inline build; bucket " +
+      "layout lands in the catalog; rebuild overwrites") {
+    // a clique bucket (triangles) plus a second bucket adding weight —
+    // big enough that the probe exercises real wedges, small enough to
+    // hand-check the round trip
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:05:00")
+    val ev = ((0L to 5L).map(u => (u, "click", t0)) ++
+      (2L to 4L).map(u => (u, "view", t1)))
+      .toDF("user_id", "event_type", "ts")
+    val inline = Graph.coActivityEdges(ev)
+      .orderBy("src", "dst").as[(Long, Long)].collect().toSeq
+    val tbl = "graft_bkt_edges_spec"
+    try {
+      val n = Graph.buildEdgeTable(ev, tbl, numBuckets = 4)
+      assert(n == inline.size.toLong, "build returns the edge census")
+      val persisted = spark.table(tbl)
+        .orderBy("src", "dst").as[(Long, Long)].collect().toSeq
+      assert(persisted == inline,
+        "the bucketed round trip must be value-neutral")
+      // the co-location contract: the catalog must carry the bucket spec
+      // (plain .parquet files would silently lose it)
+      val desc = spark.sql(s"DESCRIBE EXTENDED $tbl").collect()
+        .map(r => s"${r.get(0)} ${r.get(1)}").mkString("\n")
+      assert(desc.contains("Num Buckets") && desc.contains("4"),
+        s"bucket metadata missing from catalog:\n$desc")
+      // probe == inline consumer (the q345 equivalence, spec-local)
+      val probe = Graph.triangleCount(spark.table(tbl))
+        .orderBy("node").collect().toSeq
+      val direct = Graph.triangleCount(Graph.coActivityEdges(ev))
+        .orderBy("node").collect().toSeq
+      assert(probe == direct,
+        "triangle census from the table must equal the inline build")
+      // rebuild = drop-and-replace, same census (the freshness contract)
+      assert(Graph.buildEdgeTable(ev, tbl, numBuckets = 4) == n)
+      assert(spark.table(tbl).count() == n)
+    } finally graft.operators.Exporter.dropBucketed(spark, tbl)
+  }
 }
