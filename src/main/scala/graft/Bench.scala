@@ -360,6 +360,17 @@ object Bench {
 
     var failed = Vector.empty[String]
     var medianed = Vector.empty[String]
+    // Known wide-spread queries get a median-of-5 (VERDICT r16 item 3):
+    // q290's quiet per-run spread is ~±15% (measured 3.5–4.3 s across 7
+    // isolated reps with the CC rounds themselves totalling only 0.3 s —
+    // the spread is the edge build's ~15 scheduled jobs, NOT checkpoint
+    // I/O, so there is no structural fix that narrows it). A 3-sample
+    // median from that distribution can land a LUCKY-LOW committed
+    // baseline whose 1.5× alarm line then sits inside the loaded-host
+    // tail — the r13/r15/r16 re-alarm pattern. Five samples halve the
+    // median's sampling error for ~10 s, pinning the baseline to the
+    // distribution's center.
+    val wideSpread = Set("q290_graph_components")
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val q0 = System.nanoTime()
@@ -382,10 +393,12 @@ object Bench {
           // quiet-host median. `query_medians` records which are medians.
           val wouldAlarm = t1 > 0.5 &&
             prev.get(name).exists(p => p > 0 && t1 > 1.5 * p)
-          if (t1 <= 1.5 && !wouldAlarm) t1
+          if (t1 <= 1.5 && !wouldAlarm && !wideSpread(name)) t1
           else try {
-            val med = Seq(t1, once(), once()).sorted.apply(1)
-            medianed :+= name // only after both re-runs succeeded — a
+            val extra = if (wideSpread(name)) 4 else 2
+            val samples = t1 +: Vector.fill(extra)(once())
+            val med = samples.sorted.apply(samples.size / 2)
+            medianed :+= name // only after every re-run succeeded — a
             // flaky re-run below reports t1, which is NOT a median
             med
           } catch { case e: Throwable =>
