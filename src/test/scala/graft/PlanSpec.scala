@@ -959,6 +959,24 @@ class PlanSpec extends SparkSpec {
     val pLazy = plan(graft.operators.Graph.triangleCount(edgesLazy))
     assert(dedupAggs(pLazy) > 0,
       s"a small lazy input must keep the dedup in-plan (no checkpoint):\n$pLazy")
+    // persisted-probe path (r17): a probe over the bucketed edge TABLE is
+    // gate-scale lazy too — the table leaf is KBs of parquet with REAL
+    // catalog stats, so the Sizing gate must not checkpoint it, and the
+    // probe must read through the bucketed file scan (the layout the
+    // build paid for), not some re-materialized copy
+    val tbl = "graft_bkt_edges_planspec"
+    try {
+      graft.operators.Graph.buildEdgeTable(Tables.events(spark, d), tbl,
+        numBuckets = 4)
+      val pProbe = plan(
+        graft.operators.Graph.triangleCount(spark.table(tbl)))
+      assert(!pProbe.contains("Scan ExistingRDD"),
+        s"the persisted-edge probe must stay lazy at gate scale:\n$pProbe")
+      assert(dedupAggs(pProbe) > 0,
+        s"probe keeps the working-set dedup in-plan at gate scale:\n$pProbe")
+      assert(pProbe.contains(tbl),
+        s"probe must scan the persisted table, not rebuild edges:\n$pProbe")
+    } finally graft.operators.Exporter.dropBucketed(spark, tbl)
   }
 
   test("q273-q280: corpus/TPC-H/risk families keep scale-safe shapes") {
