@@ -378,7 +378,11 @@ object Bench {
     // tail — the r13/r15/r16 re-alarm pattern. Five samples halve the
     // median's sampling error for ~10 s, pinning the baseline to the
     // distribution's center.
-    val wideSpread = Set("q290_graph_components")
+    // q345/q346 join it proactively: both pay a bucketed table WRITE plus
+    // (q346) a CC whose quiet spread measured ±13% with a heavy first-run
+    // tail — the same profile that made q290 a repeat false-alarmer.
+    val wideSpread = Set("q290_graph_components",
+      "q345_triangles_persisted", "q346_components_persisted")
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val q0 = System.nanoTime()

@@ -210,7 +210,18 @@ object ScaleQueryProbe {
       "p309_kcore_persisted" -> ((s, _, tbl) =>
         Graph.kCore(s.table(tbl), 2, oracleRounds = 8)
           .select(col("node").as("user_id"), col("core_degree"))
-          .orderBy("user_id"))
+          .orderBy("user_id")),
+      "p119_links_persisted" -> ((s, _, tbl) =>
+        Graph.commonNeighborLinks(s.table(tbl), k = 20)),
+      "p314_labelprop_persisted" -> ((s, dir, tbl) => {
+        val nodes = Tables.events(s, dir).select(col("user_id")).distinct()
+        Graph.labelPropagation(nodes, "user_id", s.table(tbl), rounds = 3)
+          .select(col("node").as("user_id"), col("community"))
+      }),
+      "p320_ktruss_persisted" -> ((s, _, tbl) =>
+        Graph.kTruss(s.table(tbl), 3, oracleRounds = 4)
+          .select(col("a").as("user_a"), col("b").as("user_b"),
+            col("support")))
     )
   }
 }
