@@ -32,7 +32,13 @@ import org.apache.spark.sql.types.StructType
   *  - heavy hitters: the complete-mode global aggregate's Misra-Gries
   *    sketch (a custom `TypedImperativeAggregate` — restart exercises
   *    its serialize/deserialize/merge) must carry phase-1 candidates
-  *    and totals into phase 2's answer.
+  *    and totals into phase 2's answer;
+  *  - debounce: the per-key `LastSeen` timestamp must suppress a
+  *    duplicate arriving after the restart inside the quiet window of a
+  *    pre-restart event (lost state re-emits it as a fresh key);
+  *  - gap detect: a gap opened by the first post-restart tick must be
+  *    anchored at the pre-restart tick's restored timestamp (lost state
+  *    emits no gap at all).
   * Each phase is its own file-source batch; the 2030 sentinel advances
   * the watermark so append-mode state machines flush (FIXTURES.md
   * replay convention).
@@ -219,6 +225,68 @@ class StreamingRecoverySpec extends SparkSpec {
       .select(xxhash64(col("t"))).as[Long].collect().toSet
     assert(hashes.subsetOf(cand),
       s"merged sketch must keep phase-1 candidates: $cand vs $hashes")
+   }
+  }
+
+  test("debounce: the restored per-key timestamp suppresses a " +
+      "post-restart duplicate") {
+   withDirs { (in, out, ck) =>
+    // q186's live form: ONE LastSeen timestamp per (user, type) key.
+    // Phase 1 emits event 1 (first arrival on its key) and stops with
+    // lastUs = 10:00:00 held only in the checkpoint. Phase 2's event 2
+    // lands 3 s later — inside the 5 s quiet window of an event the
+    // restarted query never processed — so suppressing it is only
+    // possible with restored state; a lost checkpoint treats the key as
+    // fresh and emits event 2. Event 3 at +7 s from event 2 must pass
+    // either way (debounce compares against the previous EVENT, kept or
+    // not), so the assertion isolates exactly the restored-state claim:
+    // sink = {1, 3}, never {1, 2, 3}.
+    val p1 = Seq((1L, "click", ts("2024-01-01 10:00:00"), 1L))
+      .toDF("userId", "eventType", "ts", "eventId")
+    def build(st: DataFrame) = StreamingOps.streamingDebounce(
+      st.as[StreamingOps.DebEvent]).toDF()
+    phase(in, out, ck, p1.schema, p1)(build)
+    phase(in, out, ck, p1.schema, Seq(
+      (1L, "click", ts("2024-01-01 10:00:03"), 2L),
+      (1L, "click", ts("2024-01-01 10:00:10"), 3L),
+      (999L, "zz", ts("2030-01-01 00:00:00"), 99L))
+      .toDF("userId", "eventType", "ts", "eventId"))(build)
+    val got = spark.read.parquet(out.toString)
+      .filter(col("userId") === 1L)
+      .select("eventId").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 3L),
+      s"restored LastSeen must debounce the post-restart duplicate: $got")
+   }
+  }
+
+  test("gap detect: a gap whose left edge predates the restart is " +
+      "emitted from the restored timestamp") {
+   withDirs { (in, out, ck) =>
+    // streamingGapDetect's whole output is DERIVED from LastSeen: a
+    // GapEvent exists only relative to the previous tick. Phase 1's
+    // sole tick emits nothing and stops with lastUs = 10:00:00 in the
+    // checkpoint; phase 2's tick at 10:03 opens a 2-slot gap whose left
+    // edge (10:01) is computable only from the restored timestamp — a
+    // lost checkpoint sees a first-ever tick and emits NO gap at all,
+    // so the sink itself is the restored-state proof.
+    val p1 = Seq(("A", ts("2024-01-01 10:00:00"), 1.0))
+      .toDF("symbol", "ts", "close")
+    def build(st: DataFrame) = StreamingOps.streamingGapDetect(
+      st.as[StreamingOps.Tick], rule = "1T").toDF()
+    phase(in, out, ck, p1.schema, p1)(build)
+    assert(spark.read.parquet(out.toString).isEmpty,
+      "phase 1's sole tick must emit no gap")
+    phase(in, out, ck, p1.schema, Seq(
+      ("A", ts("2024-01-01 10:03:00"), 2.0),
+      ("Z", ts("2030-01-01 00:00:00"), 0.0)).toDF("symbol", "ts", "close"))(
+      build)
+    val got = spark.read.parquet(out.toString)
+      .filter(col("symbol") === "A")
+      .select("start", "end", "missingCount")
+      .as[(Timestamp, Timestamp, Long)].collect().toSeq
+    assert(got == Seq((ts("2024-01-01 10:01:00"),
+      ts("2024-01-01 10:02:00"), 2L)),
+      s"the gap must be anchored at the pre-restart tick: $got")
    }
   }
 
