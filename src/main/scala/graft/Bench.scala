@@ -381,8 +381,10 @@ object Bench {
     // q345/q346 join it proactively: both pay a bucketed table WRITE plus
     // (q346) a CC whose quiet spread measured ±13% with a heavy first-run
     // tail — the same profile that made q290 a repeat false-alarmer.
+    // q347 pays the same per-run bucketed write (the LSH index build).
     val wideSpread = Set("q290_graph_components",
-      "q345_triangles_persisted", "q346_components_persisted")
+      "q345_triangles_persisted", "q346_components_persisted",
+      "q347_neardup_index_probe")
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val q0 = System.nanoTime()

@@ -154,6 +154,140 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Persist the banded MinHash index of a corpus as a BUCKETED managed
+    * table — the persisted-index form of near-dup dedup, the q54 / edge-
+    * table build/probe shape applied to the dedup family. At 100 TB the
+    * MinHash signature pass is the expensive corpus scan (tokenize +
+    * shingle + `numHashes` mins per document); every incremental dedup
+    * run re-pays it unless the banded signatures are a stored table
+    * written ONCE at corpus-build time and probed by each incoming batch.
+    *
+    * Layout: one row per (document, band) — (`id`, `minhash`, `band`,
+    * `bh`) — bucketed by the FULL band-join key pair (`band`, `bh`), so a
+    * probe batch's band join shuffles ONLY the batch side: the corpus
+    * side's scan partitioning equals the join's required clustering
+    * exactly and reads its buckets in place. (Bucketing by `bh` alone is
+    * semantically sufficient but Spark's conservative co-partition
+    * default — requireAllClusterKeysForCoPartition — would re-shuffle
+    * it.) Degenerate buckets (boilerplate text shared by millions
+    * of documents) are capped at `maxBucketSize` rows at build time, the
+    * same skew guard as [[minHashLshPairs]] — a deployment dedups the
+    * corpus FIRST (q41/q75) and indexes the kept documents, so verbatim
+    * groups don't exist on the index side by construction.
+    *
+    * Returns the number of indexed documents. Freshness is the caller's
+    * contract (probe answers are about the indexed snapshot); rebuild =
+    * call again (drop-and-replace, `Exporter.writeBucketed` semantics,
+    * non-atomic).
+    */
+  def buildLshIndex(docs: DataFrame, table: String, idCol: String,
+                    textCol: String, numHashes: Int = 64, bands: Int = 16,
+                    shingleSize: Int = 5, numBuckets: Int = 32,
+                    maxBucketSize: Int = 100000): Long = {
+    val sigs = withMinHash(docs.select(col(idCol), col(textCol)), idCol,
+        textCol, numHashes, bands, shingleSize)
+      .select(col("id"), col("minhash"),
+        posexplode(col("bands")).as(Seq("band", "bh")))
+    val bw = Window.partitionBy("band", "bh").orderBy("id")
+    val capped = sigs
+      .withColumn("_bn", row_number().over(bw))
+      .filter(col("_bn") <= maxBucketSize)
+      .drop("_bn")
+    Exporter.writeBucketed(capped, table, Seq("band", "bh"), numBuckets,
+      sortCols = Seq("band", "bh", "id"))
+    docs.sparkSession.table(table).select(col("id")).distinct().count()
+  }
+
+  /** Probe a new batch of documents against a persisted LSH index (built
+    * by [[buildLshIndex]] with the SAME (numHashes, bands, shingleSize) —
+    * signatures are parameter-specific): returns candidate near-dup pairs
+    * (`probe_id`, `index_id`, `est_jaccard`) at or above `threshold`,
+    * deduplicated across bands. The batch side is signature-hashed here
+    * (one narrow codegen pass, linear in the batch); the corpus side is
+    * ONLY the index table scan — no corpus text is touched, no corpus
+    * shuffle happens (see the bucketing contract on [[buildLshIndex]]).
+    * Callers wanting exact Jaccard verify the candidates against the
+    * stored documents afterwards (q347's shape, mirroring q41's
+    * estimate-prefilter-then-exact-verify contract).
+    */
+  def lshIndexProbe(spark: org.apache.spark.sql.SparkSession, table: String,
+                    batch: DataFrame, idCol: String, textCol: String,
+                    numHashes: Int = 64, bands: Int = 16,
+                    shingleSize: Int = 5,
+                    threshold: Double = 0.5): DataFrame = {
+    val idx = spark.table(table)
+    val probe = withMinHash(batch.select(col(idCol), col(textCol)), idCol,
+        textCol, numHashes, bands, shingleSize)
+      .select(col("id").as("probe_id"), col("minhash").as("_pm"),
+        posexplode(col("bands")).as(Seq("band", "bh")))
+    // estimate immediately after the band join, signature arrays dropped
+    // before the cross-band dedup shuffle (minHashLshPairs' ordering)
+    idx.join(probe, Seq("band", "bh"))
+      .filter(col("probe_id") =!= col("id"))
+      .select(col("probe_id"), col("id").as("index_id"),
+        round(size(filter(zip_with(col("_pm"), col("minhash"),
+          (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+          .cast("double") / numHashes, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("probe_id", "index_id")
+  }
+
+  /** The full incoming-batch near-dup SCREEN against a persisted LSH
+    * index (q347's gate shape, shared with the scale probe): LSH
+    * candidates from [[lshIndexProbe]] at `estThreshold`, exact-verified
+    * at `jacThreshold` over fused 64-bit shingle hashes (intersection /
+    * union sizes match string shingles — q41's verify contract), reduced
+    * to each batch document's BEST corpus match (max exact jaccard, ties
+    * to the smallest corpus id). Output is linear in the batch — the
+    * keep/drop decision a crawl-ingest pipeline wants — never a
+    * quadratic pair list. `docs` must carry text for BOTH sides'
+    * candidate ids. The candidate list is materialized as LOCAL rows and
+    * broadcast (q41's device): it feeds the id restriction AND both
+    * verify joins, so it must compute exactly once, and shingles are
+    * computed ONLY for candidate documents — shingling the full corpus
+    * for a candidate list orders of magnitude smaller was q41's dominant
+    * stage before the same fix. Bounded: est-threshold candidates
+    * against a DEDUPED index are linear in the batch, never quadratic.
+    */
+  def nearDupScreen(spark: org.apache.spark.sql.SparkSession, table: String,
+                    batch: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, numHashes: Int = 64, bands: Int = 16,
+                    shingleSize: Int = 5, estThreshold: Double = 0.35,
+                    jacThreshold: Double = 0.5): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val candRaw = lshIndexProbe(spark, table, batch, idCol, textCol,
+        numHashes, bands, shingleSize, estThreshold)
+      .select(col("probe_id"), col("index_id"))
+    val cand = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(candRaw.collect().toIndexedSeq, 1),
+      candRaw.schema))
+    val candIds = cand.select(col("probe_id").as("_vid"))
+      .union(cand.select(col("index_id").as("_vid"))).distinct()
+    val vtoks = split(trim(lower(col(textCol))), "\\s+")
+    val sh = docs.join(broadcast(candIds), col(idCol) === col("_vid"))
+      .select(col("_vid"),
+        call_function("shingle_hashes",
+          transform(vtoks, t => xxhash64(t)), lit(shingleSize)).as("sh"))
+    val jacRaw = size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
+      size(array_union(col("_sa"), col("_sb")))
+    // portable floor rounding (QueryUtils.fr's formula): identical op
+    // sequence on both engines at representation boundaries
+    val jac = floor(jacRaw * lit(1e4) + lit(0.5)) / lit(1e4)
+    val verified = cand
+      .join(sh.select(col("_vid").as("probe_id"), col("sh").as("_sa")),
+        "probe_id")
+      .join(sh.select(col("_vid").as("index_id"), col("sh").as("_sb")),
+        "index_id")
+      .select(col("probe_id"), col("index_id"), jac.as("jac"))
+      .filter(col("jac") >= jacThreshold)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("jac").desc, col("index_id"))
+    verified.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("probe_id").as("doc_id"),
+        col("index_id").as("dup_of"), col("jac"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, tokens vote +1/-1 by
     * their hash bit; the sign of the vote total becomes the fingerprint bit.
     * Near-duplicates land within small Hamming distance.

@@ -1940,6 +1940,29 @@ object ExtensionQueries {
         .withColumn("giant_share",
           fr(col("giant_size").cast("double")
             / col("n_nodes").cast("double"), 6))
+    },
+
+    // PERSISTED near-dup index (the dedup family's q345/q54 shape): at
+    // 100 TB the MinHash pass over the corpus is the expensive scan, paid
+    // ONCE into a bucketed band-hash table; each incoming batch is then
+    // near-dup-screened against the corpus WITHOUT recomputing or
+    // reshuffling it (the band join leaves the index side exchange-free —
+    // PlanSpec pins that). Split: even doc_ids = indexed corpus, odd =
+    // the incoming batch. Candidates at est >= 0.35 are exact-verified at
+    // jac >= 0.5 (q41's prefilter-then-verify contract: signatures are
+    // text-functions, so every true pair q41 catches collides here too);
+    // output is the batch-side screen decision — each batch doc's BEST
+    // corpus match (max jac, ties to the smallest corpus id), linear in
+    // the batch, never a quadratic pair list.
+    "q347_neardup_index_probe" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tbl = "graft_bkt_lsh_q347"
+      Dedup.buildLshIndex(docs.filter(col("doc_id") % 2 === 0), tbl,
+        "doc_id", "text", numHashes = 64, bands = 16, shingleSize = 3)
+      Dedup.nearDupScreen(s, tbl, docs.filter(col("doc_id") % 2 === 1),
+          docs, "doc_id", "text", numHashes = 64, bands = 16,
+          shingleSize = 3)
+        .orderBy("doc_id")
     }
   )
 
@@ -3777,7 +3800,35 @@ object ExtensionQueries {
         |    AS n_isolated,
         |  floor(CAST(max(sz) AS DOUBLE) / CAST(sum(sz) AS DOUBLE)
         |    * 1000000.0 + 0.5) / 1000000.0 AS giant_share
-        |FROM sz""".stripMargin
+        |FROM sz""".stripMargin,
+
+    // exact brute-force screen: each odd (batch) doc's best even (corpus)
+    // match at word-shingle jaccard >= 0.5 — the LSH index + estimate
+    // prefilter must be candidate-complete above the verify threshold, so
+    // the verified best-match answer equals brute force (q41's contract)
+    "q347_neardup_index_probe" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 1),
+        |              i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT b.doc_id AS doc_id, c.doc_id AS dup_of,
+        |    floor(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(b.sh, c.sh)))
+        |      * 10000.0 + 0.5) / 10000.0 AS jac
+        |  FROM g b JOIN g c ON b.doc_id % 2 = 1 AND c.doc_id % 2 = 0),
+        |r AS (
+        |  SELECT doc_id, dup_of, jac,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY jac DESC, dup_of) AS rn
+        |  FROM p WHERE jac >= 0.5)
+        |SELECT doc_id, dup_of, jac FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** q320 oracle: synchronous support peeling unrolled — round i keeps

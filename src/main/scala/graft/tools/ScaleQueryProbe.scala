@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import graft.SparkEntry
 import graft.core.Tables
-import graft.operators.Graph
+import graft.operators.{Dedup, Graph}
 import org.apache.spark.sql.SparkSession
 
 /** Per-query scale evidence beyond the 30× rehearsal (VERDICT r14 item
@@ -38,7 +38,8 @@ object ScaleQueryProbe {
     val names = args(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val reps = if (args.length > 5) args(5).toInt else 3
     val unknown = names.filterNot(n =>
-      SparkEntry.queries.contains(n) || ProbeQueries.contains(n))
+      SparkEntry.queries.contains(n) || ProbeQueries.contains(n) ||
+        LshProbeQueries.contains(n))
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -92,10 +93,36 @@ object ScaleQueryProbe {
     if (names.exists(ProbeQueries.contains)) {
       buildEdgeTableFor(base); buildEdgeTableFor(scaled)
     }
+    // same build/probe split for the persisted near-dup LSH index: the
+    // corpus signature pass is the build (timed once per dir, published
+    // as lsh_build_*); p347 probes the batch against the stored bands
+    val lshTableFor = scala.collection.mutable.Map.empty[String, String]
+    var lshBuilds = Vector.empty[(String, Double)]
+    def buildLshIndexFor(dir: String): Unit =
+      if (!lshTableFor.contains(dir)) {
+        val tag = if (dir == base) "base" else "scaled"
+        val tbl = s"graft_bkt_lsh_probe_$tag"
+        val t0 = System.nanoTime()
+        val nDocs = Dedup.buildLshIndex(
+          Tables.documents(spark, dir).filter(
+            org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+          tbl, "doc_id", "text", numHashes = 64, bands = 16,
+          shingleSize = 3)
+        val sec = (System.nanoTime() - t0) / 1e9
+        lshBuilds :+= (tag -> sec)
+        lshTableFor(dir) = tbl
+        System.err.println(
+          f"[sqp] lsh index $tbl: $nDocs docs, built in $sec%.1f s")
+      }
+    if (names.exists(LshProbeQueries.contains)) {
+      buildLshIndexFor(base); buildLshIndexFor(scaled)
+    }
     def queryFn(name: String): (SparkSession, String) =>
         org.apache.spark.sql.DataFrame =
       if (ProbeQueries.contains(name))
         (s, dir) => ProbeQueries(name)(s, dir, edgeTableFor(dir))
+      else if (LshProbeQueries.contains(name))
+        (s, dir) => LshProbeQueries(name)(s, dir, lshTableFor(dir))
       else SparkEntry.queries(name)
 
     def timedRun(name: String, dir: String): Double = {
@@ -161,8 +188,10 @@ object ScaleQueryProbe {
         f""""base_runs":${bRuns.map(x => f"$x%.3f").mkString("[", ",", "]")},""" +
         f""""scaled_runs":${sRuns.map(x => f"$x%.3f").mkString("[", ",", "]")}}"""
     }
-    val builds = edgeBuilds
-      .map { case (tag, sec) => f""""edge_build_${tag}":$sec%.3f""" }
+    val builds = (edgeBuilds
+      .map { case (tag, sec) => f""""edge_build_${tag}":$sec%.3f""" } ++
+      lshBuilds
+        .map { case (tag, sec) => f""""lsh_build_${tag}":$sec%.3f""" })
       .mkString(",")
     val buildField = if (builds.isEmpty) "" else builds + ","
     val json =
@@ -172,7 +201,7 @@ object ScaleQueryProbe {
     // leave the warehouse empty (the Bench convention): the probe tables
     // are scratch; writeBucketed's overwrite also clears orphans, so this
     // is hygiene, not a correctness requirement
-    for (tbl <- edgeTableFor.values)
+    for (tbl <- edgeTableFor.values ++ lshTableFor.values)
       graft.operators.Exporter.dropBucketed(spark, tbl)
     spark.stop()
     def deleteRec(f: java.io.File): Unit = {
@@ -222,6 +251,24 @@ object ScaleQueryProbe {
         Graph.kTruss(s.table(tbl), 3, oracleRounds = 4)
           .select(col("a").as("user_a"), col("b").as("user_b"),
             col("support")))
+    )
+  }
+
+  /** Probe side of the q347 near-dup build/probe split: screen the odd
+    * half of `documents` against a pre-built even-half LSH index (the
+    * gate equivalence is q347's CORRECTNESS entry; this publishes probe
+    * cost with the corpus signature pass amortized into lsh_build_*).
+    */
+  private val LshProbeQueries: Map[String,
+      (SparkSession, String, String) => org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions._
+    Map(
+      "p347_neardup_persisted" -> ((s, dir, tbl) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.nearDupScreen(s, tbl, docs.filter(col("doc_id") % 2 === 1),
+          docs, "doc_id", "text", numHashes = 64, bands = 16,
+          shingleSize = 3)
+      })
     )
   }
 }

@@ -979,6 +979,37 @@ class PlanSpec extends SparkSpec {
     } finally graft.operators.Exporter.dropBucketed(spark, tbl)
   }
 
+  test("q347: the persisted LSH index joins its band buckets in place") {
+    // the whole point of the stored index: a probe batch shuffles ONLY
+    // itself — the corpus side's band join reads the bucketed layout
+    // directly (join keys (band, bh) ⊇ bucket key bh satisfies the
+    // clustered distribution). Broadcast is disabled so the gate-scale
+    // index can't dodge the claim by being small.
+    val tbl = "graft_bkt_lsh_planspec"
+    val docs = Tables.documents(spark, d)
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.operators.Dedup.buildLshIndex(
+        docs.filter(col("doc_id") % 2 === 0), tbl, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, numBuckets = 4)
+      val probe = graft.operators.Dedup.lshIndexProbe(spark, tbl,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.35)
+      val p = plan(probe)
+      assert(p.contains("SelectedBucketsCount"),
+        s"index side must be a bucketed scan:\n$p")
+      // exactly two exchanges: the probe side entering the band join and
+      // the cross-band candidate dedup — never a third on the index side
+      val n = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(n == 2,
+        s"expected 2 exchanges (probe side + candidate dedup), got $n:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+      graft.operators.Exporter.dropBucketed(spark, tbl)
+    }
+  }
+
   test("q273-q280: corpus/TPC-H/risk families keep scale-safe shapes") {
     // q273: growth-curve windows cumulate the DOC census, never bigrams
     val w273 = plan(graft.queries.ExtensionQueries
