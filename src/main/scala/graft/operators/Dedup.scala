@@ -241,13 +241,24 @@ object Dedup {
     * to the smallest corpus id). Output is linear in the batch — the
     * keep/drop decision a crawl-ingest pipeline wants — never a
     * quadratic pair list. `docs` must carry text for BOTH sides'
-    * candidate ids. The candidate list is materialized as LOCAL rows and
-    * broadcast (q41's device): it feeds the id restriction AND both
-    * verify joins, so it must compute exactly once, and shingles are
-    * computed ONLY for candidate documents — shingling the full corpus
-    * for a candidate list orders of magnitude smaller was q41's dominant
-    * stage before the same fix. Bounded: est-threshold candidates
-    * against a DEDUPED index are linear in the batch, never quadratic.
+    * candidate ids.
+    *
+    * Two q41 devices keep every stage sized by DISTINCT texts, not rows:
+    *  - the batch decomposes over exact-duplicate text groups —
+    *    signatures, band collisions, and exact jaccard are functions of
+    *    the text alone, so ONE representative per distinct batch text is
+    *    screened and its answer copied to its group (a verbatim-heavy
+    *    re-crawl feed collapses before it touches the index);
+    *  - the candidate list is materialized as LOCAL rows and broadcast:
+    *    it feeds the id restriction AND both verify joins, so it must
+    *    compute exactly once, and shingles are computed ONLY for
+    *    candidate documents — shingling the full corpus for a candidate
+    *    list orders of magnitude smaller was q41's dominant stage.
+    * Index the corpus DEDUPED (see q347: `Dedup.exact` before
+    * [[buildLshIndex]] — value-neutral, since the (max jac, min id) best
+    * match is always an exact-dedup representative) and the local
+    * candidate rows are (distinct batch texts × matching distinct corpus
+    * texts) — linear in distinct batch texts at any corpus scale.
     */
   def nearDupScreen(spark: org.apache.spark.sql.SparkSession, table: String,
                     batch: DataFrame, docs: DataFrame, idCol: String,
@@ -255,7 +266,18 @@ object Dedup {
                     shingleSize: Int = 5, estThreshold: Double = 0.35,
                     jacThreshold: Double = 0.5): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
-    val candRaw = lshIndexProbe(spark, table, batch, idCol, textCol,
+    // group key is (length, xxhash64), q41's collision guard: a bare
+    // 64-bit collision between distinct texts would silently merge groups
+    val withH = batch.select(col(idCol), col(textCol),
+      xxhash64(col(textCol)).as("_h"), length(col(textCol)).as("_hl"))
+    val groups = withH.groupBy(col("_h"), col("_hl"))
+      .agg(min(col(idCol)).as("_rep"))
+    val members = withH.join(broadcast(groups), Seq("_h", "_hl"))
+      .select(col(idCol).as("_member"), col("_rep"))
+    val repBatch = withH
+      .join(broadcast(groups.select(col("_rep").as(idCol))), idCol)
+      .select(col(idCol), col(textCol))
+    val candRaw = lshIndexProbe(spark, table, repBatch, idCol, textCol,
         numHashes, bands, shingleSize, estThreshold)
       .select(col("probe_id"), col("index_id"))
     val cand = broadcast(spark.createDataFrame(
@@ -282,10 +304,14 @@ object Dedup {
       .filter(col("jac") >= jacThreshold)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("jac").desc, col("index_id"))
-    verified.withColumn("_rn", row_number().over(w))
+    val repBest = verified.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .select(col("probe_id").as("doc_id"),
+      .select(col("probe_id").as("_rep"),
         col("index_id").as("dup_of"), col("jac"))
+    // expansion: every member of a screened group inherits its rep's
+    // best match — identical text, identical jaccard against everything
+    members.join(repBest, "_rep")
+      .select(col("_member").as("doc_id"), col("dup_of"), col("jac"))
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, tokens vote +1/-1 by

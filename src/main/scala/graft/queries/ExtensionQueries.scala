@@ -1957,8 +1957,16 @@ object ExtensionQueries {
     "q347_neardup_index_probe" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val tbl = "graft_bkt_lsh_q347"
-      Dedup.buildLshIndex(docs.filter(col("doc_id") % 2 === 0), tbl,
-        "doc_id", "text", numHashes = 64, bands = 16, shingleSize = 3)
+      // index the exact-DEDUPED corpus half: value-neutral for the
+      // screen (the (max jac, min id) best match is always an exact-
+      // dedup representative — a member's text equals its rep's, so its
+      // jac does too and the rep's id is the smaller), and it keeps the
+      // index sized by distinct texts under verbatim-copy growth
+      Dedup.buildLshIndex(
+        Dedup.exact(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text"),
+        tbl, "doc_id", "text", numHashes = 64, bands = 16,
+        shingleSize = 3)
       Dedup.nearDupScreen(s, tbl, docs.filter(col("doc_id") % 2 === 1),
           docs, "doc_id", "text", numHashes = 64, bands = 16,
           shingleSize = 3)

@@ -104,8 +104,9 @@ object ScaleQueryProbe {
         val tbl = s"graft_bkt_lsh_probe_$tag"
         val t0 = System.nanoTime()
         val nDocs = Dedup.buildLshIndex(
-          Tables.documents(spark, dir).filter(
+          Dedup.exact(Tables.documents(spark, dir).filter(
             org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+            "doc_id", "text"),
           tbl, "doc_id", "text", numHashes = 64, bands = 16,
           shingleSize = 3)
         val sec = (System.nanoTime() - t0) / 1e9
