@@ -38,7 +38,10 @@ import org.apache.spark.sql.types.StructType
   *    pre-restart event (lost state re-emits it as a fresh key);
   *  - gap detect: a gap opened by the first post-restart tick must be
   *    anchored at the pre-restart tick's restored timestamp (lost state
-  *    emits no gap at all).
+  *    emits no gap at all);
+  *  - dedup: the ENGINE-managed dropDuplicatesWithinWatermark state must
+  *    keep dropping a row redelivered across the restart (lost state
+  *    emits it twice into the exactly-once sink).
   * Each phase is its own file-source batch; the 2030 sentinel advances
   * the watermark so append-mode state machines flush (FIXTURES.md
   * replay convention).
@@ -287,6 +290,36 @@ class StreamingRecoverySpec extends SparkSpec {
     assert(got == Seq((ts("2024-01-01 10:01:00"),
       ts("2024-01-01 10:02:00"), 2L)),
       s"the gap must be anchored at the pre-restart tick: $got")
+   }
+  }
+
+  test("dedup: the engine-managed duplicate state survives the restart " +
+      "(a redelivered pre-restart row stays dropped)") {
+   withDirs { (in, out, ck) =>
+    // q333's operator: dropDuplicatesWithinWatermark — the dedup state
+    // here is ENGINE-managed (no custom state class), and the restart
+    // must restore it all the same. Phase 1 emits (A, 10:00) and stops
+    // with the key in the checkpoint; phase 2 redelivers the SAME row —
+    // an at-least-once upstream replaying across the restart — plus a
+    // genuinely new row. Restored state drops the redelivery; lost state
+    // emits it a second time into the exactly-once sink.
+    val p1 = Seq(("A", ts("2024-01-01 10:00:00"), 1.0))
+      .toDF("symbol", "ts", "close")
+    def build(st: DataFrame) = StreamingOps.streamingDedup(
+      st, tsCol = "ts", symbolCol = "symbol")
+    phase(in, out, ck, p1.schema, p1)(build)
+    phase(in, out, ck, p1.schema, Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", ts("2024-01-01 10:00:30"), 2.0),
+      ("Z", ts("2030-01-01 00:00:00"), 0.0)).toDF("symbol", "ts", "close"))(
+      build)
+    val got = spark.read.parquet(out.toString)
+      .filter(col("symbol") === "A")
+      .select("ts", "close").as[(Timestamp, Double)]
+      .collect().toSeq.sortBy(_._1.getTime)
+    assert(got == Seq((ts("2024-01-01 10:00:00"), 1.0),
+      (ts("2024-01-01 10:00:30"), 2.0)),
+      s"the redelivered pre-restart row must stay dropped: $got")
    }
   }
 
