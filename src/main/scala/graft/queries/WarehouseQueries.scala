@@ -2426,14 +2426,23 @@ object WarehouseQueries {
     // Each relationship is one broadcast-ish anti-join aggregate; the
     // five single-row results union into the report.
     "q229_fk_audit" -> { (s, d) =>
+      // One LAZY scan per child table (r17): the old form ran child.count()
+      // plus a left_anti count EAGERLY per relationship — 10 sequential
+      // driver-blocking jobs and every child table scanned twice (guide
+      // §5: the driver should do no data work; §1.2: remove passes). A
+      // left join against the DISTINCT parent keys is value-identical to
+      // the anti-join census (≤1 match per child row by construction, a
+      // null/unmatched FK surfaces as a null parent key either way), reads
+      // each child once, and the final union keeps the whole audit one
+      // Spark job with its five branches scheduled concurrently.
       def audit(name: String, child: DataFrame, childKey: String,
-                parent: DataFrame, parentKey: String): DataFrame = {
-        val n = child.count()
-        val orphans = child.join(parent,
-          child(childKey) === parent(parentKey), "left_anti").count()
-        s.range(1).select(lit(name).as("relationship"),
-          lit(n).as("n_rows"), lit(orphans).as("n_orphans"))
-      }
+                parent: DataFrame, parentKey: String): DataFrame =
+        child.join(parent.select(col(parentKey)).distinct(),
+            child(childKey) === col(parentKey), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            count(when(col(parentKey).isNull, 1)).as("n_orphans"))
+          .select(lit(name).as("relationship"),
+            col("n_rows"), col("n_orphans"))
       audit("customer.c_nationkey->nation", Tables.customer(s, d),
           "c_nationkey", Tables.nation(s, d), "n_nationkey")
         .unionByName(audit("lineitem.l_orderkey->orders",
@@ -2999,10 +3008,27 @@ object WarehouseQueries {
         .distinct()
       val cnt = op.groupBy(col("_p").as("_pc"))
         .agg(count(lit(1)).as("_ci"))
-      val pairs = op.join(op.select(col("_o").as("_o2"),
-          col("_p").as("_q")), col("_o") === col("_o2")
-          && col("_p") < col("_q"))
-        .groupBy(col("_p").as("part_a"), col("_q").as("part_b"))
+      // Pair generation without the self-join (r17, guide §2.4): one
+      // exchange by order key, collect_set dedups the parts per order
+      // map-side, and the i<j pairs are expanded from the SORTED distinct
+      // array — value-identical to the old op⋈op on (_o, _p < _q) (sorted
+      // + distinct ⇒ every emitted (x, y) has x < y, same pair multiset
+      // per order) with no second exchange of op and no sort-merge join.
+      // Per-order part lists are catalog-bounded (≤ lines per order), so
+      // the expanded array is never a quadratic blow-up. The isNotNull
+      // filter pins the old equi-join's null semantics (a null order key
+      // never joined itself); collect_set drops null parts like _p < _q
+      // did.
+      val pairs = Tables.lineitem(s, d)
+        .filter(col("l_orderkey").isNotNull)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("_ps"))
+        .select(explode(flatten(transform(col("_ps"), (x, i) =>
+          transform(slice(col("_ps"), i + lit(2),
+              greatest(size(col("_ps")) - i - 1, lit(0))),
+            y => struct(x.as("part_a"), y.as("part_b")))))).as("_pr"))
+        .groupBy(col("_pr.part_a").as("part_a"),
+          col("_pr.part_b").as("part_b"))
         .agg(count(lit(1)).as("n_both"))
       pairs
         .join(broadcast(cnt), col("part_a") === col("_pc"))
@@ -5659,17 +5685,23 @@ object WarehouseQueries {
     // int64 revenue/demand sums; the CV and share cuts are the only
     // doubles, identical literal arithmetic both engines.
     "q330_abc_xyz" -> { (s, d) =>
-      val rev = Tables.lineitem(s, d)
-        .groupBy(col("l_partkey"))
-        .agg(sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
-          .cast("long")).as("_r"))
+      // One scan, no join (r17, guide §1.2/§2.4): the revenue census and
+      // the per-day demand census used to be two separate lineitem scans
+      // joined back on l_partkey. Per-part revenue is the sum of the
+      // per-(part, day) cent sums (exact associative int64), so both
+      // censuses fall out of ONE (part, day) grouping regrouped by part —
+      // the join disappears and lineitem is read once. The day-level
+      // cents regrouped per part equal the old direct per-part sum row
+      // for row, so the window classing downstream is untouched.
       val dem = Tables.lineitem(s, d)
         .groupBy(col("l_partkey"), col("l_shipdate"))
         .agg((decSum(col("l_quantity")) * lit(10000)).cast("long")
-          .as("_q"))
+          .as("_q"),
+          sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+            .cast("long")).as("_rd"))
         .groupBy(col("l_partkey"))
         .agg(count(lit(1)).as("_nd"), sum(col("_q")).as("_s"),
-          sum(col("_q") * col("_q")).as("_ss"))
+          sum(col("_q") * col("_q")).as("_ss"), sum(col("_rd")).as("_r"))
         .filter(col("_nd") >= 2)
       val wCum = Window.orderBy(col("_r").desc, col("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -5679,7 +5711,7 @@ object WarehouseQueries {
         .cast("double")
         / (col("_nd") * (col("_nd") - 1)).cast("double"))
         / (col("_s").cast("double") / col("_nd").cast("double")))
-      rev.join(dem, Seq("l_partkey"))
+      dem
         .withColumn("_cumr", sum(col("_r")).over(wCum))
         .withColumn("_totr", sum(col("_r")).over(wAll))
         .withColumn("abc",
