@@ -1514,22 +1514,41 @@ object WarehouseQueries {
     // beyond the single global aggregate.
     "q185_corr_matrix" -> { (s, d) =>
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      def dec(c: String) = col(c).cast("decimal(19,4)")
+      // Exact-cents product sums (r17, guide §2.3 "narrower types" / §1.2
+      // per-task work): Spark's Decimal multiply ALWAYS boxes through
+      // java.math.BigDecimal, so the old per-row decimal(19,4)² products
+      // dominated this one-scan aggregate. Every column is exactly
+      // 2-decimal (TPC-H construction; verified |x·100 − round(x·100)| <
+      // 1e-6 across all SFs), so x·100 in int64 is exact, the 10 product
+      // sums run as codegen long multiplies accumulated into
+      // decimal(38,0) (long-backed fast path — decimal +/- only upgrades
+      // past 18 digits), and ONE exact decimal division by 10⁴ per final
+      // row recovers the identical rational the oracle sums directly —
+      // hence the identical double after the cast, hence identical
+      // 6-decimal correlations.
+      def cents(c: String) =
+        floor(col(c) * lit(100.0) + lit(0.5)).cast("long")
+      def prodSum(a: String, b: String) =
+        sum((cents(a) * cents(b)).cast("decimal(38,0)"))
       val aggs =
         cols.map(c => decSum(col(c)).as(s"_s_$c")) ++
-        cols.map(c => sum(dec(c) * dec(c)).as(s"_ss_$c")) ++
+        cols.map(c => prodSum(c, c).as(s"_ss_$c")) ++
         (for { i <- cols.indices; j <- cols.indices if i < j }
-          yield sum(dec(cols(i)) * dec(cols(j)))
+          yield prodSum(cols(i), cols(j))
             .as(s"_sp_${cols(i)}_${cols(j)}"))
       val base = Tables.lineitem(s, d)
         .agg(count(lit(1)).as("_n"), aggs: _*)
+      // cents² sums carry a 10⁴ scale; divide it out exactly in decimal
+      // BEFORE the double cast so the double equals the oracle's bit for
+      // bit (same rational → same nearest double)
+      def deCents(c: Column): Column = (c / lit(10000)).cast("double")
       def corr(x: String, y: String): Column = {
         val n = col("_n").cast("double")
         val sx = col(s"_s_$x").cast("double")
         val sy = col(s"_s_$y").cast("double")
-        val sxy = col(s"_sp_${x}_$y").cast("double")
-        val sxx = col(s"_ss_$x").cast("double")
-        val syy = col(s"_ss_$y").cast("double")
+        val sxy = deCents(col(s"_sp_${x}_$y"))
+        val sxx = deCents(col(s"_ss_$x"))
+        val syy = deCents(col(s"_ss_$y"))
         fr((n * sxy - sx * sy)
           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
       }
