@@ -103,8 +103,16 @@ object RelationalQueries {
         .join(broadcast(Tables.region(s, d)),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(decSum(col("l_extendedprice").cast("decimal(18,4)")
-            * (lit(1) - col("l_discount")).cast("decimal(18,4)"), 38, 8), 2)
+        // revenue in exact long cents (r17, q185's device): price and
+        // discount are exactly 2-decimal, so price_c·(100−disc_c) is the
+        // revenue scaled by 10⁴ in codegen int64 — no per-row BigDecimal
+        // multiply — and the single exact decimal division per group
+        // recovers the oracle's rational bit for bit before the round.
+        .agg(round(sum((floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+              .cast("long")
+            * (lit(100L) - floor(col("l_discount") * lit(100.0) + lit(0.5))
+              .cast("long"))).cast("decimal(38,0)"))
+            / lit(10000), 2)
           .cast("double").as("revenue"))
         .orderBy("n_name")
     },

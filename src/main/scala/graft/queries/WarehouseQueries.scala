@@ -2346,16 +2346,44 @@ object WarehouseQueries {
         .select(col("user_id"), col("_start").as("_t"), lit(1L).as("_delta"))
         .unionByName(sessions.select(col("user_id"),
           col("_end").as("_t"), lit(-1L).as("_delta")))
-      val wGlobal = Window.orderBy(col("_t"), col("_delta").desc,
-        col("user_id")).rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)
-      val run = bounds.withColumn("_conc", sum(col("_delta")).over(wGlobal))
-      run.agg(max(col("_conc")).as("_peak"))
-        .crossJoin(sessions.agg(count(lit(1)).as("n_sessions")))
-        .join(run.groupBy(col("_conc").as("_peak2"))
-          .agg(min(col("_t")).as("_at")), col("_peak") === col("_peak2"))
-        .select(col("n_sessions"), col("_peak").as("peak_concurrency"),
-          timestamp_micros(col("_at")).cast("timestamp_ntz").as("peak_at"))
+      // Decomposed global sweep (r17, guide §2.5): the running concurrency
+      // used to ride ONE keyless window over every session bound — the
+      // single-task trap, invisible at gate scale and a straggler at 100 TB
+      // (bounds scale with users × time). The UTC day of _t is a PREFIX of
+      // the (_t, _delta desc, user_id) sweep order, so the global running
+      // sum decomposes exactly like deterministicShuffle's rank: a
+      // day-partitioned (parallel) running sum plus each day's exclusive
+      // prefix offset, where the offset cumsum's only keyless window runs
+      // over the CALENDAR-BOUNDED day census (the accepted
+      // window-over-bounded-census shape, q224/q226's class). Identical
+      // per-row sums by construction: same order within a day, days
+      // ordered by value.
+      val keyed = bounds.withColumn("_bkt",
+        floor(col("_t") / lit(86400000000L)).cast("long"))
+      val wDayCensus = Window.orderBy(col("_bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = keyed.groupBy(col("_bkt"))
+        .agg(sum(col("_delta")).as("_dsum"))
+        .withColumn("_off", coalesce(sum(col("_dsum")).over(wDayCensus),
+          lit(0L)))
+        .select(col("_bkt"), col("_off"))
+      val wDay = Window.partitionBy(col("_bkt"))
+        .orderBy(col("_t"), col("_delta").desc, col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val run = keyed
+        .withColumn("_rs", sum(col("_delta")).over(wDay))
+        .join(broadcast(offsets), Seq("_bkt"))
+        .withColumn("_conc", col("_off") + col("_rs"))
+      // One pass over run replaces the old three-branch assembly (max agg
+      // ⋈ per-conc min ⋈ session count): the lexicographic max of
+      // (_conc, -_t) IS (peak, -earliest peak time), and every session
+      // contributes exactly two bound rows so n_sessions = rows / 2.
+      run.agg(count(lit(1)).as("_n2"),
+          max(struct(col("_conc"), (-col("_t")).as("_nt"))).as("_m"))
+        .select((col("_n2") / 2).cast("long").as("n_sessions"),
+          col("_m._conc").as("peak_concurrency"),
+          timestamp_micros(-col("_m._nt")).cast("timestamp_ntz")
+            .as("peak_at"))
     },
 
     // Kaplan-Meier survival curve of user tenure (first→last active
