@@ -275,16 +275,58 @@ object ExtensionQueries {
         .agg(min(col("doc_id")).as("_fd"))
         .groupBy(col("_fd").as("doc_id"))
         .agg(count(lit(1)).as("_new"))
-      val wDoc = Window.orderBy(col("doc_id"))
-      val wCum = wDoc.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)
-      docs.select(col("doc_id"),
+      // Sizing-gated doc-order cumsums (r17, guide §2.5 — q225's device
+      // behind the fan-out gate's threshold): the rank and the two
+      // running sums ride ONE keyless window over the per-doc census — a
+      // single task scaling with the corpus. Below the at-scale threshold
+      // the lazy single-window form stays (it is 0.38 vs 0.61 s at the
+      // gate: the bucket census + broadcast cost more than they
+      // parallelize on a 30 k-doc corpus, and swapping the gate-scale
+      // plan would re-baseline a committed bench row for no gate win).
+      // At scale, `doc_id div 2^20` is monotone in doc_id (integer div,
+      // any sign), hence a prefix of the order: within-bucket windows run
+      // parallel and each bucket's exclusive offsets (row count, Σ_nbig,
+      // Σ_new) cumulate over the BUCKET census — bounded by
+      // id-range/2^20 (~10⁴ buckets at a 10¹⁰-doc corpus). Identical
+      // ranks and sums on both sides of the threshold —
+      // ScaleWindowGateSpec proves it.
+      val base = docs.select(col("doc_id"),
           greatest(col("_ntok") - lit(1), lit(0)).cast("long").as("_nbig"))
         .join(newPerDoc, Seq("doc_id"), "left")
         .withColumn("_new", coalesce(col("_new"), lit(0L)))
-        .withColumn("_rank", row_number().over(wDoc).cast("long"))
-        .withColumn("cum_bigrams", sum(col("_nbig")).over(wCum))
-        .withColumn("cum_vocab", sum(col("_new")).over(wCum))
+      val ranked =
+        if (graft.core.Sizing.leafScanBytes(docs) <=
+            graft.core.Sizing.fanoutCkptBytes) {
+          val wDoc = Window.orderBy(col("doc_id"))
+          val wCum = wDoc.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)
+          base
+            .withColumn("_rank", row_number().over(wDoc).cast("long"))
+            .withColumn("cum_bigrams", sum(col("_nbig")).over(wCum))
+            .withColumn("cum_vocab", sum(col("_new")).over(wCum))
+        } else {
+          val keyed = base.withColumn("_bkt", expr("doc_id div 1048576"))
+          val wB = Window.orderBy(col("_bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val offsets = keyed.groupBy(col("_bkt"))
+            .agg(count(lit(1)).as("_bn"),
+              sum(col("_nbig")).as("_bs"), sum(col("_new")).as("_bv"))
+            .select(col("_bkt"),
+              coalesce(sum(col("_bn")).over(wB), lit(0L)).as("_on"),
+              coalesce(sum(col("_bs")).over(wB), lit(0L)).as("_os"),
+              coalesce(sum(col("_bv")).over(wB), lit(0L)).as("_ov"))
+          val wIn = Window.partitionBy(col("_bkt")).orderBy(col("doc_id"))
+          val wInCum = wIn.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)
+          keyed.join(broadcast(offsets), Seq("_bkt"))
+            .withColumn("_rank",
+              col("_on") + row_number().over(wIn).cast("long"))
+            .withColumn("cum_bigrams",
+              col("_os") + sum(col("_nbig")).over(wInCum))
+            .withColumn("cum_vocab",
+              col("_ov") + sum(col("_new")).over(wInCum))
+        }
+      ranked
         .filter(col("_rank") % 50 === 0)
         .select(col("_rank").as("n_docs"), col("cum_bigrams"),
           col("cum_vocab"))
@@ -303,8 +345,28 @@ object ExtensionQueries {
         .select(col("source"),
           explode(split(trim(lower(col("text"))), "\\s+")).as("_t"))
         .filter(col("_t") =!= "")
+      // Sizing-gated two-phase top-15 (r17, guide §2.5): ranking the
+      // WHOLE token census through one keyless row_number is the
+      // single-task trap at corpus scale. At scale, phase 1 ranks inside
+      // 64 hash sub-buckets (parallel under any skew); every global
+      // top-15 token is necessarily within its own bucket's top-15, so
+      // phase 2's keyless window ranks ≤ 64·15 survivors — a bounded
+      // input. Same (_c desc, _t) total order ⇒ identical final set on
+      // both sides of the threshold (ScaleWindowGateSpec); the gate-scale
+      // census (tiny vocabulary) keeps the cheaper single window.
       val wTop = Window.orderBy(col("_c").desc, col("_t"))
-      val top = toks.groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+      val cnt = toks.groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+      val preTop =
+        if (graft.core.Sizing.leafScanBytes(toks) <=
+            graft.core.Sizing.fanoutCkptBytes) cnt
+        else {
+          val wSub = Window.partitionBy(col("_sb"))
+            .orderBy(col("_c").desc, col("_t"))
+          cnt.withColumn("_sb", pmod(xxhash64(col("_t")), lit(64)))
+            .withColumn("_srn", row_number().over(wSub))
+            .filter(col("_srn") <= 15)
+        }
+      val top = preTop
         .withColumn("_rn", row_number().over(wTop))
         .filter(col("_rn") <= 15).select(col("_t"))
       val bySource = toks.groupBy(col("source"), col("_t"))

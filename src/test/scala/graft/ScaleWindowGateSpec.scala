@@ -1,0 +1,47 @@
+package graft
+
+import graft.queries.ExtensionQueries
+
+/** The Sizing-gated keyless-window decompositions (r17): q273's doc-order
+  * cumsums and q274's top-15 token ranking keep the lazy single-window
+  * plan at gate scale and switch to the bucket-decomposed / two-phase
+  * form past the fan-out threshold. The gate must be value-neutral: the
+  * decomposed plan's ranks, running sums and top-k set equal the lazy
+  * plan's exactly, row for row, on the same input.
+  */
+class ScaleWindowGateSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def rows(q: String): Seq[String] =
+    ExtensionQueries.defs(q)(spark, d).collect()
+      .map(_.toString).toIndexedSeq
+
+  private def plan(q: String): String =
+    ExtensionQueries.defs(q)(spark, d)
+      .queryExecution.optimizedPlan.toString
+
+  test("q273/q274: gate-scale plans keep the lazy single window") {
+    // default threshold (256 MB) — sf0.001 inputs are far below it
+    assert(!plan("q273_heaps_law").contains("_bkt"),
+      "gate-scale q273 must not decompose (committed bench baseline)")
+    assert(!plan("q274_burrows_delta").contains("_srn"),
+      "gate-scale q274 must not pre-rank in sub-buckets")
+  }
+
+  test("q273/q274: the decomposed at-scale plan is value-identical") {
+    val lazyQ273 = rows("q273_heaps_law")
+    val lazyQ274 = rows("q274_burrows_delta")
+    sys.props("graft.fanout.ckpt.bytes") = "0" // force the at-scale form
+    try {
+      assert(plan("q273_heaps_law").contains("_bkt"),
+        "forced-low threshold must decompose q273")
+      assert(plan("q274_burrows_delta").contains("_srn"),
+        "forced-low threshold must two-phase q274")
+      assert(rows("q273_heaps_law") == lazyQ273,
+        "q273 decomposed ranks/cumsums must equal the lazy window's")
+      assert(rows("q274_burrows_delta") == lazyQ274,
+        "q274 two-phase top-15 must equal the global window's")
+    } finally sys.props -= "graft.fanout.ckpt.bytes"
+  }
+}
