@@ -5750,17 +5750,59 @@ object WarehouseQueries {
         .agg(count(lit(1)).as("_nd"), sum(col("_q")).as("_s"),
           sum(col("_q") * col("_q")).as("_ss"), sum(col("_rd")).as("_r"))
         .filter(col("_nd") >= 2)
-      val wCum = Window.orderBy(col("_r").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.orderBy(col("_r").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val cv = (sqrt((col("_nd") * col("_ss") - col("_s") * col("_s"))
         .cast("double")
         / (col("_nd") * (col("_nd") - 1)).cast("double"))
         / (col("_s").cast("double") / col("_nd").cast("double")))
-      dem
-        .withColumn("_cumr", sum(col("_r")).over(wCum))
-        .withColumn("_totr", sum(col("_r")).over(wAll))
+      // Sizing-gated cumulative-share windows (r17, guide §2.5): the ABC
+      // classing cumulates revenue over the PART census in (_r desc,
+      // l_partkey) order — at gate scale a cheap single window, at 100 TB
+      // a single task over ~10⁹ parts. Past the at-scale threshold the
+      // census is RANGE-partitioned by the same total order (boundaries
+      // come from sampling, but every row of range i precedes every row
+      // of range j>i, and (_r, l_partkey) has no ties — so per-row sums
+      // are boundary-independent): within-range windows run parallel,
+      // exclusive range offsets cumulate over the bounded per-range
+      // totals census, and the grand total rides the same census.
+      // ScaleWindowGateSpec proves both sides row-identical.
+      val classed =
+        if (graft.core.Sizing.leafScanBytes(Tables.lineitem(s, d)) <=
+            graft.core.Sizing.fanoutCkptBytes) {
+          val wCum = Window.orderBy(col("_r").desc, col("l_partkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wAll = Window.orderBy(col("_r").desc, col("l_partkey"))
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)
+          dem
+            .withColumn("_cumr", sum(col("_r")).over(wCum))
+            .withColumn("_totr", sum(col("_r")).over(wAll))
+        } else {
+          // one materialized snapshot: offsets and the main branch must
+          // see the SAME range boundaries (two instantiations of a range
+          // exchange sample independently — exchange reuse is an
+          // optimization, not a contract), and _pid must be stable
+          // across both reads
+          val ranged = dem
+            .repartitionByRange(col("_r").desc, col("l_partkey"))
+            .withColumn("_pid", spark_partition_id())
+            .localCheckpoint()
+          val wP = Window.orderBy(col("_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val wPAll = Window.partitionBy()
+          val offsets = ranged.groupBy(col("_pid"))
+            .agg(sum(col("_r")).as("_pr"))
+            .select(col("_pid"),
+              coalesce(sum(col("_pr")).over(wP), lit(0L)).as("_off"),
+              sum(col("_pr")).over(wPAll).as("_totr"))
+          val wIn = Window.partitionBy(col("_pid"))
+            .orderBy(col("_r").desc, col("l_partkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          ranged
+            .withColumn("_rs", sum(col("_r")).over(wIn))
+            .join(broadcast(offsets), Seq("_pid"))
+            .withColumn("_cumr", col("_off") + col("_rs"))
+        }
+      classed
         .withColumn("abc",
           when(col("_cumr").cast("double")
             <= lit(0.8) * col("_totr").cast("double"), "A")

@@ -29,6 +29,10 @@ class ScaleWindowGateSpec extends SparkSpec {
       "gate-scale q274 must not pre-rank in sub-buckets")
   }
 
+  private def whRows(q: String): Seq[String] =
+    graft.queries.WarehouseQueries.defs(q)(spark, d).collect()
+      .map(_.toString).toIndexedSeq
+
   test("q273/q274: the decomposed at-scale plan is value-identical") {
     val lazyQ273 = rows("q273_heaps_law")
     val lazyQ274 = rows("q274_burrows_delta")
@@ -43,5 +47,14 @@ class ScaleWindowGateSpec extends SparkSpec {
       assert(rows("q274_burrows_delta") == lazyQ274,
         "q274 two-phase top-15 must equal the global window's")
     } finally sys.props -= "graft.fanout.ckpt.bytes"
+  }
+
+  test("q330: the range-decomposed cumulative share is value-identical") {
+    val lazyQ330 = whRows("q330_abc_xyz")
+    sys.props("graft.fanout.ckpt.bytes") = "0"
+    try
+      assert(whRows("q330_abc_xyz") == lazyQ330,
+        "q330 range-partitioned cum-share must equal the global window's")
+    finally sys.props -= "graft.fanout.ckpt.bytes"
   }
 }
