@@ -2127,13 +2127,43 @@ object WarehouseQueries {
     // one written order. The ranking window runs over the bounded part
     // domain (items, not order lines).
     "q218_abc_analysis" -> { (s, d) =>
-      val w = Window.orderBy(col("_rev").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val parts = Tables.lineitem(s, d)
         .groupBy(col("l_partkey"))
         .agg(decSum(col("l_extendedprice")).as("_rev"))
-      parts
-        .withColumn("_cum", sum(col("_rev")).over(w))
+      // Sizing-gated cumulative share (r17 — q330's range-decomposition
+      // template): below the at-scale threshold the census cumulates
+      // through the lazy single window; above it the census
+      // range-partitions by the same (_rev desc, l_partkey) total order
+      // (one localCheckpoint snapshot so offsets and rows see identical
+      // sampled boundaries), within-range running sums run parallel, and
+      // the exclusive range offsets cumulate over the bounded per-range
+      // census. Row-identical on both sides — ScaleWindowGateSpec.
+      val cum =
+        if (graft.core.Sizing.leafScanBytes(Tables.lineitem(s, d)) <=
+            graft.core.Sizing.fanoutCkptBytes) {
+          val w = Window.orderBy(col("_rev").desc, col("l_partkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          parts.withColumn("_cum", sum(col("_rev")).over(w))
+        } else {
+          val ranged = parts
+            .repartitionByRange(col("_rev").desc, col("l_partkey"))
+            .withColumn("_pid", spark_partition_id())
+            .localCheckpoint()
+          val wP = Window.orderBy(col("_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val offsets = ranged.groupBy(col("_pid"))
+            .agg(sum(col("_rev")).as("_pr"))
+            .select(col("_pid"),
+              coalesce(sum(col("_pr")).over(wP), lit(0)).as("_poff"))
+          val wIn = Window.partitionBy(col("_pid"))
+            .orderBy(col("_rev").desc, col("l_partkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          ranged
+            .withColumn("_rs", sum(col("_rev")).over(wIn))
+            .join(broadcast(offsets), Seq("_pid"))
+            .withColumn("_cum", col("_poff") + col("_rs"))
+        }
+      cum
         .crossJoin(broadcast(parts.agg(sum(col("_rev")).as("_tot"))))
         .withColumn("_cs",
           col("_cum").cast("double") / col("_tot").cast("double"))

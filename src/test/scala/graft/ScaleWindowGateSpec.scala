@@ -57,4 +57,13 @@ class ScaleWindowGateSpec extends SparkSpec {
         "q330 range-partitioned cum-share must equal the global window's")
     finally sys.props -= "graft.fanout.ckpt.bytes"
   }
+
+  test("q218: the range-decomposed ABC share is value-identical") {
+    val lazyQ218 = whRows("q218_abc_analysis")
+    sys.props("graft.fanout.ckpt.bytes") = "0"
+    try
+      assert(whRows("q218_abc_analysis") == lazyQ218,
+        "q218 range-partitioned cum-share must equal the global window's")
+    finally sys.props -= "graft.fanout.ckpt.bytes"
+  }
 }
