@@ -487,12 +487,15 @@ object WarehouseQueries {
     // census frequencies. The only window runs over the price census,
     // bounded by distinct prices.
     "q142_equidepth_hist" -> { (s, d) =>
-      val census = Tables.orders(s, d)
-        .select((col("o_totalprice").cast("decimal(18,2)") * 100)
-          .cast("long").as("_c"))
-        .groupBy(col("_c")).agg(count(lit(1)).as("_f"))
-        .withColumn("_cum", sum(col("_f")).over(Window.orderBy(col("_c"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // Sizing-gated census cumsum (r17): distinct order-total cents grow
+      // with the order count, so the keyless window decomposes at scale.
+      val census = gatedCensusCumsum(
+        Tables.orders(s, d)
+          .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("_c"))
+          .groupBy(col("_c")).agg(count(lit(1)).as("_f")),
+        keys = Nil, order = Seq(col("_c")), valueCol = "_f",
+        inclusive = true, cumName = "_cum", totName = None)
       val edgeCols = Seq.range(1, 10).map(b =>
         min(when(col("_cum") * 10 >= lit(b) * col("_n"), col("_c")))
           .as(s"_e$b"))
@@ -3805,11 +3808,12 @@ object WarehouseQueries {
         .select(col("event_type"),
           floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
             .as("_x"))
-      val census = two.groupBy(col("_x")).agg(count(lit(1)).as("_f"))
-      val wAsc = Window.orderBy(col("_x"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val g = census
-        .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
+      // Sizing-gated census cumsum (r17): the cents grid of `value` is
+      // data-dependent, not calendar-bounded — decompose past the gate.
+      val g = gatedCensusCumsum(
+        two.groupBy(col("_x")).agg(count(lit(1)).as("_f")),
+        keys = Nil, order = Seq(col("_x")), valueCol = "_f",
+        inclusive = false, cumName = "_cum", totName = None)
         .select(col("_x"),
           (lit(2) * col("_cum") + col("_f") + lit(1)).as("_r2"),
           (col("_f") * col("_f") * col("_f") - col("_f")).as("_t3"))
@@ -5894,14 +5898,72 @@ object WarehouseQueries {
     * rank-selection identity against an independent sorted reference.
     */
   private[graft] def rankedCensus(df: DataFrame, keyCol: Column,
-                                  vExpr: Column): DataFrame = {
-    val wAsc = Window.partitionBy(col("_key")).orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy(col("_key"))
-    df.select(keyCol.as("_key"), vExpr.as("_v"))
-      .groupBy(col("_key"), col("_v")).agg(count(lit(1)).as("_f"))
-      .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
-      .withColumn("_n", sum(col("_f")).over(wAll))
+                                  vExpr: Column): DataFrame =
+    gatedCensusCumsum(
+      df.select(keyCol.as("_key"), vExpr.as("_v"))
+        .groupBy(col("_key"), col("_v")).agg(count(lit(1)).as("_f")),
+      keys = Seq("_key"), order = Seq(col("_v")), valueCol = "_f",
+      inclusive = false, cumName = "_cum", totName = Some("_n"))
+
+  /** Sizing-gated running sum over a census (r17, guide §2.5): adds
+    * `cumName` = sum(`valueCol`) over (PARTITION BY `keys` ORDER BY
+    * `order` ROWS UNBOUNDED PRECEDING .. {CURRENT ROW | -1}) and, when
+    * asked, `totName` = the per-key total. `census` must be DISTINCT on
+    * (keys ++ order) — the range order below needs to be total — and
+    * `valueCol` must be int64 (the zero seed and offset adds are longs).
+    *
+    * Below the at-scale threshold the sums ride the lazy window —
+    * identical plan to the hand-written form, so the gate-scale bench
+    * baselines and PlanSpec pins are untouched. Above it (a census whose
+    * distinct-value domain grows with the data: customer revenue totals,
+    * order-price cents — the keyless single-task trap at 100 TB) the
+    * census RANGE-partitions by (keys ++ order) off ONE localCheckpoint
+    * snapshot (offsets and rows must see the SAME sampled boundaries —
+    * exchange reuse is an optimization, not a contract): within-range
+    * running sums run parallel, and the exclusive per-(key, range)
+    * offsets cumulate over the bounded per-range census. Row-identical on
+    * both sides — ScaleWindowGateSpec; the boundary split is
+    * value-neutral because the order is total (no ties to straddle a
+    * range edge).
+    */
+  private[graft] def gatedCensusCumsum(census: DataFrame, keys: Seq[String],
+      order: Seq[Column], valueCol: String, inclusive: Boolean,
+      cumName: String, totName: Option[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val end = if (inclusive) Window.currentRow else -1L
+    def run(w: org.apache.spark.sql.expressions.WindowSpec) = {
+      val s = sum(col(valueCol)).over(w)
+      if (inclusive) s else coalesce(s, lit(0L))
+    }
+    if (graft.core.Sizing.leafScanBytes(census) <=
+        graft.core.Sizing.fanoutCkptBytes) {
+      val wRun = Window.partitionBy(keyCols: _*).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, end)
+      val base = census.withColumn(cumName, run(wRun))
+      totName.fold(base)(tn => base.withColumn(tn,
+        sum(col(valueCol)).over(Window.partitionBy(keyCols: _*))))
+    } else {
+      val ranged = census
+        .repartitionByRange(keyCols ++ order: _*)
+        .withColumn("_gpid", spark_partition_id())
+        .localCheckpoint()
+      val joinKeys = keys :+ "_gpid"
+      val wOff = Window.partitionBy(keyCols: _*).orderBy(col("_gpid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val perRange = ranged.groupBy(joinKeys.map(col): _*)
+        .agg(sum(col(valueCol)).as("_gpr"))
+        .withColumn("_goff", coalesce(sum(col("_gpr")).over(wOff), lit(0L)))
+      val offsets = totName.fold(perRange)(tn => perRange.withColumn(tn,
+        sum(col("_gpr")).over(Window.partitionBy(keyCols: _*))))
+      val wIn = Window.partitionBy(joinKeys.map(col): _*).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, end)
+      ranged
+        .withColumn("_grs", run(wIn))
+        .join(broadcast(offsets.drop("_gpr")), joinKeys)
+        .withColumn(cumName, col("_goff") + col("_grs"))
+        // the join fronts its keys — restore the lazy branch's column order
+        .select((census.columns ++ Seq(cumName) ++ totName).map(col): _*)
+    }
   }
 
   /** Shared base for q169/q170: 6 dp-scaled integer daily returns of the

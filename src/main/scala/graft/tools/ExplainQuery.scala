@@ -21,9 +21,15 @@ object ExplainQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    df.count()
-    println("=== executed plan (final, post-AQE) ===")
-    println(df.queryExecution.executedPlan.toString)
+    if (args.length > 2 && args(2) == "formatted") {
+      // plans/rNN deliverable form: explain("formatted") without executing
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    } else {
+      df.count()
+      println("=== executed plan (final, post-AQE) ===")
+      println(df.queryExecution.executedPlan.toString)
+    }
     spark.stop()
   }
 }

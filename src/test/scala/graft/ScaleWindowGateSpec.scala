@@ -66,4 +66,31 @@ class ScaleWindowGateSpec extends SparkSpec {
         "q218 range-partitioned cum-share must equal the global window's")
     finally sys.props -= "graft.fanout.ckpt.bytes"
   }
+
+  private def whPlan(q: String): String =
+    graft.queries.WarehouseQueries.defs(q)(spark, d)
+      .queryExecution.optimizedPlan.toString
+
+  // the gatedCensusCumsum class: q224 rides rankedCensus keyless ("all"),
+  // q181 rides it keyed (c_mktsegment), q142/q262 are inline censuses
+  private val censusQs = Seq("q224_lorenz_curve", "q142_equidepth_hist",
+    "q262_mann_whitney", "q181_percentile_cont")
+
+  test("census cumsums: gate-scale plans keep the lazy window") {
+    for (q <- censusQs)
+      assert(!whPlan(q).contains("_gpid"),
+        s"$q gate-scale census cumsum must not range-decompose " +
+          "(committed bench baseline)")
+  }
+
+  test("census cumsums: the range-decomposed form is value-identical") {
+    val lazyRows = censusQs.map(q => q -> whRows(q)).toMap
+    sys.props("graft.fanout.ckpt.bytes") = "0"
+    try censusQs.foreach { q =>
+      assert(whPlan(q).contains("_gpid"),
+        s"forced-low threshold must range-decompose $q")
+      assert(whRows(q) == lazyRows(q),
+        s"$q decomposed census cumsum must equal the lazy window's")
+    } finally sys.props -= "graft.fanout.ckpt.bytes"
+  }
 }
