@@ -75,11 +75,12 @@ object WarehouseQueries {
     * independent sorted Σi·xᵢ can catch a rank-sum error).
     */
   def giniOfCounts(perKey: DataFrame): DataFrame = {
-    val census = perKey.groupBy(col("_x")).agg(count(lit(1)).as("_f"))
-    val wc = Window.orderBy(col("_x"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val terms = census
-      .withColumn("_p0", coalesce(sum(col("_f")).over(wc), lit(0L)))
+    // Sizing-gated census cumsum (r17): the count-of-counts domain is
+    // data-dependent (per-key activity grows with history)
+    val terms = gatedCensusCumsum(
+      perKey.groupBy(col("_x")).agg(count(lit(1)).as("_f")),
+      keys = Nil, order = Seq(col("_x")), valueCol = "_f",
+      inclusive = false, cumName = "_p0", totName = None)
       .withColumn("_r", expr(
         "_x * (_f * _p0 + (_f * (_f + 1)) div 2)"))
     terms.agg(sum(col("_f")).as("_n"),
@@ -528,14 +529,11 @@ object WarehouseQueries {
       val merged = censusOf("click", "_fa")
         .join(censusOf("purchase", "_fb"), Seq("_v"), "full_outer")
         .na.fill(0L, Seq("_fa", "_fb"))
-      val wc = Window.orderBy(col("_v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy()
-      merged
-        .withColumn("_ca", sum(col("_fa")).over(wc))
-        .withColumn("_cb", sum(col("_fb")).over(wc))
-        .withColumn("_na", sum(col("_fa")).over(wAll))
-        .withColumn("_nb", sum(col("_fb")).over(wAll))
+      // Sizing-gated census cumsums (r17): both ECDFs cumulate the one
+      // merged census — one range snapshot carries both frequencies.
+      gatedCensusCumsumMulti(merged, keys = Nil, order = Seq(col("_v")),
+        cols = Seq(("_fa", "_ca", Some("_na")), ("_fb", "_cb", Some("_nb"))),
+        inclusive = true)
         .agg(max(col("_na")).as("_na"), max(col("_nb")).as("_nb"),
           max(abs(col("_ca") * col("_nb") - col("_cb") * col("_na")))
             .as("_dnum"))
@@ -2214,13 +2212,37 @@ object WarehouseQueries {
         .select(explode(bigrams).as("_bg"))
         .groupBy(col("_bg")).agg(count(lit(1)).as("_c"))
       val w = Window.orderBy(col("_c").desc, col("_bg"))
-      census
-        .withColumn("_rn", row_number().over(w))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(col("_c")).as("total_occurrences"),
-          sum(when(col("_rn") <= 100, col("_c")).otherwise(0L))
-            .as("top100_occurrences"))
-        .select(col("n_grams"), col("total_occurrences"),
+      // Sizing-gated two-phase top-100 (r17, q274's device): the bigram
+      // census grows with the vocabulary square — above the threshold the
+      // ranking pre-ranks inside 64 hash sub-buckets (every global
+      // top-100 is within its bucket's top-100 under the same total
+      // order), the keyless window ranks ≤ 64·100 survivors, and the
+      // full-census totals come from a plain aggregate.
+      val agg =
+        if (graft.core.Sizing.leafScanBytes(census) <=
+            graft.core.Sizing.fanoutCkptBytes)
+          census
+            .withColumn("_rn", row_number().over(w))
+            .agg(count(lit(1)).as("n_grams"),
+              sum(col("_c")).as("total_occurrences"),
+              sum(when(col("_rn") <= 100, col("_c")).otherwise(0L))
+                .as("top100_occurrences"))
+        else {
+          val wSub = Window.partitionBy(col("_sb"))
+            .orderBy(col("_c").desc, col("_bg"))
+          val top = census
+            .withColumn("_sb", pmod(xxhash64(col("_bg")), lit(64)))
+            .withColumn("_srn", row_number().over(wSub))
+            .filter(col("_srn") <= 100)
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") <= 100)
+          census
+            .agg(count(lit(1)).as("n_grams"),
+              sum(col("_c")).as("total_occurrences"))
+            .crossJoin(broadcast(top.agg(
+              sum(col("_c")).as("top100_occurrences"))))
+        }
+      agg.select(col("n_grams"), col("total_occurrences"),
           col("top100_occurrences"),
           fr(col("top100_occurrences").cast("double")
             / col("total_occurrences").cast("double"), 6).as("coverage"))
@@ -3513,11 +3535,29 @@ object WarehouseQueries {
           floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast("long"))
         .groupBy(col("l_partkey"))
         .agg(sum(col("_cents")).as("_rev"), sum(col("_q100")).as("_qty"))
-      val r = parts
-        .withColumn("_r1", row_number().over(
-          Window.orderBy(col("_rev").desc, col("l_partkey"))).cast("long"))
-        .withColumn("_r2", row_number().over(
-          Window.orderBy(col("_qty").desc, col("l_partkey"))).cast("long"))
+      // Sizing-gated rankings (r17): the part census grows with the
+      // catalog — below the threshold the two lazy row_number windows,
+      // above it both global ranks come from gatedCensusCumsum (a running
+      // count of ones under the same total order IS the row_number).
+      val r =
+        if (graft.core.Sizing.leafScanBytes(parts) <=
+            graft.core.Sizing.fanoutCkptBytes)
+          parts
+            .withColumn("_r1", row_number().over(
+              Window.orderBy(col("_rev").desc, col("l_partkey"))).cast("long"))
+            .withColumn("_r2", row_number().over(
+              Window.orderBy(col("_qty").desc, col("l_partkey"))).cast("long"))
+        else
+          gatedCensusCumsum(
+            gatedCensusCumsum(parts.withColumn("_one", lit(1L)),
+              keys = Nil, order = Seq(col("_rev").desc, col("l_partkey")),
+              valueCol = "_one", inclusive = true, cumName = "_r1",
+              totName = None),
+            keys = Nil, order = Seq(col("_qty").desc, col("l_partkey")),
+            valueCol = "_one", inclusive = true, cumName = "_r2",
+            // the inner call's localCheckpoint leaf counts zero scan
+            // bytes — force the second ranking's decomposition too
+            totName = None, force = true)
       r.agg(count(lit(1)).as("_n"),
           sum(abs(col("_r1") - col("_r2"))).as("_fr"),
           sum((col("_r1") - col("_r2")) * (col("_r1") - col("_r2")))
@@ -3855,11 +3895,11 @@ object WarehouseQueries {
         .select(col("event_type"),
           floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
             .as("_x"))
-      val census = rows.groupBy(col("_x")).agg(count(lit(1)).as("_f"))
-      val wAsc = Window.orderBy(col("_x"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val g = census
-        .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
+      // Sizing-gated census cumsum (r17): q262's grid, q262's treatment.
+      val g = gatedCensusCumsum(
+        rows.groupBy(col("_x")).agg(count(lit(1)).as("_f")),
+        keys = Nil, order = Seq(col("_x")), valueCol = "_f",
+        inclusive = false, cumName = "_cum", totName = None)
         .select(col("_x"),
           (lit(2) * col("_cum") + col("_f") + lit(1)).as("_r2"),
           (col("_f") * col("_f") * col("_f") - col("_f")).as("_t3"))
@@ -4546,13 +4586,14 @@ object WarehouseQueries {
         .select((col("event_type") === "click").cast("long").as("_isc"),
           floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
             .as("_x"))
-      val census = two.groupBy(col("_x"))
-        .agg(count(lit(1)).as("_f"), sum(col("_isc")).as("_fc"))
-      val wAsc = Window.orderBy(col("_x"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val c = census
-        .withColumn("_B", sum(col("_f")).over(wAsc))
-        .withColumn("_M", sum(col("_fc")).over(wAsc))
+      // Sizing-gated census cumsums (r17): q262's grid, one range
+      // snapshot for both pooled and click cumulative counts.
+      val c = gatedCensusCumsumMulti(
+        two.groupBy(col("_x"))
+          .agg(count(lit(1)).as("_f"), sum(col("_isc")).as("_fc")),
+        keys = Nil, order = Seq(col("_x")),
+        cols = Seq(("_f", "_B", None), ("_fc", "_M", None)),
+        inclusive = true)
       val tot = two.agg(sum(col("_isc")).as("_n"),
         count(lit(1)).as("_NM"))
       val t = c.crossJoin(tot)
@@ -4658,11 +4699,11 @@ object WarehouseQueries {
         .select(col("event_type"),
           floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
             .as("_x"))
-      val wAsc = Window.orderBy(col("_x"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val pooled = rows.groupBy(col("_x")).agg(count(lit(1)).as("_f"))
-        .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
-        .withColumn("_n", sum(col("_f")).over(Window.partitionBy()))
+      // Sizing-gated census cumsum (r17): q262's grid, q262's treatment.
+      val pooled = gatedCensusCumsum(
+        rows.groupBy(col("_x")).agg(count(lit(1)).as("_f")),
+        keys = Nil, order = Seq(col("_x")), valueCol = "_f",
+        inclusive = false, cumName = "_cum", totName = Some("_n"))
       val limits = pooled
         .withColumn("_k1", expr("(_n + 99) div 100"))
         .withColumn("_k99", expr("(99 * _n + 99) div 100"))
@@ -5928,20 +5969,43 @@ object WarehouseQueries {
     */
   private[graft] def gatedCensusCumsum(census: DataFrame, keys: Seq[String],
       order: Seq[Column], valueCol: String, inclusive: Boolean,
-      cumName: String, totName: Option[String]): DataFrame = {
+      cumName: String, totName: Option[String],
+      force: Boolean = false): DataFrame =
+    gatedCensusCumsumMulti(census, keys, order,
+      Seq((valueCol, cumName, totName)), inclusive, force)
+
+  /** Multi-column core of [[gatedCensusCumsum]]: each `(valueCol,
+    * cumName, totName)` entry gets its running sum (and optional per-key
+    * total) over the SAME (keys, order) spec — one range snapshot, one
+    * offsets broadcast for all of them (q143/q288 cumulate two
+    * frequencies over one merged census). `force = true` skips the leaf
+    * gate and always decomposes: a caller that chains a second
+    * decomposition on top of a first one (q253's two rankings) sees only
+    * the first call's localCheckpoint leaf — zero scan bytes — so the
+    * gate alone would silently hand the second ranking back to a lazy
+    * single-task window at scale.
+    */
+  private[graft] def gatedCensusCumsumMulti(census: DataFrame,
+      keys: Seq[String], order: Seq[Column],
+      cols: Seq[(String, String, Option[String])], inclusive: Boolean,
+      force: Boolean = false): DataFrame = {
     val keyCols = keys.map(col)
     val end = if (inclusive) Window.currentRow else -1L
-    def run(w: org.apache.spark.sql.expressions.WindowSpec) = {
-      val s = sum(col(valueCol)).over(w)
+    def run(v: String, w: org.apache.spark.sql.expressions.WindowSpec) = {
+      val s = sum(col(v)).over(w)
       if (inclusive) s else coalesce(s, lit(0L))
     }
-    if (graft.core.Sizing.leafScanBytes(census) <=
+    // output order (both branches): census columns, cums, then totals
+    val outCols = census.columns ++ cols.map(_._2) ++ cols.flatMap(_._3)
+    if (!force && graft.core.Sizing.leafScanBytes(census) <=
         graft.core.Sizing.fanoutCkptBytes) {
       val wRun = Window.partitionBy(keyCols: _*).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, end)
-      val base = census.withColumn(cumName, run(wRun))
-      totName.fold(base)(tn => base.withColumn(tn,
-        sum(col(valueCol)).over(Window.partitionBy(keyCols: _*))))
+      val wAll = Window.partitionBy(keyCols: _*)
+      val withCums = cols.foldLeft(census) { case (df, (v, c, _)) =>
+        df.withColumn(c, run(v, wRun)) }
+      cols.foldLeft(withCums) { case (df, (v, _, t)) =>
+        t.fold(df)(tn => df.withColumn(tn, sum(col(v)).over(wAll))) }
     } else {
       val ranged = census
         .repartitionByRange(keyCols ++ order: _*)
@@ -5950,19 +6014,25 @@ object WarehouseQueries {
       val joinKeys = keys :+ "_gpid"
       val wOff = Window.partitionBy(keyCols: _*).orderBy(col("_gpid"))
         .rowsBetween(Window.unboundedPreceding, -1)
+      val wTot = Window.partitionBy(keyCols: _*)
       val perRange = ranged.groupBy(joinKeys.map(col): _*)
-        .agg(sum(col(valueCol)).as("_gpr"))
-        .withColumn("_goff", coalesce(sum(col("_gpr")).over(wOff), lit(0L)))
-      val offsets = totName.fold(perRange)(tn => perRange.withColumn(tn,
-        sum(col("_gpr")).over(Window.partitionBy(keyCols: _*))))
+        .agg(sum(col(cols.head._1)).as("_gpr_" + cols.head._1),
+          cols.tail.map { case (v, _, _) => sum(col(v)).as("_gpr_" + v) }: _*)
+      val offsets = cols.foldLeft(perRange) { case (df, (v, _, t)) =>
+        val withOff = df.withColumn("_goff_" + v,
+          coalesce(sum(col("_gpr_" + v)).over(wOff), lit(0L)))
+        t.fold(withOff)(tn => withOff.withColumn(tn,
+          sum(col("_gpr_" + v)).over(wTot)))
+      }.drop(cols.map("_gpr_" + _._1): _*)
       val wIn = Window.partitionBy(joinKeys.map(col): _*).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, end)
-      ranged
-        .withColumn("_grs", run(wIn))
-        .join(broadcast(offsets.drop("_gpr")), joinKeys)
-        .withColumn(cumName, col("_goff") + col("_grs"))
-        // the join fronts its keys — restore the lazy branch's column order
-        .select((census.columns ++ Seq(cumName) ++ totName).map(col): _*)
+      val withRuns = cols.foldLeft(ranged) { case (df, (v, _, _)) =>
+        df.withColumn("_grs_" + v, run(v, wIn)) }
+      cols.foldLeft(withRuns.join(broadcast(offsets), joinKeys)) {
+          case (df, (v, c, _)) =>
+            df.withColumn(c, col("_goff_" + v) + col("_grs_" + v)) }
+        // the join fronts its keys — restore the lazy branch's order
+        .select(outCols.map(col): _*)
     }
   }
 

@@ -101,18 +101,42 @@ object WindowQueries {
     },
 
     // Inherently-global window (quartiles over the whole relation): fine at
-    // report scale; at 100 TB quantiles come from approx_percentile /
-    // range-partitioned rank instead.
+    // report scale; at 100 TB quantiles come from the range-partitioned
+    // rank below — the Sizing gate (r17) picks the side, value-identically.
     "q22_ntile_frames" -> { (s, d) =>
+      val o = Tables.orders(s, d)
       val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
       val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      Tables.orders(s, d)
-        .select(col("o_orderkey"),
-          ntile(4).over(w).cast("long").as("q"),
-          fr(first(col("o_totalprice")).over(wf), 2).as("lo"),
-          fr(last(col("o_totalprice")).over(wf), 2).as("hi"))
-        .orderBy("o_orderkey")
-        .limit(200)
+      val ranked =
+        if (graft.core.Sizing.leafScanBytes(o) <=
+            graft.core.Sizing.fanoutCkptBytes)
+          o.select(col("o_orderkey"),
+            ntile(4).over(w).cast("long").as("q"),
+            fr(first(col("o_totalprice")).over(wf), 2).as("lo"),
+            fr(last(col("o_totalprice")).over(wf), 2).as("hi"))
+        else {
+          // global rank via the range-decomposed running count of ones
+          // ((o_totalprice, o_orderkey) is a total order — o_orderkey is
+          // unique in orders), then Spark's NTile contract applied to the
+          // rank: the first n%4 buckets hold n/4+1 rows, the rest n/4;
+          // first/last over the full ordered frame ARE min/max.
+          val rn = graft.queries.WarehouseQueries.gatedCensusCumsum(
+            o.select(col("o_orderkey"), col("o_totalprice"))
+              .withColumn("_one", lit(1L)),
+            keys = Nil, order = Seq(col("o_totalprice"), col("o_orderkey")),
+            valueCol = "_one", inclusive = true, cumName = "_rn",
+            totName = Some("_n"))
+          rn.crossJoin(broadcast(o.agg(
+              fr(min(col("o_totalprice")), 2).as("lo"),
+              fr(max(col("o_totalprice")), 2).as("hi"))))
+            .withColumn("q", expr(
+              """CASE WHEN _rn <= (_n % 4) * ((_n div 4) + 1)
+                 THEN (_rn - 1) div ((_n div 4) + 1)
+                 ELSE (_n % 4) + ((_rn - 1) - (_n % 4) * ((_n div 4) + 1))
+                      div greatest(_n div 4, 1) END + 1"""))
+            .select(col("o_orderkey"), col("q"), col("lo"), col("hi"))
+        }
+      ranked.orderBy("o_orderkey").limit(200)
     },
 
     // Gaps-and-islands gap detection (O12 primitive).

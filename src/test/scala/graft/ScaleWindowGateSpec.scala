@@ -67,30 +67,49 @@ class ScaleWindowGateSpec extends SparkSpec {
     finally sys.props -= "graft.fanout.ckpt.bytes"
   }
 
-  private def whPlan(q: String): String =
-    graft.queries.WarehouseQueries.defs(q)(spark, d)
+  private def anyPlan(q: String): String =
+    graft.SparkEntry.queries(q)(spark, d)
       .queryExecution.optimizedPlan.toString
 
+  private def anyRows(q: String): Seq[String] =
+    graft.SparkEntry.queries(q)(spark, d).collect()
+      .map(_.toString).toIndexedSeq
+
   // the gatedCensusCumsum class: q224 rides rankedCensus keyless ("all"),
-  // q181 rides it keyed (c_mktsegment), q142/q262 are inline censuses
+  // q181 rides it keyed (c_mktsegment), q142/q262/q263/q137 are inline
+  // censuses, q253 is the double global row_number, q22 the global ntile
   private val censusQs = Seq("q224_lorenz_curve", "q142_equidepth_hist",
-    "q262_mann_whitney", "q181_percentile_cont")
+    "q262_mann_whitney", "q181_percentile_cont", "q263_kruskal_wallis",
+    "q137_gini", "q253_rank_footrule", "q22_ntile_frames",
+    "q143_ks_test", "q288_anderson_darling", "q292_cpk")
 
   test("census cumsums: gate-scale plans keep the lazy window") {
-    for (q <- censusQs)
-      assert(!whPlan(q).contains("_gpid"),
+    for (q <- censusQs :+ "q220_bigram_coverage")
+      assert(!anyPlan(q).contains("_gpid")
+          && !anyPlan(q).contains("_srn"),
         s"$q gate-scale census cumsum must not range-decompose " +
           "(committed bench baseline)")
   }
 
   test("census cumsums: the range-decomposed form is value-identical") {
-    val lazyRows = censusQs.map(q => q -> whRows(q)).toMap
+    val lazyRows = censusQs.map(q => q -> anyRows(q)).toMap
     sys.props("graft.fanout.ckpt.bytes") = "0"
     try censusQs.foreach { q =>
-      assert(whPlan(q).contains("_gpid"),
+      assert(anyPlan(q).contains("_gpid"),
         s"forced-low threshold must range-decompose $q")
-      assert(whRows(q) == lazyRows(q),
+      assert(anyRows(q) == lazyRows(q),
         s"$q decomposed census cumsum must equal the lazy window's")
+    } finally sys.props -= "graft.fanout.ckpt.bytes"
+  }
+
+  test("q220: the two-phase top-100 coverage is value-identical") {
+    val lazyQ220 = anyRows("q220_bigram_coverage")
+    sys.props("graft.fanout.ckpt.bytes") = "0"
+    try {
+      assert(anyPlan("q220_bigram_coverage").contains("_srn"),
+        "forced-low threshold must two-phase q220's ranking")
+      assert(anyRows("q220_bigram_coverage") == lazyQ220,
+        "q220 two-phase top-100 coverage must equal the global window's")
     } finally sys.props -= "graft.fanout.ckpt.bytes"
   }
 }
