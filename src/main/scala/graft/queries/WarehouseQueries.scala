@@ -5657,10 +5657,11 @@ object WarehouseQueries {
         .groupBy(col("_x")).agg(count(lit(1)).as("_f"))
       val k0 = c.agg(sum(col("_f")).as("_n"))
         .withColumn("_k", expr("_n div 20"))
-      val wDesc = Window.orderBy(col("_x").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cc = c.withColumn("_above",
-          coalesce(sum(col("_f")).over(wDesc), lit(0L)))
+      // Sizing-gated census cumsum (r17): the order-value cents census
+      // grows with the catalog; the top-down cumulation decomposes too.
+      val cc = gatedCensusCumsum(c, keys = Nil,
+          order = Seq(col("_x").desc), valueCol = "_f",
+          inclusive = false, cumName = "_above", totName = None)
         .crossJoin(k0)
       val thr = cc
         .filter(col("_above") + col("_f") >= col("_k") + 1
@@ -5695,13 +5696,13 @@ object WarehouseQueries {
         .select(col("event_type").as("_g"),
           floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
             .as("_x"))
-      val wAsc = Window.orderBy(col("_x"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val med = v.groupBy(col("_x")).agg(count(lit(1)).as("_f"))
-        .withColumn("_cum", coalesce(sum(col("_f")).over(wAsc), lit(0L)))
-        .withColumn("_n", sum(col("_f")).over(
-          Window.orderBy(col("_x")).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing)))
+      // Sizing-gated census cumsum (r17): q262's grid; totOrdered keeps
+      // the one-Window gate-scale plan (cum + total share the spec)
+      val med = gatedCensusCumsum(
+        v.groupBy(col("_x")).agg(count(lit(1)).as("_f")),
+        keys = Nil, order = Seq(col("_x")), valueCol = "_f",
+        inclusive = false, cumName = "_cum", totName = Some("_n"),
+        totOrdered = true)
         .agg(max(when(col("_cum") < expr("(_n + 1) div 2")
           && col("_cum") + col("_f") >= expr("(_n + 1) div 2"),
           col("_x"))).as("_m"))
@@ -5970,9 +5971,9 @@ object WarehouseQueries {
   private[graft] def gatedCensusCumsum(census: DataFrame, keys: Seq[String],
       order: Seq[Column], valueCol: String, inclusive: Boolean,
       cumName: String, totName: Option[String],
-      force: Boolean = false): DataFrame =
+      force: Boolean = false, totOrdered: Boolean = false): DataFrame =
     gatedCensusCumsumMulti(census, keys, order,
-      Seq((valueCol, cumName, totName)), inclusive, force)
+      Seq((valueCol, cumName, totName)), inclusive, force, totOrdered)
 
   /** Multi-column core of [[gatedCensusCumsum]]: each `(valueCol,
     * cumName, totName)` entry gets its running sum (and optional per-key
@@ -5985,10 +5986,18 @@ object WarehouseQueries {
     * gate alone would silently hand the second ranking back to a lazy
     * single-task window at scale.
     */
+  /** `totOrdered` emits the lazy branch's per-key total over the SAME
+    * ordered spec as the running sum with an unbounded-following frame
+    * (one Window operator for cum + total — q327's hand-written plan)
+    * instead of an unordered Window.partitionBy (rankedCensus's plan);
+    * value-identical, chosen per call site to keep the gate-scale plan
+    * byte-stable. The decomposed branch is unaffected (totals come off
+    * the per-range census either way).
+    */
   private[graft] def gatedCensusCumsumMulti(census: DataFrame,
       keys: Seq[String], order: Seq[Column],
       cols: Seq[(String, String, Option[String])], inclusive: Boolean,
-      force: Boolean = false): DataFrame = {
+      force: Boolean = false, totOrdered: Boolean = false): DataFrame = {
     val keyCols = keys.map(col)
     val end = if (inclusive) Window.currentRow else -1L
     def run(v: String, w: org.apache.spark.sql.expressions.WindowSpec) = {
@@ -6001,7 +6010,12 @@ object WarehouseQueries {
         graft.core.Sizing.fanoutCkptBytes) {
       val wRun = Window.partitionBy(keyCols: _*).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, end)
-      val wAll = Window.partitionBy(keyCols: _*)
+      val wAll =
+        if (totOrdered)
+          Window.partitionBy(keyCols: _*).orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)
+        else Window.partitionBy(keyCols: _*)
       val withCums = cols.foldLeft(census) { case (df, (v, c, _)) =>
         df.withColumn(c, run(v, wRun)) }
       cols.foldLeft(withCums) { case (df, (v, _, t)) =>
@@ -6118,10 +6132,12 @@ object WarehouseQueries {
       .crossJoin(c.select(col("_x")).distinct())
       .join(c, Seq("_g", "_x"), "left")
       .withColumn("_f", coalesce(col("_f"), lit(0L)))
-    val wb = Window.partitionBy(col("_g")).orderBy(col("_x"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = grid
-      .withColumn("_below", coalesce(sum(col("_f")).over(wb), lit(0L)))
+    // Sizing-gated census cumsum (r17): keyed by the ≤5 groups, but the
+    // per-group gridded value census grows with the data — the keyed
+    // range decomposition parallelizes within each hot group.
+    val cum = gatedCensusCumsum(grid, keys = Seq("_g"),
+      order = Seq(col("_x")), valueCol = "_f", inclusive = false,
+      cumName = "_below", totName = None)
     val u = cum.as("a")
       .join(cum.as("b"),
         col("a._x") === col("b._x") && col("a._g") < col("b._g"))
@@ -6153,10 +6169,11 @@ object WarehouseQueries {
     val nz = u.groupBy(abs(col("_d")).as("_ad"))
       .agg(count(lit(1)).as("_f"),
         sum(when(col("_d") > 0, 1L).otherwise(0L)).as("_fp"))
-    val wb = Window.orderBy(col("_ad"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val c = nz.withColumn("_below",
-      coalesce(sum(col("_f")).over(wb), lit(0L)))
+    // Sizing-gated census cumsum (r17): the |diff| census domain grows
+    // with per-user activity spread
+    val c = gatedCensusCumsum(nz, keys = Nil, order = Seq(col("_ad")),
+      valueCol = "_f", inclusive = false, cumName = "_below",
+      totName = None)
     c.agg(sum(col("_f")).as("_n"),
         sum(col("_fp") * (lit(2) * col("_below") + col("_f") + lit(1)))
           .as("_w2"),

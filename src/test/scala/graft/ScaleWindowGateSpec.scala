@@ -81,7 +81,9 @@ class ScaleWindowGateSpec extends SparkSpec {
   private val censusQs = Seq("q224_lorenz_curve", "q142_equidepth_hist",
     "q262_mann_whitney", "q181_percentile_cont", "q263_kruskal_wallis",
     "q137_gini", "q253_rank_footrule", "q22_ntile_frames",
-    "q143_ks_test", "q288_anderson_darling", "q292_cpk")
+    "q143_ks_test", "q288_anderson_darling", "q292_cpk",
+    "q326_hill_tail", "q325_wilcoxon_signed_rank", "q327_mood_median",
+    "q318_jonckheere")
 
   test("census cumsums: gate-scale plans keep the lazy window") {
     for (q <- censusQs :+ "q220_bigram_coverage")
