@@ -817,12 +817,11 @@ object WarehouseQueries {
         .withColumn("_vd", col("value").cast("decimal(18,4)"))
       val census = ev.groupBy(col("event_type"), col("_vd"))
         .agg(count(lit(1)).as("_f"))
-      val wAsc = Window.partitionBy(col("event_type")).orderBy(col("_vd"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cdf = census
-        .withColumn("_cum", sum(col("_f")).over(wAsc))
-        .withColumn("_n", sum(col("_f")).over(
-          Window.partitionBy(col("event_type"))))
+      // Sizing-gated census cumsum (r17): the 4 dp value census is
+      // data-dependent; keyed by the ≤5 types, range-parallel within each
+      val cdf = gatedCensusCumsum(census, keys = Seq("event_type"),
+        order = Seq(col("_vd")), valueCol = "_f", inclusive = true,
+        cumName = "_cum", totName = Some("_n"))
         .select(col("event_type"), col("_vd"),
           fr(col("_cum").cast("double") / col("_n"), 6).as("cdf"))
       ev.filter(col("event_id") % 199 === 0)

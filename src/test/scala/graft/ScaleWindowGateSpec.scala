@@ -83,7 +83,7 @@ class ScaleWindowGateSpec extends SparkSpec {
     "q137_gini", "q253_rank_footrule", "q22_ntile_frames",
     "q143_ks_test", "q288_anderson_darling", "q292_cpk",
     "q326_hill_tail", "q325_wilcoxon_signed_rank", "q327_mood_median",
-    "q318_jonckheere")
+    "q318_jonckheere", "q155_quantile_norm")
 
   test("census cumsums: gate-scale plans keep the lazy window") {
     for (q <- censusQs :+ "q220_bigram_coverage")
