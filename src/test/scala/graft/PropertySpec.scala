@@ -559,6 +559,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("gatedCensusCumsumMulti: decomposed branch equals the lazy window on random censuses") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // adversarial: duplicate keys across ranges, negative values, desc
+    // orders, multi-column sums, totals on and off — force=true takes the
+    // range-partition + localCheckpoint branch, force=false stays lazy on
+    // these tiny LocalRelation inputs, and the two must agree row for row
+    val caseGen = for {
+      nKeys <- Gen.chooseNum(1, 3)
+      n <- Gen.chooseNum(1, 300)
+      distinctVals <- Gen.chooseNum(1, 12)
+      inclusive <- Gen.oneOf(true, false)
+      descending <- Gen.oneOf(true, false)
+      withTot <- Gen.oneOf(true, false)
+    } yield (nKeys, n, distinctVals, inclusive, descending, withTot)
+    for (((nKeys, n, dv, inclusive, descending, withTot), i)
+         <- samples(caseGen, 6).zipWithIndex) {
+      val rnd = new scala.util.Random(5417L + i)
+      val census = (0 until n)
+        .map(j => ("k" + (j % nKeys), (rnd.nextInt(dv) * 13 - 29).toLong))
+        .toDF("_k", "_v")
+        .groupBy(col("_k"), col("_v"))
+        .agg(count(lit(1)).as("_f"), (count(lit(1)) * 3).as("_g"))
+      val ord = if (descending) Seq(col("_v").desc) else Seq(col("_v"))
+      val cols = Seq(
+        ("_f", "_cf", if (withTot) Some("_tf") else None),
+        ("_g", "_cg", None))
+      def run(force: Boolean) = graft.queries.WarehouseQueries
+        .gatedCensusCumsumMulti(census, Seq("_k"), ord, cols, inclusive,
+          force = force)
+        .collect().map(_.toString).sorted.toIndexedSeq
+      assert(run(force = true) == run(force = false),
+        s"case $i (keys=$nKeys n=$n incl=$inclusive desc=$descending " +
+          s"tot=$withTot): decomposed != lazy")
+    }
+  }
+
   test("rankedCensus rank selection equals sorted-list order statistics on random fixtures") {
     import org.apache.spark.sql.functions.{col, expr, lit, max, when}
     // adversarial: heavy ties (runs spanning several ranks), single-value
